@@ -1,0 +1,83 @@
+"""Crawl configuration — the determinized analogue of the reference's knobs.
+
+Reference mapping (file:line into /root/reference):
+- priorities + weights: 5 named queues ``events immediate soon normal later``
+  with weighted random pop (`lib/crawlerFactory.js:86`, weights
+  {events:10, immediate:3, soon:2, normal:3, later:2};
+  `providers/queuing/queueSet.js:46-65`). We determinize to a strict
+  priority *rank* (lower = popped first) with FIFO `seq` tie-break — the
+  ordering a single-loop reference run with a seeded RNG degenerates to
+  (SURVEY.md §7.4 "ordering parity").
+- requeue delay 5000 ms × attempt: `lib/crawler.js:152-154`.
+- attempt cap 5 → deadletter: `lib/crawler.js:304-319`.
+- politeness window: per-token 30 calls/s (`lib/crawlerFactory.js:74-76`)
+  → per-host `max_per_window` + `crawl_delay_ms` (robots table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+#: Strict priority ranks (determinized weighted pop; see module docstring).
+PRIORITY_RANK: dict[str, int] = {
+    "events": 0,
+    "immediate": 1,
+    "soon": 2,
+    "normal": 3,
+    "later": 4,
+}
+
+#: The reference's queue weights, kept for documentation / weighted replay.
+REFERENCE_WEIGHTS: dict[str, int] = {
+    "events": 10,
+    "immediate": 3,
+    "soon": 2,
+    "normal": 3,
+    "later": 2,
+}
+
+PRIORITIES: tuple[str, ...] = tuple(PRIORITY_RANK)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """All knobs of one crawl run. Frozen so a config can be broadcast."""
+
+    # --- wave clock (virtual time, ms) ---
+    wave_ms: int = 10_000          # one wave advances the clock by this much
+    requeue_delay_ms: int = 5_000  # retry delay = requeue_delay_ms * attempt
+    attempt_cap: int = 5           # attempt > cap → deadletter
+
+    # --- scope filters (reference: org allow-list lib/crawler.js:578-592,
+    #     deny regex lib/crawler.js:594-599) ---
+    allowed_host_suffixes: tuple[str, ...] = (".example",)
+    deny_url_regex: str = r"/(?:handoff|handback)/"
+
+    # --- politeness defaults when a host has no robots row ---
+    default_crawl_delay_ms: int = 100
+    default_max_per_window: int = 1_000
+
+    # --- skew handling: a host with more than salt_threshold admitted rows
+    #     in one wave is split into salt_factor deterministic sub-groups whose
+    #     budgets sum to the host budget (SURVEY.md §7.4) ---
+    salt_threshold: int = 2_000
+    salt_factor: int = 4
+
+    # --- partitioning ---
+    n_shards: int = 8    # seen-set actor shards (hash(url) % n_shards)
+    n_buckets: int = 16  # pages-store / fetch-join buckets (hash(url) % n_buckets)
+
+    # --- seen-set structure: 'exact64' (64-bit hash set; exact at any test
+    #     scale) or 'cuckoo' (compact, supports delete; ~1e-4 fp) ---
+    seen_mode: str = "exact64"
+
+    # --- loop bounds / outputs ---
+    max_waves: int = 10_000
+    emit_order_log: bool = True   # write the golden crawl-order artifact
+
+    # --- link→priority rule (reference: paginated pages go to 'soon',
+    #     providers/fetcher/githubProcessor.js:58-79) ---
+    paginated_priority: str = "soon"
+    default_link_priority: str = "normal"
+
+    extra: dict = field(default_factory=dict, compare=False)

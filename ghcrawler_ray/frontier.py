@@ -1,0 +1,59 @@
+"""Shared frontier-row construction rules (used by BOTH the Ray engine and
+the sequential oracle, so seed/link admission semantics cannot diverge).
+
+- ``seeds_to_frontier``: seed specs → wave-0 rows (request rationalizer
+  analogue, `routes/requests.js:55-80`).
+- ``links_to_frontier``: discovered links → frontier rows with the
+  priority rule (?page= → 'soon', pagination analogue of
+  `providers/fetcher/githubProcessor.js:58-79`), ``seq = hash64(url)`` as
+  the deterministic FIFO tie-break, and per-batch local pre-dedup
+  (attenuation analogue, `providers/queuing/attenuatedQueue.js:24-52`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .config import PRIORITY_RANK, CrawlConfig
+from .state.politeness import ORDER_COLS
+from .urls import hash64_array, normalize_series
+
+FRONTIER_COLS = ["url", "priority", "rank", "seq", "attempt", "not_before",
+                 "depth", "claimed", "discovered_from", "policy"]
+
+
+def seeds_to_frontier(seeds: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "url": seeds["url"].astype(str),
+        "priority": seeds["priority"].astype(str),
+        "rank": seeds["priority"].map(PRIORITY_RANK).astype(np.int8),
+        "seq": seeds["seq"].astype(np.int64),
+        "attempt": np.zeros(len(seeds), dtype=np.int32),
+        "not_before": np.zeros(len(seeds), dtype=np.int64),
+        "depth": np.zeros(len(seeds), dtype=np.int32),
+        "claimed": np.zeros(len(seeds), dtype=bool),
+        "discovered_from": "",
+        "policy": seeds.get("policy", pd.Series(["default"] * len(seeds))).astype(str),
+    })[FRONTIER_COLS]
+
+
+def links_to_frontier(links: pd.DataFrame, parent_depth: pd.Series,
+                      clock: int, cfg: CrawlConfig) -> pd.DataFrame:
+    url = normalize_series(links["dst_url"])
+    paginated = url.str.contains(r"\?page=", regex=True)
+    priority = np.where(paginated, cfg.paginated_priority, cfg.default_link_priority)
+    f = pd.DataFrame({
+        "url": url.astype(str).to_numpy(),
+        "priority": priority,
+        "rank": pd.Series(priority).map(PRIORITY_RANK).astype(np.int8).to_numpy(),
+        "seq": hash64_array(url.to_numpy(dtype=object)),
+        "attempt": np.zeros(len(links), dtype=np.int32),
+        "not_before": np.full(len(links), clock + cfg.wave_ms, dtype=np.int64),
+        "depth": (np.asarray(parent_depth) + 1).astype(np.int32),
+        "claimed": np.zeros(len(links), dtype=bool),
+        "discovered_from": links["src_url"].astype(str).to_numpy(),
+        "policy": "default",
+    })
+    f = f.sort_values(ORDER_COLS, kind="stable").drop_duplicates("url", keep="first")
+    return f[FRONTIER_COLS].reset_index(drop=True)

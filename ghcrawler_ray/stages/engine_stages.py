@@ -1,0 +1,268 @@
+"""Engine-side stage callables for the wave pipeline.
+
+The wave is ONE chained Ray Data execution (keeps per-wave driver overhead
+at a handful of executions instead of dozens):
+
+    frontier.map_batches(PrepareBatch)                 # vectorized, stateless
+            .groupby("bucket").map_groups(bucket_stage)# dedup + claim + probe
+            .groupby("host").map_groups(host_stage)    # politeness budgets
+            .groupby("etag_key").map_groups(mark_etag_winner)
+            .map_batches(ClaimEtags)                   # content-dedup claim
+
+Stage → reference parity (file:line into /root/reference):
+- PrepareBatch: url canon (`lib/request.js:260-262`), malformed guard
+  (`lib/crawler.js:328-332`), allow-list/deny-regex scope filters
+  (`lib/crawler.js:578-599`), robots gating (visitor-map analogue,
+  `lib/visitorMap.js:47-117`), not-before gating (`lib/crawler.js:73-86`).
+- bucket_stage: attenuation dedup (`providers/queuing/attenuatedQueue.js:
+  24-52`), tracker-tag claim/bounce (`providers/queuing/
+  redisRequestTracker.js:22-30,95-134`) via the shard pool, and the fetch
+  probe — a bucket-pruned hash join against the pages_meta sidecar, the
+  stand-in for HTTP fetch + doc-store lookup (`providers/fetcher/
+  githubFetcher.js:18-109`, `providers/storage/storageDocStore.js:61-93`).
+  html never enters this or any shuffle (SURVEY.md §7.4).
+- host_stage: token-bench politeness (`providers/fetcher/tokenFactory.js:
+  81-93`, call caps `lib/crawlerFactory.js:74-76`) as per-host wave
+  budgets with deterministic hot-host salting; misses become the retry
+  path (`providers/fetcher/githubFetcher.js:44-87` status routing).
+- mark_etag_winner + ClaimEtags: etag/304 content dedup
+  (`providers/fetcher/githubFetcher.js:26-84`).
+- ExtractBucket: the processor stage (html → text + out-links,
+  `providers/fetcher/githubProcessor.js:81-122` + per-type handlers) and
+  doc-store upsert (`lib/crawler.js:470-485`) as idempotent partitioned
+  Parquet (`providers/storage/storageDocStore.js:33-58`).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..config import PRIORITY_RANK, CrawlConfig
+from ..state.politeness import (ORDER_COLS, admit_first_n, group_budget,
+                                host_budget, polite_salt)
+from ..urls import (hash64_array, is_malformed_series, normalize_series,
+                    split_host_path)
+from .extract import extract_links_df, extract_text_batch
+
+#: columns a frontier row carries between waves (checkpoint schema)
+FRONTIER_COLS = ["url", "priority", "rank", "seq", "attempt", "not_before",
+                 "depth", "claimed", "discovered_from", "policy"]
+
+FRONTIER_SCHEMA = pa.schema([
+    ("url", pa.string()), ("priority", pa.string()), ("rank", pa.int8()),
+    ("seq", pa.int64()), ("attempt", pa.int32()), ("not_before", pa.int64()),
+    ("depth", pa.int32()), ("claimed", pa.bool_()), ("discovered_from", pa.string()),
+    ("policy", pa.string()),
+])
+
+#: columns after PrepareBatch (frontier + derived + routing)
+TAGGED_COLS = FRONTIER_COLS + ["host", "path", "url_hash", "bucket",
+                               "outcome", "newly_claimed"]
+
+#: slim per-row record pulled to the driver per wave (order log + routing)
+ORDER_META = ["url", "host", "priority", "outcome", "attempt", "rank", "seq",
+              "depth", "discovered_from", "bucket", "newly_claimed", "etag", "found"]
+
+
+def frontier_table(df: pd.DataFrame) -> pa.Table:
+    """Coerce to the canonical frontier Arrow schema so every union along
+    the wave has an identical schema."""
+    return pa.Table.from_pandas(df[FRONTIER_COLS], schema=FRONTIER_SCHEMA,
+                                preserve_index=False)
+
+
+class PrepareBatch:
+    """Normalize + scope/robots filter + carry split (stateless, vectorized)."""
+
+    def __init__(self, cfg: CrawlConfig, robots_ref, clock: int, n_buckets: int):
+        self.cfg = cfg
+        self.robots_ref = robots_ref
+        self.clock = clock
+        self.n_buckets = n_buckets
+        self._robots = None
+        self._deny = re.compile(cfg.deny_url_regex)
+
+    def robots(self) -> dict:
+        if self._robots is None:
+            self._robots = ray.get(self.robots_ref)
+        return self._robots
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        b = batch.copy()
+        b["url"] = normalize_series(b["url"])
+        host, path = split_host_path(b["url"])
+        b["host"], b["path"] = host, path
+        b["url_hash"] = hash64_array(b["url"].to_numpy(dtype=object))
+        b["bucket"] = (b["url_hash"] % self.n_buckets).astype(np.int32)
+        b["rank"] = b["priority"].map(PRIORITY_RANK).astype(np.int8)
+        b["outcome"] = ""
+        b["newly_claimed"] = False
+        b.loc[b["not_before"] > self.clock, "outcome"] = "carry"
+        ok = b["outcome"] == ""
+        mal = is_malformed_series(b["url"]).to_numpy()
+        b.loc[ok & mal, "outcome"] = "malformed"
+        ok = b["outcome"] == ""
+        in_scope = b["host"].str.endswith(tuple(cfg.allowed_host_suffixes))
+        denied = b["url"].str.contains(self._deny)
+        b.loc[ok & (~in_scope | denied), "outcome"] = "filtered"
+        ok = b["outcome"] == ""
+        if ok.any():
+            robots = self.robots()
+            rden = np.zeros(len(b), dtype=bool)
+            hosts = b["host"].to_numpy()
+            paths = b["path"].to_numpy()
+            for h in pd.unique(hosts[ok.to_numpy()]):
+                rule = robots.get(h)
+                if not rule or not rule[2]:
+                    continue
+                sel = ok.to_numpy() & (hosts == h)
+                for p in rule[2]:
+                    rden[sel] |= np.char.startswith(paths[sel].astype(str), p)
+            b.loc[rden, "outcome"] = "robots_denied"
+        return b[TAGGED_COLS]
+
+
+def make_bucket_stage(pool, web_root: str, hot_hosts: set[str], salt_factor: int):
+    """groupby('bucket') stage: in-wave dedup → sharded claim → fetch probe.
+
+    The probe is read-only and happens before politeness (its outcome is
+    only consumed for rows politeness admits), so one bucket pass serves
+    both; rows carry (etag, found) columns onward. ``etag_key`` salts
+    non-competing rows with a unique key so the etag shuffle has no giant
+    null group at scale. Also assigns the politeness shuffle key
+    ``polite_key = host#salt`` using last wave's hot-host set."""
+
+    def bucket_stage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        elig = (g["outcome"] == "") & ~g["claimed"]
+        if elig.any():
+            sub = g[elig].sort_values(ORDER_COLS, kind="stable")
+            losers = sub.index[sub["url"].duplicated(keep="first")]
+            g.loc[losers, "outcome"] = "dup_wave"
+            todo = (g["outcome"] == "") & ~g["claimed"]
+            if todo.any():
+                new = pool.claim(g.loc[todo, "url_hash"].to_numpy(dtype=np.int64))
+                idx = g.index[todo]
+                g.loc[idx[new], "claimed"] = True
+                g.loc[idx[new], "newly_claimed"] = True
+                g.loc[idx[~new], "outcome"] = "bounced"
+        b = int(g["bucket"].iloc[0])
+        path = Path(web_root) / "pages_meta" / f"bucket={b}" / "part-0.parquet"
+        if path.exists():
+            meta = pq.read_table(path, columns=["url", "etag"]).to_pandas()
+        else:
+            meta = pd.DataFrame({"url": pd.Series(dtype=str),
+                                 "etag": pd.Series(dtype=str)})
+        g = g.merge(meta, on="url", how="left")
+        g["found"] = g["etag"].notna()
+        g["etag"] = g["etag"].fillna("")
+        active = (g["outcome"] == "") & g["claimed"] & g["found"]
+        g["etag_key"] = np.where(active, g["etag"], "~" + g["url"])
+        hot = g["host"].isin(hot_hosts).to_numpy() if hot_hosts else \
+            np.zeros(len(g), dtype=bool)
+        salt = np.where(hot, (g["url_hash"].to_numpy() % salt_factor), 0).astype(np.int16)
+        g["salt"] = salt
+        g["polite_key"] = g["host"] + "#" + pd.Series(salt, index=g.index).astype(str)
+        return g
+
+    bucket_stage.__name__ = "bucket_stage"
+    return bucket_stage
+
+
+def make_polite_stage(cfg: CrawlConfig, robots_ref, hot_hosts: set[str]):
+    """groupby('polite_key') stage: politeness admission + fetch-error
+    routing. One (host, salt) group per task; salted budgets sum to the
+    host budget (state/politeness.py)."""
+    holder: dict = {}
+
+    def polite_stage(g: pd.DataFrame) -> pd.DataFrame:
+        if "robots" not in holder:
+            holder["robots"] = ray.get(robots_ref)
+        g = g.reset_index(drop=True)
+        cand = (g["outcome"] == "") & g["claimed"]
+        if not cand.any():
+            return g
+        h = g["host"].iloc[0]
+        rule = holder["robots"].get(h)
+        delay, maxw = (rule[0], rule[1]) if rule else \
+            (cfg.default_crawl_delay_ms, cfg.default_max_per_window)
+        budget = group_budget(host_budget(delay, maxw, cfg.wave_ms),
+                              h in hot_hosts, cfg.salt_factor,
+                              int(g["salt"].iloc[0]))
+        sub = g[cand]
+        mask = admit_first_n(sub, budget)
+        g.loc[sub.index[~mask], "outcome"] = "deferred"
+        adm = sub.index[mask]
+        missing = adm[~g.loc[adm, "found"].to_numpy()]
+        g.loc[missing, "outcome"] = "fetch_error"
+        return g
+
+    polite_stage.__name__ = "polite_stage"
+    return polite_stage
+
+
+def mark_etag_winner(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby('etag_key') stage: first admitted row per content hash by
+    ORDER_COLS is the winner candidate; the rest are not_modified."""
+    g = g.reset_index(drop=True)
+    g["etag_winner"] = False
+    cand = g.index[g["outcome"] == ""]
+    if len(cand):
+        order = g.loc[cand].sort_values(ORDER_COLS, kind="stable").index
+        g.loc[order[0], "etag_winner"] = True
+        if len(order) > 1:
+            g.loc[order[1:], "outcome"] = "not_modified"
+    return g
+
+
+class ClaimEtags:
+    """Winner candidates claim their etag at the shard pool; a bounce means
+    the content was fetched in an earlier wave → not_modified."""
+
+    def __init__(self, pool):
+        self.pool = pool
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        win = b["etag_winner"] & (b["outcome"] == "")
+        if win.any():
+            ehash = hash64_array(b.loc[win, "etag"].to_numpy(dtype=object))
+            first = self.pool.claim_etags(ehash)
+            idx = b.index[win]
+            b.loc[idx[first], "outcome"] = "fetched"
+            b.loc[idx[~first], "outcome"] = "not_modified"
+        return b
+
+
+def make_extract_stage(web_root: str, out_dir: str, wave: int):
+    """groupby('bucket') over fetched rows: join html partition, extract
+    text + links, write the pages_out partition idempotently, emit links."""
+
+    def extract_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        path = Path(web_root) / "pages" / f"bucket={b}" / "part-0.parquet"
+        pages = pq.read_table(path, columns=["url", "html", "lang"]).to_pandas()
+        j = g[["url", "seq", "rank", "depth", "etag"]].merge(pages, on="url", how="inner")
+        t = pa.Table.from_pandas(j[["url", "html", "lang", "etag"]], preserve_index=False)
+        t = extract_text_batch(t)
+        t = t.append_column("wave", pa.array(np.full(len(t), wave, dtype=np.int32)))
+        out = Path(out_dir) / "pages" / f"wave={wave}"
+        out.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t.drop_columns(["html"]), out / f"bucket={b}.parquet")
+        links = extract_links_df(j["url"], j["html"])
+        links = links.merge(j[["url", "depth"]].rename(columns={"url": "src_url"}),
+                            on="src_url", how="left")
+        links["depth"] = links["depth"].astype(np.int32)
+        links["wave"] = np.int32(wave)
+        return links[["wave", "src_url", "dst_url", "link_index", "depth"]]
+
+    extract_bucket.__name__ = "extract_bucket"
+    return extract_bucket

@@ -1,0 +1,210 @@
+"""Sharded URL-seen set: the Ray-native replacement for the reference's
+global enqueue-dedup and etag index.
+
+Reference parity (file:line into /root/reference):
+- tracker tags (global "already enqueued" set, 1 h TTL Redis):
+  `providers/queuing/redisRequestTracker.js:17-53,95-138` → shard actors,
+  shard = hash64(url) % n_shards; `claim` = tag, `delete` = untrack;
+- etag index (url → content-hash, the 304/content-dedup primitive):
+  `providers/storage/storageDocStore.js:81-93`,
+  `providers/fetcher/githubFetcher.js:26-84` → a second namespace in the
+  same shards keyed by hash64(etag);
+- per-URL redlock (`lib/crawler.js:161-187`) is *eliminated*: in-wave
+  global dedup (groupby url) guarantees each url reaches exactly one claim
+  call per wave, so shard ops never race on the same key (SURVEY.md §1.3).
+
+Design: each shard holds either an exact 64-bit hash set (default; zero
+false positives → exact parity with the sequential oracle) or a cuckoo
+filter (compact 10^10-scale mode, ~2.25 B/url, fp ≈ 1.2e-4), plus a bloom
+sidecar serialized per wave for batch-side pre-checks. All shard calls are
+batched and vectorized (numpy in / numpy out) — one RPC per shard per map
+task, never per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
+
+
+class _Exact64:
+    """Exact membership over 64-bit hashes (numpy-backed claim path)."""
+
+    def __init__(self, capacity: int):
+        self._set: set[int] = set()
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        s = self._set
+        return np.fromiter((int(h) in s for h in hashes), dtype=bool, count=len(hashes))
+
+    def add_many(self, hashes: np.ndarray) -> np.ndarray:
+        self._set.update(int(h) for h in hashes)
+        return np.ones(len(hashes), dtype=bool)
+
+    def delete_many(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for j, h in enumerate(hashes):
+            if int(h) in self._set:
+                self._set.discard(int(h))
+                out[j] = True
+        return out
+
+    @property
+    def n_items(self) -> int:
+        return len(self._set)
+
+    def to_state(self) -> dict:
+        return {"kind": "exact64", "hashes": np.fromiter(self._set, dtype=np.int64,
+                                                         count=len(self._set))}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "_Exact64":
+        obj = cls(0)
+        obj._set = set(int(h) for h in np.asarray(st["hashes"], dtype=np.int64))
+        return obj
+
+
+def _make_filter(mode: str, capacity: int):
+    if mode == "exact64":
+        return _Exact64(capacity)
+    if mode == "cuckoo":
+        return CuckooFilter(capacity)
+    raise ValueError(f"unknown seen_mode {mode!r}")
+
+
+class SeenShard:
+    """One shard of the seen set. Instantiate via ``ray.remote(SeenShard)``."""
+
+    def __init__(self, shard_id: int, mode: str = "exact64", capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.mode = mode
+        self.capacity = capacity
+        self.urls = _make_filter(mode, capacity)
+        self.etags = _make_filter(mode, capacity)
+        self.bloom = BloomFilter(capacity)
+        self.n_claims = 0
+        self.n_bounces = 0
+
+    # --- url namespace (tracker-tag semantics) ---
+    def claim(self, hashes: np.ndarray) -> np.ndarray:
+        """Insert-if-absent; True where newly claimed (False = bounce)."""
+        seen = self.urls.contains_many(hashes)
+        new = ~seen
+        if new.any():
+            h = hashes[new]
+            self.urls.add_many(h)
+            self.bloom.add_many(h.astype(np.uint64))
+        self.n_claims += int(new.sum())
+        self.n_bounces += int(seen.sum())
+        return new
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self.urls.contains_many(hashes)
+
+    def untrack(self, hashes: np.ndarray) -> np.ndarray:
+        """Reference untrack (`redisRequestTracker.js:43-53`). Note: the
+        bloom sidecar cannot delete; it over-approximates until next rebuild."""
+        return self.urls.delete_many(hashes)
+
+    # --- etag namespace (content-dedup / 304 analogue) ---
+    def claim_etags(self, hashes: np.ndarray) -> np.ndarray:
+        seen = self.etags.contains_many(hashes)
+        new = ~seen
+        if new.any():
+            self.etags.add_many(hashes[new])
+        return new
+
+    # --- snapshots (per-wave checkpoint) ---
+    def bloom_state(self) -> dict:
+        return self.bloom.to_state()
+
+    def snapshot(self) -> dict:
+        return {
+            "shard_id": self.shard_id, "mode": self.mode, "capacity": self.capacity,
+            "urls": self.urls.to_state(), "etags": self.etags.to_state(),
+            "n_claims": self.n_claims, "n_bounces": self.n_bounces,
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.mode = snap["mode"]
+        self.capacity = int(snap["capacity"])
+        cls = _Exact64 if snap["urls"].get("kind") == "exact64" else CuckooFilter
+        self.urls = cls.from_state(snap["urls"])
+        ecls = _Exact64 if snap["etags"].get("kind") == "exact64" else CuckooFilter
+        self.etags = ecls.from_state(snap["etags"])
+        self.n_claims = int(snap["n_claims"])
+        self.n_bounces = int(snap["n_bounces"])
+        self.bloom = BloomFilter(self.capacity)
+        if isinstance(self.urls, _Exact64):
+            self.bloom.add_many(snap["urls"]["hashes"].astype(np.uint64))
+
+    def stats(self) -> dict:
+        return {"shard_id": self.shard_id, "n_urls": self.urls.n_items,
+                "n_etags": self.etags.n_items, "n_claims": self.n_claims,
+                "n_bounces": self.n_bounces}
+
+
+class SeenSetPool:
+    """Driver/task-side handle bundle for the shard actors.
+
+    Serializable (holds only actor handles + counts) so map_batches closures
+    can carry it; every method splits a hash batch by ``hash % n_shards``
+    and issues ONE vectorized RPC per touched shard.
+    """
+
+    def __init__(self, n_shards: int, mode: str = "exact64",
+                 capacity_per_shard: int = 1 << 20, namespace: str = "seen"):
+        self.n_shards = n_shards
+        actor_cls = ray.remote(num_cpus=0.5)(SeenShard)
+        self.shards = [
+            actor_cls.options(name=f"{namespace}-shard-{i}", get_if_exists=True)
+            .remote(i, mode, capacity_per_shard)
+            for i in range(n_shards)
+        ]
+
+    def _scatter(self, hashes: np.ndarray):
+        shard_of = (hashes % self.n_shards).astype(np.int64)
+        parts = {}
+        for s in np.unique(shard_of):
+            idx = np.flatnonzero(shard_of == s)
+            parts[int(s)] = idx
+        return parts
+
+    def _call(self, method: str, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        parts = self._scatter(hashes)
+        refs = {s: getattr(self.shards[s], method).remote(hashes[idx])
+                for s, idx in parts.items()}
+        for s, idx in parts.items():
+            out[idx] = ray.get(refs[s])
+        return out
+
+    def claim(self, hashes: np.ndarray) -> np.ndarray:
+        return self._call("claim", hashes)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self._call("contains", hashes)
+
+    def untrack(self, hashes: np.ndarray) -> np.ndarray:
+        return self._call("untrack", hashes)
+
+    def claim_etags(self, hashes: np.ndarray) -> np.ndarray:
+        return self._call("claim_etags", hashes)
+
+    # --- wave lifecycle ---
+    def bloom_refs(self) -> list:
+        """ObjectRefs to each shard's bloom state (broadcast per wave)."""
+        return [s.bloom_state.remote() for s in self.shards]
+
+    def snapshot_all(self) -> list[dict]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore_all(self, snaps: list[dict]) -> None:
+        ray.get([self.shards[int(s["shard_id"])].restore.remote(s) for s in snaps])
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])

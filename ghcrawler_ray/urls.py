@@ -1,0 +1,113 @@
+"""URL scalar functions, vectorized over pandas Series / numpy arrays.
+
+Reference parity (file:line into /root/reference):
+- trim + canonicalize: `lib/request.js:260-262` (url trim); our canonical
+  normalizer additionally lowercases scheme+host, strips fragments, default
+  ports and trailing '?', and roots empty paths — the standard web-crawler
+  canonicalization the reference delegates to GitHub API URL discipline.
+- host/org parse from path: `lib/crawler.js:587-589` → ``split_host_path``.
+- malformed guard (no type/url → deadletter): `lib/crawler.js:328-332` →
+  ``is_malformed`` (no http(s) scheme or empty host).
+
+All functions are deterministic pure functions of their input strings; the
+sequential oracle (pipelines/oracle.py) imports THESE SAME functions so
+engine↔oracle parity on normalization holds by construction (the interesting
+parity — ordering / seen-set / politeness — is computed independently).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_SCHEME_HOST_RE = re.compile(r"^(https?)://([^/?#]+)(.*)$", re.DOTALL)
+
+#: matches a valid http(s) absolute URL with a non-empty host
+_VALID_RE = re.compile(r"^https?://[^/?#:\s][^/?#\s]*")
+
+
+def normalize_series(urls: pd.Series) -> pd.Series:
+    """Canonicalize a Series of URL strings (vectorized).
+
+    Rules (each mirrored in the oracle-SQL for ``crawl_url_normalize``):
+    1. strip surrounding whitespace;
+    2. lowercase scheme and host (path/query case preserved);
+    3. drop ``#fragment``;
+    4. drop default port (``:80`` for http, ``:443`` for https);
+    5. drop a trailing ``?`` (empty query);
+    6. empty path → ``/``.
+    Malformed inputs (no http(s) scheme/host) pass through stripped —
+    callers route them via :func:`is_malformed_series`.
+    """
+    s = urls.astype("string").fillna("").str.strip()
+    # split once: scheme, host[:port], rest
+    parts = s.str.extract(r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<hostport>[^/?#]*)(?P<rest>.*)$", expand=True)
+    ok = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    hostport = parts["hostport"].str.lower()
+    rest = parts["rest"].fillna("")
+    # drop fragment
+    rest = rest.str.replace(r"#.*$", "", regex=True)
+    # drop default ports
+    hostport = hostport.mask(scheme.eq("http"), hostport.str.replace(r":80$", "", regex=True))
+    hostport = hostport.mask(scheme.eq("https"), hostport.str.replace(r":443$", "", regex=True))
+    # trailing '?' and empty path
+    rest = rest.str.replace(r"\?$", "", regex=True)
+    rest = rest.mask(rest.eq(""), "/")
+    out = scheme + "://" + hostport + rest
+    return out.where(ok, s).astype(str)
+
+
+def is_malformed_series(urls: pd.Series) -> pd.Series:
+    """True where the (already normalized) url is not a valid http(s) URL."""
+    s = urls.astype("string").fillna("")
+    return ~s.str.match(_VALID_RE.pattern, na=False)
+
+
+def split_host_path(urls: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Return (host, path+query) for valid urls; '' for malformed."""
+    parts = urls.astype("string").fillna("").str.extract(
+        r"^https?://([^/?#]+)([^#]*)", expand=True
+    )
+    host = parts[0].fillna("").astype(str)
+    path = parts[1].fillna("").astype(str)
+    path = pd.Series(np.where(path == "", "/", path), index=urls.index, dtype=str)
+    return host, path
+
+
+def hash64(url: str) -> int:
+    """Stable 63-bit hash of a url (blake2b-8); used for shard/bucket keys
+    and as the deterministic FIFO tie-break `seq` of discovered links."""
+    d = hashlib.blake2b(url.encode("utf-8", "surrogatepass"), digest_size=8).digest()
+    return int.from_bytes(d, "big") >> 1
+
+
+def hash64_array(urls) -> np.ndarray:
+    """Vectorized-ish hash64 over an iterable of strings → int64 array.
+
+    Python-loop over blake2b (~1 µs/url) — fine for frontier metadata rows;
+    at 10^10 scale this is the one scalar kernel worth a C extension. Kept
+    as the single definition so engine and oracle can never disagree.
+    """
+    b = hashlib.blake2b
+    return np.fromiter(
+        (int.from_bytes(b(u.encode("utf-8", "surrogatepass"), digest_size=8).digest(), "big") >> 1
+         for u in urls),
+        dtype=np.int64,
+        count=len(urls),
+    )
+
+
+def content_etag(html: bytes) -> str:
+    """Content hash used as the etag (reference: HTTP etag + 304 flow,
+    `providers/fetcher/githubFetcher.js:26-84`). md5 hex so the DuckDB
+    oracle can recompute it with ``md5()``."""
+    return hashlib.md5(html).hexdigest()
+
+
+def content_etag_array(htmls) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.fromiter((md5(h).hexdigest() for h in htmls), dtype=object, count=len(htmls))
