@@ -75,6 +75,15 @@ class CrawlConfig:
     max_waves: int = 10_000
     emit_order_log: bool = True   # write the golden crawl-order artifact
 
+    # --- small-wave fast path: a wave whose frontier has at most this many
+    #     rows executes driver-side through the IDENTICAL stage callables
+    #     (Ray Data's fixed per-execution cost otherwise dominates trickle
+    #     waves — late retry-only waves, crawl tails). 0 = always distribute.
+    #     Cross-wave state (seen-set shards) is shared either way, so modes
+    #     can alternate wave-by-wave with identical results (test_parity
+    #     runs both modes against the oracle). ---
+    local_wave_threshold: int = 4_096
+
     # --- link→priority rule (reference: paginated pages go to 'soon',
     #     providers/fetcher/githubProcessor.js:58-79) ---
     paginated_priority: str = "soon"

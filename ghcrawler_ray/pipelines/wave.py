@@ -89,12 +89,12 @@ class CrawlEngine:
         d.mkdir(parents=True)
         pq.write_table(frontier_table(df), d / "part-0.parquet")
 
-    def _read_frontier(self, wave: int):
+    def _frontier_files(self, wave: int) -> tuple[list[str], int]:
+        """Parquet files of wave k's frontier + total rows (metadata only)."""
         d = self.out / "frontier" / f"wave={wave}"
         files = sorted(str(p) for p in d.glob("*.parquet")) if d.exists() else []
-        if not files:
-            return None
-        return ray.data.read_parquet(files)
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return files, n
 
     def _manifest_path(self, wave: int) -> Path:
         return self.out / "manifests" / f"wave={wave}.json"
@@ -147,10 +147,16 @@ class CrawlEngine:
             k, clock, hot = self._fresh_start()
 
         while k < cfg.max_waves:
-            frontier = self._read_frontier(k)
-            if frontier is None:
+            files, n_rows = self._frontier_files(k)
+            if not files:
                 break
-            n_next, clock, hot = self._run_wave(k, clock, frontier, robots_ref, hot)
+            if n_rows <= cfg.local_wave_threshold:
+                n_next, clock, hot = self._run_wave_local(
+                    k, clock, files, robots_ref, hot)
+            else:
+                frontier = ray.data.read_parquet(files)
+                n_next, clock, hot = self._run_wave(k, clock, frontier,
+                                                    robots_ref, hot)
             self._write_manifest(k, {"wave": k, "next_clock": clock,
                                      "next_frontier_rows": n_next,
                                      "hot_hosts": sorted(hot)})
@@ -245,6 +251,85 @@ class CrawlEngine:
         self._snapshot_seen(k + 1)
         return n_next, clock + cfg.wave_ms, next_hot
 
+    # ---------- one wave, small-frontier fast path ----------
+
+    def _run_wave_local(self, k: int, clock: int, files: list[str], robots_ref,
+                        hot: set[str]) -> tuple[int, int, set]:
+        """Driver-side execution of one wave through the IDENTICAL stage
+        callables (PrepareBatch → bucket → polite → etag → ClaimEtags →
+        extract). Seen-set shard actors are still the authority, so local
+        and distributed waves interleave with identical results; Ray Data's
+        fixed per-execution overhead is skipped for trickle waves. Parity
+        for both modes is pinned by tests/test_parity.py."""
+        cfg = self.cfg
+        df = pq.read_table(files).to_pandas()
+        mn = int(df["not_before"].min())
+        if mn > clock:
+            clock = mn
+
+        cur = PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets)(df)
+        bucket_fn = make_bucket_stage(self.pool, self.web_root, hot,
+                                      cfg.salt_factor)
+        cur = pd.concat([bucket_fn(g) for _, g in cur.groupby("bucket", sort=True)],
+                        ignore_index=True)
+        polite_fn = make_polite_stage(cfg, robots_ref, hot)
+        cur = pd.concat([polite_fn(g) for _, g in cur.groupby("polite_key", sort=True)],
+                        ignore_index=True)
+        cur = pd.concat([mark_etag_winner(g) for _, g in cur.groupby("etag_key", sort=True)],
+                        ignore_index=True)
+        cur = ClaimEtags(self.pool)(cur)
+
+        pdf = cur[ORDER_META]
+        self._log_wave(k, pdf)
+        counts = pdf["outcome"].value_counts()
+
+        next_hot = set()
+        cand = pdf[pdf["outcome"].isin(["deferred", "fetch_error", "fetched",
+                                        "not_modified"])]
+        if len(cand):
+            by_host = cand.groupby("host").size()
+            next_hot = set(by_host.index[by_host > cfg.salt_threshold])
+
+        next_parts: list[pd.DataFrame] = []
+        if counts.get("carry", 0):
+            next_parts.append(cur[cur["outcome"] == "carry"][FRONTIER_COLS])
+        if counts.get("deferred", 0):
+            dfr = cur[cur["outcome"] == "deferred"].copy()
+            dfr["not_before"] = clock + cfg.wave_ms
+            next_parts.append(dfr[FRONTIER_COLS])
+        if counts.get("fetch_error", 0):
+            err = cur[cur["outcome"] == "fetch_error"].copy()
+            err["attempt"] = (err["attempt"] + 1).astype(np.int32)
+            err = err[err["attempt"] <= cfg.attempt_cap]
+            err["not_before"] = clock + cfg.requeue_delay_ms * err["attempt"]
+            if len(err):
+                next_parts.append(err[FRONTIER_COLS])
+
+        if counts.get("fetched", 0):
+            extract_fn = make_extract_stage(self.web_root, str(self.out), k)
+            fetched = cur[cur["outcome"] == "fetched"]
+            links = pd.concat(
+                [extract_fn(g) for _, g in fetched.groupby("bucket", sort=True)],
+                ignore_index=True)
+            if len(links):
+                d = self.out / "links" / f"wave={k}"
+                d.mkdir(parents=True, exist_ok=True)
+                pq.write_table(pa.Table.from_pandas(links, preserve_index=False),
+                               d / "part-0.parquet")
+                next_parts.append(
+                    links_to_frontier(links, links["depth"], clock, cfg))
+
+        n_next = 0
+        if next_parts:
+            nxt = pd.concat(
+                [frontier_table(p).to_pandas() for p in next_parts],
+                ignore_index=True)
+            n_next = len(nxt)
+            if n_next:
+                self._write_frontier_df(nxt, k + 1)
+        self._snapshot_seen(k + 1)
+        return n_next, clock + cfg.wave_ms, next_hot
+
     # ---------- per-wave artifacts (driver-side, slim metadata) ----------
 
     def _log_wave(self, k: int, pdf: pd.DataFrame) -> None:
@@ -305,7 +390,8 @@ class CrawlEngine:
 
     def _finalize(self, n_waves: int) -> dict:
         out = {"n_waves": n_waves, "out_dir": str(self.out)}
-        order_files = sorted((self.out / "order").glob("wave=*.parquet")) \
+        order_files = sorted((self.out / "order").glob("wave=*.parquet"),
+                             key=lambda p: int(p.stem.split("=")[1])) \
             if (self.out / "order").exists() else []
         if order_files:
             log = pq.read_table(order_files).to_pandas()

@@ -158,9 +158,14 @@ class SeenSetPool:
     def __init__(self, n_shards: int, mode: str = "exact64",
                  capacity_per_shard: int = 1 << 20, namespace: str = "seen"):
         self.n_shards = n_shards
-        actor_cls = ray.remote(num_cpus=0.5)(SeenShard)
+        # num_cpus=0: shards are RPC-serving state holders (vectorized numpy
+        # ops, mostly idle) — reserving CPU slots for them can deadlock small
+        # clusters where actors would otherwise starve Ray Data tasks.
+        # SPREAD distributes shards across nodes on a real cluster.
+        actor_cls = ray.remote(num_cpus=0)(SeenShard)
         self.shards = [
-            actor_cls.options(name=f"{namespace}-shard-{i}", get_if_exists=True)
+            actor_cls.options(name=f"{namespace}-shard-{i}", get_if_exists=True,
+                              scheduling_strategy="SPREAD")
             .remote(i, mode, capacity_per_shard)
             for i in range(n_shards)
         ]
