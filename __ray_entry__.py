@@ -1,44 +1,522 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: ``entry()`` smoke, ``queries()`` per-operator Ray
+pipelines, ``oracle_sql()`` DuckDB mirrors (same column names, same
+deterministic rules; floats rounded to 6 dp on both sides).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE importing this module — nothing
+here (or in ghcrawler_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Two input families:
+- The crawl family runs over the deterministic synthesized web
+  (``ghcrawler_ray.testgen``) at the scale factor parsed from ``sf_dir``
+  — /root/testdata has no pages-shaped table, and BASELINE.json fixes the
+  crawl input shape ``(url, warc_ts, html, text, lang)``. SQL oracles for
+  crawl ops read the same synthesized parquet by absolute path; the
+  full-crawl outputs (order/seen/deadletter/metrics) are stateful and
+  iterative → no SQL mirror (driver records the weaker rows-only check).
+- The training-data ops run over the driver's own parquet views
+  (``documents``, ``embeddings``, ``events``).
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from ghcrawler_ray.config import PRIORITY_RANK, CrawlConfig
+from ghcrawler_ray.frontier import seeds_to_frontier
+from ghcrawler_ray.ops import ann as ops_ann
+from ghcrawler_ray.ops import dedup as ops_dedup
+from ghcrawler_ray.ops import events as ops_events
+from ghcrawler_ray.ops import text as ops_text
+from ghcrawler_ray.ops.multimodal import media_features
+from ghcrawler_ray.pipelines.wave import CrawlEngine
+from ghcrawler_ray.stages.extract import extract_links_df, extract_text_batch
+from ghcrawler_ray.testgen import GENVER, ensure_testdata, sf_of_dir
+from ghcrawler_ray.urls import normalize_series, split_host_path
+
+# --------------------------------------------------------------------------
+# crawl plumbing
+
+_CRAWL_RUNS: dict[float, Path] = {}
+
+
+def _crawl_out(sf: float) -> Path:
+    """Run (once per process/scale) the full crawl; reuse a completed run
+    directory across processes (keyed by generator version)."""
+    if sf in _CRAWL_RUNS:
+        return _CRAWL_RUNS[sf]
+    root = ensure_testdata(sf)
+    out = Path(f"/tmp/ghcrawler_ray_runs/{GENVER}-sf{sf}")
+    if not (out / "SUMMARY.json").exists():
+        CrawlEngine(root, out, CrawlConfig()).run()
+    _CRAWL_RUNS[sf] = out
+    return out
+
+
+def _pages_ds(sf: float) -> ray.data.Dataset:
+    root = ensure_testdata(sf)
+    files = sorted(str(p) for p in (root / "pages").glob("bucket=*/part-0.parquet"))
+    return ray.data.read_parquet(files)
+
+
+def _pages_glob(sf: float) -> str:
+    return str(ensure_testdata(sf) / "pages" / "bucket=*" / "part-0.parquet")
+
+
+def _seeds_path(sf: float) -> str:
+    return str(ensure_testdata(sf) / "seeds.parquet")
+
+
+def _read_tree(d: Path) -> pd.DataFrame:
+    return pd.concat([pq.read_table(str(p)).to_pandas()
+                      for p in sorted(d.rglob("*.parquet"))], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# crawl-family queries
+
+def q_crawl_seen(sf_dir: str) -> pd.DataFrame:
+    out = _crawl_out(sf_of_dir(sf_dir))
+    df = pq.read_table(str(out / "seen.parquet")).to_pandas()
+    df["first_wave"] = df["first_wave"].astype(np.int64)
+    df["etag"] = df["etag"].fillna("")
+    return df
+
+
+def q_crawl_order(sf_dir: str) -> pd.DataFrame:
+    out = _crawl_out(sf_of_dir(sf_dir))
+    files = sorted((out / "order").glob("wave=*.parquet"),
+                   key=lambda p: int(p.stem.split("=")[1]))
+    df = pq.read_table([str(f) for f in files]).to_pandas()
+    cols = ["wave", "seq_in_wave", "url", "host", "priority", "outcome", "attempt"]
+    df = df[cols]
+    for c in ("wave", "seq_in_wave", "attempt"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def q_crawl_deadletter(sf_dir: str) -> pd.DataFrame:
+    out = _crawl_out(sf_of_dir(sf_dir))
+    d = out / "deadletter"
+    if not d.exists():
+        return pd.DataFrame({"url": [], "reason": [], "attempt": [], "wave": []})
+    df = _read_tree(d)
+    df["attempt"] = df["attempt"].astype(np.int64)
+    df["wave"] = df["wave"].astype(np.int64)
+    return df
+
+
+def q_crawl_metrics(sf_dir: str) -> pd.DataFrame:
+    out = _crawl_out(sf_of_dir(sf_dir))
+    df = _read_tree(out / "metrics")
+    df["wave"] = df["wave"].astype(np.int64)
+    df["n"] = df["n"].astype(np.int64)
+    return df
+
+
+def q_extract_text(sf_dir: str) -> ray.data.Dataset:
+    return (_pages_ds(sf_of_dir(sf_dir))
+            .map_batches(extract_text_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .select_columns(["url", "text"]))
+
+
+def q_extract_links(sf_dir: str) -> ray.data.Dataset:
+    def links(df: pd.DataFrame) -> pd.DataFrame:
+        out = extract_links_df(df["url"], df["html"])
+        out["link_index"] = out["link_index"].astype(np.int64)
+        return out[["src_url", "dst_url", "link_index"]]
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
+            .map_batches(links, batch_format="pandas"))
+
+
+def q_scope_filter(sf_dir: str) -> ray.data.Dataset:
+    cfg = CrawlConfig()
+    import re
+    deny = re.compile(cfg.deny_url_regex)
+
+    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        host, _ = split_host_path(df["url"])
+        in_scope = host.str.endswith(tuple(cfg.allowed_host_suffixes))
+        denied = df["url"].str.contains(deny)
+        return pd.DataFrame({
+            "url": df["url"].astype(str),
+            "verdict": np.where(~in_scope | denied, "filtered", "ok"),
+        })
+
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url"])
+            .map_batches(verdicts, batch_format="pandas"))
+
+
+def q_url_normalize(sf_dir: str) -> pd.DataFrame:
+    seeds = pq.read_table(_seeds_path(sf_of_dir(sf_dir))).to_pandas()
+    return pd.DataFrame({"url": seeds["url"].astype(str),
+                         "normalized": normalize_series(seeds["url"])})
+
+
+def q_frontier_rank(sf_dir: str) -> pd.DataFrame:
+    seeds = pq.read_table(_seeds_path(sf_of_dir(sf_dir))).to_pandas()
+    f = seeds_to_frontier(seeds)
+    return pd.DataFrame({"url": f["url"], "priority": f["priority"],
+                         "rank": f["rank"].astype(np.int64),
+                         "seq": f["seq"].astype(np.int64)})
+
+
+def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Content dedup of the pages table by md5(html) — the etag/304 layer
+    (`providers/fetcher/githubFetcher.js:26-84`) as a batch op."""
+    import hashlib
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_hash": [hashlib.md5(bytes(b)).hexdigest()
+                             for b in df["html"]],
+            "url": df["url"].astype(str)})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url")
+        return pd.DataFrame({"content_hash": [g["content_hash"].iloc[0]],
+                             "keep_url": [g["url"].iloc[0]],
+                             "n_copies": np.array([len(g)], dtype=np.int64)})
+
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
+            .map_batches(h, batch_format="pandas")
+            .groupby("content_hash").map_groups(keep_first, batch_format="pandas"))
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    return media_features(_pages_ds(sf_of_dir(sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# documents / embeddings / events queries
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def q_doc_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    return ops_dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.token_counts(_docs(sf_dir))
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.quality_scores(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.lang_id(_docs(sf_dir))
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.fingerprints(_docs(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return ops_dedup.minhash_lsh_pairs(_docs(sf_dir))
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return ops_dedup.simhash_pairs(_docs(sf_dir))
+
+
+def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
+    return ops_dedup.ngram_jaccard_pairs(_docs(sf_dir))
+
+
+def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.ann_topk(_emb(sf_dir))
+
+
+def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.ann_topk_ivf(_emb(sf_dir))
+
+
+def q_emb_dup(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.embedding_dup_pairs(_emb(sf_dir))
+
+
+def q_emb_lsh(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.embedding_lsh_pairs(_emb(sf_dir))
+
+
+def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["window_start"].astype("datetime64[us]")
+        df["sum_value"] = df["sum_value"].round(6)
+        df["avg_value"] = df["avg_value"].round(6)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df
+    return ops_events.windowed_agg(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
+def q_sessions(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["t_start"] = df["t_start"].astype("datetime64[us]")
+        df["t_end"] = df["t_end"].astype("datetime64[us]")
+        df["user_id"] = df["user_id"].astype(np.int64)
+        return df
+    return ops_events.sessionize(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SQL mirrors
+
+_STOP_SQL = "['" + "','".join(ops_text.STOPWORDS) + "']"
+
+
+def _marker_sql(markers) -> str:
+    return "['" + "','".join(markers) + "']"
+
+
+def _crawl_sql(sf: float) -> dict[str, str]:
+    """Crawl-family oracles read the synthesized web parquet by path
+    (generated deterministically on demand; paths are stable per sf)."""
+    pages = _pages_glob(sf)
+    seeds = _seeds_path(sf)
+    rank_case = ("CASE priority " + " ".join(
+        f"WHEN '{p}' THEN {r}" for p, r in PRIORITY_RANK.items()) + " END")
+    return {
+        "crawl_extract_text": f"""
+            SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
+            FROM read_parquet('{pages}')""",
+        "crawl_extract_links": f"""
+            WITH t AS (SELECT url,
+                regexp_extract_all(decode(html), '<a href="([^"]+)"', 1) AS hrefs
+              FROM read_parquet('{pages}'))
+            SELECT url AS src_url, hrefs[CAST(i AS INT)+1] AS dst_url,
+                   CAST(i AS BIGINT) AS link_index
+            FROM t, LATERAL (SELECT unnest(range(len(hrefs))) AS i) r""",
+        "crawl_scope_filter": f"""
+            WITH h AS (SELECT url,
+                regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+              FROM read_parquet('{pages}'))
+            SELECT url, CASE WHEN NOT (host LIKE '%.example')
+                   OR regexp_matches(url, '/(?:handoff|handback)/')
+                THEN 'filtered' ELSE 'ok' END AS verdict FROM h""",
+        "crawl_url_normalize": f"""
+            WITH s AS (SELECT url, trim(url) AS u FROM read_parquet('{seeds}')),
+            p AS (SELECT url, u,
+               regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1) AS sch,
+               regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2) AS hp,
+               regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3) AS rest
+              FROM s),
+            q AS (SELECT url, u, lower(sch) AS sch2,
+               CASE WHEN lower(sch)='http' THEN regexp_replace(lower(hp), ':80$', '')
+                    WHEN lower(sch)='https' THEN regexp_replace(lower(hp), ':443$', '')
+                    ELSE lower(hp) END AS hp2,
+               regexp_replace(regexp_replace(rest, '#.*$', ''), '\\?$', '') AS rest2,
+               sch
+              FROM p)
+            SELECT url, CASE WHEN sch = '' THEN u
+                 ELSE sch2 || '://' || hp2 ||
+                      (CASE WHEN rest2 = '' THEN '/' ELSE rest2 END) END AS normalized
+            FROM q""",
+        "crawl_frontier_rank": f"""
+            SELECT url, priority, CAST({rank_case} AS BIGINT) AS rank, seq
+            FROM read_parquet('{seeds}')""",
+        "crawl_pages_exact_dedup": f"""
+            SELECT md5(decode(html)) AS content_hash, min(url) AS keep_url,
+                   count(*) AS n_copies
+            FROM read_parquet('{pages}') GROUP BY 1""",
+        "crawl_media_features": f"""
+            SELECT url, octet_length(html) AS n_bytes,
+                   md5(decode(html)) AS content_md5,
+                   octet_length(html) % 1920 AS width,
+                   octet_length(html) % 1080 AS height
+            FROM read_parquet('{pages}')""",
+    }
+
+
+def _ops_sql() -> dict[str, str]:
+    en = _marker_sql(ops_text.LANG_MARKERS["en"])
+    de = _marker_sql(ops_text.LANG_MARKERS["de"])
+    fr = _marker_sql(ops_text.LANG_MARKERS["fr"])
+    es = _marker_sql(ops_text.LANG_MARKERS["es"])
+    shingle = (r"list_distinct(list_transform(range(1, greatest(len(tk)-1,1)), "
+               r"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))")
+    return {
+        "doc_exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1""",
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_bpe_tokens
+            FROM documents""",
+        "quality_scores": rf"""
+            WITH f AS (SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+                   len(list_filter(regexp_extract_all(lower(text), '[^\s]+'),
+                       t -> list_contains({_STOP_SQL}, t))) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_chars, n_ws_tokens, n_punct, n_stop,
+              n_stop / greatest(n_ws_tokens,1)::DOUBLE AS stop_ratio,
+              n_punct / greatest(n_chars,1)::DOUBLE AS punct_ratio,
+              -- e0 literals: DuckDB parses bare 0.4 as DECIMAL (exact
+              -- arithmetic) which diverges from IEEE float64 by 1 ulp
+              0.4e0*least(n_ws_tokens,200)/200.0e0
+                + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)*5.0e0, 0.3e0)
+                + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE)
+                AS quality_score
+            FROM f""",
+        "lang_id": rf"""
+            WITH f AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk,
+                 len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]')) AS n_zh
+               FROM documents),
+            c AS (SELECT doc_id, n_zh,
+                 len(list_filter(tk, t -> list_contains({en}, t))) AS n_en,
+                 len(list_filter(tk, t -> list_contains({de}, t))) AS n_de,
+                 len(list_filter(tk, t -> list_contains({fr}, t))) AS n_fr,
+                 len(list_filter(tk, t -> list_contains({es}, t))) AS n_es
+               FROM f)
+            SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
+              CASE WHEN n_zh > 0 THEN 'zh'
+                   WHEN n_en=0 AND n_de=0 AND n_fr=0 AND n_es=0 THEN 'und'
+                   WHEN n_en>=n_de AND n_en>=n_fr AND n_en>=n_es THEN 'en'
+                   WHEN n_de>=n_fr AND n_de>=n_es THEN 'de'
+                   WHEN n_fr>=n_es THEN 'fr'
+                   ELSE 'es' END AS lang_guess
+            FROM c""",
+        "ngram_jaccard_pairs": rf"""
+            WITH t AS (SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk FROM documents),
+            s AS (SELECT doc_id, lang, {shingle} AS sh FROM t),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+               FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+            SELECT doc_a, doc_b, inter::DOUBLE/uni AS jaccard
+            FROM p WHERE uni > 0 AND inter::DOUBLE/uni >= {ops_dedup.JACCARD_THRESHOLD}""",
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.ev) AS c
+               FROM q CROSS JOIN e WHERE e.vec_id != q.qid)
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank,
+                round(c, 6) AS cos
+            FROM s QUALIFY rank <= {ops_ann.TOPK}""",
+        "ann_topk_ivf": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label
+                 FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+               FROM q JOIN embeddings e ON e.label = q.label
+               WHERE e.vec_id != q.qid)
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank,
+                round(c, 6) AS cos
+            FROM s QUALIFY rank <= 5""",
+        "embedding_dup_pairs": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.DUP_COS_THRESHOLD}""",
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+            WITH o AS (SELECT event_id, ts, user_id, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+            s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_id""",
+    }
+
+
+# --------------------------------------------------------------------------
+# contract surface
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the full crawl (frontier → claim → politeness → fetch-join
+    → extract → next frontier, checkpointed per wave) over the synthesized
+    sf0.001 web; returns the final URL-seen set. Also touches the driver's
+    sf0.001 documents table through a Ray Data op to exercise the read path."""
+    ops_text.token_counts(
+        ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ).count()
+    return q_crawl_seen("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl family (SURVEY.md §2; input = synthesized pages web)
+        "crawl_seen": q_crawl_seen,
+        "crawl_order": q_crawl_order,
+        "crawl_deadletter": q_crawl_deadletter,
+        "crawl_metrics": q_crawl_metrics,
+        "crawl_extract_text": q_extract_text,
+        "crawl_extract_links": q_extract_links,
+        "crawl_scope_filter": q_scope_filter,
+        "crawl_url_normalize": q_url_normalize,
+        "crawl_frontier_rank": q_frontier_rank,
+        "crawl_pages_exact_dedup": q_pages_exact_dedup,
+        "crawl_media_features": q_media_features,
+        # training-data ops (documents / embeddings / events views)
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_fingerprints,
+        "minhash_lsh_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_ivf,
+        "embedding_dup_pairs": q_emb_dup,
+        "embedding_lsh_pairs": q_emb_lsh,
+        "events_windowed": q_events_windowed,
+        "user_sessions": q_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """SQL mirrors for every SQL-expressible query. Omitted on purpose
+    (stateful/iterative or sketch-based → rows-only check): crawl_seen,
+    crawl_order, crawl_deadletter, crawl_metrics, doc_fingerprints,
+    minhash_lsh_pairs, simhash_pairs, embedding_lsh_pairs."""
+    out = dict(_ops_sql())
+    out.update(_crawl_sql(0.01))   # driver correctness runs at sf=0.01
+    return out

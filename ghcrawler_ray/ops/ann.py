@@ -1,0 +1,192 @@
+"""Similarity search over the ``embeddings`` table
+``(vec_id, embedding: list<float>, label)``.
+
+- ``ann_topk``: brute-force cosine top-k. The query matrix is broadcast
+  ONCE via ``ray.put`` (read per task, never re-shipped per batch); each
+  batch computes a float64 matmul against it and emits only its local
+  top-k per query; a final per-query reduce keeps the global top-k — the
+  shuffle moves k·n_queries slim rows per block, never embeddings.
+- ``ann_topk_ivf``: the partitioned scale path — search only the query's
+  coarse cell (here the given ``label`` as the cell id; at scale: k-means
+  cell assignment) via ``groupby(label)``, a single co-partitioning
+  shuffle.
+- ``embedding_dup_pairs``: cosine ≥ threshold near-duplicate pairs.
+- ``embedding_lsh_pairs``: random-hyperplane LSH bucketing (deterministic
+  seeded planes) → within-bucket exact cosine — the 10^10-row path where
+  the all-pairs matmul is infeasible.
+
+Cosines are computed in float64 and rounded to 6 dp to match the DuckDB
+oracle (list_cosine_similarity on DOUBLE[]) despite summation-order
+differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+TOPK = 10
+N_QUERIES = 8            # queries = vec_id < N_QUERIES
+DUP_COS_THRESHOLD = 0.4  # synthetic embeddings have no planted dups; 0.4
+                         # keeps the pair set small but non-trivial
+LSH_PLANES = 8
+
+
+def _mat(df: pd.DataFrame) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def _normed(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _load_queries(emb: ray.data.Dataset, n_queries: int):
+    """Small side: filter + take → ray.put once (broadcast pattern)."""
+    q = (emb.filter(expr=f"vec_id < {n_queries}")
+         .select_columns(["vec_id", "embedding"]).take_all())
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    order = np.argsort(qids)
+    qm = _normed(np.stack([np.asarray(q[i]["embedding"], dtype=np.float64)
+                           for i in order]))
+    return ray.put((qids[order], qm))
+
+
+def _topk_of_group(k: int):
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cos"] = g["cos"].round(6)
+        return g[["query_id", "neighbor_id", "rank", "cos"]]
+    return top
+
+
+def ann_topk(emb: ray.data.Dataset, k: int = TOPK,
+             n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, cos): global cosine top-k per query,
+    self-matches excluded. Ties broken by neighbor_id asc."""
+    q_ref = _load_queries(emb, n_queries)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qm = ray.get(q_ref)
+        m = _normed(_mat(df))
+        sims = m @ qm.T                       # (batch, n_queries)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        out = []
+        for qi, qid in enumerate(qids):
+            s = sims[:, qi]
+            mask = ids != qid                 # exclude self
+            bi = np.flatnonzero(mask)
+            order = bi[np.lexsort((ids[bi], -s[bi]))][:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": ids[order],
+                "cos": s[order]}))
+        return pd.concat(out, ignore_index=True)
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+            .groupby("query_id")
+            .map_groups(_topk_of_group(k), batch_format="pandas"))
+
+
+def ann_topk_ivf(emb: ray.data.Dataset, k: int = 5,
+                 n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """Partitioned ANN: only the query's own ``label`` cell is searched
+    (coarse-quantizer cell stand-in). One groupby(label) shuffle."""
+    q = (emb.filter(expr=f"vec_id < {n_queries}")
+         .select_columns(["vec_id", "embedding", "label"]).take_all())
+    by_label: dict[int, list] = {}
+    for r in q:
+        by_label.setdefault(int(r["label"]), []).append(
+            (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64)))
+    q_ref = ray.put(by_label)
+
+    def cell(g: pd.DataFrame) -> pd.DataFrame:
+        queries = ray.get(q_ref).get(int(g["label"].iloc[0]), [])
+        if not queries:
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 "neighbor_id": np.empty(0, np.int64),
+                                 "rank": np.empty(0, np.int64),
+                                 "cos": np.empty(0, np.float64)})
+        m = _normed(_mat(g))
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        out = []
+        for qid, qv in queries:
+            s = m @ (qv / np.linalg.norm(qv))
+            mask = ids != qid
+            bi = np.flatnonzero(mask)
+            order = bi[np.lexsort((ids[bi], -s[bi]))][:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": ids[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "cos": np.round(s[order], 6)}))
+        return pd.concat(out, ignore_index=True)
+
+    return (emb.select_columns(["vec_id", "embedding", "label"])
+            .groupby("label").map_groups(cell, batch_format="pandas"))
+
+
+def embedding_dup_pairs(emb: ray.data.Dataset,
+                        threshold: float = DUP_COS_THRESHOLD) -> ray.data.Dataset:
+    """(vec_a, vec_b, cos ≥ threshold), vec_a < vec_b — brute force with a
+    broadcast full matrix (small-side pattern; scale path below)."""
+    rows = emb.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order],
+                   _normed(np.stack([np.asarray(rows[i]["embedding"],
+                                                dtype=np.float64)
+                                     for i in order]))))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_m = ray.get(ref)
+        m = _normed(_mat(df))
+        ids_b = df["vec_id"].to_numpy(dtype=np.int64)
+        sims = m @ all_m.T
+        bi, aj = np.nonzero((sims >= threshold) & (ids_b[:, None] < all_ids[None, :]))
+        return pd.DataFrame({"vec_a": ids_b[bi], "vec_b": all_ids[aj],
+                             "cos": np.round(sims[bi, aj], 6)})
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pandas", batch_size=4096)
+
+
+def embedding_lsh_pairs(emb: ray.data.Dataset, threshold: float = 0.3,
+                        n_planes: int = LSH_PLANES, dim: int = 64) -> ray.data.Dataset:
+    """Scale path: random-hyperplane signature (seeded, deterministic) →
+    groupby(signature) buckets → exact cosine within bucket. Recall is
+    partial by design (documented LSH trade-off); at 10^10 rows, multiple
+    plane sets / band rotations raise recall."""
+    planes = np.random.RandomState(1234).randn(dim, n_planes)
+    p_ref = ray.put(planes)
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normed(_mat(df))
+        bits = (m @ ray.get(p_ref)) > 0
+        s = (bits.astype(np.uint64)
+             << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                             "sig": s.astype(np.int64),
+                             "embedding": df["embedding"]})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": np.empty(0, np.int64),
+                                 "vec_b": np.empty(0, np.int64),
+                                 "cos": np.empty(0, np.float64)})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        m = _normed(_mat(g))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
+                             "cos": np.round(sims[ia, ib][keep], 6)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(sig, batch_format="pandas")
+            .groupby("sig").map_groups(bucket, batch_format="pandas"))

@@ -1,0 +1,267 @@
+"""Deduplication family over the ``documents`` table: exact content hash,
+MinHash+LSH, SimHash, and exact n-gram Jaccard pairs.
+
+Ray-Data-first shapes (and their 100 TB scale paths):
+- exact: md5(text) in ``map_batches`` → ``groupby(content_hash)`` keep-min —
+  one hash-partition shuffle of slim (hash, id) rows, the same
+  hash-partition + first-per-group pattern as the crawl's etag dedup
+  (`providers/fetcher/githubFetcher.js:26-84` analogue).
+- MinHash-LSH: shingle → 64 minhashes → 8 bands × 8 rows; explode to
+  (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` emits
+  candidate pairs → exact-Jaccard verify. The only shuffle moves
+  (band_hash, doc_id) pairs — never text. At scale the verify stage is a
+  double hash-join of pairs against the shingle table; at test scale we
+  broadcast the shingle sets via ``ray.put``.
+- SimHash: 64-bit sign-sum signature in ``map_batches``; candidates via
+  4 × 16-bit chunk buckets (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole
+  over 4 chunks), verified by exact Hamming distance.
+
+All hashing is blake2b-seeded (deterministic across processes); no RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .text import WS_TOKEN_RE
+
+SHINGLE_K = 3            # 3-token shingles (standard for web-text dedup)
+N_MINHASH = 64
+LSH_BANDS = 8            # 8 bands x 8 rows
+JACCARD_THRESHOLD = 0.5
+SIMHASH_CHUNKS = 4       # 4 x 16-bit chunks -> catches Hamming <= 3
+HAMMING_THRESHOLD = 3
+
+_WS_RE = re.compile(WS_TOKEN_RE)
+
+
+# ---- shared scalar kernels ----
+
+def shingle_set(text: str, k: int = SHINGLE_K) -> set[str]:
+    """Distinct k-token shingles of lowercased ws-tokens — mirrored by the
+    DuckDB oracle's list_transform/range expression (1:1 token windows)."""
+    toks = _WS_RE.findall(text.lower())
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64_str(values: list[str]) -> np.ndarray:
+    b = hashlib.blake2b
+    return np.fromiter(
+        (int.from_bytes(b(v.encode(), digest_size=8).digest(), "big")
+         for v in values), dtype=np.uint64, count=len(values))
+
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_SEEDS = (np.arange(1, N_MINHASH + 1, dtype=np.uint64)
+          * np.uint64(0x9E3779B97F4A7C15))
+
+
+def minhash_signature(shingles: set[str]) -> np.ndarray:
+    """64 minhashes via one blake2b per shingle + splitmix64 per seed
+    (vectorized: |shingles| x 64 mix in numpy)."""
+    if not shingles:
+        return np.full(N_MINHASH, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    h = _hash64_str(sorted(shingles))[:, None] ^ _SEEDS[None, :]
+    x = h
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x.min(axis=0)
+
+
+def simhash64(text: str) -> int:
+    toks = _WS_RE.findall(text.lower())
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    h = _hash64_str(list(uniq))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    score = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    sig = np.uint64(0)
+    for i in np.flatnonzero(score > 0):
+        sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# ---- exact dedup ----
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(content_hash, keep_doc_id, n_copies): keep-first (min doc_id) per
+    md5(text). Partial per-batch hashing, one slim groupby shuffle."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_hash": [hashlib.md5(t.encode()).hexdigest()
+                             for t in df["text"].astype(str)],
+            "doc_id": df["doc_id"].astype(np.int64),
+        })
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(add_hash, batch_format="pandas")
+            .groupby("content_hash")
+            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
+                       Count(alias_name="n_copies")))
+
+
+# ---- MinHash + LSH ----
+
+def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """documents batch → exploded (band, band_hash, doc_id) rows."""
+    rows_per_band = N_MINHASH // LSH_BANDS
+    ids, bands, bhashes = [], [], []
+    for doc_id, text in zip(df["doc_id"].astype(np.int64), df["text"].astype(str)):
+        sig = minhash_signature(shingle_set(text))
+        for b in range(LSH_BANDS):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            ids.append(doc_id)
+            bands.append(b)
+            bhashes.append(int.from_bytes(bh, "big") >> 1)
+    return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                         "band": np.array(bands, dtype=np.int32),
+                         "band_hash": np.array(bhashes, dtype=np.int64)})
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One LSH bucket → candidate pairs (doc_a < doc_b)."""
+    ids = np.sort(g["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": np.empty(0, np.int64),
+                             "doc_b": np.empty(0, np.int64)})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ia].astype(np.int64),
+                         "doc_b": ids[ib].astype(np.int64)})
+
+
+def minhash_lsh_pairs(docs: ray.data.Dataset,
+                      threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard) pairs with exact-verified 3-token-shingle
+    Jaccard ≥ threshold, candidates from 8x8 MinHash-LSH banding."""
+    # broadcast shingle sets for the verify stage (scale path: hash-join
+    # the pair list against the shingle table twice instead)
+    sh_rows = (docs.select_columns(["doc_id", "text"])
+               .map_batches(lambda df: pd.DataFrame({
+                   "doc_id": df["doc_id"].astype(np.int64),
+                   "sh": [sorted(shingle_set(t)) for t in df["text"].astype(str)]}),
+                   batch_format="pandas")
+               .take_all())
+    sh_ref = ray.put({r["doc_id"]: set(r["sh"]) for r in sh_rows})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        sh = ray.get(sh_ref)
+        a = int(g["doc_a"].iloc[0])
+        b = int(g["doc_b"].iloc[0])
+        j = jaccard(sh[a], sh[b])
+        if j < threshold:
+            return pd.DataFrame({"doc_a": np.empty(0, np.int64),
+                                 "doc_b": np.empty(0, np.int64),
+                                 "jaccard": np.empty(0, np.float64)})
+        # raw double: single int/int division — bit-identical everywhere
+        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [j]})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(_band_rows, batch_format="pandas")
+            .groupby(["band", "band_hash"])
+            .map_groups(_bucket_pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])       # dedup candidates across bands
+            .map_groups(verify, batch_format="pandas"))
+
+
+# ---- SimHash ----
+
+def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "simhash": np.array([simhash64(t) for t in df["text"].astype(str)],
+                                dtype=np.uint64).view(np.int64),
+        })
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        sig_batch, batch_format="pandas")
+
+
+def simhash_pairs(docs: ray.data.Dataset,
+                  max_hamming: int = HAMMING_THRESHOLD) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming) with Hamming(simhash) ≤ max_hamming.
+    Candidates: equal 16-bit chunk (pigeonhole over 4 chunks ⇒ complete
+    for Hamming ≤ 3); verify exact popcount."""
+    sigs = simhash_signatures(docs)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["simhash"].to_numpy().view(np.uint64)
+        out = []
+        for c in range(SIMHASH_CHUNKS):
+            chunk = ((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                                     "simhash": df["simhash"],
+                                     "chunk": np.int32(c), "chunk_val": chunk}))
+        return pd.concat(out, ignore_index=True)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"doc_a": np.empty(0, np.int64),
+                                 "doc_b": np.empty(0, np.int64),
+                                 "hamming": np.empty(0, np.int64)})
+        ids = g["doc_id"].to_numpy()
+        s = g["simhash"].to_numpy().view(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        x = s[ia] ^ s[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][keep].astype(np.int64),
+                             "doc_b": ids[ib][keep].astype(np.int64),
+                             "hamming": ham[keep]})
+
+    return (sigs.map_batches(explode, batch_format="pandas")
+            .groupby(["chunk", "chunk_val"])
+            .map_groups(bucket, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+# ---- exact n-gram Jaccard pairs (verification-path dedup) ----
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset,
+                        threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard ≥ threshold), exact, within same ``lang``
+    (the blocking key). SQL-oracle-checkable: the DuckDB mirror builds the
+    same shingle lists with list_transform. Scale path: block by
+    (lang, length-band) and LSH-prefilter; here lang blocks are small."""
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sets = [shingle_set(t) for t in g["text"].astype(str)]
+        rows = []
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                j = jaccard(sets[i], sets[k])
+                if j >= threshold:
+                    rows.append((ids[i], ids[k], j))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+            if rows else pd.DataFrame({"doc_a": np.empty(0, np.int64),
+                                       "doc_b": np.empty(0, np.int64),
+                                       "jaccard": np.empty(0, np.float64)})
+
+    return (docs.select_columns(["doc_id", "lang", "text"])
+            .groupby("lang").map_groups(block, batch_format="pandas"))

@@ -1,0 +1,71 @@
+"""Windowed / sessionized aggregation over the ``events`` stream table
+``(event_id, ts, user_id, event_type, value, props)``.
+
+The reference's only aggregations are operational counters
+(`lib/crawlerFactory.js:277-290`, SURVEY.md §2.5); these ops add the
+streaming-window semantics a web-scale event pipeline needs:
+
+- ``windowed_agg``: tumbling wall-clock windows — partial aggregation
+  happens inside Ray Data's hash-groupby combiner, so the shuffle moves
+  one row per (window, type) per block, not raw events.
+- ``sessionize``: gap-based sessions per user (stateful, order-dependent)
+  as ``groupby(user_id).map_groups`` — the per-key-partitioned stateful
+  pattern (same ownership-by-partition idea that replaced the reference's
+  per-URL redlock, SURVEY.md §1.3/T6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+SESSION_GAP_MIN = 30
+
+
+def windowed_agg(events: ray.data.Dataset, window: str = "hour") -> ray.data.Dataset:
+    """Tumbling-window aggregate: (window_start, event_type) →
+    n_events, sum_value, min_value, max_value, avg_value."""
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "value"]].copy()
+        out["window_start"] = df["ts"].dt.floor("h" if window == "hour" else "D")
+        return out
+
+    return (events.select_columns(["ts", "event_type", "value"])
+            .map_batches(add_window, batch_format="pandas")
+            .groupby(["window_start", "event_type"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="sum_value"),
+                       Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value"),
+                       Mean("value", alias_name="avg_value")))
+
+
+def sessionize(events: ray.data.Dataset,
+               gap_minutes: int = SESSION_GAP_MIN) -> ray.data.Dataset:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_id, n_events, t_start, t_end, sum_value)."""
+    gap = np.timedelta64(gap_minutes * 60_000_000, "us")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        brk = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = brk.cumsum()
+        g["session_id"] = sid
+        agg = g.groupby("session_id").agg(
+            n_events=("event_id", "size"),
+            t_start=("ts", "min"), t_end=("ts", "max"),
+            sum_value=("value", "sum")).reset_index()
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        agg["sum_value"] = agg["sum_value"].round(6)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return (events.select_columns(["event_id", "ts", "user_id", "value"])
+            .groupby("user_id").map_groups(sessions, batch_format="pandas"))

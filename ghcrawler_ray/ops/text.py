@@ -1,0 +1,182 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting. All are vectorized ``map_batches`` stages over the
+``documents`` table ``(doc_id, text, lang, source, n_chars)``; each
+deterministic rule is mirrored 1:1 by the DuckDB oracle SQL in
+``__ray_entry__`` (same column names, same tie-breaks, floats rounded to
+6 dp on both sides).
+
+Reference context: the reference's per-type processors normalize payloads
+(`providers/fetcher/githubProcessor.js:124-434`); these ops are the
+web-text analogues a Common-Crawl pipeline runs after extraction.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+#: token grammars (identical semantics in Python re and DuckDB RE2)
+WS_TOKEN_RE = r"[^\s]+"
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: language marker words (lowercase, matched against ws tokens)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "si"),
+}
+CJK_RE = r"[一-鿿]"          # python form
+CJK_RE_SQL = r"[\x{4e00}-\x{9fff}]"  # RE2/DuckDB form
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def _tokens(texts: pd.Series) -> pd.Series:
+    return texts.str.findall(WS_TOKEN_RE)
+
+
+def token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) per document."""
+    t = df["text"].astype(str)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_ws_tokens": t.str.count(WS_TOKEN_RE).astype(np.int64),
+        "n_bpe_tokens": t.str.count(BPE_TOKEN_RE).astype(np.int64),
+    })
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Quality features + composite score (oracle-mirrored, bit-exact):
+    score = 0.4*min(n_ws_tokens,200)/200 + 0.3*stop_ratio*5 (capped 0.3)
+          + 0.3*(1 - punct_ratio)."""
+    t = df["text"].astype(str)
+    n_chars = t.str.len().astype(np.int64)
+    n_tok = t.str.count(WS_TOKEN_RE).astype(np.int64)
+    n_punct = t.str.count(r"[^A-Za-z0-9\s]").astype(np.int64)
+    toks = _tokens(t.str.lower())
+    stop = set(STOPWORDS)
+    n_stop = toks.map(lambda ts: sum(1 for w in ts if w in stop)).astype(np.int64)
+    nt = n_tok.replace(0, 1).astype(np.float64)
+    stop_ratio = n_stop / nt
+    punct_ratio = n_punct / n_chars.replace(0, 1).astype(np.float64)
+    score = (0.4 * np.minimum(n_tok, 200) / 200.0
+             + np.minimum(0.3 * stop_ratio * 5.0, 0.3)
+             + 0.3 * (1.0 - punct_ratio))
+    # NO rounding: every term is per-row scalar IEEE arithmetic in the same
+    # operation order as the SQL mirror → bit-identical doubles. (Rounding
+    # would *break* parity: numpy rounds half-even, DuckDB half-away, and
+    # exact .5e-6 boundaries do occur.)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_chars": n_chars, "n_ws_tokens": n_tok, "n_punct": n_punct,
+        "n_stop": n_stop,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": pd.Series(score, index=df.index),
+    })
+
+
+def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Marker-word language guess. Tie/zero rules (mirrored in SQL CASE
+    chain): any CJK char → zh; all marker counts 0 → und; else first of
+    en≥de≥fr≥es in that fixed order."""
+    t = df["text"].astype(str)
+    low = t.str.lower()
+    toks = _tokens(low)
+
+    def count_markers(markers):
+        ms = set(markers)
+        return toks.map(lambda ts: sum(1 for w in ts if w in ms)).astype(np.int64)
+
+    c = {lang: count_markers(m) for lang, m in LANG_MARKERS.items()}
+    zh = t.str.count(CJK_RE).astype(np.int64)
+    en, de, fr, es = c["en"], c["de"], c["fr"], c["es"]
+    guess = np.select(
+        [zh > 0,
+         (en == 0) & (de == 0) & (fr == 0) & (es == 0),
+         (en >= de) & (en >= fr) & (en >= es),
+         (de >= fr) & (de >= es),
+         (fr >= es)],
+        ["zh", "und", "en", "de", "fr"],
+        default="es")
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_en": en, "n_de": de, "n_fr": fr, "n_es": es, "n_zh": zh,
+        "lang_guess": guess,
+    })
+
+
+# ---- fingerprinting (winnowing; Schleimer et al., SIGMOD 2003) ----
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 257
+
+
+def _rolling_hashes(s: str, k: int) -> np.ndarray:
+    """Polynomial rolling hash of every k-char gram (vectorized numpy)."""
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.object_)
+    if len(b) < k:
+        return np.empty(0, dtype=np.int64)
+    # object-dtype powers keep exact big-int math, then reduce mod 2^61-1
+    out = np.empty(len(b) - k + 1, dtype=np.int64)
+    h = 0
+    top = pow(_FP_BASE, k - 1, _FP_MOD)
+    for i in range(k):
+        h = (h * _FP_BASE + int(b[i])) % _FP_MOD
+    out[0] = h
+    for i in range(1, len(out)):
+        h = ((h - int(b[i - 1]) * top) * _FP_BASE + int(b[i + k - 1])) % _FP_MOD
+        out[i] = h
+    return out
+
+
+def winnow_fingerprint(text: str, k: int = 8, w: int = 16) -> tuple[int, int]:
+    """Winnowing: min hash per sliding window of w k-gram hashes; document
+    fingerprint = XOR of the selected minima. Returns (fp, n_selected)."""
+    h = _rolling_hashes(text, k)
+    if len(h) == 0:
+        return 0, 0
+    if len(h) <= w:
+        sel = {int(h.min())}
+    else:
+        view = np.lib.stride_tricks.sliding_window_view(h, w)
+        sel = set(view.min(axis=1).tolist())
+    fp = 0
+    for v in sel:
+        fp ^= int(v)
+    return fp, len(sel)
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    fps = [winnow_fingerprint(t) for t in df["text"].astype(str)]
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "fingerprint": np.array([f[0] for f in fps], dtype=np.int64),
+        "n_selected": np.array([f[1] for f in fps], dtype=np.int64),
+    })
+
+
+# ---- Dataset-level entry points ----
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pandas")
+
+
+def quality_scores(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pandas")
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pandas")
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pandas")

@@ -51,10 +51,10 @@ import ray.data
 
 from ..config import CrawlConfig
 from ..frontier import links_to_frontier, seeds_to_frontier
-from ..stages.engine_stages import (FRONTIER_COLS, ORDER_META, ClaimEtags,
-                                    PrepareBatch, frontier_table,
+from ..stages.engine_stages import (FRONTIER_COLS, ORDER_META, PrepareBatch,
+                                    ResolveEtags, frontier_table,
                                     make_bucket_stage, make_extract_stage,
-                                    make_polite_stage, mark_etag_winner)
+                                    make_polite_stage)
 from ..state.seen import SeenSetPool
 
 
@@ -177,18 +177,45 @@ class CrawlEngine:
         tagged = frontier.map_batches(
             PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets),
             batch_format="pandas", batch_size=16384)
-        resolved = (
+        base = (
             tagged
             .groupby("bucket").map_groups(
                 make_bucket_stage(self.pool, self.web_root, hot, cfg.salt_factor),
                 batch_format="pandas")
             .groupby("polite_key").map_groups(
                 make_polite_stage(cfg, robots_ref, hot), batch_format="pandas")
-            .groupby("etag_key").map_groups(mark_etag_winner, batch_format="pandas")
-            .map_batches(ClaimEtags(self.pool), batch_format="pandas",
-                         batch_size=16384)
             .materialize()
         )
+        # etag/304 resolution, vectorized: ONE slim hash-aggregate finds the
+        # competing etags (>1 candidate this wave — rare: duplicate-content
+        # aliases); their winners resolve on the driver from a tiny pull;
+        # everything else is winner-by-construction inside ResolveEtags.
+        from ray.data.aggregate import Count
+
+        def _cand_etags(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["outcome"], "")).select(["etag"])
+
+        comp_rows = (base.map_batches(_cand_etags, batch_format="pyarrow")
+                     .groupby("etag").aggregate(Count(alias_name="n_cand"))
+                     .filter(expr="n_cand > 1").take_all())
+        competing = {r["etag"] for r in comp_rows}
+        winners: dict = {}
+        if competing:
+            comp_local = competing  # closure-captured (small set)
+
+            def _pull(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.equal(t["outcome"], ""))
+                mask = pc.is_in(t["etag"], value_set=pa.array(sorted(comp_local)))
+                return t.filter(mask).select(
+                    ["url", "etag", "rank", "seq", "depth", "discovered_from"])
+
+            pull = base.map_batches(_pull, batch_format="pyarrow").to_pandas()
+            w = pull.sort_values(["rank", "seq", "depth", "discovered_from"],
+                                 kind="stable").drop_duplicates("etag")
+            winners = dict(zip(w["etag"], w["url"]))
+        resolved = base.map_batches(
+            ResolveEtags(self.pool, ray.put(competing), ray.put(winners)),
+            batch_format="pandas", batch_size=16384).materialize()
 
         # slim per-row wave record → order log, metrics, deadletters, routing
         pdf = resolved.select_columns(ORDER_META).to_pandas()
@@ -275,9 +302,8 @@ class CrawlEngine:
         polite_fn = make_polite_stage(cfg, robots_ref, hot)
         cur = pd.concat([polite_fn(g) for _, g in cur.groupby("polite_key", sort=True)],
                         ignore_index=True)
-        cur = pd.concat([mark_etag_winner(g) for _, g in cur.groupby("etag_key", sort=True)],
-                        ignore_index=True)
-        cur = ClaimEtags(self.pool)(cur)
+        competing, winners = ResolveEtags.competing_and_winners(cur)
+        cur = ResolveEtags(self.pool, competing, winners)(cur)
 
         pdf = cur[ORDER_META]
         self._log_wave(k, pdf)

@@ -1,13 +1,12 @@
 """Engine-side stage callables for the wave pipeline.
 
-The wave is ONE chained Ray Data execution (keeps per-wave driver overhead
-at a handful of executions instead of dozens):
+The wave is ONE chained Ray Data execution plus a slim etag aggregate:
 
     frontier.map_batches(PrepareBatch)                 # vectorized, stateless
             .groupby("bucket").map_groups(bucket_stage)# dedup + claim + probe
-            .groupby("host").map_groups(host_stage)    # politeness budgets
-            .groupby("etag_key").map_groups(mark_etag_winner)
-            .map_batches(ClaimEtags)                   # content-dedup claim
+            .groupby("polite_key").map_groups(polite)  # politeness budgets
+            → competing-etag hash-aggregate over (etag)# slim 304 detection
+            .map_batches(ResolveEtags)                 # content-dedup claim
 
 Stage → reference parity (file:line into /root/reference):
 - PrepareBatch: url canon (`lib/request.js:260-262`), malformed guard
@@ -25,7 +24,7 @@ Stage → reference parity (file:line into /root/reference):
   81-93`, call caps `lib/crawlerFactory.js:74-76`) as per-host wave
   budgets with deterministic hot-host salting; misses become the retry
   path (`providers/fetcher/githubFetcher.js:44-87` status routing).
-- mark_etag_winner + ClaimEtags: etag/304 content dedup
+- ResolveEtags: etag/304 content dedup
   (`providers/fetcher/githubFetcher.js:26-84`).
 - ExtractBucket: the processor stage (html → text + out-links,
   `providers/fetcher/githubProcessor.js:81-122` + per-type handlers) and
@@ -36,6 +35,7 @@ Stage → reference parity (file:line into /root/reference):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from pathlib import Path
 
 import numpy as np
@@ -43,6 +43,23 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+
+
+@lru_cache(maxsize=64)
+def _pages_bucket(path: str) -> pd.DataFrame:
+    """Worker-local cache of one immutable pages bucket (url, html, lang).
+    The fetch-join and extract stages touch the same buckets every wave;
+    re-reading ~25 MB of html per bucket per wave dominated wave time.
+    Callers must treat the frame as read-only (merges copy)."""
+    return pq.read_table(path, columns=["url", "html", "lang"]).to_pandas()
+
+
+@lru_cache(maxsize=256)
+def _meta_bucket(path: str) -> pd.DataFrame:
+    if not Path(path).exists():
+        return pd.DataFrame({"url": pd.Series(dtype=str),
+                             "etag": pd.Series(dtype=str)})
+    return pq.read_table(path, columns=["url", "etag"]).to_pandas()
 
 from ..config import PRIORITY_RANK, CrawlConfig
 from ..state.politeness import (ORDER_COLS, admit_first_n, group_budget,
@@ -155,17 +172,11 @@ def make_bucket_stage(pool, web_root: str, hot_hosts: set[str], salt_factor: int
                 g.loc[idx[new], "newly_claimed"] = True
                 g.loc[idx[~new], "outcome"] = "bounced"
         b = int(g["bucket"].iloc[0])
-        path = Path(web_root) / "pages_meta" / f"bucket={b}" / "part-0.parquet"
-        if path.exists():
-            meta = pq.read_table(path, columns=["url", "etag"]).to_pandas()
-        else:
-            meta = pd.DataFrame({"url": pd.Series(dtype=str),
-                                 "etag": pd.Series(dtype=str)})
+        meta = _meta_bucket(str(Path(web_root) / "pages_meta"
+                                / f"bucket={b}" / "part-0.parquet"))
         g = g.merge(meta, on="url", how="left")
         g["found"] = g["etag"].notna()
         g["etag"] = g["etag"].fillna("")
-        active = (g["outcome"] == "") & g["claimed"] & g["found"]
-        g["etag_key"] = np.where(active, g["etag"], "~" + g["url"])
         hot = g["host"].isin(hot_hosts).to_numpy() if hot_hosts else \
             np.zeros(len(g), dtype=bool)
         salt = np.where(hot, (g["url_hash"].to_numpy() % salt_factor), 0).astype(np.int16)
@@ -209,29 +220,66 @@ def make_polite_stage(cfg: CrawlConfig, robots_ref, hot_hosts: set[str]):
     return polite_stage
 
 
-def mark_etag_winner(g: pd.DataFrame) -> pd.DataFrame:
-    """groupby('etag_key') stage: first admitted row per content hash by
-    ORDER_COLS is the winner candidate; the rest are not_modified."""
-    g = g.reset_index(drop=True)
-    g["etag_winner"] = False
-    cand = g.index[g["outcome"] == ""]
-    if len(cand):
-        order = g.loc[cand].sort_values(ORDER_COLS, kind="stable").index
-        g.loc[order[0], "etag_winner"] = True
-        if len(order) > 1:
-            g.loc[order[1:], "outcome"] = "not_modified"
-    return g
+class ResolveEtags:
+    """Vectorized distributed etag resolution (semantics identical to
+    mark_etag_winner + ClaimEtags, pinned by tests/test_parity.py).
 
+    Inputs (broadcast refs): the set of *competing* etags this wave
+    (> 1 candidate row, found via one hash-aggregate over a slim
+    projection) and the pre-resolved winner url per competing etag (first
+    by ORDER_COLS — the in-wave 304 rule,
+    `providers/fetcher/githubFetcher.js:78-84`). Non-competing candidates
+    are winners by construction, so the per-batch work is two hash-set
+    probes + one shard-pool claim RPC — no per-group Python tasks."""
 
-class ClaimEtags:
-    """Winner candidates claim their etag at the shard pool; a bounce means
-    the content was fetched in an earlier wave → not_modified."""
-
-    def __init__(self, pool):
+    def __init__(self, pool, competing_ref, winners_ref):
         self.pool = pool
+        self.competing_ref = competing_ref
+        self.winners_ref = winners_ref
+        self._cache = None
+
+    def _maps(self):
+        if self._cache is None:
+            comp, win = self.competing_ref, self.winners_ref
+            if isinstance(comp, ray.ObjectRef):
+                comp = ray.get(comp)
+            if isinstance(win, ray.ObjectRef):
+                win = ray.get(win)
+            self._cache = (comp, win)
+        return self._cache
+
+    @staticmethod
+    def competing_and_winners(cur: pd.DataFrame) -> tuple[set, dict]:
+        """Driver-side (local-path) equivalent of the distributed competing-
+        etag aggregate + winner pull: etags with >1 candidate row and the
+        first candidate per such etag by ORDER_COLS."""
+        cand = cur["outcome"] == ""
+        vc = cur.loc[cand, "etag"].value_counts()
+        competing = set(vc.index[vc > 1])
+        winners: dict = {}
+        if competing:
+            sub = cur[cand & cur["etag"].isin(competing)]
+            w = sub.sort_values(ORDER_COLS, kind="stable").drop_duplicates("etag")
+            winners = dict(zip(w["etag"], w["url"]))
+        return competing, winners
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        competing, winner_url = self._maps()
         b = batch.copy()
+        cand = (b["outcome"] == "").to_numpy()
+        b["etag_winner"] = False
+        if not cand.any():
+            return b
+        et = b["etag"].to_numpy(dtype=object)
+        urls = b["url"].to_numpy(dtype=object)
+        in_comp = np.fromiter((e in competing for e in et), dtype=bool,
+                              count=len(b)) if competing else \
+            np.zeros(len(b), dtype=bool)
+        is_winner = cand & (~in_comp | np.fromiter(
+            (winner_url.get(e) == u for e, u in zip(et, urls)),
+            dtype=bool, count=len(b)))
+        b.loc[cand & ~is_winner, "outcome"] = "not_modified"
+        b.loc[is_winner, "etag_winner"] = True
         win = b["etag_winner"] & (b["outcome"] == "")
         if win.any():
             ehash = hash64_array(b.loc[win, "etag"].to_numpy(dtype=object))
@@ -248,8 +296,8 @@ def make_extract_stage(web_root: str, out_dir: str, wave: int):
 
     def extract_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["bucket"].iloc[0])
-        path = Path(web_root) / "pages" / f"bucket={b}" / "part-0.parquet"
-        pages = pq.read_table(path, columns=["url", "html", "lang"]).to_pandas()
+        pages = _pages_bucket(str(Path(web_root) / "pages"
+                                  / f"bucket={b}" / "part-0.parquet"))
         j = g[["url", "seq", "rank", "depth", "etag"]].merge(pages, on="url", how="inner")
         t = pa.Table.from_pandas(j[["url", "html", "lang", "etag"]], preserve_index=False)
         t = extract_text_batch(t)
