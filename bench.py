@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline crawl pipeline + representative ops.
+
+Default: one run over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+with ``ray.init(address='local', num_cpus=$RAY_GRAFT_CPUS or 32)``;
+prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "frontier_rows": R, "urls_per_sec": R/sec}
+
+``--scaling``: runs the headline crawl twice in FRESH child processes at
+two parallelism levels (8 and 32 CPUs — the sandbox stand-in for the
+north rule's N vs 4N node criterion), prints both throughputs plus
+``efficiency = (tput_4N / tput_N) / 4`` and records the result between
+the BENCH markers in BASELINE.md.
+
+The headline workload is the wave-loop crawl (SURVEY.md §7.0) over the
+deterministic synthesized web at the dir's scale factor, capped at
+``BENCH_WAVES`` waves: that covers the large BFS-expansion waves where
+the engine's distributed path does the work; the politeness long-tail
+(tiny deferred waves, bounded by per-host budgets — external-rate-bound
+by design, like the reference's token caps `lib/crawlerFactory.js:74-76`)
+is excluded from the throughput denominator on purpose.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+BENCH_WAVES = 8
+OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
+               "ann_topk", "events_windowed")
+SCALING_CPUS = (8, 32)
+
+
+def _processed_rows(out_dir: Path) -> int:
+    """Frontier rows scheduled+fetched = order-log rows over all waves
+    (carried rows excluded by construction)."""
+    import pyarrow.parquet as pq
+    n = 0
+    for p in (out_dir / "metrics").glob("wave=*.parquet"):
+        t = pq.read_table(str(p)).to_pandas()
+        n += int(t["n"].sum())
+    return n
+
+
+def run_once(sf_dir: str, cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        import ray.data
+
+        import __ray_entry__ as entry
+        from ghcrawler_ray.config import CrawlConfig
+        from ghcrawler_ray.pipelines.wave import CrawlEngine
+        from ghcrawler_ray.testgen import ensure_testdata, sf_of_dir
+
+        sf = sf_of_dir(sf_dir)
+        root = ensure_testdata(sf)          # cached; not part of the timing
+        out = Path(f"/tmp/ghcrawler_bench/cpus{cpus}-sf{sf}")
+        t0 = time.time()
+        CrawlEngine(root, out, CrawlConfig(max_waves=BENCH_WAVES,
+                                           emit_order_log=False)).run()
+        crawl_s = time.time() - t0
+        rows = _processed_rows(out)
+
+        qtimes = {"crawl_wave_pipeline": round(crawl_s, 3)}
+        qs = entry.queries()
+        for name in OPS_QUERIES:
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                res.count()                  # force full execution
+            qtimes[name] = round(time.time() - t0, 3)
+
+        return {
+            "metric": "crawl frontier URLs scheduled+fetched over "
+                      f"{BENCH_WAVES} waves + ops suite",
+            "value": round(crawl_s, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "num_cpus": cpus,
+            "frontier_rows": rows,
+            "urls_per_sec": round(rows / crawl_s, 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def _update_baseline_md(block: str) -> None:
+    p = Path(__file__).parent / "BASELINE.md"
+    begin, end = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
+    txt = p.read_text()
+    section = f"{begin}\n{block}\n{end}"
+    if begin in txt:
+        pre = txt.split(begin)[0]
+        post = txt.split(end)[1]
+        txt = pre + section + post
+    else:
+        txt = txt.rstrip() + "\n\n" + section + "\n"
+    p.write_text(txt)
+
+
+def run_scaling(sf_dir: str) -> dict:
+    # generate the web once up-front so neither child pays for it
+    from ghcrawler_ray.testgen import ensure_testdata, sf_of_dir
+    ensure_testdata(sf_of_dir(sf_dir))
+
+    runs = []
+    for cpus in SCALING_CPUS:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=sf_dir, GHCRAWLER_BENCH_CRAWL_ONLY="1")
+        cp = subprocess.run([sys.executable, __file__, "--child"],
+                            capture_output=True, text=True, env=env,
+                            cwd=str(Path(__file__).parent))
+        line = cp.stdout.strip().splitlines()[-1]
+        runs.append(json.loads(line))
+    t_n, t_4n = (r["urls_per_sec"] for r in runs)
+    eff = (t_4n / t_n) / (SCALING_CPUS[1] / SCALING_CPUS[0])
+    result = {
+        "metric": "scaling efficiency (N vs 4N parallelism, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {f"urls_per_sec@{r['num_cpus']}cpus": r["urls_per_sec"]
+                    for r in runs},
+        "sf": runs[0]["sf"],
+        "num_cpus": SCALING_CPUS[1],
+        "runs": runs,
+    }
+    block = (
+        f"## Measured scaling (bench.py --scaling, sf={runs[0]['sf']}, "
+        f"{BENCH_WAVES} waves)\n\n"
+        f"| num_cpus | wall s | frontier rows | urls/s |\n|---|---|---|---|\n"
+        + "\n".join(
+            f"| {r['num_cpus']} | {r['value']} | {r['frontier_rows']} "
+            f"| {r['urls_per_sec']} |" for r in runs)
+        + f"\n\n**Scaling efficiency (N={SCALING_CPUS[0]} → "
+          f"4N={SCALING_CPUS[1]} CPUs): {eff:.3f}** "
+          f"(criterion: ≥ 0.8)")
+    _update_baseline_md(block)
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true",
+                    help="internal: one fresh-session run (used by --scaling)")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        out = run_scaling(sf_dir)
+    elif args.child and os.environ.get("GHCRAWLER_BENCH_CRAWL_ONLY"):
+        # scaling child: crawl only (the ops suite isn't part of the
+        # scaling criterion and would double child runtime)
+        global OPS_QUERIES
+        OPS_QUERIES = ()
+        out = run_once(sf_dir, cpus)
+    else:
+        out = run_once(sf_dir, cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,9 @@ class CrawlConfig:
     # --- partitioning ---
     n_shards: int = 8    # seen-set actor shards (hash(url) % n_shards)
     n_buckets: int = 16  # pages-store / fetch-join buckets (hash(url) % n_buckets)
+    # coarse politeness co-group partitions — the wave's single shuffle key
+    # (hash(host)+salt) % n_polite_parts; size ≈ 2-4 × total cluster cores
+    n_polite_parts: int = 64
 
     # --- seen-set structure: 'exact64' (64-bit hash set; exact at any test
     #     scale) or 'cuckoo' (compact, supports delete; ~1e-4 fp) ---

@@ -3,34 +3,38 @@
 Target shape (SURVEY.md §7.0): the reference's infinite promise-loop
 (`lib/crawler.js:39-107` processOne: pop → filter → fetch → convert →
 process → store → complete) re-expressed as a driver loop over *waves*.
-Each wave is ONE chained Ray Data execution over slim frontier rows
+Each wave does exactly ONE full-row shuffle over slim frontier rows
 (html never enters any shuffle):
 
-    frontier_k .map_batches(PrepareBatch)              normalize/scope/robots
-               .groupby('bucket').map_groups(...)      dedup + claim + probe
-               .groupby('polite_key').map_groups(...)  politeness budgets
-               .groupby('etag_key').map_groups(...)    content-dedup winner
-               .map_batches(ClaimEtags)                cross-wave etag claim
+    frontier_k .map_batches(PrepareBatch)          normalize/scope/robots
+               .groupby('polite_part')             ← the single exchange
+               .map_groups(partition_stage)        dedup+claim+probe+polite
+               → [etag planning: slim pull (golden) or slim aggregates]
+               .map_batches(ResolveEtags)          content-dedup (304) claim
                → resolved (materialized once)
-
-then, driven by the wave's slim order-log frame:
-    resolved[fetched] .groupby('bucket').map_groups(extract)  → pages + links
-    links .map_batches(links_to_frontier)  ∪ carry ∪ deferred ∪ retries
+    resolved[fetched] .groupby('bucket').map_groups(extract) → pages+links
+    links → frontier rows  ∪ carry ∪ deferred ∪ retries
           → frontier_{k+1} (partitioned Parquet checkpoint)
+
+``polite_part = (hash(host)+salt) % n_polite_parts`` co-locates complete
+(host, salt) politeness groups AND all duplicates of any url (same url ⇒
+same host), so in-wave dedup, the sharded seen-set claim, the fetch
+probe and the per-host budget all resolve inside that one exchange.
+
+Two bookkeeping modes:
+- golden (``emit_order_log=True``, correctness scale): the wave's slim
+  per-row record is pulled to the driver for the crawl-order artifact;
+- scale (``emit_order_log=False``, bench / 10^10 design point): ALL
+  driver inputs are distributed aggregates — O(#hosts/#etags/#outcomes)
+  rows to the driver, never O(#rows). tests pin both modes' outputs.
 
 Checkpoint per wave (SURVEY.md §4.1): next frontier Parquet, seen-set
 shard snapshots, hot-host set and clock in a manifest written last;
 ``run(resume=True)`` restarts from the latest complete wave with
-identical results. Per-wave outputs: pages (`pages/wave=k/bucket=b`),
-links, crawl-order log, deadletters (`lib/crawler.js:523-557`),
-per-outcome and per-bucket metrics (`lib/crawlerFactory.js:277-290`
+identical results. Per-wave outputs: pages (`pages/wave=k/`), links,
+crawl-order log (golden mode), deadletters (`lib/crawler.js:523-557`),
+per-outcome and per-partition metrics (`lib/crawlerFactory.js:277-290`
 counters analogue).
-
-Scale notes: the per-wave order-log pull (`to_pandas`) is metadata-only
-(no html) and exists for the golden-order artifact + driver routing; at
-10^10-URL scale set ``emit_order_log=False`` *(future round: aggregate
-path)* and the sidecars stay distributed. All shuffles are keyed by
-url-hash bucket, (host, salt), or content hash — never by raw payload.
 """
 
 from __future__ import annotations
@@ -53,8 +57,7 @@ from ..config import CrawlConfig
 from ..frontier import links_to_frontier, seeds_to_frontier
 from ..stages.engine_stages import (FRONTIER_COLS, ORDER_META, PrepareBatch,
                                     ResolveEtags, frontier_table,
-                                    make_bucket_stage, make_extract_stage,
-                                    make_polite_stage)
+                                    make_extract_stage, make_partition_stage)
 from ..state.seen import SeenSetPool
 
 
@@ -89,12 +92,33 @@ class CrawlEngine:
         d.mkdir(parents=True)
         pq.write_table(frontier_table(df), d / "part-0.parquet")
 
-    def _frontier_files(self, wave: int) -> tuple[list[str], int]:
-        """Parquet files of wave k's frontier + total rows (metadata only)."""
+    def _frontier_files(self, wave: int) -> tuple[list[str], int, int | None]:
+        """Parquet files of wave k's frontier + total rows + min(not_before)
+        — all from file metadata (footer column statistics), no Ray
+        execution. The min drives the polling-delay fast-forward
+        (`lib/crawler.js:142-147` analogue)."""
         d = self.out / "frontier" / f"wave={wave}"
         files = sorted(str(p) for p in d.glob("*.parquet")) if d.exists() else []
-        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        return files, n
+        n, mn = 0, None
+        missing_stats = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            n += md.num_rows
+            try:
+                idx = md.schema.to_arrow_schema().get_field_index("not_before")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no stats")
+                    mn = int(st.min) if mn is None else min(mn, int(st.min))
+            except Exception:
+                missing_stats.append(f)
+        if missing_stats:
+            col = pq.read_table(missing_stats, columns=["not_before"])
+            if col.num_rows:
+                m2 = int(pc.min(col["not_before"]).as_py())
+                mn = m2 if mn is None else min(mn, m2)
+        return files, n, mn
 
     def _manifest_path(self, wave: int) -> Path:
         return self.out / "manifests" / f"wave={wave}.json"
@@ -138,16 +162,27 @@ class CrawlEngine:
 
     def run(self, resume: bool = False) -> dict:
         cfg = self.cfg
+        # leave 2 cores of headroom for the driver, seen-set shard actors
+        # and object-store workers: full CPU subscription measurably
+        # INVERTS scaling (32 tasks on 32 cores ran slower than 24)
+        total_cpu = int(ray.cluster_resources().get("CPU", 0))
+        if total_cpu >= 8:
+            from ray.data._internal.execution.interfaces.execution_options import \
+                ExecutionResources
+            ray.data.DataContext.get_current().execution_options \
+                .resource_limits = ExecutionResources.for_limits(
+                    cpu=total_cpu - 2)
         self.pool = SeenSetPool(cfg.n_shards, cfg.seen_mode,
                                 namespace=f"seen-{self._ns}")
-        robots_ref = ray.put(self._robots_dict())
+        self._robots = self._robots_dict()
+        robots_ref = ray.put(self._robots)
         if resume and (self.out / "manifests").exists():
             k, clock, hot = self._resume_point()
         else:
             k, clock, hot = self._fresh_start()
 
         while k < cfg.max_waves:
-            files, n_rows = self._frontier_files(k)
+            files, n_rows, min_nb = self._frontier_files(k)
             if not files:
                 break
             if n_rows <= cfg.local_wave_threshold:
@@ -156,7 +191,7 @@ class CrawlEngine:
             else:
                 frontier = ray.data.read_parquet(files)
                 n_next, clock, hot = self._run_wave(k, clock, frontier,
-                                                    robots_ref, hot)
+                                                    robots_ref, hot, min_nb)
             self._write_manifest(k, {"wave": k, "next_clock": clock,
                                      "next_frontier_rows": n_next,
                                      "hot_hosts": sorted(hot)})
@@ -167,67 +202,76 @@ class CrawlEngine:
 
     # ---------- one wave ----------
 
-    def _run_wave(self, k: int, clock: int, frontier, robots_ref,
-                  hot: set[str]) -> tuple[int, int, set]:
-        cfg = self.cfg
-        mn = frontier.min("not_before")
-        if mn is not None and int(mn) > clock:
-            clock = int(mn)  # fast-forward (polling-delay analogue)
+    #: outcomes that identify pre-politeness candidates (for hot-host
+    #: detection): rows that were claimed and in scope this wave
+    _CAND_OUTCOMES = ("", "deferred", "fetch_error")
 
+    def _run_wave(self, k: int, clock: int, frontier, robots_ref,
+                  hot: set[str], min_nb: int | None) -> tuple[int, int, set]:
+        cfg = self.cfg
+        if min_nb is not None and min_nb > clock:
+            clock = min_nb  # fast-forward (polling-delay analogue)
+
+        # ONE full-row shuffle per wave: groupby(polite_key = host#salt).
+        # Same url ⇒ same host ⇒ same group, so in-wave dedup, the shard
+        # claim, the fetch probe AND the per-host politeness budget all
+        # resolve inside that single exchange (engine_stages.make_host_stage).
+        # Everything after is broadcast maps and slim aggregates.
         tagged = frontier.map_batches(
-            PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets),
+            PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot),
             batch_format="pandas", batch_size=16384)
-        base = (
+        stage1 = (
             tagged
-            .groupby("bucket").map_groups(
-                make_bucket_stage(self.pool, self.web_root, hot, cfg.salt_factor),
+            .groupby("polite_part").map_groups(
+                make_partition_stage(self.pool, self.web_root, cfg,
+                                     robots_ref, hot),
                 batch_format="pandas")
-            .groupby("polite_key").map_groups(
-                make_polite_stage(cfg, robots_ref, hot), batch_format="pandas")
             .materialize()
         )
-        # etag/304 resolution, vectorized: ONE slim hash-aggregate finds the
-        # competing etags (>1 candidate this wave — rare: duplicate-content
-        # aliases); their winners resolve on the driver from a tiny pull;
-        # everything else is winner-by-construction inside ResolveEtags.
-        from ray.data.aggregate import Count
 
-        def _cand_etags(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["outcome"], "")).select(["etag"])
+        # etag/304 planning + hot-host detection. Golden mode (order log
+        # wanted, correctness scale): one slim driver pull. Scale mode:
+        # slim distributed aggregates — driver work is O(#hosts/#etags),
+        # never O(#rows).
+        if cfg.emit_order_log:
+            def _cand_slim(t: pa.Table) -> pa.Table:
+                m = pc.is_in(t["outcome"],
+                             value_set=pa.array(list(self._CAND_OUTCOMES)))
+                return t.filter(m).select(
+                    ["host", "outcome", "rank", "seq", "depth", "etag", "url"])
 
-        comp_rows = (base.map_batches(_cand_etags, batch_format="pyarrow")
-                     .groupby("etag").aggregate(Count(alias_name="n_cand"))
-                     .filter(expr="n_cand > 1").take_all())
-        competing = {r["etag"] for r in comp_rows}
-        winners: dict = {}
-        if competing:
-            comp_local = competing  # closure-captured (small set)
+            slim = stage1.map_batches(_cand_slim,
+                                      batch_format="pyarrow").to_pandas()
+            by_host = slim.groupby("host").size()
+            next_hot = set(by_host.index[by_host > cfg.salt_threshold])
+            cand = slim[slim["outcome"] == ""]
+            vc = cand["etag"].value_counts()
+            competing = set(vc.index[vc > 1])
+            winners: dict = {}
+            if competing:
+                sub = cand[cand["etag"].isin(competing)]
+                w = sub.sort_values(["rank", "seq", "depth"], kind="stable") \
+                    .drop_duplicates("etag")
+                winners = dict(zip(w["etag"], w["url"]))
+        else:
+            next_hot = self._hotness_distributed(stage1)
+            competing, winners = self._plan_etags_distributed(stage1)
 
-            def _pull(t: pa.Table) -> pa.Table:
-                t = t.filter(pc.equal(t["outcome"], ""))
-                mask = pc.is_in(t["etag"], value_set=pa.array(sorted(comp_local)))
-                return t.filter(mask).select(
-                    ["url", "etag", "rank", "seq", "depth", "discovered_from"])
-
-            pull = base.map_batches(_pull, batch_format="pyarrow").to_pandas()
-            w = pull.sort_values(["rank", "seq", "depth", "discovered_from"],
-                                 kind="stable").drop_duplicates("etag")
-            winners = dict(zip(w["etag"], w["url"]))
-        resolved = base.map_batches(
+        resolved = stage1.map_batches(
             ResolveEtags(self.pool, ray.put(competing), ray.put(winners)),
             batch_format="pandas", batch_size=16384).materialize()
 
-        # slim per-row wave record → order log, metrics, deadletters, routing
-        pdf = resolved.select_columns(ORDER_META).to_pandas()
-        self._log_wave(k, pdf)
-        counts = pdf["outcome"].value_counts()
-
-        next_hot = set()
-        cand = pdf[pdf["outcome"].isin(["deferred", "fetch_error", "fetched",
-                                        "not_modified"])]
-        if len(cand):
-            by_host = cand.groupby("host").size()
-            next_hot = set(by_host.index[by_host > cfg.salt_threshold])
+        # slim per-row wave record → order log, metrics, deadletters,
+        # routing. Golden mode pulls the per-row record to the driver (the
+        # crawl-order artifact needs it); scale mode reduces everything to
+        # distributed aggregates.
+        if cfg.emit_order_log:
+            pdf = resolved.select_columns(ORDER_META).to_pandas()
+            self._log_wave(k, pdf)
+            counts = pdf["outcome"].value_counts()
+        else:
+            counts = self._wave_stats_distributed(resolved, k)
+            self._deadletters_distributed(resolved, counts, k)
 
         next_parts = []
         if counts.get("carry", 0):
@@ -251,6 +295,11 @@ class CrawlEngine:
                 .map_batches(bump_retry, batch_format="pandas"))
 
         if counts.get("fetched", 0):
+            # bucket-grouped extract over the ADMITTED subset only (slim
+            # rows, no html in the shuffle): each wave reads each pages
+            # bucket exactly once, in parallel, and writes its pages_out
+            # partition idempotently. (A mixed-bucket variant measured
+            # 3× slower at 32 CPUs: per-worker html caches thrash memory.)
             links = (resolved.map_batches(_keep("fetched"), batch_format="pyarrow")
                      .groupby("bucket").map_groups(
                          make_extract_stage(self.web_root, str(self.out), k),
@@ -268,15 +317,119 @@ class CrawlEngine:
             nxt = next_parts[0]
             for p in next_parts[1:]:
                 nxt = nxt.union(p)
-            nxt = nxt.materialize()
-            n_next = nxt.count()
-            if n_next:
-                d = self.out / "frontier" / f"wave={k + 1}"
-                if d.exists():
-                    shutil.rmtree(d)
-                nxt.write_parquet(str(d))
+            d = self.out / "frontier" / f"wave={k + 1}"
+            if d.exists():
+                shutil.rmtree(d)
+            # write executes the lazy union directly (no interposed
+            # materialize+count execution); row count comes free from the
+            # written files' footers
+            nxt.write_parquet(str(d), min_rows_per_file=32768)
+            n_next = sum(pq.ParquetFile(str(f)).metadata.num_rows
+                         for f in d.glob("*.parquet")) if d.exists() else 0
+            if n_next == 0 and d.exists():
+                shutil.rmtree(d)
         self._snapshot_seen(k + 1)
         return n_next, clock + cfg.wave_ms, next_hot
+
+    # ---------- scale-mode distributed planners (driver work O(#hosts)) ----------
+
+    def _hotness_distributed(self, stage1) -> set:
+        """Next-wave hot hosts via groupby(host) count over pre-politeness
+        candidates; the driver receives one row per host."""
+        from ray.data.aggregate import Count
+
+        def _cand(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["outcome"],
+                         value_set=pa.array(list(self._CAND_OUTCOMES)))
+            return t.filter(m).select(["host"])
+
+        rows = (stage1.map_batches(_cand, batch_format="pyarrow")
+                .groupby("host").aggregate(Count(alias_name="n")).take_all())
+        return {r["host"] for r in rows if r["n"] > self.cfg.salt_threshold}
+
+    def _plan_etags_distributed(self, stage1) -> tuple[set, dict]:
+        """Competing etags among admitted candidates + winner per etag, via
+        one slim hash-aggregate (driver sees only etags with >1 row)."""
+        from ray.data.aggregate import Count
+
+        def _adm_etags(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["outcome"], "")).select(["etag"])
+
+        comp_rows = (stage1.map_batches(_adm_etags, batch_format="pyarrow")
+                     .groupby("etag").aggregate(Count(alias_name="n_cand"))
+                     .filter(expr="n_cand > 1").take_all())
+        competing = {r["etag"] for r in comp_rows}
+        winners: dict = {}
+        if competing:
+            comp_local = competing
+
+            def _pull(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.equal(t["outcome"], ""))
+                mask = pc.is_in(t["etag"], value_set=pa.array(sorted(comp_local)))
+                return t.filter(mask).select(
+                    ["url", "etag", "rank", "seq", "depth"])
+
+            pull = stage1.map_batches(_pull, batch_format="pyarrow").to_pandas()
+            w = pull.sort_values(["rank", "seq", "depth"], kind="stable") \
+                .drop_duplicates("etag")
+            winners = dict(zip(w["etag"], w["url"]))
+        return competing, winners
+
+    def _wave_stats_distributed(self, resolved, k: int) -> pd.Series:
+        """Per-(bucket, outcome) counts via hash-aggregate → wave metrics +
+        per-partition metrics Parquet + routing counts. Replaces the
+        O(rows) driver pull of golden mode."""
+        from ray.data.aggregate import Count
+
+        def _proj(t: pa.Table) -> pa.Table:
+            return t.select(["bucket", "outcome"])
+
+        rows = (resolved.map_batches(_proj, batch_format="pyarrow")
+                .groupby(["bucket", "outcome"])
+                .aggregate(Count(alias_name="n")).take_all())
+        mb = pd.DataFrame(rows) if rows else \
+            pd.DataFrame({"bucket": [], "outcome": [], "n": []})
+        mb["wave"] = np.int32(k)
+        m = mb.groupby("outcome", as_index=False)["n"].sum().assign(
+            wave=np.int32(k))
+        d = self.out / "metrics"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(
+            m[m["outcome"] != "carry"][["wave", "outcome", "n"]],
+            preserve_index=False), d / f"wave={k}.parquet")
+        dp = self.out / "metrics_partition"
+        dp.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(
+            mb[mb["outcome"] != "carry"][["wave", "bucket", "outcome", "n"]],
+            preserve_index=False), dp / f"wave={k}.parquet")
+        return m.set_index("outcome")["n"]
+
+    def _deadletters_distributed(self, resolved, counts, k: int) -> None:
+        """Deadletter rows are rare; pull only them (malformed + attempt-cap,
+        `lib/crawler.js:304-319,523-557`)."""
+        cap = self.cfg.attempt_cap
+        if not (counts.get("malformed", 0) or counts.get("fetch_error", 0)):
+            return
+
+        def _dead(df: pd.DataFrame) -> pd.DataFrame:
+            mal = df[df["outcome"] == "malformed"]
+            out = [pd.DataFrame({"url": mal["url"], "reason": "malformed",
+                                 "attempt": mal["attempt"].astype(np.int32)})]
+            err = df[df["outcome"] == "fetch_error"]
+            bumped = err["attempt"].astype(np.int32) + 1
+            over = bumped > cap
+            out.append(pd.DataFrame({"url": err.loc[over, "url"],
+                                     "reason": "attempt_cap",
+                                     "attempt": bumped[over]}))
+            return pd.concat(out, ignore_index=True)
+
+        dead = resolved.map_batches(_dead, batch_format="pandas").to_pandas()
+        if len(dead):
+            dead["wave"] = np.int32(k)
+            d = self.out / "deadletter"
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(dead, preserve_index=False),
+                           d / f"wave={k}.parquet")
 
     # ---------- one wave, small-frontier fast path ----------
 
@@ -294,13 +447,10 @@ class CrawlEngine:
         if mn > clock:
             clock = mn
 
-        cur = PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets)(df)
-        bucket_fn = make_bucket_stage(self.pool, self.web_root, hot,
-                                      cfg.salt_factor)
-        cur = pd.concat([bucket_fn(g) for _, g in cur.groupby("bucket", sort=True)],
-                        ignore_index=True)
-        polite_fn = make_polite_stage(cfg, robots_ref, hot)
-        cur = pd.concat([polite_fn(g) for _, g in cur.groupby("polite_key", sort=True)],
+        cur = PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot)(df)
+        part_fn = make_partition_stage(self.pool, self.web_root, cfg,
+                                       robots_ref, hot)
+        cur = pd.concat([part_fn(g) for _, g in cur.groupby("polite_part", sort=True)],
                         ignore_index=True)
         competing, winners = ResolveEtags.competing_and_winners(cur)
         cur = ResolveEtags(self.pool, competing, winners)(cur)
@@ -362,11 +512,14 @@ class CrawlEngine:
         # carried rows are not processed this wave → not part of the wave's
         # order log (the oracle's `cur` likewise excludes them)
         pdf = pdf[pdf["outcome"] != "carry"]
-        pdf = pdf.sort_values(["rank", "seq", "depth", "discovered_from"],
-                              kind="stable").reset_index(drop=True)
-        pdf["seq_in_wave"] = np.arange(len(pdf), dtype=np.int64)
+        pdf = pdf.copy()
         pdf["wave"] = np.int32(k)
         if self.cfg.emit_order_log:
+            # the golden-order sort is only paid when the artifact is wanted
+            # (bench runs disable it; correctness/parity runs keep it)
+            pdf = pdf.sort_values(["rank", "seq", "depth", "discovered_from"],
+                                  kind="stable").reset_index(drop=True)
+            pdf["seq_in_wave"] = np.arange(len(pdf), dtype=np.int64)
             d = self.out / "order"
             d.mkdir(parents=True, exist_ok=True)
             cols = ["wave", "seq_in_wave", "url", "host", "priority", "outcome",

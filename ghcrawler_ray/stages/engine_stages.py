@@ -1,32 +1,32 @@
 """Engine-side stage callables for the wave pipeline.
 
-The wave is ONE chained Ray Data execution plus a slim etag aggregate:
+The wave does ONE full-row shuffle (groupby the coarse politeness
+partition) plus slim aggregates:
 
-    frontier.map_batches(PrepareBatch)                 # vectorized, stateless
-            .groupby("bucket").map_groups(bucket_stage)# dedup + claim + probe
-            .groupby("polite_key").map_groups(polite)  # politeness budgets
-            → competing-etag hash-aggregate over (etag)# slim 304 detection
-            .map_batches(ResolveEtags)                 # content-dedup claim
+    frontier.map_batches(PrepareBatch)             # vectorized, stateless
+            .groupby("polite_part")                # the single exchange
+            .map_groups(partition_stage)           # dedup+claim+probe+polite
+            → slim etag aggregate / pull           # 304 winner detection
+            .map_batches(ResolveEtags)             # content-dedup claim
 
 Stage → reference parity (file:line into /root/reference):
 - PrepareBatch: url canon (`lib/request.js:260-262`), malformed guard
   (`lib/crawler.js:328-332`), allow-list/deny-regex scope filters
   (`lib/crawler.js:578-599`), robots gating (visitor-map analogue,
   `lib/visitorMap.js:47-117`), not-before gating (`lib/crawler.js:73-86`).
-- bucket_stage: attenuation dedup (`providers/queuing/attenuatedQueue.js:
-  24-52`), tracker-tag claim/bounce (`providers/queuing/
-  redisRequestTracker.js:22-30,95-134`) via the shard pool, and the fetch
-  probe — a bucket-pruned hash join against the pages_meta sidecar, the
+- partition_stage: attenuation dedup (`providers/queuing/attenuatedQueue.
+  js:24-52`), tracker-tag claim/bounce (`providers/queuing/
+  redisRequestTracker.js:22-30,95-134`) via the shard pool, the fetch
+  probe — bucket-pruned lookups against the pages_meta sidecar, the
   stand-in for HTTP fetch + doc-store lookup (`providers/fetcher/
-  githubFetcher.js:18-109`, `providers/storage/storageDocStore.js:61-93`).
-  html never enters this or any shuffle (SURVEY.md §7.4).
-- host_stage: token-bench politeness (`providers/fetcher/tokenFactory.js:
-  81-93`, call caps `lib/crawlerFactory.js:74-76`) as per-host wave
-  budgets with deterministic hot-host salting; misses become the retry
-  path (`providers/fetcher/githubFetcher.js:44-87` status routing).
+  githubFetcher.js:18-109`, `providers/storage/storageDocStore.js:61-93`)
+  — and token-bench politeness (`providers/fetcher/tokenFactory.js:81-93`,
+  call caps `lib/crawlerFactory.js:74-76`) as per-host wave budgets with
+  deterministic hot-host salting. html never enters any shuffle
+  (SURVEY.md §7.4).
 - ResolveEtags: etag/304 content dedup
   (`providers/fetcher/githubFetcher.js:26-84`).
-- ExtractBucket: the processor stage (html → text + out-links,
+- make_extract_stage: the processor stage (html → text + out-links,
   `providers/fetcher/githubProcessor.js:81-122` + per-type handlers) and
   doc-store upsert (`lib/crawler.js:470-485`) as idempotent partitioned
   Parquet (`providers/storage/storageDocStore.js:33-58`).
@@ -44,29 +44,33 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-
-@lru_cache(maxsize=64)
-def _pages_bucket(path: str) -> pd.DataFrame:
-    """Worker-local cache of one immutable pages bucket (url, html, lang).
-    The fetch-join and extract stages touch the same buckets every wave;
-    re-reading ~25 MB of html per bucket per wave dominated wave time.
-    Callers must treat the frame as read-only (merges copy)."""
-    return pq.read_table(path, columns=["url", "html", "lang"]).to_pandas()
-
-
-@lru_cache(maxsize=256)
-def _meta_bucket(path: str) -> pd.DataFrame:
-    if not Path(path).exists():
-        return pd.DataFrame({"url": pd.Series(dtype=str),
-                             "etag": pd.Series(dtype=str)})
-    return pq.read_table(path, columns=["url", "etag"]).to_pandas()
-
 from ..config import PRIORITY_RANK, CrawlConfig
 from ..state.politeness import (ORDER_COLS, admit_first_n, group_budget,
                                 host_budget, polite_salt)
 from ..urls import (hash64_array, is_malformed_series, normalize_series,
                     split_host_path)
-from .extract import extract_links_df, extract_text_batch
+from .extract import (HREF_RE, TEXT_RE, extract_links_df,
+                      extract_text_batch)
+
+
+def _pages_bucket(path: str) -> pd.DataFrame:
+    """One immutable pages bucket (url, html, lang). NOT cached: html is
+    the fat column — caching it per worker multiplies to cluster-crushing
+    memory (measured: 32 workers × all-bucket LRU ⇒ thrash, 3× slowdown).
+    The extract stage is bucket-grouped, so each wave reads each bucket
+    exactly once, in parallel."""
+    return pq.read_table(path, columns=["url", "html", "lang"]).to_pandas()
+
+
+@lru_cache(maxsize=256)
+def _meta_series(path: str) -> pd.Series:
+    """url → etag lookup Series for one immutable pages_meta bucket
+    (worker-local cache; O(1) hash probes instead of per-group merges)."""
+    if not Path(path).exists():
+        return pd.Series(dtype=object)
+    t = pq.read_table(path, columns=["url", "etag"]).to_pandas()
+    return pd.Series(t["etag"].to_numpy(dtype=object),
+                     index=t["url"].to_numpy(dtype=object))
 
 #: columns a frontier row carries between waves (checkpoint schema)
 FRONTIER_COLS = ["url", "priority", "rank", "seq", "attempt", "not_before",
@@ -96,13 +100,21 @@ def frontier_table(df: pd.DataFrame) -> pa.Table:
 
 
 class PrepareBatch:
-    """Normalize + scope/robots filter + carry split (stateless, vectorized)."""
+    """Normalize + scope/robots filter + carry split (stateless, vectorized).
 
-    def __init__(self, cfg: CrawlConfig, robots_ref, clock: int, n_buckets: int):
+    Also assigns the wave's ONE shuffle key ``polite_key = host#salt``
+    (salt from last wave's hot-host set): same url ⇒ same host ⇒ same salt
+    (salt = url_hash % salt_factor), so a single host-keyed exchange
+    co-locates everything the wave needs grouped — duplicate urls (in-wave
+    dedup), per-host politeness budgets, and the claim/probe rows."""
+
+    def __init__(self, cfg: CrawlConfig, robots_ref, clock: int,
+                 n_buckets: int, hot_hosts: set[str] = frozenset()):
         self.cfg = cfg
         self.robots_ref = robots_ref
         self.clock = clock
         self.n_buckets = n_buckets
+        self.hot_hosts = set(hot_hosts)
         self._robots = None
         self._deny = re.compile(cfg.deny_url_regex)
 
@@ -144,20 +156,55 @@ class PrepareBatch:
                 for p in rule[2]:
                     rden[sel] |= np.char.startswith(paths[sel].astype(str), p)
             b.loc[rden, "outcome"] = "robots_denied"
-        return b[TAGGED_COLS]
+        hot = b["host"].isin(self.hot_hosts).to_numpy() if self.hot_hosts \
+            else np.zeros(len(b), dtype=bool)
+        salt = np.where(hot, b["url_hash"].to_numpy() % cfg.salt_factor,
+                        0).astype(np.int16)
+        b["salt"] = salt
+        # coarse co-group partition: all rows of one (host, salt) politeness
+        # group — and hence all duplicates of one url — land in the same
+        # partition; one partition holds MANY hosts so the shuffle has a
+        # bounded number of int-keyed groups regardless of host count
+        hh = hash64_array(b["host"].to_numpy(dtype=object))
+        b["polite_part"] = ((hh + salt.astype(np.int64))
+                            % cfg.n_polite_parts).astype(np.int32)
+        return b[TAGGED_COLS + ["salt", "polite_part"]]
 
 
-def make_bucket_stage(pool, web_root: str, hot_hosts: set[str], salt_factor: int):
-    """groupby('bucket') stage: in-wave dedup → sharded claim → fetch probe.
+def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
+                         hot_hosts: set[str]):
+    """groupby('polite_part') — the wave's ONLY full-row shuffle, over a
+    bounded number of int-keyed coarse partitions (cfg.n_polite_parts).
+    One partition co-locates complete (host, salt) politeness groups and
+    hence all duplicates of any url; within it, everything is vectorized
+    across ALL its hosts (no per-host Python or RPC):
 
-    The probe is read-only and happens before politeness (its outcome is
-    only consumed for rows politeness admits), so one bucket pass serves
-    both; rows carry (etag, found) columns onward. ``etag_key`` salts
-    non-competing rows with a unique key so the etag shuffle has no giant
-    null group at scale. Also assigns the politeness shuffle key
-    ``polite_key = host#salt`` using last wave's hot-host set."""
+    1. in-wave dedup: first-by-ORDER_COLS per url (attenuation analogue,
+       `providers/queuing/attenuatedQueue.js:24-52`);
+    2. sharded claim: one vectorized RPC bundle per partition to the
+       seen-set shards (`providers/queuing/redisRequestTracker.js:22-30`);
+    3. fetch probe: bucket-pruned lookups into the cached pages_meta
+       sidecars (`providers/fetcher/githubFetcher.js:18-109`,
+       `providers/storage/storageDocStore.js:61-93`);
+    4. politeness admission: candidates sorted by ORDER_COLS, position =
+       cumcount within (host, salt), admitted iff position < that group's
+       budget (token-bench analogue `providers/fetcher/tokenFactory.js:
+       81-93`; salted budgets sum to the host budget, SURVEY.md §7.4);
+       admitted-but-missing rows become fetch_error
+       (`providers/fetcher/githubFetcher.js:44-87`)."""
+    holder: dict = {}
 
-    def bucket_stage(g: pd.DataFrame) -> pd.DataFrame:
+    def _budgets(robots: dict) -> dict:
+        wave_ms = cfg.wave_ms
+        return {h: host_budget(r[0], r[1], wave_ms) for h, r in robots.items()}
+
+    def partition_stage(g: pd.DataFrame) -> pd.DataFrame:
+        if "budgets" not in holder:
+            robots = ray.get(robots_ref)
+            holder["budgets"] = _budgets(robots)
+            holder["default_budget"] = host_budget(
+                cfg.default_crawl_delay_ms, cfg.default_max_per_window,
+                cfg.wave_ms)
         g = g.reset_index(drop=True)
         elig = (g["outcome"] == "") & ~g["claimed"]
         if elig.any():
@@ -171,53 +218,37 @@ def make_bucket_stage(pool, web_root: str, hot_hosts: set[str], salt_factor: int
                 g.loc[idx[new], "claimed"] = True
                 g.loc[idx[new], "newly_claimed"] = True
                 g.loc[idx[~new], "outcome"] = "bounced"
-        b = int(g["bucket"].iloc[0])
-        meta = _meta_bucket(str(Path(web_root) / "pages_meta"
-                                / f"bucket={b}" / "part-0.parquet"))
-        g = g.merge(meta, on="url", how="left")
+        et = np.full(len(g), None, dtype=object)
+        for b, sub in g.groupby("bucket", sort=True):
+            s = _meta_series(str(Path(web_root) / "pages_meta"
+                                 / f"bucket={int(b)}" / "part-0.parquet"))
+            et[sub.index] = s.reindex(sub["url"]).to_numpy()
+        g["etag"] = pd.Series(et, index=g.index)
         g["found"] = g["etag"].notna()
         g["etag"] = g["etag"].fillna("")
-        hot = g["host"].isin(hot_hosts).to_numpy() if hot_hosts else \
-            np.zeros(len(g), dtype=bool)
-        salt = np.where(hot, (g["url_hash"].to_numpy() % salt_factor), 0).astype(np.int16)
-        g["salt"] = salt
-        g["polite_key"] = g["host"] + "#" + pd.Series(salt, index=g.index).astype(str)
-        return g
-
-    bucket_stage.__name__ = "bucket_stage"
-    return bucket_stage
-
-
-def make_polite_stage(cfg: CrawlConfig, robots_ref, hot_hosts: set[str]):
-    """groupby('polite_key') stage: politeness admission + fetch-error
-    routing. One (host, salt) group per task; salted budgets sum to the
-    host budget (state/politeness.py)."""
-    holder: dict = {}
-
-    def polite_stage(g: pd.DataFrame) -> pd.DataFrame:
-        if "robots" not in holder:
-            holder["robots"] = ray.get(robots_ref)
-        g = g.reset_index(drop=True)
         cand = (g["outcome"] == "") & g["claimed"]
-        if not cand.any():
-            return g
-        h = g["host"].iloc[0]
-        rule = holder["robots"].get(h)
-        delay, maxw = (rule[0], rule[1]) if rule else \
-            (cfg.default_crawl_delay_ms, cfg.default_max_per_window)
-        budget = group_budget(host_budget(delay, maxw, cfg.wave_ms),
-                              h in hot_hosts, cfg.salt_factor,
-                              int(g["salt"].iloc[0]))
-        sub = g[cand]
-        mask = admit_first_n(sub, budget)
-        g.loc[sub.index[~mask], "outcome"] = "deferred"
-        adm = sub.index[mask]
-        missing = adm[~g.loc[adm, "found"].to_numpy()]
-        g.loc[missing, "outcome"] = "fetch_error"
+        if cand.any():
+            order = g[cand].sort_values(ORDER_COLS, kind="stable")
+            pos = order.groupby(["host", "salt"], sort=False).cumcount() \
+                .to_numpy()
+            hb = order["host"].map(holder["budgets"]) \
+                .fillna(holder["default_budget"]).to_numpy(dtype=np.int64)
+            sf = cfg.salt_factor
+            if hot_hosts:
+                hot = order["host"].isin(hot_hosts).to_numpy()
+                salt = order["salt"].to_numpy(dtype=np.int64)
+                # salted_budgets(b, sf)[s] == b//sf + (s < b % sf)
+                b_vec = np.where(hot, hb // sf + (salt < hb % sf), hb)
+            else:
+                b_vec = hb
+            deferred = order.index[pos >= b_vec]
+            g.loc[deferred, "outcome"] = "deferred"
+            adm = (g["outcome"] == "") & g["claimed"]
+            g.loc[adm & ~g["found"], "outcome"] = "fetch_error"
         return g
 
-    polite_stage.__name__ = "polite_stage"
-    return polite_stage
+    partition_stage.__name__ = "partition_stage"
+    return partition_stage
 
 
 class ResolveEtags:
