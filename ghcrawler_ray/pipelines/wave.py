@@ -220,14 +220,24 @@ class CrawlEngine:
         tagged = frontier.map_batches(
             PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot),
             batch_format="pandas", batch_size=16384)
+        hot_dir = self.out / "hot" / f"wave={k}"
+        if hot_dir.exists():
+            shutil.rmtree(hot_dir)
         stage1 = (
             tagged
             .groupby("polite_part").map_groups(
                 make_partition_stage(self.pool, self.web_root, cfg,
-                                     robots_ref, hot),
+                                     robots_ref, hot, str(hot_dir)),
                 batch_format="pandas")
             .materialize()
         )
+        host_counts: dict = {}
+        for f in sorted(hot_dir.glob("*.parquet")) if hot_dir.exists() else []:
+            t = pq.read_table(str(f))
+            for h, n in zip(t["host"].to_pylist(), t["n"].to_pylist()):
+                host_counts[h] = host_counts.get(h, 0) + int(n)
+        next_hot = {h for h, n in host_counts.items()
+                    if n > cfg.salt_threshold}
 
         # etag/304 planning + hot-host detection. Golden mode (order log
         # wanted, correctness scale): one slim driver pull. Scale mode:
@@ -242,8 +252,6 @@ class CrawlEngine:
 
             slim = stage1.map_batches(_cand_slim,
                                       batch_format="pyarrow").to_pandas()
-            by_host = slim.groupby("host").size()
-            next_hot = set(by_host.index[by_host > cfg.salt_threshold])
             cand = slim[slim["outcome"] == ""]
             vc = cand["etag"].value_counts()
             competing = set(vc.index[vc > 1])
@@ -254,7 +262,6 @@ class CrawlEngine:
                     .drop_duplicates("etag")
                 winners = dict(zip(w["etag"], w["url"]))
         else:
-            next_hot = self._hotness_distributed(stage1)
             competing, winners = self._plan_etags_distributed(stage1)
 
         resolved = stage1.map_batches(
@@ -332,20 +339,6 @@ class CrawlEngine:
         return n_next, clock + cfg.wave_ms, next_hot
 
     # ---------- scale-mode distributed planners (driver work O(#hosts)) ----------
-
-    def _hotness_distributed(self, stage1) -> set:
-        """Next-wave hot hosts via groupby(host) count over pre-politeness
-        candidates; the driver receives one row per host."""
-        from ray.data.aggregate import Count
-
-        def _cand(t: pa.Table) -> pa.Table:
-            m = pc.is_in(t["outcome"],
-                         value_set=pa.array(list(self._CAND_OUTCOMES)))
-            return t.filter(m).select(["host"])
-
-        rows = (stage1.map_batches(_cand, batch_format="pyarrow")
-                .groupby("host").aggregate(Count(alias_name="n")).take_all())
-        return {r["host"] for r in rows if r["n"] > self.cfg.salt_threshold}
 
     def _plan_etags_distributed(self, stage1) -> tuple[set, dict]:
         """Competing etags among admitted candidates + winner per etag, via

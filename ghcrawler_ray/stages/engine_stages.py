@@ -172,7 +172,7 @@ class PrepareBatch:
 
 
 def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
-                         hot_hosts: set[str]):
+                         hot_hosts: set[str], hot_dir: str | None = None):
     """groupby('polite_part') — the wave's ONLY full-row shuffle, over a
     bounded number of int-keyed coarse partitions (cfg.n_polite_parts).
     One partition co-locates complete (host, salt) politeness groups and
@@ -227,6 +227,18 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
         g["found"] = g["etag"].notna()
         g["etag"] = g["etag"].fillna("")
         cand = (g["outcome"] == "") & g["claimed"]
+        if hot_dir is not None:
+            # hotness side-output: exact per-host candidate counts, one
+            # tiny parquet per partition (deterministic name → task-retry
+            # idempotent); the driver sums them — no extra aggregate exec
+            hc = g.loc[cand, "host"].value_counts()
+            d = Path(hot_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            part = int(g["polite_part"].iloc[0])
+            pq.write_table(
+                pa.table({"host": hc.index.astype(str),
+                          "n": hc.to_numpy(dtype=np.int64)}),
+                d / f"part={part}.parquet")
         if cand.any():
             order = g[cand].sort_values(ORDER_COLS, kind="stable")
             pos = order.groupby(["host", "salt"], sort=False).cumcount() \
