@@ -195,6 +195,59 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return media_features(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_robots_filter(sf_dir: str) -> ray.data.Dataset:
+    """Robots disallow-prefix gating (T9) as a standalone checkable op."""
+    sf = sf_of_dir(sf_dir)
+    root = ensure_testdata(sf)
+    robots = pq.read_table(str(root / "robots.parquet")).to_pandas()
+    rules = {r.host: tuple(r.disallow_prefixes) for r in robots.itertuples()
+             if len(r.disallow_prefixes)}
+    rules_ref = ray.put(rules)
+
+    def verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        rl = ray.get(rules_ref)
+        host, path = split_host_path(df["url"])
+        denied = np.zeros(len(df), dtype=bool)
+        hs = host.to_numpy(dtype=object)
+        ps = path.to_numpy(dtype=object)
+        for h in pd.unique(hs):
+            pref = rl.get(h)
+            if not pref:
+                continue
+            sel = hs == h
+            for p in pref:
+                denied[sel] |= np.char.startswith(ps[sel].astype(str), p)
+        return pd.DataFrame({
+            "url": df["url"].astype(str),
+            "verdict": np.where(denied, "robots_denied", "ok")})
+
+    return (_pages_ds(sf).select_columns(["url"])
+            .map_batches(verdicts, batch_format="pandas"))
+
+
+def q_pages_lang_dist(sf_dir: str) -> ray.data.Dataset:
+    """Per-language page counts (partial per-batch combine → tiny groupby)."""
+    from ray.data.aggregate import Count
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["lang"])
+            .groupby("lang").aggregate(Count(alias_name="n_pages")))
+
+
+def q_doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["avg_chars"] = df["avg_chars"].round(6)
+        return df
+
+    return (_docs(sf_dir).select_columns(["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars"),
+                       Mean("n_chars", alias_name="avg_chars"))
+            .map_batches(fix, batch_format="pandas"))
+
+
 # --------------------------------------------------------------------------
 # documents / embeddings / events queries
 
@@ -296,6 +349,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
     (generated deterministically on demand; paths are stable per sf)."""
     pages = _pages_glob(sf)
     seeds = _seeds_path(sf)
+    seeds_dir = str(ensure_testdata(sf))
     rank_case = ("CASE priority " + " ".join(
         f"WHEN '{p}' THEN {r}" for p, r in PRIORITY_RANK.items()) + " END")
     return {
@@ -347,6 +401,23 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                    octet_length(html) % 1920 AS width,
                    octet_length(html) % 1080 AS height
             FROM read_parquet('{pages}')""",
+        "crawl_robots_filter": f"""
+            WITH p AS (SELECT url,
+                 regexp_extract(url, '^https?://([^/?#]+)([^#]*)', 1) AS host,
+                 CASE WHEN regexp_extract(url, '^https?://([^/?#]+)([^#]*)', 2)
+                      = '' THEN '/'
+                      ELSE regexp_extract(url, '^https?://([^/?#]+)([^#]*)', 2)
+                 END AS path
+               FROM read_parquet('{pages}'))
+            SELECT p.url, CASE WHEN r.host IS NOT NULL AND
+                 len(list_filter(r.disallow_prefixes,
+                                 x -> starts_with(p.path, x))) > 0
+               THEN 'robots_denied' ELSE 'ok' END AS verdict
+            FROM p LEFT JOIN read_parquet('{seeds_dir}/robots.parquet') r
+              ON p.host = r.host""",
+        "crawl_pages_lang_dist": f"""
+            SELECT lang, count(*) AS n_pages
+            FROM read_parquet('{pages}') GROUP BY lang""",
     }
 
 
@@ -450,6 +521,10 @@ def _ops_sql() -> dict[str, str]:
                    min(value) AS min_value, max(value) AS max_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2""",
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang""",
         "user_sessions": """
             WITH o AS (SELECT event_id, ts, user_id, value,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -494,6 +569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_rank": q_frontier_rank,
         "crawl_pages_exact_dedup": q_pages_exact_dedup,
         "crawl_media_features": q_media_features,
+        "crawl_robots_filter": q_robots_filter,
+        "crawl_pages_lang_dist": q_pages_lang_dist,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
         # training-data ops (documents / embeddings / events views)
         "doc_exact_dedup": q_doc_exact_dedup,
         "token_counts": q_token_counts,

@@ -74,7 +74,8 @@ def run_once(sf_dir: str, cpus: int) -> dict:
 
         qtimes = {"crawl_wave_pipeline": round(crawl_s, 3)}
         qs = entry.queries()
-        for name in OPS_QUERIES:
+        ops = () if sf_dir.startswith("synthetic://") else OPS_QUERIES
+        for name in ops:
             t0 = time.time()
             res = qs[name](sf_dir)
             if isinstance(res, ray.data.Dataset):
@@ -153,10 +154,15 @@ def run_scaling(sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf", type=float, default=None,
+                    help="override scale factor (e.g. --scaling --sf 1.0 "
+                         "for the large-input scaling-evidence run)")
     ap.add_argument("--child", action="store_true",
                     help="internal: one fresh-session run (used by --scaling)")
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if args.sf is not None:
+        sf_dir = f"synthetic://sf{args.sf}"
     cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
         out = run_scaling(sf_dir)

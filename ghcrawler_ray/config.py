@@ -65,7 +65,9 @@ class CrawlConfig:
 
     # --- partitioning ---
     n_shards: int = 8    # seen-set actor shards (hash(url) % n_shards)
-    n_buckets: int = 16  # pages-store / fetch-join buckets (hash(url) % n_buckets)
+    n_buckets: int = 64  # pages-store / fetch-join buckets (hash(url) % n_buckets)
+    # 64 buckets: extract parallelism is bucket-bound — 16 capped a 32-CPU
+    # cluster at half idle during the heaviest (html-reading) phase
     # coarse politeness co-group partitions — the wave's single shuffle key
     # (hash(host)+salt) % n_polite_parts; size ≈ 2-4 × total cluster cores
     n_polite_parts: int = 64

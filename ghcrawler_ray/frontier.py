@@ -6,8 +6,12 @@ the sequential oracle, so seed/link admission semantics cannot diverge).
 - ``links_to_frontier``: discovered links → frontier rows with the
   priority rule (?page= → 'soon', pagination analogue of
   `providers/fetcher/githubProcessor.js:58-79`), ``seq = hash64(url)`` as
-  the deterministic FIFO tie-break, and per-batch local pre-dedup
-  (attenuation analogue, `providers/queuing/attenuatedQueue.js:24-52`).
+  the deterministic FIFO tie-break, and per-PAGE pre-dedup (attenuation
+  analogue, `providers/queuing/attenuatedQueue.js:24-52`): a page linking
+  the same url twice emits one row. Cross-page duplicates are kept on
+  purpose — batch-scoped dedup would depend on physical batch packing
+  (nondeterministic across executions); the next wave's in-wave dedup
+  resolves them globally by ORDER_COLS, identically in engine and oracle.
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .config import PRIORITY_RANK, CrawlConfig
-from .state.politeness import ORDER_COLS
+
 from .urls import hash64_array, normalize_series
 
 FRONTIER_COLS = ["url", "priority", "rank", "seq", "attempt", "not_before",
@@ -55,5 +59,27 @@ def links_to_frontier(links: pd.DataFrame, parent_depth: pd.Series,
         "discovered_from": links["src_url"].astype(str).to_numpy(),
         "policy": "default",
     })
-    f = f.sort_values(ORDER_COLS, kind="stable").drop_duplicates("url", keep="first")
-    return f[FRONTIER_COLS].reset_index(drop=True)
+    # per-page dedup only here (deterministic: one page's links always
+    # share a batch). Cross-page dedup is GLOBAL and happens in
+    # ``dedup_discovered`` over url-keyed groups — batch-scoped url dedup
+    # would depend on physical batch packing (nondeterministic).
+    f = f.drop_duplicates(["url", "discovered_from"], keep="first")
+    f["lpart"] = (f["seq"].to_numpy() % N_LINK_PARTS).astype(np.int32)
+    return f.reset_index(drop=True)
+
+
+#: coarse url-keyed partitions for the global discovered-link dedup
+N_LINK_PARTS = 64
+
+
+def dedup_discovered(df: pd.DataFrame) -> pd.DataFrame:
+    """Global per-wave dedup of discovered links: first row per url by
+    ORDER_COLS (the attenuation/tracker enqueue-dedup analogue,
+    `providers/queuing/attenuatedQueue.js:24-52` — without it the frontier
+    carries every duplicate discovery to the claim stage, measured 4×
+    wave volume). Callers partition by ``lpart`` (seq % N_LINK_PARTS; seq
+    is hash64(url), so one url = one group) and apply per group — the
+    result equals a global dedup."""
+    from .state.politeness import ORDER_COLS
+    return df.sort_values(ORDER_COLS, kind="stable") \
+        .drop_duplicates("url", keep="first").reset_index(drop=True)

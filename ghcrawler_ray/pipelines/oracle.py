@@ -35,7 +35,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
-from ..frontier import FRONTIER_COLS, links_to_frontier, seeds_to_frontier
+from ..frontier import (FRONTIER_COLS, dedup_discovered,
+                        links_to_frontier, seeds_to_frontier)
 from ..stages.extract import extract_links_df, extract_text
 from ..state.politeness import (ORDER_COLS, admit_first_n, group_budget,
                                 host_budget, polite_salt)
@@ -181,8 +182,8 @@ class SequentialOracle:
                                         left_on="src_url", right_on="url", how="left")
                     link_frames.append(links.assign(wave=wave)[
                         ["wave", "src_url", "dst_url", "link_index"]])
-                    new_frontier = links_to_frontier(
-                        links, links["depth"], clock, cfg)
+                    new_frontier = dedup_discovered(links_to_frontier(
+                        links, links["depth"], clock, cfg))
 
             # retries / deadletters
             carries = [carry[FRONTIER_COLS]]

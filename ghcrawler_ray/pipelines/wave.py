@@ -54,10 +54,12 @@ import ray
 import ray.data
 
 from ..config import CrawlConfig
-from ..frontier import links_to_frontier, seeds_to_frontier
+from ..frontier import (dedup_discovered, links_to_frontier,
+                        seeds_to_frontier)
 from ..stages.engine_stages import (FRONTIER_COLS, ORDER_META, PrepareBatch,
                                     ResolveEtags, frontier_table,
-                                    make_extract_stage, make_partition_stage)
+                                    make_extract_stage, make_partition_stage,
+                                    route_next_frontier)
 from ..state.seen import SeenSetPool
 
 
@@ -166,12 +168,17 @@ class CrawlEngine:
         # and object-store workers: full CPU subscription measurably
         # INVERTS scaling (32 tasks on 32 cores ran slower than 24)
         total_cpu = int(ray.cluster_resources().get("CPU", 0))
+        ctx = ray.data.DataContext.get_current()
         if total_cpu >= 8:
             from ray.data._internal.execution.interfaces.execution_options import \
                 ExecutionResources
-            ray.data.DataContext.get_current().execution_options \
-                .resource_limits = ExecutionResources.for_limits(
-                    cpu=total_cpu - 2)
+            ctx.execution_options.resource_limits = \
+                ExecutionResources.for_limits(cpu=total_cpu - 2)
+        # shuffle partition count: the default min_parallelism=200 sprays
+        # 200 reduce partitions per all-to-all — a pure scheduling storm at
+        # wave sizes (measured 15-22 s for a 700k-row int groupby); ~2×CPU
+        # partitions is the sweet spot and still scales with the cluster
+        ctx.min_parallelism = max(16, 2 * total_cpu)
         self.pool = SeenSetPool(cfg.n_shards, cfg.seen_mode,
                                 namespace=f"seen-{self._ns}")
         self._robots = self._robots_dict()
@@ -223,11 +230,17 @@ class CrawlEngine:
         hot_dir = self.out / "hot" / f"wave={k}"
         if hot_dir.exists():
             shutil.rmtree(hot_dir)
+        etag_dir = None
+        if not cfg.emit_order_log:
+            etag_dir = self.out / "etagsc" / f"wave={k}"
+            if etag_dir.exists():
+                shutil.rmtree(etag_dir)
         stage1 = (
             tagged
             .groupby("polite_part").map_groups(
                 make_partition_stage(self.pool, self.web_root, cfg,
-                                     robots_ref, hot, str(hot_dir)),
+                                     robots_ref, hot, str(hot_dir),
+                                     str(etag_dir) if etag_dir else None),
                 batch_format="pandas")
             .materialize()
         )
@@ -262,44 +275,43 @@ class CrawlEngine:
                     .drop_duplicates("etag")
                 winners = dict(zip(w["etag"], w["url"]))
         else:
-            competing, winners = self._plan_etags_distributed(stage1)
+            competing, winners = self._etags_from_sidecars(etag_dir)
 
-        resolved = stage1.map_batches(
-            ResolveEtags(self.pool, ray.put(competing), ray.put(winners)),
-            batch_format="pandas", batch_size=16384).materialize()
+        nf_dir = self.out / "frontier" / f"wave={k + 1}"
+        if nf_dir.exists():
+            shutil.rmtree(nf_dir)
 
-        # slim per-row wave record → order log, metrics, deadletters,
-        # routing. Golden mode pulls the per-row record to the driver (the
-        # crawl-order artifact needs it); scale mode reduces everything to
-        # distributed aggregates.
         if cfg.emit_order_log:
+            resolved = stage1.map_batches(
+                ResolveEtags(self.pool, ray.put(competing), ray.put(winners)),
+                batch_format="pandas", batch_size=16384).materialize()
+            # golden mode: per-row pull for the crawl-order artifact +
+            # driver-side metrics/deadletters
             pdf = resolved.select_columns(ORDER_META).to_pandas()
             self._log_wave(k, pdf)
             counts = pdf["outcome"].value_counts()
+            next_parts = []
+            if any(counts.get(o, 0) for o in
+                   ("carry", "deferred", "fetch_error")):
+                next_parts.append(resolved.map_batches(
+                    lambda df: route_next_frontier(df, cfg, clock),
+                    batch_format="pandas"))
         else:
-            counts = self._wave_stats_distributed(resolved, k)
-            self._deadletters_distributed(resolved, counts, k)
-
-        next_parts = []
-        if counts.get("carry", 0):
-            next_parts.append(resolved.map_batches(_keep("carry"), batch_format="pyarrow")
-                              .map_batches(frontier_table, batch_format="pandas"))
-        if counts.get("deferred", 0):
-            nb = clock + cfg.wave_ms
-            next_parts.append(
-                resolved.map_batches(_keep("deferred"), batch_format="pyarrow")
-                .map_batches(lambda df: frontier_table(df.assign(not_before=nb)),
-                             batch_format="pandas"))
-        if counts.get("fetch_error", 0):
-            def bump_retry(df: pd.DataFrame) -> pa.Table:
-                df = df.assign(attempt=(df["attempt"] + 1).astype(np.int32))
-                df = df[df["attempt"] <= cfg.attempt_cap]
-                df = df.assign(
-                    not_before=clock + cfg.requeue_delay_ms * df["attempt"])
-                return frontier_table(df)
-            next_parts.append(
-                resolved.map_batches(_keep("fetch_error"), batch_format="pyarrow")
-                .map_batches(bump_retry, batch_format="pandas"))
+            # scale mode: ResolveEtags writes routing/stats/deadletter
+            # side-outputs per block (deterministic names) during the ONE
+            # resolve pass — no stats aggregate, no keep-branch re-reads
+            stats_dir = self.out / "side_stats" / f"wave={k}"
+            dead_dir = self.out / "deadletter" / f"wave={k}"
+            for d in (stats_dir, dead_dir):
+                if d.exists():
+                    shutil.rmtree(d)
+            resolved = stage1.map_batches(
+                ResolveEtags(self.pool, ray.put(competing), ray.put(winners),
+                             side_cfg=(cfg, clock, k, str(stats_dir),
+                                       str(dead_dir), str(nf_dir))),
+                batch_format="pandas").materialize()
+            counts = self._stats_from_sidecars(stats_dir, k)
+            next_parts = []   # routing rows already written by the stage
 
         if counts.get("fetched", 0):
             # bucket-grouped extract over the ADMITTED subset only (slim
@@ -314,77 +326,66 @@ class CrawlEngine:
                      .materialize())
             if links.count() > 0:
                 links.write_parquet(str(self.out / "links" / f"wave={k}"))
-                next_parts.append(links.map_batches(
-                    lambda df: frontier_table(
-                        links_to_frontier(df, df["depth"], clock, cfg)),
-                    batch_format="pandas"))
+                # global url-dedup of discovered links (one slim url-keyed
+                # shuffle; without it every duplicate discovery rides to
+                # the next wave's claim stage — measured 4× wave volume)
+                next_parts.append(
+                    links.map_batches(
+                        lambda df: links_to_frontier(df, df["depth"], clock, cfg),
+                        batch_format="pandas")
+                    .groupby("lpart")
+                    .map_groups(lambda g: frontier_table(dedup_discovered(g)),
+                                batch_format="pandas"))
 
-        n_next = 0
         if next_parts:
             nxt = next_parts[0]
             for p in next_parts[1:]:
                 nxt = nxt.union(p)
-            d = self.out / "frontier" / f"wave={k + 1}"
-            if d.exists():
-                shutil.rmtree(d)
-            # write executes the lazy union directly (no interposed
-            # materialize+count execution); row count comes free from the
-            # written files' footers
-            nxt.write_parquet(str(d), min_rows_per_file=32768)
-            n_next = sum(pq.ParquetFile(str(f)).metadata.num_rows
-                         for f in d.glob("*.parquet")) if d.exists() else 0
-            if n_next == 0 and d.exists():
-                shutil.rmtree(d)
+            # write executes the lazy union directly; the dir may already
+            # hold the scale-mode routing side-outputs (distinct filenames)
+            nxt.write_parquet(str(nf_dir), min_rows_per_file=32768)
+        n_next = sum(pq.ParquetFile(str(f)).metadata.num_rows
+                     for f in nf_dir.glob("*.parquet")) if nf_dir.exists() else 0
+        if n_next == 0 and nf_dir.exists():
+            shutil.rmtree(nf_dir)
         self._snapshot_seen(k + 1)
         return n_next, clock + cfg.wave_ms, next_hot
 
     # ---------- scale-mode distributed planners (driver work O(#hosts)) ----------
 
-    def _plan_etags_distributed(self, stage1) -> tuple[set, dict]:
-        """Competing etags among admitted candidates + winner per etag, via
-        one slim hash-aggregate (driver sees only etags with >1 row)."""
-        from ray.data.aggregate import Count
+    def _etags_from_sidecars(self, etag_dir: Path) -> tuple[set, dict]:
+        """Competing etags + winners from the partition stage's per-
+        partition side-outputs (one (etag, n, best-candidate) row per
+        unique admitted etag per partition). A cross-partition duplicate
+        shows up as summed n > 1; the winner is the global first by
+        (rank, seq, depth). Replaces a full groupby(etag) aggregate
+        execution (measured 15-25 s/wave at ~1M rows); driver volume is
+        bounded by the wave's politeness-admitted unique-etag count."""
+        files = sorted(etag_dir.glob("*.parquet")) if etag_dir.exists() else []
+        if not files:
+            return set(), {}
+        df = pq.read_table([str(f) for f in files]).to_pandas()
+        tot = df.groupby("etag")["n"].sum()
+        competing = set(tot.index[tot > 1])
+        if not competing:
+            return set(), {}
+        sub = df[df["etag"].isin(competing)] \
+            .sort_values(["rank", "seq", "depth"], kind="stable") \
+            .drop_duplicates("etag")
+        return competing, dict(zip(sub["etag"], sub["url"]))
 
-        def _adm_etags(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["outcome"], "")).select(["etag"])
-
-        comp_rows = (stage1.map_batches(_adm_etags, batch_format="pyarrow")
-                     .groupby("etag").aggregate(Count(alias_name="n_cand"))
-                     .filter(expr="n_cand > 1").take_all())
-        competing = {r["etag"] for r in comp_rows}
-        winners: dict = {}
-        if competing:
-            comp_local = competing
-
-            def _pull(t: pa.Table) -> pa.Table:
-                t = t.filter(pc.equal(t["outcome"], ""))
-                mask = pc.is_in(t["etag"], value_set=pa.array(sorted(comp_local)))
-                return t.filter(mask).select(
-                    ["url", "etag", "rank", "seq", "depth"])
-
-            pull = stage1.map_batches(_pull, batch_format="pyarrow").to_pandas()
-            w = pull.sort_values(["rank", "seq", "depth"], kind="stable") \
-                .drop_duplicates("etag")
-            winners = dict(zip(w["etag"], w["url"]))
-        return competing, winners
-
-    def _wave_stats_distributed(self, resolved, k: int) -> pd.Series:
-        """Per-(bucket, outcome) counts via hash-aggregate → wave metrics +
-        per-partition metrics Parquet + routing counts. Replaces the
-        O(rows) driver pull of golden mode."""
-        from ray.data.aggregate import Count
-
-        def _proj(t: pa.Table) -> pa.Table:
-            return t.select(["bucket", "outcome"])
-
-        rows = (resolved.map_batches(_proj, batch_format="pyarrow")
-                .groupby(["bucket", "outcome"])
-                .aggregate(Count(alias_name="n")).take_all())
-        mb = pd.DataFrame(rows) if rows else \
-            pd.DataFrame({"bucket": [], "outcome": [], "n": []})
+    def _stats_from_sidecars(self, stats_dir: Path, k: int) -> pd.Series:
+        """Merge the resolve pass's per-block (bucket, outcome) count
+        side-outputs → wave metrics + per-partition metrics Parquet +
+        routing counts. Driver work is O(buckets × outcomes)."""
+        files = sorted(stats_dir.glob("*.parquet")) if stats_dir.exists() else []
+        if not files:
+            return pd.Series(dtype=np.int64)
+        df = pq.read_table([str(f) for f in files]).to_pandas()
+        mb = df.groupby(["bucket", "outcome"], as_index=False)["n"].sum()
         mb["wave"] = np.int32(k)
-        m = mb.groupby("outcome", as_index=False)["n"].sum().assign(
-            wave=np.int32(k))
+        m = mb.groupby("outcome", as_index=False)["n"].sum() \
+            .assign(wave=np.int32(k))
         d = self.out / "metrics"
         d.mkdir(parents=True, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(
@@ -396,33 +397,6 @@ class CrawlEngine:
             mb[mb["outcome"] != "carry"][["wave", "bucket", "outcome", "n"]],
             preserve_index=False), dp / f"wave={k}.parquet")
         return m.set_index("outcome")["n"]
-
-    def _deadletters_distributed(self, resolved, counts, k: int) -> None:
-        """Deadletter rows are rare; pull only them (malformed + attempt-cap,
-        `lib/crawler.js:304-319,523-557`)."""
-        cap = self.cfg.attempt_cap
-        if not (counts.get("malformed", 0) or counts.get("fetch_error", 0)):
-            return
-
-        def _dead(df: pd.DataFrame) -> pd.DataFrame:
-            mal = df[df["outcome"] == "malformed"]
-            out = [pd.DataFrame({"url": mal["url"], "reason": "malformed",
-                                 "attempt": mal["attempt"].astype(np.int32)})]
-            err = df[df["outcome"] == "fetch_error"]
-            bumped = err["attempt"].astype(np.int32) + 1
-            over = bumped > cap
-            out.append(pd.DataFrame({"url": err.loc[over, "url"],
-                                     "reason": "attempt_cap",
-                                     "attempt": bumped[over]}))
-            return pd.concat(out, ignore_index=True)
-
-        dead = resolved.map_batches(_dead, batch_format="pandas").to_pandas()
-        if len(dead):
-            dead["wave"] = np.int32(k)
-            d = self.out / "deadletter"
-            d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(dead, preserve_index=False),
-                           d / f"wave={k}.parquet")
 
     # ---------- one wave, small-frontier fast path ----------
 
@@ -485,8 +459,8 @@ class CrawlEngine:
                 d.mkdir(parents=True, exist_ok=True)
                 pq.write_table(pa.Table.from_pandas(links, preserve_index=False),
                                d / "part-0.parquet")
-                next_parts.append(
-                    links_to_frontier(links, links["depth"], clock, cfg))
+                next_parts.append(dedup_discovered(
+                    links_to_frontier(links, links["depth"], clock, cfg)))
 
         n_next = 0
         if next_parts:

@@ -172,7 +172,8 @@ class PrepareBatch:
 
 
 def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
-                         hot_hosts: set[str], hot_dir: str | None = None):
+                         hot_hosts: set[str], hot_dir: str | None = None,
+                         etag_dir: str | None = None):
     """groupby('polite_part') — the wave's ONLY full-row shuffle, over a
     bounded number of int-keyed coarse partitions (cfg.n_polite_parts).
     One partition co-locates complete (host, salt) politeness groups and
@@ -257,10 +258,57 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
             g.loc[deferred, "outcome"] = "deferred"
             adm = (g["outcome"] == "") & g["claimed"]
             g.loc[adm & ~g["found"], "outcome"] = "fetch_error"
+        if etag_dir is not None:
+            # etag side-output: per-partition (etag, n, best candidate by
+            # ORDER key) over admitted rows. The driver merges partitions
+            # to find cross-partition competing etags + their winners —
+            # replacing a full groupby(etag) aggregate execution per wave
+            # (measured 15-25 s at ~1M rows). Volume is bounded by the
+            # wave's politeness-admitted count.
+            sub = g.loc[g["outcome"] == "",
+                        ["etag", "url", "rank", "seq", "depth"]]
+            agg = sub.sort_values(["rank", "seq", "depth"], kind="stable") \
+                .groupby("etag", sort=False) \
+                .agg(url=("url", "first"), rank=("rank", "first"),
+                     seq=("seq", "first"), depth=("depth", "first"),
+                     n=("url", "size")).reset_index()
+            d = Path(etag_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            part = int(g["polite_part"].iloc[0])
+            pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                           d / f"part={part}.parquet")
         return g
 
     partition_stage.__name__ = "partition_stage"
     return partition_stage
+
+
+def route_next_frontier(df: pd.DataFrame, cfg: CrawlConfig,
+                        clock: int) -> pa.Table:
+    """Carry + deferred + retry rows of one resolved frame → next-wave
+    frontier rows (requeue-delay semantics `lib/crawler.js:152-154`,
+    attempt cap `lib/crawler.js:304-319`). Shared by the golden branch,
+    the local fast path and the scale-mode side-output writer."""
+    parts = []
+    carry = df[df["outcome"] == "carry"]
+    if len(carry):
+        parts.append(carry[FRONTIER_COLS])
+    dfr = df[df["outcome"] == "deferred"]
+    if len(dfr):
+        dfr = dfr.copy()
+        dfr["not_before"] = clock + cfg.wave_ms
+        parts.append(dfr[FRONTIER_COLS])
+    err = df[df["outcome"] == "fetch_error"]
+    if len(err):
+        err = err.copy()
+        err["attempt"] = (err["attempt"] + 1).astype(np.int32)
+        err = err[err["attempt"] <= cfg.attempt_cap]
+        if len(err):
+            err["not_before"] = clock + cfg.requeue_delay_ms * err["attempt"]
+            parts.append(err[FRONTIER_COLS])
+    merged = pd.concat(parts, ignore_index=True) if parts else \
+        pd.DataFrame(columns=FRONTIER_COLS)
+    return frontier_table(merged)
 
 
 class ResolveEtags:
@@ -275,10 +323,16 @@ class ResolveEtags:
     are winners by construction, so the per-batch work is two hash-set
     probes + one shard-pool claim RPC — no per-group Python tasks."""
 
-    def __init__(self, pool, competing_ref, winners_ref):
+    def __init__(self, pool, competing_ref, winners_ref,
+                 side_cfg: tuple | None = None):
         self.pool = pool
         self.competing_ref = competing_ref
         self.winners_ref = winners_ref
+        #: scale-mode side outputs: (cfg, clock, wave, stats_dir, dead_dir,
+        #: frontier_dir) — per-BLOCK deterministic files (task retries
+        #: rewrite the same name/content), replacing a stats aggregate,
+        #: the deadletter pull and three keep-branch re-reads per wave
+        self.side_cfg = side_cfg
         self._cache = None
 
     def _maps(self):
@@ -330,7 +384,46 @@ class ResolveEtags:
             idx = b.index[win]
             b.loc[idx[first], "outcome"] = "fetched"
             b.loc[idx[~first], "outcome"] = "not_modified"
+        if self.side_cfg is not None:
+            self._write_side(b)
         return b
+
+    def _write_side(self, b: pd.DataFrame) -> None:
+        cfg, clock, wave, stats_dir, dead_dir, frontier_dir = self.side_cfg
+        # deterministic per-block name: blocks are disjoint partition-group
+        # ranges, so (part range, rows, min url_hash) identifies a block
+        # across retries without colliding between blocks
+        parts = b["polite_part"].to_numpy()
+        name = (f"b{int(parts.min())}-{int(parts.max())}"
+                f"-{len(b)}-{int(b['url_hash'].min()) & 0xFFFFFF:x}")
+        d = Path(stats_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        s = b.groupby(["bucket", "outcome"]).size().rename("n").reset_index()
+        pq.write_table(pa.Table.from_pandas(s, preserve_index=False),
+                       d / f"{name}.parquet")
+        mal = b[b["outcome"] == "malformed"]
+        err = b[b["outcome"] == "fetch_error"]
+        bumped = err["attempt"].astype(np.int32) + 1
+        over = bumped > cfg.attempt_cap
+        if len(mal) or bool(over.any()):
+            dead = pd.concat([
+                pd.DataFrame({"url": mal["url"].astype(str),
+                              "reason": "malformed",
+                              "attempt": mal["attempt"].astype(np.int32)}),
+                pd.DataFrame({"url": err.loc[over, "url"].astype(str),
+                              "reason": "attempt_cap",
+                              "attempt": bumped[over]}),
+            ], ignore_index=True)
+            dead["wave"] = np.int32(wave)
+            dd = Path(dead_dir)
+            dd.mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(dead, preserve_index=False),
+                           dd / f"{name}.parquet")
+        nf = route_next_frontier(b, cfg, clock)
+        if nf.num_rows:
+            fd = Path(frontier_dir)
+            fd.mkdir(parents=True, exist_ok=True)
+            pq.write_table(nf, fd / f"{name}.parquet")
 
 
 def make_extract_stage(web_root: str, out_dir: str, wave: int):

@@ -31,39 +31,75 @@ from .cuckoo import CuckooFilter
 
 
 class _Exact64:
-    """Exact membership over 64-bit hashes (numpy-backed claim path)."""
+    """Exact membership over 64-bit hashes.
+
+    Fully vectorized: a sorted base array (searchsorted probes, O(log n)
+    per query in C) plus a small unsorted tail of recent inserts, merged
+    when it grows. A Python-set implementation cost ~1 µs/element and made
+    shard actors the contended resource at millions of claims per wave."""
+
+    _MERGE_AT = 1 << 16
 
     def __init__(self, capacity: int):
-        self._set: set[int] = set()
+        self._base = np.empty(0, dtype=np.int64)          # sorted, unique
+        self._tail = np.empty(0, dtype=np.int64)          # recent, unique
+        self._deleted = np.empty(0, dtype=np.int64)       # sorted, rare
+
+    def _compact(self) -> None:
+        merged = np.union1d(self._base, self._tail)
+        if len(self._deleted):
+            keep = ~np.isin(merged, self._deleted, assume_unique=False)
+            merged = merged[keep]
+            self._deleted = np.empty(0, dtype=np.int64)
+        self._base = merged
+        self._tail = np.empty(0, dtype=np.int64)
+
+    @staticmethod
+    def _in_sorted(arr: np.ndarray, h: np.ndarray) -> np.ndarray:
+        if not len(arr):
+            return np.zeros(len(h), dtype=bool)
+        idx = np.minimum(np.searchsorted(arr, h), len(arr) - 1)
+        return arr[idx] == h
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
-        s = self._set
-        return np.fromiter((int(h) in s for h in hashes), dtype=bool, count=len(hashes))
+        h = np.asarray(hashes, dtype=np.int64)
+        out = self._in_sorted(self._base, h) | np.isin(h, self._tail)
+        if len(self._deleted):
+            out &= ~np.isin(h, self._deleted)
+        return out
 
     def add_many(self, hashes: np.ndarray) -> np.ndarray:
-        self._set.update(int(h) for h in hashes)
+        """Insert hashes (caller guarantees they are not present)."""
+        h = np.unique(np.asarray(hashes, dtype=np.int64))
+        if len(self._deleted):
+            self._deleted = self._deleted[~np.isin(self._deleted, h)]
+        self._tail = np.concatenate([self._tail, h])
+        if len(self._tail) > self._MERGE_AT:
+            self._compact()
         return np.ones(len(hashes), dtype=bool)
 
     def delete_many(self, hashes: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(hashes), dtype=bool)
-        for j, h in enumerate(hashes):
-            if int(h) in self._set:
-                self._set.discard(int(h))
-                out[j] = True
-        return out
+        h = np.asarray(hashes, dtype=np.int64)
+        present = self.contains_many(h)
+        if present.any():
+            dels = np.unique(h[present])
+            self._tail = self._tail[~np.isin(self._tail, dels)]
+            in_base = self._in_sorted(self._base, dels)
+            self._deleted = np.union1d(self._deleted, dels[in_base])
+        return present
 
     @property
     def n_items(self) -> int:
-        return len(self._set)
+        return len(self._base) + len(self._tail) - len(self._deleted)
 
     def to_state(self) -> dict:
-        return {"kind": "exact64", "hashes": np.fromiter(self._set, dtype=np.int64,
-                                                         count=len(self._set))}
+        self._compact()
+        return {"kind": "exact64", "hashes": self._base.copy()}
 
     @classmethod
     def from_state(cls, st: dict) -> "_Exact64":
         obj = cls(0)
-        obj._set = set(int(h) for h in np.asarray(st["hashes"], dtype=np.int64))
+        obj._base = np.unique(np.asarray(st["hashes"], dtype=np.int64))
         return obj
 
 

@@ -209,7 +209,7 @@ def _write_bucketed(pages: pd.DataFrame, root: Path, n_buckets: int) -> None:
         pq.write_table(m, d2 / "part-0.parquet")
 
 
-def ensure_testdata(sf: float, n_buckets: int = 16) -> Path:
+def ensure_testdata(sf: float, n_buckets: int = 64) -> Path:
     """Synthesize (or reuse cached) web at scale sf; returns the root dir."""
     root = CACHE_ROOT / f"v{GENVER}-b{n_buckets}" / f"sf{sf}"
     manifest = root / "MANIFEST.json"
@@ -241,5 +241,5 @@ def ensure_testdata(sf: float, n_buckets: int = 16) -> Path:
     return root
 
 
-def ensure_testdata_for_dir(sf_dir: str, n_buckets: int = 16) -> Path:
+def ensure_testdata_for_dir(sf_dir: str, n_buckets: int = 64) -> Path:
     return ensure_testdata(sf_of_dir(sf_dir), n_buckets=n_buckets)
