@@ -51,7 +51,7 @@ def links_to_frontier(links: pd.DataFrame, parent_depth: pd.Series,
         "url": url.astype(str).to_numpy(),
         "priority": priority,
         "rank": pd.Series(priority).map(PRIORITY_RANK).astype(np.int8).to_numpy(),
-        "seq": hash64_array(url.to_numpy(dtype=object)),
+        "seq": hash64_array(url),
         "attempt": np.zeros(len(links), dtype=np.int32),
         "not_before": np.full(len(links), clock + cfg.wave_ms, dtype=np.int64),
         "depth": (np.asarray(parent_depth) + 1).astype(np.int32),

@@ -3,33 +3,38 @@
 Target shape (SURVEY.md §7.0): the reference's infinite promise-loop
 (`lib/crawler.js:39-107` processOne: pop → filter → fetch → convert →
 process → store → complete) re-expressed as a driver loop over *waves*.
-Each wave does exactly ONE full-row shuffle over slim frontier rows
-(html never enters any shuffle):
+Each wave is ONE streaming Ray Data execution — a linear chain of
+shuffles over progressively slimmer rows (html never enters any
+shuffle), with every per-wave artifact side-written idempotently from
+inside the owning stage (see stages/engine_stages.py module docstring):
 
-    frontier_k .map_batches(PrepareBatch)          normalize/scope/robots
-               .groupby('polite_part')             ← the single exchange
-               .map_groups(partition_stage)        dedup+claim+probe+polite
-               → [etag planning: slim pull (golden) or slim aggregates]
-               .map_batches(ResolveEtags)          content-dedup (304) claim
-               → resolved (materialized once)
-    resolved[fetched] .groupby('bucket').map_groups(extract) → pages+links
-    links → frontier rows  ∪ carry ∪ deferred ∪ retries
-          → frontier_{k+1} (partitioned Parquet checkpoint)
+    frontier_k → PrepareBatch → groupby(polite_part) → partition_stage
+               → groupby(etag_part) → resolve_stage
+               → groupby(bucket)    → extract_stage
+               → links_to_frontier  → groupby(lpart) → dedup
+               → write_parquet(frontier_{k+1})
 
 ``polite_part = (hash(host)+salt) % n_polite_parts`` co-locates complete
 (host, salt) politeness groups AND all duplicates of any url (same url ⇒
 same host), so in-wave dedup, the sharded seen-set claim, the fetch
 probe and the per-host budget all resolve inside that one exchange.
+``etag_part = hash(etag) % n_polite_parts`` then co-locates every
+candidate of one etag for the in-wave 304 winner rule — replacing the
+round-1 two-phase slim-pull/broadcast barrier, which cost an extra Ray
+execution per wave.
 
 Two bookkeeping modes:
-- golden (``emit_order_log=True``, correctness scale): the wave's slim
-  per-row record is pulled to the driver for the crawl-order artifact;
+- golden (``emit_order_log=True``, correctness scale): the stages also
+  side-write slim per-row order records; the driver merges + sorts them
+  into the crawl-order artifact (O(rows) driver work, paid only when the
+  artifact is wanted);
 - scale (``emit_order_log=False``, bench / 10^10 design point): ALL
-  driver inputs are distributed aggregates — O(#hosts/#etags/#outcomes)
+  driver inputs are sidecar aggregates — O(#hosts/#buckets×#outcomes)
   rows to the driver, never O(#rows). tests pin both modes' outputs.
 
 Checkpoint per wave (SURVEY.md §4.1): next frontier Parquet, seen-set
-shard snapshots, hot-host set and clock in a manifest written last;
+shard snapshots (written SHARD-SIDE — snapshot bytes never transit the
+driver), hot-host set and clock in a manifest written last;
 ``run(resume=True)`` restarts from the latest complete wave with
 identical results. Per-wave outputs: pages (`pages/wave=k/`), links,
 crawl-order log (golden mode), deadletters (`lib/crawler.js:523-557`),
@@ -40,7 +45,6 @@ counters analogue).
 from __future__ import annotations
 
 import json
-import pickle
 import shutil
 import uuid
 from pathlib import Path
@@ -57,17 +61,31 @@ from ..config import CrawlConfig
 from ..frontier import (dedup_discovered, links_to_frontier,
                         seeds_to_frontier)
 from ..stages.engine_stages import (FRONTIER_COLS, ORDER_META, PrepareBatch,
-                                    ResolveEtags, frontier_table,
+                                    WaveSide, frontier_table,
                                     make_extract_stage, make_partition_stage,
+                                    make_resolve_stage, resolve_etag_frame,
                                     route_next_frontier)
+from ..state.politeness import ORDER_COLS
 from ..state.seen import SeenSetPool
 
 
-def _keep(outcome: str):
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["outcome"], outcome))
-    keep.__name__ = f"keep_{outcome or 'empty'}"
-    return keep
+def _make_link_sink(nf_dir: str, cfg: CrawlConfig):
+    """Terminal stage of the wave chain: global per-url dedup of one lpart
+    group of discovered links, side-written as that group's next-frontier
+    partition (deterministic name → task-retry idempotent)."""
+
+    def link_sink(g: pd.DataFrame) -> pd.DataFrame:
+        t = frontier_table(dedup_discovered(g))
+        part = int(g["lpart"].iloc[0]) if len(g) else 0
+        if t.num_rows:
+            d = Path(nf_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(t, d / f"lp{part}.parquet")
+        return pd.DataFrame({"lpart": np.array([part], dtype=np.int32),
+                             "n": np.array([t.num_rows], dtype=np.int64)})
+
+    link_sink.__name__ = "link_sink"
+    return link_sink
 
 
 class CrawlEngine:
@@ -133,10 +151,12 @@ class CrawlEngine:
         tmp.rename(p)
 
     def _snapshot_seen(self, wave: int) -> None:
-        d = self.out / "seen_snapshots"
-        d.mkdir(parents=True, exist_ok=True)
-        with open(d / f"wave={wave}.pkl", "wb") as f:
-            pickle.dump(self.pool.snapshot_all(), f)
+        """Shard-side snapshots: each shard actor writes its own file; the
+        driver only waits on the (tiny) path list."""
+        d = self.out / "seen_snapshots" / f"wave={wave}"
+        if d.exists():
+            shutil.rmtree(d)
+        self.pool.save_snapshots(str(d))
 
     # ---------- lifecycle ----------
 
@@ -156,10 +176,9 @@ class CrawlEngine:
             return 0, 0, set()
         k = waves[-1]
         m = json.loads(self._manifest_path(k).read_text())
-        snap = self.out / "seen_snapshots" / f"wave={k + 1}.pkl"
+        snap = self.out / "seen_snapshots" / f"wave={k + 1}"
         if snap.exists():
-            with open(snap, "rb") as f:
-                self.pool.restore_all(pickle.load(f))
+            self.pool.load_snapshots(str(snap))
         return k + 1, int(m["next_clock"]), set(m.get("hot_hosts", []))
 
     def run(self, resume: bool = False) -> dict:
@@ -207,143 +226,71 @@ class CrawlEngine:
                 break
         return self._finalize(k)
 
-    # ---------- one wave ----------
+    # ---------- one wave: a single streaming execution ----------
 
-    #: outcomes that identify pre-politeness candidates (for hot-host
-    #: detection): rows that were claimed and in scope this wave
-    _CAND_OUTCOMES = ("", "deferred", "fetch_error")
+    def _wave_side(self, k: int, clock: int) -> WaveSide:
+        """Per-wave side-output dirs, cleaned for idempotent re-runs."""
+        nf_dir = self.out / "frontier" / f"wave={k + 1}"
+        hot_dir = self.out / "hot" / f"wave={k}"
+        stats_dir = self.out / "side_stats" / f"wave={k}"
+        dead_dir = self.out / "deadletter" / f"wave={k}"
+        links_dir = self.out / "links" / f"wave={k}"
+        order_dir = (self.out / "side_order" / f"wave={k}"
+                     if self.cfg.emit_order_log else None)
+        for d in (nf_dir, hot_dir, stats_dir, dead_dir, links_dir, order_dir):
+            if d is not None and d.exists():
+                shutil.rmtree(d)
+        return WaveSide(wave=k, clock=clock, nf_dir=str(nf_dir),
+                        dead_dir=str(dead_dir), stats_dir=str(stats_dir),
+                        hot_dir=str(hot_dir),
+                        order_dir=str(order_dir) if order_dir else None)
 
     def _run_wave(self, k: int, clock: int, frontier, robots_ref,
                   hot: set[str], min_nb: int | None) -> tuple[int, int, set]:
         cfg = self.cfg
         if min_nb is not None and min_nb > clock:
             clock = min_nb  # fast-forward (polling-delay analogue)
+        side = self._wave_side(k, clock)
+        self.pool.begin_wave(k)
 
-        # ONE full-row shuffle per wave: groupby(polite_key = host#salt).
-        # Same url ⇒ same host ⇒ same group, so in-wave dedup, the shard
-        # claim, the fetch probe AND the per-host politeness budget all
-        # resolve inside that single exchange (engine_stages.make_host_stage).
-        # Everything after is broadcast maps and slim aggregates.
-        tagged = frontier.map_batches(
-            PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot),
-            batch_format="pandas", batch_size=16384)
-        hot_dir = self.out / "hot" / f"wave={k}"
-        if hot_dir.exists():
-            shutil.rmtree(hot_dir)
-        etag_dir = None
-        if not cfg.emit_order_log:
-            etag_dir = self.out / "etagsc" / f"wave={k}"
-            if etag_dir.exists():
-                shutil.rmtree(etag_dir)
-        stage1 = (
-            tagged
+        # the whole wave as ONE lazy chain; write_parquet is the terminal
+        # that drives it. Routing/deadletter/stats/order/pages/links are
+        # side-written inside the stages (idempotent per-group filenames).
+        pipe = (
+            frontier
+            .map_batches(PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot),
+                         batch_format="pandas", batch_size=16384)
             .groupby("polite_part").map_groups(
                 make_partition_stage(self.pool, self.web_root, cfg,
-                                     robots_ref, hot, str(hot_dir),
-                                     str(etag_dir) if etag_dir else None),
+                                     robots_ref, hot, side),
                 batch_format="pandas")
-            .materialize()
-        )
-        host_counts: dict = {}
-        for f in sorted(hot_dir.glob("*.parquet")) if hot_dir.exists() else []:
-            t = pq.read_table(str(f))
-            for h, n in zip(t["host"].to_pylist(), t["n"].to_pylist()):
-                host_counts[h] = host_counts.get(h, 0) + int(n)
-        next_hot = {h for h, n in host_counts.items()
-                    if n > cfg.salt_threshold}
-
-        # etag/304 planning + hot-host detection. Golden mode (order log
-        # wanted, correctness scale): one slim driver pull. Scale mode:
-        # slim distributed aggregates — driver work is O(#hosts/#etags),
-        # never O(#rows).
-        if cfg.emit_order_log:
-            def _cand_slim(t: pa.Table) -> pa.Table:
-                m = pc.is_in(t["outcome"],
-                             value_set=pa.array(list(self._CAND_OUTCOMES)))
-                return t.filter(m).select(
-                    ["host", "outcome", "rank", "seq", "depth", "etag", "url"])
-
-            slim = stage1.map_batches(_cand_slim,
-                                      batch_format="pyarrow").to_pandas()
-            cand = slim[slim["outcome"] == ""]
-            vc = cand["etag"].value_counts()
-            competing = set(vc.index[vc > 1])
-            winners: dict = {}
-            if competing:
-                sub = cand[cand["etag"].isin(competing)]
-                w = sub.sort_values(["rank", "seq", "depth"], kind="stable") \
-                    .drop_duplicates("etag")
-                winners = dict(zip(w["etag"], w["url"]))
-        else:
-            competing, winners = self._etags_from_sidecars(etag_dir)
-
-        nf_dir = self.out / "frontier" / f"wave={k + 1}"
-        if nf_dir.exists():
-            shutil.rmtree(nf_dir)
-
-        if cfg.emit_order_log:
-            resolved = stage1.map_batches(
-                ResolveEtags(self.pool, ray.put(competing), ray.put(winners)),
-                batch_format="pandas", batch_size=16384).materialize()
-            # golden mode: per-row pull for the crawl-order artifact +
-            # driver-side metrics/deadletters
-            pdf = resolved.select_columns(ORDER_META).to_pandas()
-            self._log_wave(k, pdf)
-            counts = pdf["outcome"].value_counts()
-            next_parts = []
-            if any(counts.get(o, 0) for o in
-                   ("carry", "deferred", "fetch_error")):
-                next_parts.append(resolved.map_batches(
-                    lambda df: route_next_frontier(df, cfg, clock),
-                    batch_format="pandas"))
-        else:
-            # scale mode: ResolveEtags writes routing/stats/deadletter
-            # side-outputs per block (deterministic names) during the ONE
-            # resolve pass — no stats aggregate, no keep-branch re-reads
-            stats_dir = self.out / "side_stats" / f"wave={k}"
-            dead_dir = self.out / "deadletter" / f"wave={k}"
-            for d in (stats_dir, dead_dir):
-                if d.exists():
-                    shutil.rmtree(d)
-            resolved = stage1.map_batches(
-                ResolveEtags(self.pool, ray.put(competing), ray.put(winners),
-                             side_cfg=(cfg, clock, k, str(stats_dir),
-                                       str(dead_dir), str(nf_dir))),
-                batch_format="pandas").materialize()
-            counts = self._stats_from_sidecars(stats_dir, k)
-            next_parts = []   # routing rows already written by the stage
-
-        if counts.get("fetched", 0):
-            # bucket-grouped extract over the ADMITTED subset only (slim
-            # rows, no html in the shuffle): each wave reads each pages
-            # bucket exactly once, in parallel, and writes its pages_out
-            # partition idempotently. (A mixed-bucket variant measured
-            # 3× slower at 32 CPUs: per-worker html caches thrash memory.)
-            links = (resolved.map_batches(_keep("fetched"), batch_format="pyarrow")
-                     .groupby("bucket").map_groups(
-                         make_extract_stage(self.web_root, str(self.out), k),
+            .groupby("etag_part").map_groups(
+                make_resolve_stage(self.pool, cfg, side),
+                batch_format="pandas")
+            .groupby("bucket").map_groups(
+                make_extract_stage(self.web_root, str(self.out), k),
+                batch_format="pandas")
+            .map_batches(lambda df: links_to_frontier(df, df["depth"], clock, cfg),
                          batch_format="pandas")
-                     .materialize())
-            if links.count() > 0:
-                links.write_parquet(str(self.out / "links" / f"wave={k}"))
-                # global url-dedup of discovered links (one slim url-keyed
-                # shuffle; without it every duplicate discovery rides to
-                # the next wave's claim stage — measured 4× wave volume)
-                next_parts.append(
-                    links.map_batches(
-                        lambda df: links_to_frontier(df, df["depth"], clock, cfg),
-                        batch_format="pandas")
-                    .groupby("lpart")
-                    .map_groups(lambda g: frontier_table(dedup_discovered(g)),
-                                batch_format="pandas"))
+            # global url-dedup of discovered links (one slim url-keyed
+            # shuffle; without it every duplicate discovery rides to the
+            # next wave's claim stage — measured 4× wave volume). The
+            # dedup group side-writes its frontier partition itself
+            # (idempotent lp{part} name): Ray's parquet datasink deletes a
+            # directory it created when the write is empty, which would
+            # take the routing side-files with it.
+            .groupby("lpart").map_groups(
+                _make_link_sink(side.nf_dir, cfg), batch_format="pandas")
+        )
+        pipe.count()   # the terminal that drives the whole wave
 
-        if next_parts:
-            nxt = next_parts[0]
-            for p in next_parts[1:]:
-                nxt = nxt.union(p)
-            # write executes the lazy union directly; the dir may already
-            # hold the scale-mode routing side-outputs (distinct filenames)
-            nxt.write_parquet(str(nf_dir), min_rows_per_file=32768)
+        # ---- driver-side sidecar merges (tiny) ----
+        next_hot = self._hot_from_sidecars(Path(side.hot_dir))
+        self._stats_from_sidecars(Path(side.stats_dir), k)
+        if side.order_dir is not None:
+            self._order_from_sidecars(Path(side.order_dir), k)
+
+        nf_dir = Path(side.nf_dir)
         n_next = sum(pq.ParquetFile(str(f)).metadata.num_rows
                      for f in nf_dir.glob("*.parquet")) if nf_dir.exists() else 0
         if n_next == 0 and nf_dir.exists():
@@ -351,33 +298,20 @@ class CrawlEngine:
         self._snapshot_seen(k + 1)
         return n_next, clock + cfg.wave_ms, next_hot
 
-    # ---------- scale-mode distributed planners (driver work O(#hosts)) ----------
+    # ---------- sidecar merges (driver work O(#hosts / #buckets×#outcomes)) ----------
 
-    def _etags_from_sidecars(self, etag_dir: Path) -> tuple[set, dict]:
-        """Competing etags + winners from the partition stage's per-
-        partition side-outputs (one (etag, n, best-candidate) row per
-        unique admitted etag per partition). A cross-partition duplicate
-        shows up as summed n > 1; the winner is the global first by
-        (rank, seq, depth). Replaces a full groupby(etag) aggregate
-        execution (measured 15-25 s/wave at ~1M rows); driver volume is
-        bounded by the wave's politeness-admitted unique-etag count."""
-        files = sorted(etag_dir.glob("*.parquet")) if etag_dir.exists() else []
-        if not files:
-            return set(), {}
-        df = pq.read_table([str(f) for f in files]).to_pandas()
-        tot = df.groupby("etag")["n"].sum()
-        competing = set(tot.index[tot > 1])
-        if not competing:
-            return set(), {}
-        sub = df[df["etag"].isin(competing)] \
-            .sort_values(["rank", "seq", "depth"], kind="stable") \
-            .drop_duplicates("etag")
-        return competing, dict(zip(sub["etag"], sub["url"]))
+    def _hot_from_sidecars(self, hot_dir: Path) -> set[str]:
+        host_counts: dict = {}
+        for f in sorted(hot_dir.glob("*.parquet")) if hot_dir.exists() else []:
+            t = pq.read_table(str(f))
+            for h, n in zip(t["host"].to_pylist(), t["n"].to_pylist()):
+                host_counts[h] = host_counts.get(h, 0) + int(n)
+        return {h for h, n in host_counts.items()
+                if n > self.cfg.salt_threshold}
 
     def _stats_from_sidecars(self, stats_dir: Path, k: int) -> pd.Series:
-        """Merge the resolve pass's per-block (bucket, outcome) count
-        side-outputs → wave metrics + per-partition metrics Parquet +
-        routing counts. Driver work is O(buckets × outcomes)."""
+        """Merge the stages' per-group (bucket, outcome) count side-outputs
+        → wave metrics + per-partition metrics Parquet."""
         files = sorted(stats_dir.glob("*.parquet")) if stats_dir.exists() else []
         if not files:
             return pd.Series(dtype=np.int64)
@@ -386,26 +320,48 @@ class CrawlEngine:
         mb["wave"] = np.int32(k)
         m = mb.groupby("outcome", as_index=False)["n"].sum() \
             .assign(wave=np.int32(k))
-        d = self.out / "metrics"
-        d.mkdir(parents=True, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(
-            m[m["outcome"] != "carry"][["wave", "outcome", "n"]],
-            preserve_index=False), d / f"wave={k}.parquet")
-        dp = self.out / "metrics_partition"
-        dp.mkdir(parents=True, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(
-            mb[mb["outcome"] != "carry"][["wave", "bucket", "outcome", "n"]],
-            preserve_index=False), dp / f"wave={k}.parquet")
+        if len(m):
+            d = self.out / "metrics"
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(
+                m[["wave", "outcome", "n"]], preserve_index=False),
+                d / f"wave={k}.parquet")
+            dp = self.out / "metrics_partition"
+            dp.mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(
+                mb[["wave", "bucket", "outcome", "n"]], preserve_index=False),
+                dp / f"wave={k}.parquet")
         return m.set_index("outcome")["n"]
+
+    def _order_from_sidecars(self, order_dir: Path, k: int) -> None:
+        files = sorted(order_dir.glob("*.parquet")) if order_dir.exists() else []
+        if not files:
+            return
+        pdf = pq.read_table([str(f) for f in files]).to_pandas()
+        self._write_order(k, pdf)
+
+    def _write_order(self, k: int, pdf: pd.DataFrame) -> None:
+        """Golden crawl-order artifact: global in-wave sort by ORDER_COLS
+        (the oracle's exact rule) + dense seq_in_wave."""
+        pdf = pdf.copy()
+        pdf["wave"] = np.int32(k)
+        pdf = pdf.sort_values(ORDER_COLS, kind="stable").reset_index(drop=True)
+        pdf["seq_in_wave"] = np.arange(len(pdf), dtype=np.int64)
+        d = self.out / "order"
+        d.mkdir(parents=True, exist_ok=True)
+        cols = ["wave", "seq_in_wave", "url", "host", "priority", "outcome",
+                "attempt", "newly_claimed", "etag", "found"]
+        pq.write_table(pa.Table.from_pandas(pdf[cols], preserve_index=False),
+                       d / f"wave={k}.parquet")
 
     # ---------- one wave, small-frontier fast path ----------
 
     def _run_wave_local(self, k: int, clock: int, files: list[str], robots_ref,
                         hot: set[str]) -> tuple[int, int, set]:
         """Driver-side execution of one wave through the IDENTICAL stage
-        callables (PrepareBatch → bucket → polite → etag → ClaimEtags →
-        extract). Seen-set shard actors are still the authority, so local
-        and distributed waves interleave with identical results; Ray Data's
+        callables (PrepareBatch → partition → etag resolve → extract).
+        Seen-set shard actors are still the authority, so local and
+        distributed waves interleave with identical results; Ray Data's
         fixed per-execution overhead is skipped for trickle waves. Parity
         for both modes is pinned by tests/test_parity.py."""
         cfg = self.cfg
@@ -413,14 +369,14 @@ class CrawlEngine:
         mn = int(df["not_before"].min())
         if mn > clock:
             clock = mn
+        self.pool.begin_wave(k)
 
         cur = PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot)(df)
         part_fn = make_partition_stage(self.pool, self.web_root, cfg,
                                        robots_ref, hot)
         cur = pd.concat([part_fn(g) for _, g in cur.groupby("polite_part", sort=True)],
                         ignore_index=True)
-        competing, winners = ResolveEtags.competing_and_winners(cur)
-        cur = ResolveEtags(self.pool, competing, winners)(cur)
+        cur = resolve_etag_frame(cur, self.pool)
 
         pdf = cur[ORDER_META]
         self._log_wave(k, pdf)
@@ -433,20 +389,8 @@ class CrawlEngine:
             by_host = cand.groupby("host").size()
             next_hot = set(by_host.index[by_host > cfg.salt_threshold])
 
-        next_parts: list[pd.DataFrame] = []
-        if counts.get("carry", 0):
-            next_parts.append(cur[cur["outcome"] == "carry"][FRONTIER_COLS])
-        if counts.get("deferred", 0):
-            dfr = cur[cur["outcome"] == "deferred"].copy()
-            dfr["not_before"] = clock + cfg.wave_ms
-            next_parts.append(dfr[FRONTIER_COLS])
-        if counts.get("fetch_error", 0):
-            err = cur[cur["outcome"] == "fetch_error"].copy()
-            err["attempt"] = (err["attempt"] + 1).astype(np.int32)
-            err = err[err["attempt"] <= cfg.attempt_cap]
-            err["not_before"] = clock + cfg.requeue_delay_ms * err["attempt"]
-            if len(err):
-                next_parts.append(err[FRONTIER_COLS])
+        next_parts: list[pd.DataFrame] = [
+            route_next_frontier(cur, cfg, clock).to_pandas()]
 
         if counts.get("fetched", 0):
             extract_fn = make_extract_stage(self.web_root, str(self.out), k)
@@ -455,44 +399,28 @@ class CrawlEngine:
                 [extract_fn(g) for _, g in fetched.groupby("bucket", sort=True)],
                 ignore_index=True)
             if len(links):
-                d = self.out / "links" / f"wave={k}"
-                d.mkdir(parents=True, exist_ok=True)
-                pq.write_table(pa.Table.from_pandas(links, preserve_index=False),
-                               d / "part-0.parquet")
                 next_parts.append(dedup_discovered(
                     links_to_frontier(links, links["depth"], clock, cfg)))
 
-        n_next = 0
-        if next_parts:
-            nxt = pd.concat(
-                [frontier_table(p).to_pandas() for p in next_parts],
-                ignore_index=True)
-            n_next = len(nxt)
-            if n_next:
-                self._write_frontier_df(nxt, k + 1)
+        nxt = pd.concat(
+            [frontier_table(p).to_pandas() for p in next_parts if len(p)],
+            ignore_index=True) if any(len(p) for p in next_parts) else \
+            pd.DataFrame(columns=FRONTIER_COLS)
+        n_next = len(nxt)
+        if n_next:
+            self._write_frontier_df(nxt, k + 1)
         self._snapshot_seen(k + 1)
         return n_next, clock + cfg.wave_ms, next_hot
 
-    # ---------- per-wave artifacts (driver-side, slim metadata) ----------
+    # ---------- per-wave artifacts (local path, driver-side) ----------
 
     def _log_wave(self, k: int, pdf: pd.DataFrame) -> None:
         # carried rows are not processed this wave → not part of the wave's
         # order log (the oracle's `cur` likewise excludes them)
-        pdf = pdf[pdf["outcome"] != "carry"]
-        pdf = pdf.copy()
-        pdf["wave"] = np.int32(k)
+        pdf = pdf[pdf["outcome"] != "carry"].copy()
         if self.cfg.emit_order_log:
-            # the golden-order sort is only paid when the artifact is wanted
-            # (bench runs disable it; correctness/parity runs keep it)
-            pdf = pdf.sort_values(["rank", "seq", "depth", "discovered_from"],
-                                  kind="stable").reset_index(drop=True)
-            pdf["seq_in_wave"] = np.arange(len(pdf), dtype=np.int64)
-            d = self.out / "order"
-            d.mkdir(parents=True, exist_ok=True)
-            cols = ["wave", "seq_in_wave", "url", "host", "priority", "outcome",
-                    "attempt", "newly_claimed", "etag", "found"]
-            pq.write_table(pa.Table.from_pandas(pdf[cols], preserve_index=False),
-                           d / f"wave={k}.parquet")
+            self._write_order(k, pdf)
+        pdf["wave"] = np.int32(k)
         # deadletters (malformed now; attempt-cap uses the bumped attempt)
         dead = []
         mal = pdf[pdf["outcome"] == "malformed"]

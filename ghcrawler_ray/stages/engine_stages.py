@@ -1,13 +1,32 @@
 """Engine-side stage callables for the wave pipeline.
 
-The wave does ONE full-row shuffle (groupby the coarse politeness
-partition) plus slim aggregates:
+Round-2 shape: one wave = ONE Ray Data execution — a linear chain of
+stages over progressively slimmer rows, with every per-wave artifact
+written as an idempotent side-output from inside the owning stage
+(deterministic per-group filenames, so task retries rewrite the same
+file instead of colliding):
 
     frontier.map_batches(PrepareBatch)             # vectorized, stateless
-            .groupby("polite_part")                # the single exchange
+            .groupby("polite_part")                # shuffle 1: full slim rows
             .map_groups(partition_stage)           # dedup+claim+probe+polite
-            → slim etag aggregate / pull           # 304 winner detection
-            .map_batches(ResolveEtags)             # content-dedup claim
+                → side: routing rows, deadletters, stats, hot counts,
+                  (golden) order rows; RETURNS candidates only
+            .groupby("etag_part")                  # shuffle 2: candidates
+            .map_groups(resolve_stage)             # etag winner + 304 claim
+                → side: stats, (golden) order rows; RETURNS fetched only
+            .groupby("bucket")                     # shuffle 3: fetched
+            .map_groups(extract_stage)             # html join, text, links
+                → side: pages partition, links partition; RETURNS links
+            .map_batches(links_to_frontier)
+            .groupby("lpart").map_groups(dedup)    # shuffle 4: global dedup
+            .write_parquet(next_frontier_dir)      # the one terminal
+
+The round-1 design paid ~5 separate Ray executions per wave (prepare+
+partition materialize, slim etag pull/aggregate barrier, resolve
+materialize, extract materialize, link-dedup + frontier write); their
+fixed scheduling latency was the serial floor that capped scaling
+efficiency at 0.27. Chaining everything into one streaming execution
+pays that cost once per wave.
 
 Stage → reference parity (file:line into /root/reference):
 - PrepareBatch: url canon (`lib/request.js:260-262`), malformed guard
@@ -24,8 +43,11 @@ Stage → reference parity (file:line into /root/reference):
   call caps `lib/crawlerFactory.js:74-76`) as per-host wave budgets with
   deterministic hot-host salting. html never enters any shuffle
   (SURVEY.md §7.4).
-- ResolveEtags: etag/304 content dedup
-  (`providers/fetcher/githubFetcher.js:26-84`).
+- resolve_stage: etag/304 content dedup
+  (`providers/fetcher/githubFetcher.js:26-84`): all wave candidates for
+  one etag are co-located by the etag_part shuffle; the winner is the
+  first by ORDER_COLS (the same tie-break as the oracle), claims the
+  etag against the shard pool (first wave wins), losers → not_modified.
 - make_extract_stage: the processor stage (html → text + out-links,
   `providers/fetcher/githubProcessor.js:81-122` + per-type handlers) and
   doc-store upsert (`lib/crawler.js:470-485`) as idempotent partitioned
@@ -35,6 +57,7 @@ Stage → reference parity (file:line into /root/reference):
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
 
@@ -45,12 +68,10 @@ import pyarrow.parquet as pq
 import ray
 
 from ..config import PRIORITY_RANK, CrawlConfig
-from ..state.politeness import (ORDER_COLS, admit_first_n, group_budget,
-                                host_budget, polite_salt)
+from ..state.politeness import ORDER_COLS, host_budget
 from ..urls import (hash64_array, is_malformed_series, normalize_series,
                     split_host_path)
-from .extract import (HREF_RE, TEXT_RE, extract_links_df,
-                      extract_text_batch)
+from .extract import extract_links_df, extract_text_batch
 
 
 def _pages_bucket(path: str) -> pd.DataFrame:
@@ -87,9 +108,15 @@ FRONTIER_SCHEMA = pa.schema([
 TAGGED_COLS = FRONTIER_COLS + ["host", "path", "url_hash", "bucket",
                                "outcome", "newly_claimed"]
 
-#: slim per-row record pulled to the driver per wave (order log + routing)
+#: slim per-row record for the golden order log (order sidecars + local path)
 ORDER_META = ["url", "host", "priority", "outcome", "attempt", "rank", "seq",
               "depth", "discovered_from", "bucket", "newly_claimed", "etag", "found"]
+
+#: columns the partition stage forwards for candidates (the etag shuffle)
+CAND_COLS = ORDER_META + ["url_hash", "etag_hash", "etag_part", "policy"]
+
+#: slim columns the resolve stage forwards for fetched rows (the extract shuffle)
+FETCHED_COLS = ["url", "seq", "rank", "depth", "etag", "bucket"]
 
 
 def frontier_table(df: pd.DataFrame) -> pa.Table:
@@ -99,14 +126,37 @@ def frontier_table(df: pd.DataFrame) -> pa.Table:
                                 preserve_index=False)
 
 
+@dataclass(frozen=True)
+class WaveSide:
+    """Per-wave side-output locations (all idempotent per-group files).
+
+    ``order_dir`` is None in scale mode (no golden order artifact): the
+    driver's only per-wave reads are then O(#hosts + #buckets×#outcomes)
+    sidecar merges, never O(rows)."""
+    wave: int
+    clock: int
+    nf_dir: str
+    dead_dir: str
+    stats_dir: str
+    hot_dir: str
+    order_dir: str | None
+
+
+def _write_sidecar(d: str, name: str, df: pd.DataFrame) -> None:
+    p = Path(d)
+    p.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   p / f"{name}.parquet")
+
+
 class PrepareBatch:
     """Normalize + scope/robots filter + carry split (stateless, vectorized).
 
-    Also assigns the wave's ONE shuffle key ``polite_key = host#salt``
-    (salt from last wave's hot-host set): same url ⇒ same host ⇒ same salt
-    (salt = url_hash % salt_factor), so a single host-keyed exchange
-    co-locates everything the wave needs grouped — duplicate urls (in-wave
-    dedup), per-host politeness budgets, and the claim/probe rows."""
+    Also assigns the wave's first shuffle key ``polite_part`` (coarse
+    (host, salt) co-group; salt from last wave's hot-host set): same url ⇒
+    same host ⇒ same partition, so a single host-keyed exchange co-locates
+    everything the wave needs grouped — duplicate urls (in-wave dedup),
+    per-host politeness budgets, and the claim/probe rows."""
 
     def __init__(self, cfg: CrawlConfig, robots_ref, clock: int,
                  n_buckets: int, hot_hosts: set[str] = frozenset()):
@@ -129,7 +179,7 @@ class PrepareBatch:
         b["url"] = normalize_series(b["url"])
         host, path = split_host_path(b["url"])
         b["host"], b["path"] = host, path
-        b["url_hash"] = hash64_array(b["url"].to_numpy(dtype=object))
+        b["url_hash"] = hash64_array(b["url"])
         b["bucket"] = (b["url_hash"] % self.n_buckets).astype(np.int32)
         b["rank"] = b["priority"].map(PRIORITY_RANK).astype(np.int8)
         b["outcome"] = ""
@@ -165,16 +215,15 @@ class PrepareBatch:
         # group — and hence all duplicates of one url — land in the same
         # partition; one partition holds MANY hosts so the shuffle has a
         # bounded number of int-keyed groups regardless of host count
-        hh = hash64_array(b["host"].to_numpy(dtype=object))
+        hh = hash64_array(b["host"])
         b["polite_part"] = ((hh + salt.astype(np.int64))
                             % cfg.n_polite_parts).astype(np.int32)
         return b[TAGGED_COLS + ["salt", "polite_part"]]
 
 
 def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
-                         hot_hosts: set[str], hot_dir: str | None = None,
-                         etag_dir: str | None = None):
-    """groupby('polite_part') — the wave's ONLY full-row shuffle, over a
+                         hot_hosts: set[str], side: WaveSide | None = None):
+    """groupby('polite_part') — the wave's only FULL-row shuffle, over a
     bounded number of int-keyed coarse partitions (cfg.n_polite_parts).
     One partition co-locates complete (host, salt) politeness groups and
     hence all duplicates of any url; within it, everything is vectorized
@@ -184,6 +233,7 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
        `providers/queuing/attenuatedQueue.js:24-52`);
     2. sharded claim: one vectorized RPC bundle per partition to the
        seen-set shards (`providers/queuing/redisRequestTracker.js:22-30`);
+       claims are wave-idempotent (retried tasks re-claim cleanly);
     3. fetch probe: bucket-pruned lookups into the cached pages_meta
        sidecars (`providers/fetcher/githubFetcher.js:18-109`,
        `providers/storage/storageDocStore.js:61-93`);
@@ -192,7 +242,15 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
        budget (token-bench analogue `providers/fetcher/tokenFactory.js:
        81-93`; salted budgets sum to the host budget, SURVEY.md §7.4);
        admitted-but-missing rows become fetch_error
-       (`providers/fetcher/githubFetcher.js:44-87`)."""
+       (`providers/fetcher/githubFetcher.js:44-87`).
+
+    With ``side`` set (the distributed path), every finalized row is
+    side-written here — routing (carry/deferred/retry) into the next
+    frontier dir, deadletters, stats, hot-host counts, golden order rows
+    — under the deterministic name ``p{polite_part}``, and only the
+    admitted candidates are RETURNED (the etag shuffle input). Without
+    ``side`` (the driver-local fast path) the full tagged frame is
+    returned unchanged for the caller to route."""
     holder: dict = {}
 
     def _budgets(robots: dict) -> dict:
@@ -228,18 +286,15 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
         g["found"] = g["etag"].notna()
         g["etag"] = g["etag"].fillna("")
         cand = (g["outcome"] == "") & g["claimed"]
-        if hot_dir is not None:
+        part = int(g["polite_part"].iloc[0]) if len(g) else 0
+        if side is not None:
             # hotness side-output: exact per-host candidate counts, one
             # tiny parquet per partition (deterministic name → task-retry
             # idempotent); the driver sums them — no extra aggregate exec
             hc = g.loc[cand, "host"].value_counts()
-            d = Path(hot_dir)
-            d.mkdir(parents=True, exist_ok=True)
-            part = int(g["polite_part"].iloc[0])
-            pq.write_table(
-                pa.table({"host": hc.index.astype(str),
-                          "n": hc.to_numpy(dtype=np.int64)}),
-                d / f"part={part}.parquet")
+            _write_sidecar(side.hot_dir, f"p{part}", pd.DataFrame(
+                {"host": hc.index.astype(str),
+                 "n": hc.to_numpy(dtype=np.int64)}))
         if cand.any():
             order = g[cand].sort_values(ORDER_COLS, kind="stable")
             pos = order.groupby(["host", "salt"], sort=False).cumcount() \
@@ -258,37 +313,70 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
             g.loc[deferred, "outcome"] = "deferred"
             adm = (g["outcome"] == "") & g["claimed"]
             g.loc[adm & ~g["found"], "outcome"] = "fetch_error"
-        if etag_dir is not None:
-            # etag side-output: per-partition (etag, n, best candidate by
-            # ORDER key) over admitted rows. The driver merges partitions
-            # to find cross-partition competing etags + their winners —
-            # replacing a full groupby(etag) aggregate execution per wave
-            # (measured 15-25 s at ~1M rows). Volume is bounded by the
-            # wave's politeness-admitted count.
-            sub = g.loc[g["outcome"] == "",
-                        ["etag", "url", "rank", "seq", "depth"]]
-            agg = sub.sort_values(["rank", "seq", "depth"], kind="stable") \
-                .groupby("etag", sort=False) \
-                .agg(url=("url", "first"), rank=("rank", "first"),
-                     seq=("seq", "first"), depth=("depth", "first"),
-                     n=("url", "size")).reset_index()
-            d = Path(etag_dir)
+        if side is None:
+            return g
+        # ---- distributed path: side-write everything finalized here ----
+        name = f"p{part}"
+        done = g[g["outcome"] != ""]
+        write_stats(side.stats_dir, name, done)
+        write_deadletters(side.dead_dir, name, done, cfg, side.wave)
+        nf = route_next_frontier(g, cfg, side.clock)
+        if nf.num_rows:
+            d = Path(side.nf_dir)
             d.mkdir(parents=True, exist_ok=True)
-            part = int(g["polite_part"].iloc[0])
-            pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
-                           d / f"part={part}.parquet")
-        return g
+            pq.write_table(nf, d / f"{name}.parquet")
+        if side.order_dir is not None:
+            rows = done[done["outcome"] != "carry"]
+            if len(rows):
+                _write_sidecar(side.order_dir, name, rows[ORDER_META])
+        out = g[g["outcome"] == ""].copy()
+        ehash = hash64_array(out["etag"]) if len(out) else \
+            np.empty(0, dtype=np.int64)
+        out["etag_hash"] = ehash
+        out["etag_part"] = (ehash % cfg.n_polite_parts).astype(np.int32)
+        return out[CAND_COLS]
 
     partition_stage.__name__ = "partition_stage"
     return partition_stage
 
 
+def write_stats(stats_dir: str, name: str, done: pd.DataFrame) -> None:
+    """(bucket, outcome, n) sidecar for the rows finalized by one group
+    task (excluding carry — carried rows are not processed this wave, so
+    they are not part of the wave's metrics, matching the oracle)."""
+    rows = done[done["outcome"] != "carry"]
+    s = rows.groupby(["bucket", "outcome"]).size().rename("n").reset_index()
+    if len(s):
+        _write_sidecar(stats_dir, name, s)
+
+
+def write_deadletters(dead_dir: str, name: str, done: pd.DataFrame,
+                      cfg: CrawlConfig, wave: int) -> None:
+    """Deadletter sidecar (`lib/crawler.js:523-557`): malformed rows now;
+    attempt-capped fetch errors with the bumped attempt count."""
+    mal = done[done["outcome"] == "malformed"]
+    err = done[done["outcome"] == "fetch_error"]
+    bumped = err["attempt"].astype(np.int32) + 1
+    over = bumped > cfg.attempt_cap
+    if len(mal) or bool(over.any()):
+        dead = pd.concat([
+            pd.DataFrame({"url": mal["url"].astype(str),
+                          "reason": "malformed",
+                          "attempt": mal["attempt"].astype(np.int32)}),
+            pd.DataFrame({"url": err.loc[over, "url"].astype(str),
+                          "reason": "attempt_cap",
+                          "attempt": bumped[over]}),
+        ], ignore_index=True)
+        dead["wave"] = np.int32(wave)
+        _write_sidecar(dead_dir, name, dead)
+
+
 def route_next_frontier(df: pd.DataFrame, cfg: CrawlConfig,
                         clock: int) -> pa.Table:
-    """Carry + deferred + retry rows of one resolved frame → next-wave
-    frontier rows (requeue-delay semantics `lib/crawler.js:152-154`,
-    attempt cap `lib/crawler.js:304-319`). Shared by the golden branch,
-    the local fast path and the scale-mode side-output writer."""
+    """Carry + deferred + retry rows of one frame → next-wave frontier
+    rows (requeue-delay semantics `lib/crawler.js:152-154`, attempt cap
+    `lib/crawler.js:304-319`). Shared by the partition stage's side-write
+    and the local fast path."""
     parts = []
     carry = df[df["outcome"] == "carry"]
     if len(carry):
@@ -311,124 +399,59 @@ def route_next_frontier(df: pd.DataFrame, cfg: CrawlConfig,
     return frontier_table(merged)
 
 
-class ResolveEtags:
-    """Vectorized distributed etag resolution (semantics identical to
-    mark_etag_winner + ClaimEtags, pinned by tests/test_parity.py).
+def resolve_etag_frame(g: pd.DataFrame, pool) -> pd.DataFrame:
+    """Etag/304 resolution over a frame that contains ALL of the wave's
+    candidate rows for every etag it holds (the etag_part shuffle — or,
+    on the local path, the whole wave). Semantics identical to the
+    oracle (`providers/fetcher/githubFetcher.js:26-84` analogue):
 
-    Inputs (broadcast refs): the set of *competing* etags this wave
-    (> 1 candidate row, found via one hash-aggregate over a slim
-    projection) and the pre-resolved winner url per competing etag (first
-    by ORDER_COLS — the in-wave 304 rule,
-    `providers/fetcher/githubFetcher.js:78-84`). Non-competing candidates
-    are winners by construction, so the per-batch work is two hash-set
-    probes + one shard-pool claim RPC — no per-group Python tasks."""
+    - in-wave winner per etag = first candidate by ORDER_COLS (the full
+      tie-break, including discovered_from — shared with the oracle);
+    - the winner claims the etag against the shard pool: first claim
+      across all waves → 'fetched'; already claimed → 'not_modified';
+    - in-wave losers → 'not_modified'.
 
-    def __init__(self, pool, competing_ref, winners_ref,
-                 side_cfg: tuple | None = None):
-        self.pool = pool
-        self.competing_ref = competing_ref
-        self.winners_ref = winners_ref
-        #: scale-mode side outputs: (cfg, clock, wave, stats_dir, dead_dir,
-        #: frontier_dir) — per-BLOCK deterministic files (task retries
-        #: rewrite the same name/content), replacing a stats aggregate,
-        #: the deadletter pull and three keep-branch re-reads per wave
-        self.side_cfg = side_cfg
-        self._cache = None
+    Vectorized across ALL etags in the frame: one sort + one claim RPC
+    bundle, never per-etag Python."""
+    cand = (g["outcome"] == "").to_numpy()
+    if not cand.any():
+        return g
+    sub = g[cand].sort_values(["etag"] + ORDER_COLS, kind="stable")
+    winner_idx = sub.index[~sub["etag"].duplicated(keep="first").to_numpy()]
+    g.loc[g.index[cand], "outcome"] = "not_modified"
+    if "etag_hash" in g.columns:
+        ehash = g.loc[winner_idx, "etag_hash"].to_numpy(dtype=np.int64)
+    else:
+        ehash = hash64_array(g.loc[winner_idx, "etag"])
+    first = pool.claim_etags(ehash)
+    g.loc[winner_idx[first], "outcome"] = "fetched"
+    return g
 
-    def _maps(self):
-        if self._cache is None:
-            comp, win = self.competing_ref, self.winners_ref
-            if isinstance(comp, ray.ObjectRef):
-                comp = ray.get(comp)
-            if isinstance(win, ray.ObjectRef):
-                win = ray.get(win)
-            self._cache = (comp, win)
-        return self._cache
 
-    @staticmethod
-    def competing_and_winners(cur: pd.DataFrame) -> tuple[set, dict]:
-        """Driver-side (local-path) equivalent of the distributed competing-
-        etag aggregate + winner pull: etags with >1 candidate row and the
-        first candidate per such etag by ORDER_COLS."""
-        cand = cur["outcome"] == ""
-        vc = cur.loc[cand, "etag"].value_counts()
-        competing = set(vc.index[vc > 1])
-        winners: dict = {}
-        if competing:
-            sub = cur[cand & cur["etag"].isin(competing)]
-            w = sub.sort_values(ORDER_COLS, kind="stable").drop_duplicates("etag")
-            winners = dict(zip(w["etag"], w["url"]))
-        return competing, winners
+def make_resolve_stage(pool, cfg: CrawlConfig, side: WaveSide):
+    """groupby('etag_part') — the wave's second (candidate-only) shuffle:
+    co-locates every candidate of one etag, resolves winners + the 304
+    claim vectorized across etags, side-writes its stats/order rows, and
+    returns only the fetched rows (slim FETCHED_COLS) for the extract
+    shuffle."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        competing, winner_url = self._maps()
-        b = batch.copy()
-        cand = (b["outcome"] == "").to_numpy()
-        b["etag_winner"] = False
-        if not cand.any():
-            return b
-        et = b["etag"].to_numpy(dtype=object)
-        urls = b["url"].to_numpy(dtype=object)
-        in_comp = np.fromiter((e in competing for e in et), dtype=bool,
-                              count=len(b)) if competing else \
-            np.zeros(len(b), dtype=bool)
-        is_winner = cand & (~in_comp | np.fromiter(
-            (winner_url.get(e) == u for e, u in zip(et, urls)),
-            dtype=bool, count=len(b)))
-        b.loc[cand & ~is_winner, "outcome"] = "not_modified"
-        b.loc[is_winner, "etag_winner"] = True
-        win = b["etag_winner"] & (b["outcome"] == "")
-        if win.any():
-            ehash = hash64_array(b.loc[win, "etag"].to_numpy(dtype=object))
-            first = self.pool.claim_etags(ehash)
-            idx = b.index[win]
-            b.loc[idx[first], "outcome"] = "fetched"
-            b.loc[idx[~first], "outcome"] = "not_modified"
-        if self.side_cfg is not None:
-            self._write_side(b)
-        return b
+    def resolve_stage(g: pd.DataFrame) -> pd.DataFrame:
+        g = resolve_etag_frame(g.reset_index(drop=True), pool)
+        part = int(g["etag_part"].iloc[0]) if len(g) else 0
+        name = f"e{part}"
+        write_stats(side.stats_dir, name, g)
+        if side.order_dir is not None and len(g):
+            _write_sidecar(side.order_dir, name, g[ORDER_META])
+        return g.loc[g["outcome"] == "fetched", FETCHED_COLS]
 
-    def _write_side(self, b: pd.DataFrame) -> None:
-        cfg, clock, wave, stats_dir, dead_dir, frontier_dir = self.side_cfg
-        # deterministic per-block name: blocks are disjoint partition-group
-        # ranges, so (part range, rows, min url_hash) identifies a block
-        # across retries without colliding between blocks
-        parts = b["polite_part"].to_numpy()
-        name = (f"b{int(parts.min())}-{int(parts.max())}"
-                f"-{len(b)}-{int(b['url_hash'].min()) & 0xFFFFFF:x}")
-        d = Path(stats_dir)
-        d.mkdir(parents=True, exist_ok=True)
-        s = b.groupby(["bucket", "outcome"]).size().rename("n").reset_index()
-        pq.write_table(pa.Table.from_pandas(s, preserve_index=False),
-                       d / f"{name}.parquet")
-        mal = b[b["outcome"] == "malformed"]
-        err = b[b["outcome"] == "fetch_error"]
-        bumped = err["attempt"].astype(np.int32) + 1
-        over = bumped > cfg.attempt_cap
-        if len(mal) or bool(over.any()):
-            dead = pd.concat([
-                pd.DataFrame({"url": mal["url"].astype(str),
-                              "reason": "malformed",
-                              "attempt": mal["attempt"].astype(np.int32)}),
-                pd.DataFrame({"url": err.loc[over, "url"].astype(str),
-                              "reason": "attempt_cap",
-                              "attempt": bumped[over]}),
-            ], ignore_index=True)
-            dead["wave"] = np.int32(wave)
-            dd = Path(dead_dir)
-            dd.mkdir(parents=True, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(dead, preserve_index=False),
-                           dd / f"{name}.parquet")
-        nf = route_next_frontier(b, cfg, clock)
-        if nf.num_rows:
-            fd = Path(frontier_dir)
-            fd.mkdir(parents=True, exist_ok=True)
-            pq.write_table(nf, fd / f"{name}.parquet")
+    resolve_stage.__name__ = "resolve_stage"
+    return resolve_stage
 
 
 def make_extract_stage(web_root: str, out_dir: str, wave: int):
     """groupby('bucket') over fetched rows: join html partition, extract
-    text + links, write the pages_out partition idempotently, emit links."""
+    text + links, write the pages_out partition and the links partition
+    idempotently, emit links rows for the frontier conversion."""
 
     def extract_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["bucket"].iloc[0])
@@ -446,7 +469,11 @@ def make_extract_stage(web_root: str, out_dir: str, wave: int):
                             on="src_url", how="left")
         links["depth"] = links["depth"].astype(np.int32)
         links["wave"] = np.int32(wave)
-        return links[["wave", "src_url", "dst_url", "link_index", "depth"]]
+        links = links[["wave", "src_url", "dst_url", "link_index", "depth"]]
+        if len(links):
+            _write_sidecar(str(Path(out_dir) / "links" / f"wave={wave}"),
+                           f"bucket={b}", links)
+        return links
 
     extract_bucket.__name__ = "extract_bucket"
     return extract_bucket

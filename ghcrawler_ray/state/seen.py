@@ -23,6 +23,8 @@ task, never per row.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import ray
 
@@ -69,10 +71,13 @@ class _Exact64:
         return out
 
     def add_many(self, hashes: np.ndarray) -> np.ndarray:
-        """Insert hashes (caller guarantees they are not present)."""
+        """Insert hashes; already-present hashes (e.g. re-adds after an
+        untrack, or retried idempotent claims) are filtered so ``n_items``
+        cannot drift."""
         h = np.unique(np.asarray(hashes, dtype=np.int64))
         if len(self._deleted):
             self._deleted = self._deleted[~np.isin(self._deleted, h)]
+        h = h[~(self._in_sorted(self._base, h) | np.isin(h, self._tail))]
         self._tail = np.concatenate([self._tail, h])
         if len(self._tail) > self._MERGE_AT:
             self._compact()
@@ -123,18 +128,46 @@ class SeenShard:
         self.bloom = BloomFilter(capacity)
         self.n_claims = 0
         self.n_bounces = 0
+        #: hashes first-claimed during the CURRENT wave — makes claims
+        #: wave-idempotent: a Ray task retried after its claim RPC already
+        #: succeeded re-claims the same hashes and still gets True, instead
+        #: of silently bouncing its whole partition (in-wave url dedup
+        #: guarantees each hash legitimately reaches claim at most once per
+        #: wave, so an in-wave re-claim can only be a retry). Memory is
+        #: O(claims this wave), cleared by begin_wave. Tracking is OFF
+        #: (None) until the first begin_wave: raw-pool users get the
+        #: reference's strict tag semantics (re-claim always bounces).
+        self._wave: int | None = None
+        self._wave_urls: set[int] = set()
+        self._wave_etags: set[int] = set()
+
+    def begin_wave(self, wave: int) -> int:
+        self._wave = wave
+        self._wave_urls = set()
+        self._wave_etags = set()
+        return wave
+
+    @staticmethod
+    def _retry_mask(hashes: np.ndarray, wave_set: set[int]) -> np.ndarray:
+        if not wave_set:
+            return np.zeros(len(hashes), dtype=bool)
+        return np.fromiter((int(h) in wave_set for h in hashes),
+                           dtype=bool, count=len(hashes))
 
     # --- url namespace (tracker-tag semantics) ---
     def claim(self, hashes: np.ndarray) -> np.ndarray:
-        """Insert-if-absent; True where newly claimed (False = bounce)."""
+        """Insert-if-absent; True where newly claimed (False = bounce).
+        Wave-idempotent: re-claims of this wave's own claims return True."""
         seen = self.urls.contains_many(hashes)
-        new = ~seen
+        new = ~seen | self._retry_mask(hashes, self._wave_urls)
         if new.any():
             h = hashes[new]
             self.urls.add_many(h)
             self.bloom.add_many(h.astype(np.uint64))
+            if self._wave is not None:
+                self._wave_urls.update(int(x) for x in h)
         self.n_claims += int(new.sum())
-        self.n_bounces += int(seen.sum())
+        self.n_bounces += int((~new).sum())
         return new
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -148,14 +181,36 @@ class SeenShard:
     # --- etag namespace (content-dedup / 304 analogue) ---
     def claim_etags(self, hashes: np.ndarray) -> np.ndarray:
         seen = self.etags.contains_many(hashes)
-        new = ~seen
+        new = ~seen | self._retry_mask(hashes, self._wave_etags)
         if new.any():
-            self.etags.add_many(hashes[new])
+            h = hashes[new]
+            self.etags.add_many(h)
+            if self._wave is not None:
+                self._wave_etags.update(int(x) for x in h)
         return new
 
     # --- snapshots (per-wave checkpoint) ---
     def bloom_state(self) -> dict:
         return self.bloom.to_state()
+
+    def save_snapshot(self, path: str) -> str:
+        """Write this shard's snapshot itself (scale path: snapshot bytes
+        never transit the driver — at the 10^10-URL design point
+        ``snapshot_all`` through the driver would be ~80 GB per wave)."""
+        import pickle
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(self.snapshot(), f)
+        tmp.rename(p)
+        return str(p)
+
+    def load_snapshot(self, path: str) -> int:
+        import pickle
+        with open(path, "rb") as f:
+            self.restore(pickle.load(f))
+        return self.shard_id
 
     def snapshot(self) -> dict:
         return {
@@ -237,6 +292,10 @@ class SeenSetPool:
         return self._call("claim_etags", hashes)
 
     # --- wave lifecycle ---
+    def begin_wave(self, wave: int) -> None:
+        """Reset per-wave claim-idempotency sets on every shard."""
+        ray.get([s.begin_wave.remote(wave) for s in self.shards])
+
     def bloom_refs(self) -> list:
         """ObjectRefs to each shard's bloom state (broadcast per wave)."""
         return [s.bloom_state.remote() for s in self.shards]
@@ -246,6 +305,21 @@ class SeenSetPool:
 
     def restore_all(self, snaps: list[dict]) -> None:
         ray.get([self.shards[int(s["shard_id"])].restore.remote(s) for s in snaps])
+
+    # --- shard-side snapshot files (driver sees only paths) ---
+    def save_snapshots(self, snap_dir: str) -> list[str]:
+        return ray.get([
+            s.save_snapshot.remote(str(Path(snap_dir) / f"shard={i}.pkl"))
+            for i, s in enumerate(self.shards)])
+
+    def load_snapshots(self, snap_dir: str) -> None:
+        d = Path(snap_dir)
+        refs = []
+        for i, s in enumerate(self.shards):
+            p = d / f"shard={i}.pkl"
+            if p.exists():
+                refs.append(s.load_snapshot.remote(str(p)))
+        ray.get(refs)
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])

@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 from .config import PRIORITIES
 from .urls import hash64_array
 
-GENVER = "g4"
+GENVER = "g5"   # g5: hash64 switched to vectorized polars hash (bucket layout)
 CACHE_ROOT = Path(os.environ.get("GHCRAWLER_RAY_CACHE", "/tmp/ghcrawler_ray_cache"))
 
 _ADJ = ["quiet", "rapid", "brittle", "golden", "weary", "sharp", "hollow"]

@@ -56,6 +56,25 @@ def test_snapshot_restore_exact(pool):
     assert sum(s["n_urls"] for s in stats) > 0
 
 
+def test_wave_idempotent_claims(ray_session):
+    """A Ray task retried after its claim RPC already succeeded must be
+    able to re-claim the same hashes within the wave (and still bounce on
+    hashes claimed in EARLIER waves)."""
+    p = SeenSetPool(n_shards=2, namespace="test-seen-wave")
+    p.begin_wave(0)
+    a = [f"http://w0-{i}.example/" for i in range(40)]
+    assert p.claim(_h(a)).all()
+    assert p.claim(_h(a)).all()          # retry within wave 0 → still True
+    assert p.claim_etags(_h(a)).all()
+    assert p.claim_etags(_h(a)).all()    # etag namespace: same idempotency
+    p.begin_wave(1)
+    assert not p.claim(_h(a)).any()      # next wave → strict bounce again
+    assert not p.claim_etags(_h(a)).any()
+    b = [f"http://w1-{i}.example/" for i in range(10)]
+    assert p.claim(_h(b)).all()
+    assert p.claim(_h(b)).all()          # retry in wave 1 → True
+
+
 def test_cuckoo_mode_pool(ray_session):
     p = SeenSetPool(n_shards=2, mode="cuckoo", capacity_per_shard=10_000,
                     namespace="test-seen-ck")
