@@ -171,8 +171,13 @@ def q_frontier_rank(sf_dir: str) -> pd.DataFrame:
 
 def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Content dedup of the pages table by md5(html) — the etag/304 layer
-    (`providers/fetcher/githubFetcher.js:26-84`) as a batch op."""
+    (`providers/fetcher/githubFetcher.js:26-84`) as a batch op. Keep-first
+    is an AGGREGATE (Min over the url), not a per-group Python task: the
+    round-1 groupby().map_groups ran one task per unique hash (20,300 at
+    sf0.01 — the project's own measured per-group-task pitfall)."""
     import hashlib
+
+    from ray.data.aggregate import Count, Min
 
     def h(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -180,15 +185,11 @@ def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
                              for b in df["html"]],
             "url": df["url"].astype(str)})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("url")
-        return pd.DataFrame({"content_hash": [g["content_hash"].iloc[0]],
-                             "keep_url": [g["url"].iloc[0]],
-                             "n_copies": np.array([len(g)], dtype=np.int64)})
-
     return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
             .map_batches(h, batch_format="pandas")
-            .groupby("content_hash").map_groups(keep_first, batch_format="pandas"))
+            .groupby("content_hash")
+            .aggregate(Min("url", alias_name="keep_url"),
+                       Count(alias_name="n_copies")))
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
@@ -233,18 +234,22 @@ def q_pages_lang_dist(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     def fix(df: pd.DataFrame) -> pd.DataFrame:
+        # avg from the EXACT integer Sum/Count in one float64 division —
+        # mirrored 1:1 in the SQL (sum()::DOUBLE / count()). Ray's Mean
+        # aggregate sums floats in partition order, which diverges from
+        # DuckDB's avg() at the 6-dp rounding boundary (round-1 hash fail).
         df = df.copy()
-        df["avg_chars"] = df["avg_chars"].round(6)
+        df["avg_chars"] = (df["total_chars"].astype(np.float64)
+                           / df["n_docs"].astype(np.float64)).round(6)
         return df
 
     return (_docs(sf_dir).select_columns(["lang", "n_chars"])
             .groupby("lang")
             .aggregate(Count(alias_name="n_docs"),
-                       Sum("n_chars", alias_name="total_chars"),
-                       Mean("n_chars", alias_name="avg_chars"))
+                       Sum("n_chars", alias_name="total_chars"))
             .map_batches(fix, batch_format="pandas"))
 
 
@@ -421,6 +426,27 @@ def _crawl_sql(sf: float) -> dict[str, str]:
     }
 
 
+def _emb_lsh_sql() -> str:
+    """The random-hyperplane LSH op is fully SQL-expressible: the seeded
+    planes (ops_ann.lsh_planes) become literal DOUBLE arrays and the
+    signature bit p is sign(list_dot_product(embedding, plane_p)) — the
+    sign of the raw dot product equals the sign of the normalized one, so
+    Ray and DuckDB compute identical buckets."""
+    planes = ops_ann.lsh_planes()          # (dim, n_planes)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(repr(float(x)) for x in planes[:, p])
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes.shape[1]))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v, {bits} AS sig FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.LSH_COS_THRESHOLD}"""
+
+
 def _ops_sql() -> dict[str, str]:
     en = _marker_sql(ops_text.LANG_MARKERS["en"])
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
@@ -509,6 +535,7 @@ def _ops_sql() -> dict[str, str]:
                                    ORDER BY c DESC, neighbor_id) AS rank,
                 round(c, 6) AS cos
             FROM s QUALIFY rank <= 5""",
+        "embedding_lsh_pairs": _emb_lsh_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -523,7 +550,7 @@ def _ops_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-                   round(avg(n_chars), 6) AS avg_chars
+                   round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_chars
             FROM documents GROUP BY lang""",
         "user_sessions": """
             WITH o AS (SELECT event_id, ts, user_id, value,
@@ -594,7 +621,7 @@ def oracle_sql() -> dict[str, str]:
     """SQL mirrors for every SQL-expressible query. Omitted on purpose
     (stateful/iterative or sketch-based → rows-only check): crawl_seen,
     crawl_order, crawl_deadletter, crawl_metrics, doc_fingerprints,
-    minhash_lsh_pairs, simhash_pairs, embedding_lsh_pairs."""
+    minhash_lsh_pairs, simhash_pairs."""
     out = dict(_ops_sql())
     out.update(_crawl_sql(0.01))   # driver correctness runs at sf=0.01
     return out

@@ -32,6 +32,14 @@ N_QUERIES = 8            # queries = vec_id < N_QUERIES
 DUP_COS_THRESHOLD = 0.4  # synthetic embeddings have no planted dups; 0.4
                          # keeps the pair set small but non-trivial
 LSH_PLANES = 8
+EMB_DIM = 64
+LSH_COS_THRESHOLD = 0.3
+
+
+def lsh_planes(dim: int = EMB_DIM, n_planes: int = LSH_PLANES) -> np.ndarray:
+    """Deterministic seeded hyperplanes — shared by the Ray op and the
+    SQL-oracle literal generator in __ray_entry__."""
+    return np.random.RandomState(1234).randn(dim, n_planes)
 
 
 def _mat(df: pd.DataFrame) -> np.ndarray:
@@ -130,43 +138,71 @@ def ann_topk_ivf(emb: ray.data.Dataset, k: int = 5,
             .groupby("label").map_groups(cell, batch_format="pandas"))
 
 
+#: rows the driver may hold at once for the block-broadcast exact join
+DUP_CHUNK = 4096
+
+
 def embedding_dup_pairs(emb: ray.data.Dataset,
                         threshold: float = DUP_COS_THRESHOLD) -> ray.data.Dataset:
-    """(vec_a, vec_b, cos ≥ threshold), vec_a < vec_b — brute force with a
-    broadcast full matrix (small-side pattern; scale path below)."""
-    rows = emb.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ref = ray.put((ids[order],
-                   _normed(np.stack([np.asarray(rows[i]["embedding"],
-                                                dtype=np.float64)
-                                     for i in order]))))
+    """(vec_a, vec_b, cos ≥ threshold), vec_a < vec_b — exact all-pairs as
+    a block-broadcast nested-loop join: vectors are hash-split into chunks
+    of ≤DUP_CHUNK rows; each chunk is broadcast once (``ray.put``) and the
+    full table streams against it (one matmul per batch). The driver never
+    holds more than one chunk (the round-1 version ``take_all()``-ed the
+    entire table). Pair (a, b) is emitted exactly once — by the chunk that
+    contains ``a`` (the broadcast-side id must be the smaller one).
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_m = ray.get(ref)
-        m = _normed(_mat(df))
-        ids_b = df["vec_id"].to_numpy(dtype=np.int64)
-        sims = m @ all_m.T
-        bi, aj = np.nonzero((sims >= threshold) & (ids_b[:, None] < all_ids[None, :]))
-        return pd.DataFrame({"vec_a": ids_b[bi], "vec_b": all_ids[aj],
-                             "cos": np.round(sims[bi, aj], 6)})
+    Exact quadratic work is inherent to the op: n/DUP_CHUNK streaming
+    passes. The sub-quadratic scale path is :func:`embedding_lsh_pairs`."""
+    n = emb.count()
+    n_chunks = max(1, -(-n // DUP_CHUNK))
+    parts = []
+    for c in range(n_chunks):
+        chunk = (emb.select_columns(["vec_id", "embedding"])
+                 .map_batches(lambda df, _c=c: df[df["vec_id"].to_numpy(
+                     dtype=np.int64) % n_chunks == _c],
+                     batch_format="pandas")
+                 .take_all())
+        if not chunk:
+            continue
+        ids = np.array([r["vec_id"] for r in chunk], dtype=np.int64)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order],
+                       _normed(np.stack([np.asarray(chunk[i]["embedding"],
+                                                    dtype=np.float64)
+                                         for i in order]))))
 
-    return emb.select_columns(["vec_id", "embedding"]).map_batches(
-        pairs, batch_format="pandas", batch_size=4096)
+        def pairs(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c_ids, c_m = ray.get(_ref)
+            m = _normed(_mat(df))
+            ids_b = df["vec_id"].to_numpy(dtype=np.int64)
+            sims = m @ c_m.T                      # (batch, chunk)
+            bi, aj = np.nonzero((sims >= threshold)
+                                & (c_ids[None, :] < ids_b[:, None]))
+            return pd.DataFrame({"vec_a": c_ids[aj], "vec_b": ids_b[bi],
+                                 "cos": np.round(sims[bi, aj], 6)})
+
+        parts.append(emb.select_columns(["vec_id", "embedding"]).map_batches(
+            pairs, batch_format="pandas", batch_size=4096))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
-def embedding_lsh_pairs(emb: ray.data.Dataset, threshold: float = 0.3,
-                        n_planes: int = LSH_PLANES, dim: int = 64) -> ray.data.Dataset:
+def embedding_lsh_pairs(emb: ray.data.Dataset, threshold: float = LSH_COS_THRESHOLD,
+                        n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> ray.data.Dataset:
     """Scale path: random-hyperplane signature (seeded, deterministic) →
     groupby(signature) buckets → exact cosine within bucket. Recall is
     partial by design (documented LSH trade-off); at 10^10 rows, multiple
     plane sets / band rotations raise recall."""
-    planes = np.random.RandomState(1234).randn(dim, n_planes)
+    planes = lsh_planes(dim, n_planes)
     p_ref = ray.put(planes)
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
-        m = _normed(_mat(df))
-        bits = (m @ ray.get(p_ref)) > 0
+        # RAW dot products (sign is invariant under normalization) so the
+        # DuckDB oracle can recompute the signature with list_dot_product
+        bits = (_mat(df) @ ray.get(p_ref)) > 0
         s = (bits.astype(np.uint64)
              << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
         return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),

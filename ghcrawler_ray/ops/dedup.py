@@ -8,13 +8,21 @@ Ray-Data-first shapes (and their 100 TB scale paths):
   (`providers/fetcher/githubFetcher.js:26-84` analogue).
 - MinHash-LSH: shingle → 64 minhashes → 8 bands × 8 rows; explode to
   (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` emits
-  candidate pairs → exact-Jaccard verify. The only shuffle moves
-  (band_hash, doc_id) pairs — never text. At scale the verify stage is a
-  double hash-join of pairs against the shingle table; at test scale we
-  broadcast the shingle sets via ``ray.put``.
+  candidate pairs, deduped across bands with an AGGREGATE (one Python
+  task per reduce partition, never per pair). The verify stage never
+  materializes shingle sets: only the candidate PAIR LIST (output-sized)
+  is broadcast; documents stream once more emitting slim
+  (pair_id, shingle_hash) rows, and two aggregates compute exact
+  intersection/union counts → Jaccard. No ``take_all`` of corpus data.
 - SimHash: 64-bit sign-sum signature in ``map_batches``; candidates via
   4 × 16-bit chunk buckets (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole
-  over 4 chunks), verified by exact Hamming distance.
+  over 4 chunks), verified by exact Hamming distance; cross-chunk pair
+  dedup is an aggregate (Min), not a per-pair group task.
+- n-gram Jaccard: exact all-pairs within (lang, shingle-count band)
+  blocks. Geometric (power-of-2) bands are COMPLETE for the threshold:
+  J(A,B) ≥ t ⇒ |A|/|B| ≤ 1/t ≤ 2, so every qualifying pair falls in the
+  same or adjacent band; each doc is emitted to its own and the next
+  band, and a pair is evaluated only in block max(band_a, band_b).
 
 All hashing is blake2b-seeded (deterministic across processes); no RNG.
 """
@@ -28,7 +36,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from .text import WS_TOKEN_RE
 
@@ -151,38 +159,91 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": ids[ib].astype(np.int64)})
 
 
-def minhash_lsh_pairs(docs: ray.data.Dataset,
-                      threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
-    """(doc_a, doc_b, jaccard) pairs with exact-verified 3-token-shingle
-    Jaccard ≥ threshold, candidates from 8x8 MinHash-LSH banding."""
-    # broadcast shingle sets for the verify stage (scale path: hash-join
-    # the pair list against the shingle table twice instead)
-    sh_rows = (docs.select_columns(["doc_id", "text"])
-               .map_batches(lambda df: pd.DataFrame({
-                   "doc_id": df["doc_id"].astype(np.int64),
-                   "sh": [sorted(shingle_set(t)) for t in df["text"].astype(str)]}),
-                   batch_format="pandas")
-               .take_all())
-    sh_ref = ray.put({r["doc_id"]: set(r["sh"]) for r in sh_rows})
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(sh_ref)
-        a = int(g["doc_a"].iloc[0])
-        b = int(g["doc_b"].iloc[0])
-        j = jaccard(sh[a], sh[b])
-        if j < threshold:
-            return pd.DataFrame({"doc_a": np.empty(0, np.int64),
-                                 "doc_b": np.empty(0, np.int64),
-                                 "jaccard": np.empty(0, np.float64)})
-        # raw double: single int/int division — bit-identical everywhere
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [j]})
-
+def lsh_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Unique MinHash-LSH candidate pairs (doc_a < doc_b): band explode →
+    bucket all-pairs → cross-band dedup via AGGREGATE (no per-pair task)."""
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(_band_rows, batch_format="pandas")
             .groupby(["band", "band_hash"])
             .map_groups(_bucket_pairs, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])       # dedup candidates across bands
-            .map_groups(verify, batch_format="pandas"))
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="n_bands")))
+
+
+def minhash_lsh_pairs(docs: ray.data.Dataset,
+                      threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard) pairs with exact-verified 3-token-shingle
+    Jaccard ≥ threshold, candidates from 8x8 MinHash-LSH banding.
+
+    Scale shape: the only driver-side materialization is the candidate
+    PAIR LIST (output-sized). Shingle sets are never collected: documents
+    stream once more, emitting (pair_id, shingle_hash) rows only for docs
+    that appear in a candidate pair; two slim aggregates then compute
+    |A∩B| (hashes seen from both sides) and |A∪B| = |A|+|B|−|A∩B|, and
+    jaccard = inter/union in one int/int division (bit-identical to the
+    scalar form)."""
+    cand = lsh_candidate_pairs(docs).take_all()
+    if not cand:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
+             "jaccard": np.empty(0, np.float64)}))
+    pairs = sorted((int(r["doc_a"]), int(r["doc_b"])) for r in cand)
+    doc_pairs: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(pairs):
+        doc_pairs.setdefault(a, []).append(pid)
+        doc_pairs.setdefault(b, []).append(pid)
+    dp_ref = ray.put(doc_pairs)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        dp = ray.get(dp_ref)
+        pid_out, hash_out = [], []
+        for doc_id, text in zip(df["doc_id"].astype(np.int64),
+                                df["text"].astype(str)):
+            pids = dp.get(int(doc_id))
+            if not pids:
+                continue
+            hs = _hash64_str(sorted(shingle_set(text))).view(np.int64)
+            for pid in pids:
+                pid_out.append(np.full(len(hs), pid, dtype=np.int64))
+                hash_out.append(hs)
+        if not pid_out:
+            return pd.DataFrame({"pair_id": np.empty(0, np.int64),
+                                 "sh_hash": np.empty(0, np.int64)})
+        return pd.DataFrame({"pair_id": np.concatenate(pid_out),
+                             "sh_hash": np.concatenate(hash_out)})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # (pair_id, sh_hash, cnt∈{1,2}) → per-pair partial inter/total
+        inter = (df["cnt"] == 2).astype(np.int64)
+        return pd.DataFrame({"pair_id": df["pair_id"].astype(np.int64),
+                             "inter_p": inter,
+                             "total_p": df["cnt"].astype(np.int64)}) \
+            .groupby("pair_id", as_index=False).sum()
+
+    per_pair = (docs.select_columns(["doc_id", "text"])
+                .map_batches(explode, batch_format="pandas")
+                .groupby(["pair_id", "sh_hash"])
+                .aggregate(Count(alias_name="cnt"))
+                .map_batches(partial, batch_format="pandas")
+                .groupby("pair_id")
+                .aggregate(Sum("inter_p", alias_name="inter"),
+                           Sum("total_p", alias_name="total")))
+
+    pairs_arr = np.array(pairs, dtype=np.int64)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["pair_id"].to_numpy(dtype=np.int64)
+        inter = df["inter"].to_numpy(dtype=np.int64)
+        union = df["total"].to_numpy(dtype=np.int64) - inter
+        ok = union > 0
+        j = np.zeros(len(df), dtype=np.float64)
+        j[ok] = inter[ok] / union[ok]
+        keep = ok & (j >= threshold)
+        return pd.DataFrame({"doc_a": pairs_arr[pid[keep], 0],
+                             "doc_b": pairs_arr[pid[keep], 1],
+                             "jaccard": j[keep]})
+
+    return per_pair.map_batches(finish, batch_format="pandas")
 
 
 # ---- SimHash ----
@@ -232,29 +293,62 @@ def simhash_pairs(docs: ray.data.Dataset,
                              "doc_b": ids[ib][keep].astype(np.int64),
                              "hamming": ham[keep]})
 
+    def drop_aux(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_a", "doc_b", "hamming"]]
+
+    # cross-chunk pair dedup is an AGGREGATE (a pair found in several
+    # chunk buckets has the same hamming everywhere, so Min == the value);
+    # the round-1 groupby().map_groups(head) ran one Python task per pair
     return (sigs.map_batches(explode, batch_format="pandas")
             .groupby(["chunk", "chunk_val"])
             .map_groups(bucket, batch_format="pandas")
             .groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+            .aggregate(Min("hamming", alias_name="hamming"))
+            .map_batches(drop_aux, batch_format="pandas"))
 
 
 # ---- exact n-gram Jaccard pairs (verification-path dedup) ----
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset,
                         threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
-    """(doc_a, doc_b, jaccard ≥ threshold), exact, within same ``lang``
-    (the blocking key). SQL-oracle-checkable: the DuckDB mirror builds the
-    same shingle lists with list_transform. Scale path: block by
-    (lang, length-band) and LSH-prefilter; here lang blocks are small."""
+    """(doc_a, doc_b, jaccard ≥ threshold), exact, within same ``lang``.
+    SQL-oracle-checkable: the DuckDB mirror builds the same shingle lists
+    with list_transform and joins on lang only — the extra length-band
+    blocking here changes NOTHING in the output, it only bounds block
+    size:
+
+    J(A,B) ≥ t ⇒ |A|/|B| ≤ 1/t ≤ 2 (t ≥ 0.5), so with geometric bands
+    band = floor(log2(n_shingles)) every qualifying pair lies in the same
+    or adjacent band. Each doc is emitted into its own band and the next
+    one, and a pair is evaluated only in block max(band_a, band_b), so
+    each pair is counted exactly once and no qualifying pair is missed.
+    Block key = (lang, band): all-pairs work is O(Σ block²) instead of
+    O(Σ lang-block²)."""
+    assert threshold >= 0.5, "geometric banding assumes |A|/|B| <= 2"
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(np.int64)
+        texts = df["text"].astype(str)
+        sets = [sorted(shingle_set(t)) for t in texts]
+        n = np.array([max(len(s), 1) for s in sets], dtype=np.int64)
+        band = np.floor(np.log2(n)).astype(np.int32)
+        out = pd.DataFrame({"doc_id": ids, "lang": df["lang"].astype(str),
+                            "band": band, "own_band": band, "sh": sets})
+        up = out.copy()
+        up["band"] = up["band"] + 1
+        return pd.concat([out, up], ignore_index=True)
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
+        blk = int(g["band"].iloc[0])
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy(dtype=np.int64)
-        sets = [shingle_set(t) for t in g["text"].astype(str)]
+        own = g["own_band"].to_numpy(dtype=np.int64)
+        sets = [set(s) for s in g["sh"]]
         rows = []
         for i in range(len(ids)):
             for k in range(i + 1, len(ids)):
+                if ids[i] == ids[k] or max(own[i], own[k]) != blk:
+                    continue  # evaluated in the pair's own max-band block
                 j = jaccard(sets[i], sets[k])
                 if j >= threshold:
                     rows.append((ids[i], ids[k], j))
@@ -264,4 +358,5 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset,
                                        "jaccard": np.empty(0, np.float64)})
 
     return (docs.select_columns(["doc_id", "lang", "text"])
-            .groupby("lang").map_groups(block, batch_format="pandas"))
+            .map_batches(to_bands, batch_format="pandas")
+            .groupby(["lang", "band"]).map_groups(block, batch_format="pandas"))

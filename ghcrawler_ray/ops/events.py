@@ -9,9 +9,12 @@ streaming-window semantics a web-scale event pipeline needs:
   happens inside Ray Data's hash-groupby combiner, so the shuffle moves
   one row per (window, type) per block, not raw events.
 - ``sessionize``: gap-based sessions per user (stateful, order-dependent)
-  as ``groupby(user_id).map_groups`` — the per-key-partitioned stateful
-  pattern (same ownership-by-partition idea that replaced the reference's
-  per-URL redlock, SURVEY.md §1.3/T6).
+  via a COARSE user-hash partition (``user_id % N_USER_PARTS``): one
+  shuffle co-locates each user's events, and within a partition the
+  session assignment is vectorized across ALL its users (sort + grouped
+  cumsum) — never one Python task per user (the round-1
+  ``groupby(user_id).map_groups`` shape; the project's measured pitfall:
+  per-group tasks at high key cardinality).
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 SESSION_GAP_MIN = 30
+N_USER_PARTS = 64
 
 
 def windowed_agg(events: ray.data.Dataset, window: str = "hour") -> ray.data.Dataset:
@@ -50,22 +54,37 @@ def sessionize(events: ray.data.Dataset,
     (user_id, session_id, n_events, t_start, t_end, sum_value)."""
     gap = np.timedelta64(gap_minutes * 60_000_000, "us")
 
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts", "user_id", "value"]].copy()
+        out["upart"] = (df["user_id"].to_numpy(dtype=np.int64)
+                        % N_USER_PARTS).astype(np.int32)
+        return out
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        # one coarse partition = MANY users; vectorized across all of them
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
         ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        new_user = np.zeros(len(g), dtype=bool)
         brk = np.zeros(len(g), dtype=np.int64)
         if len(g) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = brk.cumsum()
-        g["session_id"] = sid
-        agg = g.groupby("session_id").agg(
+            new_user[1:] = uid[1:] != uid[:-1]
+            brk[1:] = ((np.diff(ts) > gap) & ~new_user[1:]).astype(np.int64)
+        # per-user session id = cumsum of breaks, rebased at user starts
+        c = brk.cumsum()
+        starts = np.flatnonzero(np.concatenate([[True], new_user[1:]]))
+        runlen = np.diff(np.concatenate([starts, [len(g)]]))
+        g["session_id"] = c - np.repeat(c[starts], runlen)
+        agg = g.groupby(["user_id", "session_id"], sort=False).agg(
             n_events=("event_id", "size"),
             t_start=("ts", "min"), t_end=("ts", "max"),
             sum_value=("value", "sum")).reset_index()
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
         agg["sum_value"] = agg["sum_value"].round(6)
         agg["n_events"] = agg["n_events"].astype(np.int64)
-        return agg
+        return agg[["user_id", "session_id", "n_events", "t_start", "t_end",
+                    "sum_value"]]
 
     return (events.select_columns(["event_id", "ts", "user_id", "value"])
-            .groupby("user_id").map_groups(sessions, batch_format="pandas"))
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("upart").map_groups(sessions, batch_format="pandas"))

@@ -193,11 +193,16 @@ class CrawlEngine:
                 ExecutionResources
             ctx.execution_options.resource_limits = \
                 ExecutionResources.for_limits(cpu=total_cpu - 2)
-        # shuffle partition count: the default min_parallelism=200 sprays
-        # 200 reduce partitions per all-to-all — a pure scheduling storm at
-        # wave sizes (measured 15-22 s for a 700k-row int groupby); ~2×CPU
-        # partitions is the sweet spot and still scales with the cluster
-        ctx.min_parallelism = max(16, 2 * total_cpu)
+        # shuffle partition count: a FIXED job parameter (cfg.n_polite_parts),
+        # deliberately independent of cluster size — the north-rule scaling
+        # criterion runs the SAME job at N and 4N nodes, and per-barrier
+        # fixed cost is ~13 ms × partitions (measured: 4 chained groupbys on
+        # 105k rows = 3.3 s at 64 partitions, 0.95 s at 16), so tying the
+        # partition count to the cluster size makes the bigger cluster pay
+        # a bigger serial floor. (Ray's default min_parallelism=200 sprayed
+        # 200 reduce partitions per all-to-all — 15-22 s per 700k-row
+        # groupby.)
+        ctx.min_parallelism = self.cfg.n_polite_parts
         self.pool = SeenSetPool(cfg.n_shards, cfg.seen_mode,
                                 namespace=f"seen-{self._ns}")
         self._robots = self._robots_dict()
@@ -215,7 +220,17 @@ class CrawlEngine:
                 n_next, clock, hot = self._run_wave_local(
                     k, clock, files, robots_ref, hot)
             else:
-                frontier = ray.data.read_parquet(files)
+                # the sort-shuffles inherit their partition count from the
+                # input block count: force a fixed block count (= shuffle
+                # partition count, a job parameter — see ctx.min_parallelism
+                # note above) so every stage of the chain parallelizes the
+                # same way at any cluster size; a single-file frontier would
+                # otherwise run the wave on one task. The n_rows/256k term
+                # keeps one slim block ~50 MB at any scale.
+                n_blocks = int(max(self.cfg.n_polite_parts,
+                                   -(-n_rows // 262144)))
+                frontier = ray.data.read_parquet(
+                    files, override_num_blocks=n_blocks)
                 n_next, clock, hot = self._run_wave(k, clock, frontier,
                                                     robots_ref, hot, min_nb)
             self._write_manifest(k, {"wave": k, "next_clock": clock,
@@ -258,8 +273,13 @@ class CrawlEngine:
         # side-written inside the stages (idempotent per-group filenames).
         pipe = (
             frontier
+            # per-BLOCK mapping (no batch_size): an explicit batch_size
+            # coalesces blocks, and the downstream sort-shuffles inherit
+            # that collapsed block count as their partition count
+            # (measured: batch_size=16384 capped a 32-CPU wave at 7 tasks
+            # in EVERY stage)
             .map_batches(PrepareBatch(cfg, robots_ref, clock, cfg.n_buckets, hot),
-                         batch_format="pandas", batch_size=16384)
+                         batch_format="pandas")
             .groupby("polite_part").map_groups(
                 make_partition_stage(self.pool, self.web_root, cfg,
                                      robots_ref, hot, side),

@@ -166,12 +166,26 @@ class PrepareBatch:
         self.n_buckets = n_buckets
         self.hot_hosts = set(hot_hosts)
         self._robots = None
+        self._rules = None          # (ruled-host set, exploded host→prefix df)
         self._deny = re.compile(cfg.deny_url_regex)
 
     def robots(self) -> dict:
         if self._robots is None:
             self._robots = ray.get(self.robots_ref)
         return self._robots
+
+    def _rule_frame(self) -> tuple[set, pd.DataFrame]:
+        """Once per worker: robots disallow rules exploded to one
+        (host, prefix) row each, plus the set of hosts that have any —
+        the per-batch check is then one isin + one host merge instead of
+        a Python loop over every distinct host (measured 66 µs/row at
+        10k hosts, dominated by that loop)."""
+        if self._rules is None:
+            rows = [(h, p) for h, r in self.robots().items() for p in r[2]]
+            df = pd.DataFrame(rows, columns=["host", "prefix"]) if rows else \
+                pd.DataFrame({"host": [], "prefix": []})
+            self._rules = (set(df["host"]), df)
+        return self._rules
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
@@ -194,18 +208,19 @@ class PrepareBatch:
         b.loc[ok & (~in_scope | denied), "outcome"] = "filtered"
         ok = b["outcome"] == ""
         if ok.any():
-            robots = self.robots()
-            rden = np.zeros(len(b), dtype=bool)
-            hosts = b["host"].to_numpy()
-            paths = b["path"].to_numpy()
-            for h in pd.unique(hosts[ok.to_numpy()]):
-                rule = robots.get(h)
-                if not rule or not rule[2]:
-                    continue
-                sel = ok.to_numpy() & (hosts == h)
-                for p in rule[2]:
-                    rden[sel] |= np.char.startswith(paths[sel].astype(str), p)
-            b.loc[rden, "outcome"] = "robots_denied"
+            ruled_hosts, rules = self._rule_frame()
+            if ruled_hosts:
+                cand = ok & b["host"].isin(ruled_hosts)
+                if cand.any():
+                    sub = b.loc[cand, ["host", "path"]].reset_index()
+                    m = sub.merge(rules, on="host")
+                    if len(m):
+                        hit = np.fromiter(
+                            (p.startswith(q) for p, q in
+                             zip(m["path"].tolist(), m["prefix"].tolist())),
+                            dtype=bool, count=len(m))
+                        b.loc[m.loc[hit, "index"].unique(),
+                              "outcome"] = "robots_denied"
         hot = b["host"].isin(self.hot_hosts).to_numpy() if self.hot_hosts \
             else np.zeros(len(b), dtype=bool)
         salt = np.where(hot, b["url_hash"].to_numpy() % cfg.salt_factor,
