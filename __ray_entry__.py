@@ -137,6 +137,27 @@ def q_extract_links(sf_dir: str) -> ray.data.Dataset:
             .map_batches(links, batch_format="pandas"))
 
 
+def q_link_rels(sf_dir: str) -> ray.data.Dataset:
+    """Typed link relations per edge (`lib/request.js:119-140`
+    linkSiblings/linkResource/linkRelation): classification shared with
+    the visitor-map gate, mirrored by a SQL CASE over extracted hosts."""
+    def links(df: pd.DataFrame) -> pd.DataFrame:
+        out = extract_links_df(df["url"], df["html"])
+        out["link_index"] = out["link_index"].astype(np.int64)
+        return out[["src_url", "dst_url", "link_index", "rel"]]
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
+            .map_batches(links, batch_format="pandas"))
+
+
+def q_doc_kinds(sf_dir: str) -> ray.data.Dataset:
+    """Kind-keyed processor dispatch (M9, `githubProcessor.js:548-933`
+    process() registry): one map_batches pass, vectorized per-kind
+    handlers from stages/processors.PROCESSORS."""
+    from ghcrawler_ray.stages.processors import process_batch
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
+            .map_batches(process_batch, batch_format="pandas"))
+
+
 def q_scope_filter(sf_dir: str) -> ray.data.Dataset:
     cfg = CrawlConfig()
     import re
@@ -224,6 +245,79 @@ def q_robots_filter(sf_dir: str) -> ray.data.Dataset:
 
     return (_pages_ds(sf).select_columns(["url"])
             .map_batches(verdicts, batch_format="pandas"))
+
+
+def q_crawl_policy(sf_dir: str) -> ray.data.Dataset:
+    """Traversal-policy conformance matrix (T9/§2 policy gap): the full
+    canonical-policy × probe-outcome decision table evaluated by the
+    shared policy module (`lib/traversalPolicy.js:106-236` semantics),
+    mirrored 1:1 by a self-contained SQL CASE chain."""
+    from ghcrawler_ray.policy import decide_frame, decision_table_inputs
+    inp = decision_table_inputs()
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        out = decide_frame(df.drop(columns=["case_id"]))
+        out.insert(0, "case_id", df["case_id"].to_numpy())
+        return out
+
+    return ray.data.from_pandas(inp).map_batches(decide, batch_format="pandas")
+
+
+def _policy_sql() -> str:
+    from ghcrawler_ray.policy import (CANONICAL, FETCH_SHORT, FRESH_SHORT,
+                                      decision_table_inputs)
+    inp = decision_table_inputs()
+    vals = ",".join(
+        f"({r.case_id},'{r.policy}',{str(bool(r.immutable)).upper()},"
+        f"{str(bool(r.in_storage)).upper()},{str(bool(r.etag_match)).upper()},"
+        f"{int(r.stored_version)},{int(r.age_days)})"
+        for r in inp.itertuples())
+    fetch_case = ("CASE policy " + " ".join(
+        f"WHEN '{p}' THEN '{fz[0]}'" for p, fz in CANONICAL.items()) + " END")
+    fresh_case = ("CASE policy " + " ".join(
+        f"WHEN '{p}' THEN '{fz[1]}'" for p, fz in CANONICAL.items()) + " END")
+    fshort = ('CASE "fetch" ' + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in FETCH_SHORT.items()) + " END")
+    frshort = ("CASE freshness " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in FRESH_SHORT.items())
+        + " ELSE 'N' END")
+    return f"""
+        WITH inp(case_id, policy, immutable, in_storage, etag_match,
+                 stored_version, age_days) AS (VALUES {vals}),
+        m AS (SELECT *, {fetch_case} AS "fetch", {fresh_case} AS freshness
+              FROM inp),
+        f AS (SELECT *,
+           CASE WHEN "fetch"='mutables' THEN
+                  (CASE WHEN immutable THEN 'storage' ELSE 'etag' END)
+                WHEN "fetch"='storageOnly' THEN 'storage'
+                WHEN "fetch"='originStorage' THEN 'etag'
+                WHEN "fetch"='storageOriginIfMissing' THEN 'storage'
+                ELSE 'origin' END AS initial_fetch,
+           CASE WHEN "fetch" IN ('storageOnly','originOnly') THEN ''
+                ELSE 'origin' END AS refetch_missing
+           FROM m),
+        c AS (SELECT *,
+           CASE WHEN initial_fetch='origin' THEN 'origin'
+                WHEN initial_fetch='etag' THEN
+                  (CASE WHEN in_storage AND etag_match THEN 'cacheOfOrigin'
+                        ELSE 'origin' END)
+                ELSE (CASE WHEN in_storage THEN 'storage'
+                           WHEN refetch_missing='origin' THEN 'origin'
+                           ELSE 'none' END) END AS content_origin
+           FROM f)
+        SELECT case_id, policy, immutable, in_storage, etag_match,
+               stored_version, age_days, "fetch", freshness, initial_fetch,
+               refetch_missing, content_origin,
+               (content_origin != 'none') AND
+               (CASE freshness
+                   WHEN 'always' THEN TRUE
+                   WHEN 'match' THEN content_origin = 'origin'
+                   WHEN 'version' THEN stored_version < 1
+                   WHEN 'matchOrVersion' THEN
+                        content_origin = 'origin' OR stored_version < 1
+                   ELSE age_days > 7 END) AS should_process,
+               {fshort} || {frshort} AS short_form
+        FROM c"""
 
 
 def q_pages_lang_dist(sf_dir: str) -> ray.data.Dataset:
@@ -368,6 +462,49 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT url AS src_url, hrefs[CAST(i AS INT)+1] AS dst_url,
                    CAST(i AS BIGINT) AS link_index
             FROM t, LATERAL (SELECT unnest(range(len(hrefs))) AS i) r""",
+        "crawl_link_rels": f"""
+            WITH t AS (SELECT url,
+                regexp_extract_all(decode(html), '<a href="([^"]+)"', 1) AS hrefs
+              FROM read_parquet('{pages}')),
+            e AS (SELECT url AS src_url, hrefs[CAST(i AS INT)+1] AS dst_url,
+                         CAST(i AS BIGINT) AS link_index
+                  FROM t, LATERAL (SELECT unnest(range(len(hrefs))) AS i) r)
+            SELECT src_url, dst_url, link_index,
+                   CASE WHEN lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                          = lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                        THEN (CASE WHEN dst_url LIKE '%?page=%'
+                                   THEN 'siblings' ELSE 'resource' END)
+                        ELSE 'relation' END AS rel
+            FROM e""",
+        "crawl_doc_kinds": f"""
+            WITH t AS (SELECT url, decode(html) AS h
+                       FROM read_parquet('{pages}')),
+            c AS (SELECT url, h,
+                CASE WHEN regexp_matches(url, '\\?page=') THEN 'paginated'
+                     WHEN regexp_matches(url, '^https?://[^/]+/dup/')
+                          THEN 'alias'
+                     WHEN regexp_matches(h, '<a href="[^"]*\\?page=')
+                          THEN 'hub'
+                     WHEN NOT contains(h, '<a href="') THEN 'leaf'
+                     ELSE 'article' END AS kind
+                FROM t)
+            SELECT url, kind,
+                regexp_extract(h, '<title>(.*?)</title>', 1) AS title,
+                CAST(len(regexp_extract_all(h, '<a href="')) AS BIGINT)
+                    AS n_links,
+                CASE WHEN kind = 'paginated' THEN CAST(coalesce(nullif(
+                        regexp_extract(url, '\\?page=(\\d+)', 1), ''), '0')
+                        AS BIGINT)
+                     ELSE -1 END AS page_no,
+                CASE WHEN kind = 'paginated'
+                        THEN regexp_replace(url, '\\?page=\\d+$', '')
+                     WHEN kind = 'alias'
+                        THEN regexp_extract(url, '^(https?://[^/]+)', 1) || '/'
+                     ELSE '' END AS base_url,
+                CASE WHEN kind = 'hub' THEN CAST(len(regexp_extract_all(
+                        h, '<a href="[^"]*\\?page=')) AS BIGINT)
+                     ELSE -1 END AS n_page_links
+            FROM c""",
         "crawl_scope_filter": f"""
             WITH h AS (SELECT url,
                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
@@ -423,6 +560,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_pages_lang_dist": f"""
             SELECT lang, count(*) AS n_pages
             FROM read_parquet('{pages}') GROUP BY lang""",
+        "crawl_policy": _policy_sql(),
     }
 
 
@@ -591,6 +729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": q_crawl_metrics,
         "crawl_extract_text": q_extract_text,
         "crawl_extract_links": q_extract_links,
+        "crawl_link_rels": q_link_rels,
+        "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
         "crawl_url_normalize": q_url_normalize,
         "crawl_frontier_rank": q_frontier_rank,
@@ -598,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_media_features": q_media_features,
         "crawl_robots_filter": q_robots_filter,
         "crawl_pages_lang_dist": q_pages_lang_dist,
+        "crawl_policy": q_crawl_policy,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         # training-data ops (documents / embeddings / events views)
         "doc_exact_dedup": q_doc_exact_dedup,

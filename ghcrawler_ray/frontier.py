@@ -44,7 +44,24 @@ def seeds_to_frontier(seeds: pd.DataFrame) -> pd.DataFrame:
 
 def links_to_frontier(links: pd.DataFrame, parent_depth: pd.Series,
                       clock: int, cfg: CrawlConfig) -> pd.DataFrame:
+    from .visitor_map import classify_rels, gate_links
     url = normalize_series(links["dst_url"])
+    # children inherit the parent's traversal policy (`lib/request.js:
+    # 146-165` getNextPolicy: same fetch/freshness down the subgraph),
+    # ADVANCED through the policy's visitor map; edges the map's current
+    # step does not name are not traversed (`lib/visitorMap.js:47-117`
+    # hasNextStep). Specs without a map admit everything unchanged.
+    policy = pd.Series(links["policy"].astype(str).to_numpy()
+                       if "policy" in links
+                       else np.full(len(links), "default", dtype=object))
+    rel = classify_rels(links["src_url"].reset_index(drop=True),
+                        url.reset_index(drop=True))
+    admit, child_policy = gate_links(policy, rel)
+    if not admit.all():
+        links = links[admit].reset_index(drop=True)
+        url = url[admit].reset_index(drop=True)
+        parent_depth = np.asarray(parent_depth)[admit]
+        child_policy = child_policy[admit]
     paginated = url.str.contains(r"\?page=", regex=True)
     priority = np.where(paginated, cfg.paginated_priority, cfg.default_link_priority)
     f = pd.DataFrame({
@@ -57,7 +74,7 @@ def links_to_frontier(links: pd.DataFrame, parent_depth: pd.Series,
         "depth": (np.asarray(parent_depth) + 1).astype(np.int32),
         "claimed": np.zeros(len(links), dtype=bool),
         "discovered_from": links["src_url"].astype(str).to_numpy(),
-        "policy": "default",
+        "policy": child_policy,
     })
     # per-page dedup only here (deterministic: one page's links always
     # share a batch). Cross-page dedup is GLOBAL and happens in

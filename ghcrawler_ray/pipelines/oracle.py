@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
+from ..policy import is_always
 from ..frontier import (FRONTIER_COLS, dedup_discovered,
                         links_to_frontier, seeds_to_frontier)
 from ..stages.extract import extract_links_df, extract_text
@@ -56,7 +57,9 @@ def load_web(root: str | Path) -> dict[str, pd.DataFrame]:
 
 
 class SequentialOracle:
-    def __init__(self, web: dict[str, pd.DataFrame], cfg: CrawlConfig | None = None):
+    def __init__(self, web: dict[str, pd.DataFrame], cfg: CrawlConfig | None = None,
+                 inject: dict[int, pd.DataFrame] | None = None):
+        self.inject = inject or {}
         self.cfg = cfg or CrawlConfig()
         self.pages = web["pages"].set_index("url", drop=False)
         self.seeds = web["seeds"]
@@ -87,7 +90,15 @@ class SequentialOracle:
         hot_prev: set[str] = set()  # hosts hot in the previous wave
         order_rows, dead_rows, link_frames, page_rows, metric_rows = [], [], [], [], []
 
-        while len(frontier) and wave < cfg.max_waves:
+        while wave < cfg.max_waves:
+            if wave in self.inject:
+                # webhook-analogue mid-crawl seed injection (identical
+                # hook on the engine: CrawlEngine(inject=...))
+                frontier = pd.concat(
+                    [frontier, seeds_to_frontier(self.inject[wave])],
+                    ignore_index=True)
+            if not len(frontier):
+                break
             mn = int(frontier["not_before"].min())
             if mn > clock:  # nothing eligible: fast-forward (polling-delay analogue)
                 clock = mn
@@ -163,8 +174,12 @@ class SequentialOracle:
                 first_in_wave = ~w["etag"].duplicated(keep="first")
                 for i in w.index:
                     e = w.at[i, "etag"]
-                    if first_in_wave.loc[i] and e not in etag_first:
+                    newly = first_in_wave.loc[i] and e not in etag_first
+                    if newly:
                         etag_first.add(e)
+                    # freshness='always' bypasses the 304 short-circuit
+                    # (`lib/traversalPolicy.js:170-174`)
+                    if newly or is_always(w.at[i, "policy"]):
                         cur.at[i, "outcome"] = "fetched"
                     else:
                         cur.at[i, "outcome"] = "not_modified"
@@ -178,7 +193,7 @@ class SequentialOracle:
                     page_rows.append((u, extract_text(r.html), r.lang, r.etag, wave))
                 links = extract_links_df(rows["url"], rows["html"])
                 if len(links):
-                    links = links.merge(fetched[["url", "depth"]],
+                    links = links.merge(fetched[["url", "depth", "policy"]],
                                         left_on="src_url", right_on="url", how="left")
                     link_frames.append(links.assign(wave=wave)[
                         ["wave", "src_url", "dst_url", "link_index"]])

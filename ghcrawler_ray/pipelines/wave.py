@@ -90,10 +90,16 @@ def _make_link_sink(nf_dir: str, cfg: CrawlConfig):
 
 class CrawlEngine:
     def __init__(self, web_root: str | Path, out_dir: str | Path,
-                 cfg: CrawlConfig | None = None):
+                 cfg: CrawlConfig | None = None,
+                 inject: dict[int, pd.DataFrame] | None = None):
+        """``inject`` maps wave number → seed DataFrame (url, priority,
+        seq[, policy]) unioned into that wave's frontier before it runs —
+        the webhook event-source analogue (`routes/webhook.js:14-60`).
+        The sequential oracle takes the identical hook."""
         self.web_root = str(web_root)
         self.out = Path(out_dir)
         self.cfg = cfg or CrawlConfig()
+        self.inject = inject or {}
         self._ns = uuid.uuid4().hex[:8]
         self.pool: SeenSetPool | None = None
 
@@ -213,6 +219,11 @@ class CrawlEngine:
             k, clock, hot = self._fresh_start()
 
         while k < cfg.max_waves:
+            if k in self.inject:
+                d = self.out / "frontier" / f"wave={k}"
+                d.mkdir(parents=True, exist_ok=True)
+                pq.write_table(frontier_table(seeds_to_frontier(self.inject[k])),
+                               d / "injected-engine.parquet")
             files, n_rows, min_nb = self._frontier_files(k)
             if not files:
                 break
@@ -489,8 +500,12 @@ class CrawlEngine:
             if (self.out / "order").exists() else []
         if order_files:
             log = pq.read_table(order_files).to_pandas()
+            # keep="first": a url claimed, deadlettered, admin-requeued
+            # (untracked) and re-claimed appears twice; first_wave is the
+            # original claim
             claimed = log[log["newly_claimed"]][["url", "wave"]] \
-                .rename(columns={"wave": "first_wave"})
+                .rename(columns={"wave": "first_wave"}) \
+                .drop_duplicates("url", keep="first")
             etags = (log[log["found"] & (log["etag"] != "")]
                      [["url", "etag"]].drop_duplicates("url"))
             seen = claimed.merge(etags, on="url", how="left") \

@@ -115,8 +115,14 @@ ORDER_META = ["url", "host", "priority", "outcome", "attempt", "rank", "seq",
 #: columns the partition stage forwards for candidates (the etag shuffle)
 CAND_COLS = ORDER_META + ["url_hash", "etag_hash", "etag_part", "policy"]
 
-#: slim columns the resolve stage forwards for fetched rows (the extract shuffle)
-FETCHED_COLS = ["url", "seq", "rank", "depth", "etag", "bucket"]
+#: slim columns the resolve stage forwards for fetched rows (the extract
+#: shuffle); policy rides along so child links inherit it
+#: (`lib/request.js:146-165` getNextPolicy analogue)
+FETCHED_COLS = ["url", "seq", "rank", "depth", "etag", "bucket", "policy"]
+
+#: processing version stamped on stored docs (traversal-policy 'version'
+#: freshness compares against this; see pipelines/reprocess.py)
+PROCESSING_VERSION = 1
 
 
 def frontier_table(df: pd.DataFrame) -> pa.Table:
@@ -424,10 +430,15 @@ def resolve_etag_frame(g: pd.DataFrame, pool) -> pd.DataFrame:
       tie-break, including discovered_from — shared with the oracle);
     - the winner claims the etag against the shard pool: first claim
       across all waves → 'fetched'; already claimed → 'not_modified';
-    - in-wave losers → 'not_modified'.
+    - in-wave losers → 'not_modified';
+    - EXCEPT freshness='always' policies (traversal policy
+      `lib/traversalPolicy.js:170-174` — always/reprocessAlways): those
+      rows process no matter what, bypassing the 304 short-circuit; the
+      etag store is still updated through the group's winner claim.
 
     Vectorized across ALL etags in the frame: one sort + one claim RPC
     bundle, never per-etag Python."""
+    from ..policy import is_always
     cand = (g["outcome"] == "").to_numpy()
     if not cand.any():
         return g
@@ -440,6 +451,9 @@ def resolve_etag_frame(g: pd.DataFrame, pool) -> pd.DataFrame:
         ehash = hash64_array(g.loc[winner_idx, "etag"])
     first = pool.claim_etags(ehash)
     g.loc[winner_idx[first], "outcome"] = "fetched"
+    alw = cand & g["policy"].map(is_always).to_numpy(dtype=bool)
+    if alw.any():
+        g.loc[g.index[alw], "outcome"] = "fetched"
     return g
 
 
@@ -472,19 +486,34 @@ def make_extract_stage(web_root: str, out_dir: str, wave: int):
         b = int(g["bucket"].iloc[0])
         pages = _pages_bucket(str(Path(web_root) / "pages"
                                   / f"bucket={b}" / "part-0.parquet"))
-        j = g[["url", "seq", "rank", "depth", "etag"]].merge(pages, on="url", how="inner")
+        j = g[["url", "seq", "rank", "depth", "etag", "policy"]] \
+            .merge(pages, on="url", how="inner")
         t = pa.Table.from_pandas(j[["url", "html", "lang", "etag"]], preserve_index=False)
         t = extract_text_batch(t)
         t = t.append_column("wave", pa.array(np.full(len(t), wave, dtype=np.int32)))
+        t = t.append_column("version", pa.array(
+            np.full(len(t), PROCESSING_VERSION, dtype=np.int32)))
         out = Path(out_dir) / "pages" / f"wave={wave}"
         out.mkdir(parents=True, exist_ok=True)
         pq.write_table(t.drop_columns(["html"]), out / f"bucket={b}.parquet")
+        # per-upsert delta/changelog sink (`providers/storage/deltaStore.
+        # js:26-31,102-114` analogue): slim append-only (url, etag,
+        # change, wave) partition per store write
+        if len(j):
+            _write_sidecar(str(Path(out_dir) / "delta" / f"wave={wave}"),
+                           f"bucket={b}", pd.DataFrame({
+                               "url": j["url"].astype(str),
+                               "etag": j["etag"].astype(str),
+                               "change": "new",
+                               "wave": np.int32(wave)}))
         links = extract_links_df(j["url"], j["html"])
-        links = links.merge(j[["url", "depth"]].rename(columns={"url": "src_url"}),
-                            on="src_url", how="left")
+        links = links.merge(
+            j[["url", "depth", "policy"]].rename(columns={"url": "src_url"}),
+            on="src_url", how="left")
         links["depth"] = links["depth"].astype(np.int32)
         links["wave"] = np.int32(wave)
-        links = links[["wave", "src_url", "dst_url", "link_index", "depth"]]
+        links = links[["wave", "src_url", "dst_url", "link_index", "depth",
+                       "policy"]]
         if len(links):
             _write_sidecar(str(Path(out_dir) / "links" / f"wave={wave}"),
                            f"bucket={b}", links)

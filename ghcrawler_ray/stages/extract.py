@@ -69,9 +69,11 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 def extract_links_df(urls: pd.Series, html_col) -> pd.DataFrame:
     """Explode out-links: one row per (src_url, dst_url, link_index).
 
-    ``rel`` mirrors the reference's link relation kinds
-    (`lib/request.js:119-140`): here every <a href> is rel='link'.
+    ``rel`` is the typed link relation (`lib/request.js:119-140`
+    linkResource/linkCollection/linkRelation analogues) classified from
+    the URL relationship — see visitor_map.classify_rels.
     """
+    from ..visitor_map import classify_rels
     html = _html_strings(html_col)
     hrefs = html.str.findall(HREF_RE)
     n = hrefs.str.len().to_numpy(dtype=np.int64)
@@ -79,9 +81,11 @@ def extract_links_df(urls: pd.Series, html_col) -> pd.DataFrame:
     dst = np.concatenate([np.array(h, dtype=object) if h else np.empty(0, dtype=object)
                           for h in hrefs]) if n.sum() else np.empty(0, dtype=object)
     idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n]) if n.sum() else np.empty(0, dtype=np.int64)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "src_url": pd.Series(src, dtype=str),
         "dst_url": pd.Series(dst, dtype=str),
         "link_index": idx,
-        "rel": pd.Series(["link"] * len(idx), dtype=str),
     })
+    out["rel"] = pd.Series(classify_rels(out["src_url"], out["dst_url"]),
+                           dtype=str)
+    return out
