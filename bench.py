@@ -107,9 +107,11 @@ def run_once(sf_dir: str, cpus: int) -> dict:
         ray.shutdown()
 
 
-def _update_baseline_md(block: str) -> None:
+def _update_baseline_md(block: str, tag: str = "") -> None:
+    """Replace (or append) the tagged BENCH block — one block per scale
+    factor, so sf0.1 and sf1.0 scaling evidence coexist."""
     p = Path(__file__).parent / "BASELINE.md"
-    begin, end = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
+    begin, end = f"<!-- BENCH{tag}:BEGIN -->", f"<!-- BENCH{tag}:END -->"
     txt = p.read_text()
     section = f"{begin}\n{block}\n{end}"
     if begin in txt:
@@ -157,7 +159,7 @@ def run_scaling(sf_dir: str) -> dict:
         + f"\n\n**Scaling efficiency (N={SCALING_CPUS[0]} → "
           f"4N={SCALING_CPUS[1]} CPUs): {eff:.3f}** "
           f"(criterion: ≥ 0.8)")
-    _update_baseline_md(block)
+    _update_baseline_md(block, tag=f":sf{runs[0]['sf']}")
     return result
 
 

@@ -33,7 +33,9 @@ def test_extract_links_golden():
         ["http://a.example/1", "http://b.example/x", 0],
         ["http://a.example/1", "http://a.example/1?page=2", 1],
     ]
-    assert (links["rel"] == "link").all()
+    # typed link relations (`lib/request.js:119-140` analogue): cross-host
+    # → relation, same-host ?page= → siblings
+    assert links["rel"].tolist() == ["relation", "siblings"]
 
 
 def test_extract_text_batch_arrow_roundtrip():
