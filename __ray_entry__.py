@@ -585,6 +585,129 @@ def _emb_lsh_sql() -> str:
         WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.LSH_COS_THRESHOLD}"""
 
 
+_U64 = "18446744073709551616"           # 2^64 (HUGEINT literal)
+_MD5U64 = "('0x' || substr(md5({0}), 1, 16))::UBIGINT"
+
+
+def _minhash_sql() -> str:
+    """MinHash-LSH is fully SQL-expressible because every hash in the
+    Ray path is md5-derived (`ops/dedup.py` module docstring): shingle
+    hash = first-8-bytes-of-md5, the 64 minhashes are affine universal
+    hashes computed in HUGEINT mod-2^64 (bit-identical to numpy uint64
+    wrap-around), band keys are md5 of the comma-joined minhashes, and
+    the verify stage is the same exact-Jaccard as ngram_jaccard_pairs."""
+    seeds = ",\n              ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(ops_dedup.MINHASH_A,
+                                       ops_dedup.MINHASH_B)))
+    shingle = (r"list_distinct(list_transform(range(1, greatest(len(tk)-1,1)), "
+               r"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))")
+    rpb = ops_dedup.N_MINHASH // ops_dedup.LSH_BANDS
+    return rf"""
+        WITH t AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[^\s]+') AS tk FROM documents),
+        sl AS (SELECT doc_id, {shingle} AS sh FROM t),
+        sh AS (SELECT doc_id, unnest(sh) AS s FROM sl),
+        hh AS (SELECT doc_id, {_MD5U64.format('s')} AS h FROM sh),
+        seeds(i, a, b) AS (VALUES {seeds}),
+        mh AS (SELECT doc_id, seeds.i AS seed_i,
+                 min(((seeds.a * hh.h::HUGEINT + seeds.b) % {_U64}::HUGEINT)
+                     ::UBIGINT) AS mh
+               FROM hh CROSS JOIN seeds GROUP BY doc_id, seeds.i),
+        bands AS (SELECT doc_id, seed_i // {rpb} AS band,
+                 CAST({_MD5U64.format(
+                     "string_agg(mh::VARCHAR, ',' ORDER BY seed_i)")} >> 1
+                      AS BIGINT) AS band_hash
+               FROM mh GROUP BY doc_id, seed_i // {rpb}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+        v AS (SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(sa.sh, sb.sh)) AS inter,
+                 len(sa.sh) + len(sb.sh)
+                   - len(list_intersect(sa.sh, sb.sh)) AS uni
+               FROM cand c JOIN sl sa ON sa.doc_id = c.doc_a
+                           JOIN sl sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, inter::DOUBLE/uni AS jaccard
+        FROM v WHERE uni > 0
+          AND inter::DOUBLE/uni >= {ops_dedup.JACCARD_THRESHOLD}"""
+
+
+def _simhash_sql() -> str:
+    """SimHash mirror: md5-u64 per distinct token, 64 weighted bit sums,
+    signature bits packed via a power-of-two VALUES table (HUGEINT sum,
+    wrapped to signed BIGINT like numpy's .view(int64)); candidates =
+    equal 16-bit chunk, verified with bit_count(xor(...))."""
+    pows = ",".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    nc = ops_dedup.SIMHASH_CHUNKS
+    return rf"""
+        WITH tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[^\s]+')) AS t
+             FROM documents),
+        c AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+        h AS (SELECT doc_id, cnt, {_MD5U64.format('t')} AS hv FROM c),
+        pw(j, p) AS (VALUES {pows}),
+        bits AS (SELECT doc_id, pw.j, pw.p,
+                 sum(CASE WHEN (hv >> pw.j) & 1 = 1 THEN cnt
+                          ELSE -cnt END) AS score
+               FROM h CROSS JOIN pw GROUP BY doc_id, pw.j, pw.p),
+        sig AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN score > 0 THEN p ELSE 0::HUGEINT END)
+                      AS UBIGINT) AS usig
+               FROM bits GROUP BY doc_id),
+        e AS (SELECT doc_id, usig, r.c AS chunk,
+                 (usig >> CAST(16 * r.c AS INT)) & 65535 AS cv
+               FROM sig CROSS JOIN range({nc}) r(c)),
+        p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.usig AS ua, b.usig AS ub
+               FROM e a JOIN e b ON a.chunk = b.chunk AND a.cv = b.cv
+                AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS BIGINT) AS hamming
+        FROM p WHERE bit_count(xor(ua, ub)) <= {ops_dedup.HAMMING_THRESHOLD}"""
+
+
+def _fingerprints_sql() -> str:
+    """Winnowing mirror (k=8, w=16, base-257 poly mod 2^64 over ASCII
+    bytes — the sf documents are pure ASCII so ord(char) == byte).
+    Window minima are compared as SIGNED int64, matching the numpy
+    .view(int64) comparison in `ops/text.py:_rolling_hashes`."""
+    k, w = 8, 16
+    pows = ",".join(f"({j}, {pow(257, k - 1 - j, 1 << 64)}::HUGEINT)"
+                    for j in range(k))
+    half, full = "9223372036854775808", _U64
+    return rf"""
+        WITH pw(j, p) AS (VALUES {pows}),
+        pos AS (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - {k - 2}, 1))) AS i
+               FROM documents),
+        g AS (SELECT pos.doc_id, pos.i,
+                 CAST(CAST(sum(ord(substr(pos.text, CAST(pos.i + pw.j AS INT),
+                                          1))::HUGEINT * pw.p)
+                      % {full}::HUGEINT AS UBIGINT) AS HUGEINT) AS hu
+               FROM pos CROSS JOIN pw
+               GROUP BY pos.doc_id, pos.i),
+        gs AS (SELECT doc_id, i,
+                 CAST(CASE WHEN hu >= {half} THEN hu - {full}
+                      ELSE hu END AS BIGINT) AS h FROM g),
+        cnt AS (SELECT doc_id, count(*) AS m FROM gs GROUP BY doc_id),
+        small AS (SELECT gs.doc_id, min(gs.h) AS v
+               FROM gs JOIN cnt USING (doc_id) WHERE cnt.m <= {w}
+               GROUP BY gs.doc_id),
+        wm AS (SELECT gs.doc_id, gs.i,
+                 min(gs.h) OVER (PARTITION BY gs.doc_id ORDER BY gs.i
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS v
+               FROM gs JOIN cnt USING (doc_id) WHERE cnt.m > {w}
+               QUALIFY gs.i >= {w}),
+        sel AS (SELECT doc_id, v FROM small
+                UNION SELECT DISTINCT doc_id, v FROM wm),
+        fin AS (SELECT doc_id, bit_xor(v) AS fp, count(*) AS n FROM sel
+                GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(f.fp, 0) AS fingerprint,
+               coalesce(f.n, 0) AS n_selected
+        FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id"""
+
+
 def _ops_sql() -> dict[str, str]:
     en = _marker_sql(ops_text.LANG_MARKERS["en"])
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
@@ -674,6 +797,9 @@ def _ops_sql() -> dict[str, str]:
                 round(c, 6) AS cos
             FROM s QUALIFY rank <= 5""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
+        "minhash_lsh_pairs": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(),
+        "doc_fingerprints": _fingerprints_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -760,9 +886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """SQL mirrors for every SQL-expressible query. Omitted on purpose
-    (stateful/iterative or sketch-based → rows-only check): crawl_seen,
-    crawl_order, crawl_deadletter, crawl_metrics, doc_fingerprints,
-    minhash_lsh_pairs, simhash_pairs."""
+    (genuinely iterative/stateful → rows-only check, parity instead
+    pinned by pytest engine↔oracle tests): crawl_seen, crawl_order,
+    crawl_deadletter, crawl_metrics."""
     out = dict(_ops_sql())
     out.update(_crawl_sql(0.01))   # driver correctness runs at sf=0.01
     return out

@@ -24,7 +24,12 @@ Ray-Data-first shapes (and their 100 TB scale paths):
   same or adjacent band; each doc is emitted to its own and the next
   band, and a pair is evaluated only in block max(band_a, band_b).
 
-All hashing is blake2b-seeded (deterministic across processes); no RNG.
+All hashing is md5-derived (deterministic across processes, no RNG) so
+every stage — minhash seeds, band keys, simhash bits — is reproducible
+bit-for-bit by the DuckDB oracle (`('0x'||substr(md5(s),1,16))::UBIGINT`
+plus HUGEINT mod-2^64 affine arithmetic); minhash_lsh_pairs and
+simhash_pairs therefore get FULL value-hash correctness checks, not
+rows-only.
 """
 
 from __future__ import annotations
@@ -60,30 +65,38 @@ def shingle_set(text: str, k: int = SHINGLE_K) -> set[str]:
 
 
 def _hash64_str(values: list[str]) -> np.ndarray:
-    b = hashlib.blake2b
+    """First 8 bytes of md5 as big-endian uint64 — the one string-hash
+    primitive shared by minhash/simhash, chosen because DuckDB computes
+    the identical value as ('0x' || substr(md5(s),1,16))::UBIGINT, which
+    makes the whole LSH family SQL-oracle-checkable."""
+    m = hashlib.md5
     return np.fromiter(
-        (int.from_bytes(b(v.encode(), digest_size=8).digest(), "big")
+        (int.from_bytes(m(v.encode()).digest()[:8], "big")
          for v in values), dtype=np.uint64, count=len(values))
 
 
-_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
-_MIX2 = np.uint64(0x94D049BB133111EB)
-_SEEDS = (np.arange(1, N_MINHASH + 1, dtype=np.uint64)
-          * np.uint64(0x9E3779B97F4A7C15))
+def _affine_seeds() -> tuple[np.ndarray, np.ndarray]:
+    """Per-minhash affine coefficients h_i = (A_i*h + B_i) mod 2^64.
+    A_i odd and < 2^32 (so A*h < 2^96 fits DuckDB's HUGEINT exactly),
+    derived deterministically from md5 — no RNG."""
+    a = _hash64_str([f"minhash-A-{i}" for i in range(N_MINHASH)])
+    b = _hash64_str([f"minhash-B-{i}" for i in range(N_MINHASH)])
+    mask = np.uint64(0xFFFFFFFF)
+    return (a & mask) | np.uint64(1), b & mask
+
+
+MINHASH_A, MINHASH_B = _affine_seeds()
 
 
 def minhash_signature(shingles: set[str]) -> np.ndarray:
-    """64 minhashes via one blake2b per shingle + splitmix64 per seed
-    (vectorized: |shingles| x 64 mix in numpy)."""
+    """64 minhashes: one md5 per shingle, then 64 affine universal hashes
+    (A_i*h+B_i mod 2^64) vectorized in numpy wrap-around uint64 — the
+    exact arithmetic the DuckDB mirror reproduces with HUGEINT % 2^64."""
     if not shingles:
         return np.full(N_MINHASH, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    h = _hash64_str(sorted(shingles))[:, None] ^ _SEEDS[None, :]
-    x = h
-    x ^= x >> np.uint64(30)
-    x *= _MIX1
-    x ^= x >> np.uint64(27)
-    x *= _MIX2
-    x ^= x >> np.uint64(31)
+    h = _hash64_str(sorted(shingles))
+    with np.errstate(over="ignore"):
+        x = h[:, None] * MINHASH_A[None, :] + MINHASH_B[None, :]
     return x.min(axis=0)
 
 
@@ -139,10 +152,13 @@ def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sig = minhash_signature(shingle_set(text))
         for b in range(LSH_BANDS):
             chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            # band key = md5_u64 of the comma-joined decimal minhashes,
+            # >>1 to stay in signed int64 — mirrored by the SQL oracle's
+            # string_agg(mh, ',' ORDER BY seed)
+            key = ",".join(str(int(v)) for v in chunk)
             ids.append(doc_id)
             bands.append(b)
-            bhashes.append(int.from_bytes(bh, "big") >> 1)
+            bhashes.append(int(_hash64_str([key])[0] >> np.uint64(1)))
     return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
                          "band": np.array(bands, dtype=np.int32),
                          "band_hash": np.array(bhashes, dtype=np.int64)})
