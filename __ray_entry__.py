@@ -137,6 +137,17 @@ def q_extract_links(sf_dir: str) -> ray.data.Dataset:
             .map_batches(links, batch_format="pandas"))
 
 
+def q_crawl_lineage(sf_dir: str) -> ray.data.Dataset:
+    """Discovery-lineage BFS (J5/L1 history semi-join): shortest path
+    from the seed list over the extracted link graph, min-parent
+    tie-break, depth ≤ ghcrawler_ray.lineage.MAX_LINEAGE_DEPTH —
+    mirrored by an unrolled level-per-CTE DuckDB query."""
+    from ghcrawler_ray.lineage import discovery_lineage
+    seeds = pq.read_table(_seeds_path(sf_of_dir(sf_dir)),
+                          columns=["url"])["url"].to_pylist()
+    return discovery_lineage(q_extract_links(sf_dir), seeds)
+
+
 def q_link_rels(sf_dir: str) -> ray.data.Dataset:
     """Typed link relations per edge (`lib/request.js:119-140`
     linkSiblings/linkResource/linkRelation): classification shared with
@@ -561,6 +572,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT lang, count(*) AS n_pages
             FROM read_parquet('{pages}') GROUP BY lang""",
         "crawl_policy": _policy_sql(),
+        "crawl_lineage": _lineage_sql(pages, seeds),
     }
 
 
@@ -583,6 +595,35 @@ def _emb_lsh_sql() -> str:
                round(list_cosine_similarity(a.v, b.v), 6) AS cos
         FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.LSH_COS_THRESHOLD}"""
+
+
+def _lineage_sql(pages: str, seeds: str) -> str:
+    """Unrolled BFS mirror of ghcrawler_ray.lineage.discovery_lineage:
+    one CTE per level, min(src) parent tie-break, NOT-IN-previous-levels
+    as the hasSeen suppression."""
+    from ghcrawler_ray.lineage import MAX_LINEAGE_DEPTH, SEP
+    ctes = [f"""
+        t AS (SELECT url, regexp_extract_all(decode(html),
+                  '<a href="([^"]+)"', 1) AS hrefs
+              FROM read_parquet('{pages}')),
+        e AS (SELECT url AS src, unnest(hrefs) AS dst FROM t),
+        l0 AS (SELECT DISTINCT url, CAST(0 AS BIGINT) AS depth,
+                  '' AS parent_url, url AS lineage
+               FROM read_parquet('{seeds}') WHERE url LIKE 'http%')"""]
+    prev_union = "SELECT url FROM l0"
+    for d in range(1, MAX_LINEAGE_DEPTH + 1):
+        ctes.append(f"""
+        c{d} AS (SELECT e.dst AS url, min(e.src) AS parent_url
+               FROM e JOIN l{d-1} ON e.src = l{d-1}.url
+               WHERE e.dst NOT IN ({prev_union}) GROUP BY e.dst),
+        l{d} AS (SELECT c{d}.url, CAST({d} AS BIGINT) AS depth,
+                  c{d}.parent_url, p.lineage || '{SEP}' || c{d}.url AS lineage
+               FROM c{d} JOIN l{d-1} p ON p.url = c{d}.parent_url)""")
+        prev_union += f" UNION ALL SELECT url FROM l{d}"
+    sel = " UNION ALL ".join(
+        f"SELECT url, depth, parent_url, lineage FROM l{d}"
+        for d in range(MAX_LINEAGE_DEPTH + 1))
+    return "WITH " + ",".join(ctes) + "\n" + sel
 
 
 _U64 = "18446744073709551616"           # 2^64 (HUGEINT literal)
@@ -856,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract_text": q_extract_text,
         "crawl_extract_links": q_extract_links,
         "crawl_link_rels": q_link_rels,
+        "crawl_lineage": q_crawl_lineage,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
         "crawl_url_normalize": q_url_normalize,
