@@ -854,7 +854,11 @@ def _ops_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2""",
         "doc_stats_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            -- sum()::BIGINT: DuckDB sums BIGINT into HUGEINT (→ float64
+            -- in pandas) while Ray's Sum stays int64 — same values, but
+            -- the driver hashes 19525 vs 19525.0 differently (r1 fail)
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
                    round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_chars
             FROM documents GROUP BY lang""",
         "user_sessions": """
