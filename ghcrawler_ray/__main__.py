@@ -1,0 +1,136 @@
+"""``python -m ghcrawler_ray`` — the ``ray job submit`` entry point.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- \
+        python -m ghcrawler_ray crawl --web-root s3://.../web --out s3://.../run1
+
+Subcommands mirror the reference's service surface
+(`lib/crawlerService.js`, `routes/deadletters.js`, `routes/webhook.js`):
+``crawl`` (run / resume), ``deadletters`` (list / count / requeue),
+``inject-seeds`` (between-run webhook analogue), ``status`` (manifest +
+metrics summary).
+
+The module never force-reinitializes Ray: under ``ray job submit`` the
+job driver connects to the running cluster; standalone it starts a local
+session sized by ``--num-cpus``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _ray_init(args) -> None:
+    import ray
+    if ray.is_initialized():
+        return
+    kwargs = {"include_dashboard": False}
+    if getattr(args, "num_cpus", None):
+        kwargs["num_cpus"] = args.num_cpus
+        kwargs["address"] = "local"
+    ray.init(**kwargs)
+
+
+def _cmd_crawl(args) -> int:
+    _ray_init(args)
+    from .config import CrawlConfig
+    from .pipelines.wave import CrawlEngine
+    overrides = {}
+    for f in ("max_waves", "seen_mode", "n_polite_parts", "n_buckets",
+              "n_shards", "local_wave_threshold"):
+        v = getattr(args, f)
+        if v is not None:
+            overrides[f] = v
+    if args.scale_mode:
+        overrides["emit_order_log"] = False
+    cfg = CrawlConfig(**overrides)
+    res = CrawlEngine(args.web_root, args.out, cfg).run(resume=args.resume)
+    print(json.dumps(res, default=str))
+    return 0
+
+
+def _cmd_deadletters(args) -> int:
+    from . import admin
+    if args.action == "count":
+        print(admin.count_deadletters(args.out))
+    elif args.action == "list":
+        df = admin.list_deadletters(args.out, reason=args.reason)
+        print(df.to_json(orient="records"))
+    elif args.action == "requeue":
+        _ray_init(args)
+        n = admin.requeue_deadletters(args.web_root, args.out,
+                                      urls=args.urls or None)
+        print(json.dumps({"requeued": n}))
+    elif args.action == "delete":
+        n = admin.delete_deadletters(args.out, urls=args.urls or None,
+                                     reason=args.reason)
+        print(json.dumps({"deleted": n}))
+    return 0
+
+
+def _cmd_inject_seeds(args) -> int:
+    import pyarrow.parquet as pq
+    from . import admin
+    seeds = pq.read_table(args.seeds).to_pandas()
+    n = admin.inject_seeds(args.out, seeds, args.wave)
+    print(json.dumps({"injected": n, "wave": args.wave}))
+    return 0
+
+
+def _cmd_status(args) -> int:
+    out = Path(args.out)
+    manifests = sorted(out.glob("manifests/wave=*.json"),
+                       key=lambda p: int(p.stem.split("=")[1]))
+    last = json.loads(manifests[-1].read_text()) if manifests else {}
+    print(json.dumps({"waves_complete": len(manifests), "last": last}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m ghcrawler_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run (or resume) a crawl")
+    c.add_argument("--web-root", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--scale-mode", action="store_true",
+                   help="disable the golden order-log artifact")
+    c.add_argument("--max-waves", type=int)
+    c.add_argument("--seen-mode", choices=["exact64", "cuckoo"])
+    c.add_argument("--n-polite-parts", type=int)
+    c.add_argument("--n-buckets", type=int)
+    c.add_argument("--n-shards", type=int)
+    c.add_argument("--local-wave-threshold", type=int)
+    c.add_argument("--num-cpus", type=int)
+    c.set_defaults(fn=_cmd_crawl)
+
+    d = sub.add_parser("deadletters", help="list/count/requeue/delete")
+    d.add_argument("action", choices=["list", "count", "requeue", "delete"])
+    d.add_argument("--out", required=True)
+    d.add_argument("--web-root")
+    d.add_argument("--reason")
+    d.add_argument("--urls", nargs="*")
+    d.add_argument("--num-cpus", type=int)
+    d.set_defaults(fn=_cmd_deadletters)
+
+    i = sub.add_parser("inject-seeds", help="append seeds before a wave")
+    i.add_argument("--out", required=True)
+    i.add_argument("--seeds", required=True, help="seed parquet path")
+    i.add_argument("--wave", type=int, required=True)
+    i.set_defaults(fn=_cmd_inject_seeds)
+
+    s = sub.add_parser("status", help="manifest summary")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=_cmd_status)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,34 @@
+"""CLI entry point (`python -m ghcrawler_ray`) — the ray-job-submit
+surface. Ray-free subcommands exercised in-process."""
+
+import json
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ghcrawler_ray.__main__ import main
+
+
+def test_status_and_deadletters_empty(tmp_path, capsys):
+    (tmp_path / "manifests").mkdir()
+    (tmp_path / "manifests" / "wave=0.json").write_text(
+        json.dumps({"wave": 0, "next_clock": 10000,
+                    "next_frontier_rows": 5, "hot_hosts": []}))
+    assert main(["status", "--out", str(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["waves_complete"] == 1 and out["last"]["wave"] == 0
+
+    assert main(["deadletters", "count", "--out", str(tmp_path)]) == 0
+    assert capsys.readouterr().out.strip() == "0"
+
+
+def test_inject_seeds_cli(tmp_path, capsys):
+    seeds = tmp_path / "seeds.parquet"
+    pd.DataFrame({"url": ["http://x.example/a"], "priority": ["normal"],
+                  "seq": [0]}).to_parquet(seeds)
+    assert main(["inject-seeds", "--out", str(tmp_path / "run"),
+                 "--seeds", str(seeds), "--wave", "2"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"injected": 1, "wave": 2}
+    files = list((tmp_path / "run" / "frontier" / "wave=2").glob("*.parquet"))
+    assert len(files) == 1
+    assert pq.read_table(files[0]).num_rows == 1
