@@ -35,7 +35,8 @@ from ghcrawler_ray.ops import ann as ops_ann
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
 from ghcrawler_ray.ops import text as ops_text
-from ghcrawler_ray.ops.multimodal import media_features
+from ghcrawler_ray.ops.multimodal import (frame_samples, media_features,
+                                          media_resize)
 from ghcrawler_ray.pipelines.wave import CrawlEngine
 from ghcrawler_ray.stages.extract import extract_links_df, extract_text_batch
 from ghcrawler_ray.testgen import GENVER, ensure_testdata, sf_of_dir
@@ -226,6 +227,18 @@ def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return media_features(_pages_ds(sf_of_dir(sf_dir)))
+
+
+def q_media_resize(sf_dir: str) -> ray.data.Dataset:
+    """Aspect-preserving resize planning (actor-pool stage over the
+    binary column; deterministic fake dims → SQL-recomputable)."""
+    return media_resize(_pages_ds(sf_of_dir(sf_dir)))
+
+
+def q_frame_samples(sf_dir: str) -> ray.data.Dataset:
+    """Evenly-spaced frame sampling (actor-pool stage; one row per
+    sampled 64-byte window, md5 stands in for the decoded frame)."""
+    return frame_samples(_pages_ds(sf_of_dir(sf_dir)))
 
 
 def q_robots_filter(sf_dir: str) -> ray.data.Dataset:
@@ -554,6 +567,28 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                    octet_length(html) % 1920 AS width,
                    octet_length(html) % 1080 AS height
             FROM read_parquet('{pages}')""",
+        "media_resize": f"""
+            WITH f AS (SELECT url, octet_length(html) AS n
+                       FROM read_parquet('{pages}')),
+            d AS (SELECT url, greatest(n % 1920, 1) AS src_w,
+                         greatest(n % 1080, 1) AS src_h FROM f),
+            s AS (SELECT url, src_w, src_h,
+                     least(least(224.0e0/src_w, 224.0e0/src_h), 1.0e0) AS sc
+                  FROM d)
+            SELECT url, src_w, src_h,
+                   CAST(floor(src_w * sc) AS BIGINT) AS out_w,
+                   CAST(floor(src_h * sc) AS BIGINT) AS out_h
+            FROM s""",
+        "frame_samples": f"""
+            -- payloads are ASCII html, so byte offsets == char offsets
+            -- and decode-then-substring mirrors the python byte slice
+            WITH f AS (SELECT url, decode(html) AS h, octet_length(html) AS n
+                       FROM read_parquet('{pages}')),
+            x AS (SELECT url, h, n, unnest(range(4)) AS i FROM f)
+            SELECT url, i AS frame_index, (i * n) // 4 AS "offset",
+                   md5(substring(h, CAST((i * n) // 4 AS INT) + 1, 64))
+                     AS frame_md5
+            FROM x""",
         "crawl_robots_filter": f"""
             WITH p AS (SELECT url,
                  regexp_extract(url, '^https?://([^/?#]+)([^#]*)', 1) AS host,
@@ -908,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_rank": q_frontier_rank,
         "crawl_pages_exact_dedup": q_pages_exact_dedup,
         "crawl_media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,
         "crawl_pages_lang_dist": q_pages_lang_dist,
         "crawl_policy": q_crawl_policy,

@@ -66,6 +66,96 @@ class MediaFeatureStage:
         })
 
 
+class MediaResizeStage:
+    """Actor-pool resize stage: compute target dimensions (aspect-
+    preserving downscale, never upscale) for each payload. ``mode='fake'``
+    derives source dims from byte length (same rule as MediaFeatureStage)
+    so the DuckDB oracle recomputes everything; ``mode='pil'`` is the
+    real-decoder gate."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 payload_col: str = "html", id_col: str = "url",
+                 mode: str = "fake"):
+        self.tw, self.th = target_w, target_h
+        self.payload_col, self.id_col = payload_col, id_col
+        if mode != "fake":
+            raise NotImplementedError(
+                "real image resize needs an image library; use mode='fake'")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = np.array([len(b) for b in df[self.payload_col]], dtype=np.int64)
+        src_w = np.maximum(n % 1920, 1)
+        src_h = np.maximum(n % 1080, 1)
+        scale = np.minimum(np.minimum(self.tw / src_w, self.th / src_h), 1.0)
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].astype(str),
+            "src_w": src_w, "src_h": src_h,
+            "out_w": np.floor(src_w * scale).astype(np.int64),
+            "out_h": np.floor(src_h * scale).astype(np.int64),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: N evenly-spaced 64-byte windows per
+    payload (the video frame-sample analogue — offsets are where a real
+    decoder would seek; the window md5 stands in for the decoded frame).
+    Emits one row per (payload, frame_index)."""
+
+    WINDOW = 64
+
+    def __init__(self, n_frames: int = 4, payload_col: str = "html",
+                 id_col: str = "url", mode: str = "fake"):
+        self.n_frames = n_frames
+        self.payload_col, self.id_col = payload_col, id_col
+        if mode != "fake":
+            raise NotImplementedError(
+                "real frame decode needs a video library; use mode='fake'")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, offs, md5s = [], [], [], []
+        for key, b in zip(df[self.id_col].astype(str), df[self.payload_col]):
+            b = bytes(b)
+            n = len(b)
+            for i in range(self.n_frames):
+                off = (i * n) // self.n_frames
+                ids.append(key)
+                idxs.append(i)
+                offs.append(off)
+                md5s.append(hashlib.md5(b[off:off + self.WINDOW]).hexdigest())
+        return pd.DataFrame({
+            self.id_col: pd.Series(ids, dtype=str),
+            "frame_index": np.array(idxs, dtype=np.int64),
+            "offset": np.array(offs, dtype=np.int64),
+            "frame_md5": pd.Series(md5s, dtype=str),
+        })
+
+
+def media_resize(pages: ray.data.Dataset, target_w: int = 224,
+                 target_h: int = 224, payload_col: str = "html",
+                 id_col: str = "url", concurrency: int = 4) -> ray.data.Dataset:
+    """Aspect-preserving resize planning over a binary column (actor
+    pool, small batches — same sizing rationale as media_features)."""
+    return pages.select_columns([id_col, payload_col]).map_batches(
+        MediaResizeStage, fn_constructor_kwargs={
+            "target_w": target_w, "target_h": target_h,
+            "payload_col": payload_col, "id_col": id_col},
+        batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, concurrency), num_cpus=0.5)
+
+
+def frame_samples(pages: ray.data.Dataset, n_frames: int = 4,
+                  payload_col: str = "html", id_col: str = "url",
+                  concurrency: int = 4) -> ray.data.Dataset:
+    """Evenly-spaced frame sampling over a binary column (actor pool);
+    output is one row per sampled frame."""
+    return pages.select_columns([id_col, payload_col]).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={
+            "n_frames": n_frames, "payload_col": payload_col,
+            "id_col": id_col},
+        batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, concurrency), num_cpus=0.5)
+
+
 def media_features(pages: ray.data.Dataset, payload_col: str = "html",
                    id_col: str = "url", concurrency: int = 4) -> ray.data.Dataset:
     """Feature-extract over a binary column via an actor pool (decoder

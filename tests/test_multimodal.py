@@ -36,3 +36,33 @@ def test_actor_pool_pipeline(ray_session):
     assert len(out) == ds.count()
     assert set(out.columns) == {"url", "n_bytes", "content_md5", "width", "height"}
     assert not out["url"].duplicated().any()
+
+
+def test_resize_stage_aspect_preserving():
+    from ghcrawler_ray.ops.multimodal import MediaResizeStage
+    stage = MediaResizeStage(target_w=224, target_h=224)
+    df = pd.DataFrame({"url": ["u1"], "html": [b"x" * 500]})
+    out = stage(df)
+    # src 500x500 -> scale 224/500, floor -> 224x224; never upscale
+    assert out[["src_w", "src_h", "out_w", "out_h"]].values.tolist() == \
+        [[500, 500, 224, 224]]
+    small = stage(pd.DataFrame({"url": ["u2"], "html": [b"y" * 100]}))
+    assert small[["out_w", "out_h"]].values.tolist() == [[100, 100]]
+
+
+def test_frame_sample_stage_windows():
+    from ghcrawler_ray.ops.multimodal import FrameSampleStage
+    stage = FrameSampleStage(n_frames=4)
+    payload = bytes(range(256))
+    out = stage(pd.DataFrame({"url": ["v"], "html": [payload]}))
+    assert out["frame_index"].tolist() == [0, 1, 2, 3]
+    assert out["offset"].tolist() == [0, 64, 128, 192]
+    assert out["frame_md5"].iloc[2] == hashlib.md5(payload[128:192]).hexdigest()
+
+
+def test_resize_and_frames_gated():
+    from ghcrawler_ray.ops.multimodal import FrameSampleStage, MediaResizeStage
+    with pytest.raises(NotImplementedError):
+        MediaResizeStage(mode="pil")
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(mode="decord")
