@@ -32,6 +32,7 @@ import ray.data
 from ghcrawler_ray.config import PRIORITY_RANK, CrawlConfig
 from ghcrawler_ray.frontier import seeds_to_frontier
 from ghcrawler_ray.ops import ann as ops_ann
+from ghcrawler_ray.ops import corpus as ops_corpus
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
 from ghcrawler_ray.ops import text as ops_text
@@ -414,6 +415,26 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.simhash_pairs(_docs(sf_dir))
 
 
+def q_dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    return ops_dedup.dup_clusters(_docs(sf_dir))
+
+
+def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.pii_scrub(_docs(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.stratified_sample(_docs(sf_dir))
+
+
+def q_token_stats(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.token_stats(_docs(sf_dir))
+
+
+def q_repetition_metrics(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.repetition_metrics(_docs(sf_dir))
+
+
 def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -784,6 +805,101 @@ def _fingerprints_sql() -> str:
         FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id"""
 
 
+def _dup_clusters_sql() -> str:
+    """Connected components over the minhash pair graph as a recursive
+    CTE (transitive-closure min label — the fixpoint the Ray op reaches
+    by label propagation), reusing the full minhash mirror as the edge
+    source so banding, verification AND clustering are value-checked."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_minhash_sql()}) mq),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+        lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+                FROM reach GROUP BY node),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size
+               FROM lab GROUP BY 1)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               CAST(l.doc_id = l.cluster_id AS BIGINT) AS keep
+        FROM lab l JOIN sz s USING (cluster_id)"""
+
+
+def _pii_scrub_sql() -> str:
+    em, ip, ph = (ops_corpus.EMAIL_RE, ops_corpus.IPV4_RE,
+                  ops_corpus.PHONE_RE)
+    return f"""
+        WITH s1 AS (SELECT doc_id,
+               len(regexp_extract_all(text, '{em}')) AS n_emails,
+               regexp_replace(text, '{em}', '[EMAIL]', 'g') AS t1
+             FROM documents),
+        s2 AS (SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '{ip}')) AS n_ipv4,
+               regexp_replace(t1, '{ip}', '[IP]', 'g') AS t2 FROM s1),
+        s3 AS (SELECT doc_id, n_emails, n_ipv4,
+               len(regexp_extract_all(t2, '{ph}')) AS n_phones,
+               regexp_replace(t2, '{ph}', '[PHONE]', 'g') AS t3 FROM s2)
+        SELECT doc_id, n_emails, n_ipv4, n_phones, md5(t3) AS clean_md5
+        FROM s3"""
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(f"WHEN '{lang}' THEN {pct}"
+                     for lang, pct in sorted(ops_corpus.SAMPLE_PCT.items()))
+    return f"""
+        WITH b AS (SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('sample-' || doc_id), 1, 16))
+                    ::UBIGINT % 100 AS BIGINT) AS sample_bucket
+             FROM documents)
+        SELECT doc_id, lang, sample_bucket FROM b
+        WHERE sample_bucket <
+              CASE lang {cases} ELSE {ops_corpus.SAMPLE_DEFAULT_PCT} END"""
+
+
+def _repetition_sql() -> str:
+    d2, tt = repr(ops_corpus.REP_DUP_2GRAM_MAX), \
+        repr(ops_corpus.REP_TOP_TOKEN_MAX)
+    return rf"""
+        WITH t AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[^\s]+') AS tk
+             FROM documents),
+        tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+        tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        agg AS (SELECT doc_id, max(c)::BIGINT AS top_token_n,
+                 sum(c)::BIGINT AS n_tokens,
+                 count(*)::BIGINT AS n_distinct_tokens FROM tc GROUP BY 1),
+        g AS (SELECT doc_id,
+                 greatest(len(tk) - 1, 0)::BIGINT AS n_2grams,
+                 len(list_distinct(list_transform(
+                     range(1, greatest(len(tk), 1)),
+                     i -> tk[i] || ' ' || tk[i + 1])))::BIGINT
+                   AS n_distinct_2grams
+              FROM t),
+        f AS (SELECT d.doc_id,
+                 coalesce(a.n_tokens, 0) AS n_tokens,
+                 coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+                 coalesce(a.top_token_n, 0) AS top_token_n,
+                 g.n_2grams, g.n_distinct_2grams
+              FROM documents d
+              LEFT JOIN agg a ON d.doc_id = a.doc_id
+              JOIN g ON g.doc_id = d.doc_id)
+        SELECT doc_id, n_tokens, n_distinct_tokens, top_token_n,
+            n_2grams, n_distinct_2grams,
+            (n_tokens - n_distinct_tokens)
+              / greatest(n_tokens, 1)::DOUBLE AS dup_token_frac,
+            top_token_n / greatest(n_tokens, 1)::DOUBLE AS top_token_frac,
+            (n_2grams - n_distinct_2grams)
+              / greatest(n_2grams, 1)::DOUBLE AS dup_2gram_frac,
+            CAST(((n_2grams - n_distinct_2grams)
+                    / greatest(n_2grams, 1)::DOUBLE > {d2}e0)
+                 OR (top_token_n / greatest(n_tokens, 1)::DOUBLE > {tt}e0)
+                 AS BIGINT) AS is_repetitive
+        FROM f"""
+
+
 def _ops_sql() -> dict[str, str]:
     en = _marker_sql(ops_text.LANG_MARKERS["en"])
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
@@ -875,6 +991,19 @@ def _ops_sql() -> dict[str, str]:
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
+        "dup_clusters": _dup_clusters_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "token_stats": rf"""
+            WITH tok AS (SELECT lang,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token
+               FROM documents),
+            c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+            SELECT lang, token, n,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, token) AS rank_in_lang
+            FROM c QUALIFY rank_in_lang <= {ops_corpus.TOKEN_STATS_TOPK}""",
+        "repetition_metrics": _repetition_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -957,6 +1086,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_fingerprints,
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "token_stats": q_token_stats,
+        "repetition_metrics": q_repetition_metrics,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,

@@ -1,0 +1,218 @@
+"""Corpus-curation operators: PII scrubbing, deterministic stratified
+sampling, corpus-level token statistics, and repetition (Gopher-style)
+quality signals — the filters a training-data pipeline applies between
+extraction and dedup.
+
+Every op is a vectorized ``map_batches`` stage over the ``documents``
+table ``(doc_id, text, lang, source, n_chars)`` and is mirrored 1:1 by a
+DuckDB oracle in ``__ray_entry__`` (same column names, same operation
+order for floats, md5-derived hashing only — no RNG).
+
+Scale shapes (100 TB discipline):
+- pii_scrub / repetition_metrics: embarrassingly parallel per-row maps,
+  zero shuffles; output is slim (counts + md5), the redacted text itself
+  is never shuffled or collected.
+- stratified_sample: the sampling decision is a pure function of
+  (doc_id, lang) — md5 bucket < per-stratum rate — so it needs no
+  global state, no count pass, and resampling is reproducible from the
+  id alone (the property that matters when a 100 TB corpus is sampled
+  again after an append).
+- token_stats: per-batch PARTIAL counts (pandas groupby inside the map
+  task) collapse each batch to its distinct (lang, token) rows before
+  the one slim ``groupby(lang, token)`` shuffle — the classic combiner;
+  the final per-lang top-k touches only #langs × vocab rows.
+
+Reference context: the reference slims payloads per-type before store
+(`providers/fetcher/githubProcessor.js:248-252` patch stripping); these
+ops are the web-corpus analogues of that normalize-before-persist pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Sum
+
+from .text import WS_TOKEN_RE
+
+# ---- PII scrubbing ----
+# Patterns are written in the common subset of Python re and RE2 (no
+# lookbehind), so DuckDB's regexp_replace/regexp_extract_all reproduce
+# byte-identical redactions. Redaction order is fixed: email → ipv4 →
+# phone, each count taken on the text as redacted so far.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{9,15}"
+
+_EMAIL = re.compile(EMAIL_RE)
+_IPV4 = re.compile(IPV4_RE)
+_PHONE = re.compile(PHONE_RE)
+
+
+def pii_scrub_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, clean_md5): count + redact
+    each PII class in the fixed order, md5 of the fully redacted text.
+    Slim output — the redacted text never leaves the task."""
+    t = df["text"].astype(str)
+    n_email = t.str.count(EMAIL_RE).astype(np.int64)
+    t1 = t.str.replace(EMAIL_RE, "[EMAIL]", regex=True)
+    n_ip = t1.str.count(IPV4_RE).astype(np.int64)
+    t2 = t1.str.replace(IPV4_RE, "[IP]", regex=True)
+    n_phone = t2.str.count(PHONE_RE).astype(np.int64)
+    t3 = t2.str.replace(PHONE_RE, "[PHONE]", regex=True)
+    md5 = hashlib.md5
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_emails": n_email, "n_ipv4": n_ip, "n_phones": n_phone,
+        "clean_md5": [md5(s.encode()).hexdigest() for s in t3],
+    })
+
+
+# ---- deterministic stratified sampling ----
+
+#: per-language keep rate out of 100 (unlisted langs keep everything) —
+#: the down-mix a training corpus applies to over-represented strata
+SAMPLE_PCT: dict[str, int] = {"en": 50, "zh": 20}
+SAMPLE_DEFAULT_PCT = 100
+_SAMPLE_SALT = "sample-"
+
+
+def sample_bucket(doc_ids) -> np.ndarray:
+    """Deterministic bucket in [0, 100): first 8 bytes of
+    md5('sample-<doc_id>') as a big-endian u64, mod 100 — DuckDB computes
+    the identical value as ('0x'||substr(md5(...),1,16))::UBIGINT % 100."""
+    m = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(m(f"{_SAMPLE_SALT}{int(d)}".encode()).digest()[:8],
+                        "big") % 100 for d in doc_ids),
+        dtype=np.int64, count=len(doc_ids))
+
+
+def stratified_sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+    b = sample_bucket(df["doc_id"])
+    pct = df["lang"].astype(str).map(SAMPLE_PCT) \
+        .fillna(SAMPLE_DEFAULT_PCT).to_numpy(dtype=np.int64)
+    keep = b < pct
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64)[keep],
+        "lang": df["lang"].astype(str)[keep],
+        "sample_bucket": b[keep],
+    })
+
+
+# ---- corpus-level token statistics (combiner → slim shuffle → top-k) ----
+
+TOKEN_STATS_TOPK = 10
+
+
+def _partial_token_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: explode ws-tokens and pre-aggregate to the
+    batch's distinct (lang, token) rows — the shuffle then moves vocab-
+    sized rows, not corpus-sized."""
+    langs, toks = [], []
+    ws = re.compile(WS_TOKEN_RE)
+    for lang, text in zip(df["lang"].astype(str), df["text"].astype(str)):
+        ts = ws.findall(text.lower())
+        langs.append(np.full(len(ts), lang, dtype=object))
+        toks.append(np.array(ts, dtype=object))
+    if not langs:
+        return pd.DataFrame({"lang": [], "token": [], "n_part": []})
+    flat = pd.DataFrame({"lang": np.concatenate(langs),
+                         "token": np.concatenate(toks)})
+    out = flat.groupby(["lang", "token"], as_index=False).size() \
+        .rename(columns={"size": "n_part"})
+    out["n_part"] = out["n_part"].astype(np.int64)
+    return out
+
+
+def _topk_of_lang(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["n", "token"], ascending=[False, True],
+                      kind="stable").head(TOKEN_STATS_TOPK)
+    g = g.reset_index(drop=True)
+    g["rank_in_lang"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["lang", "token", "n", "rank_in_lang"]]
+
+
+def token_stats(docs: ray.data.Dataset,
+                k: int = TOKEN_STATS_TOPK) -> ray.data.Dataset:
+    """Top-k ws-tokens per language: (lang, token, n, rank_in_lang),
+    rank ordered by (n desc, token asc). One slim vocab-sized shuffle;
+    the per-lang top-k groups are #langs-bounded (a web corpus has
+    O(100) languages, so map_groups per lang is NOT the per-group-task
+    pitfall the dedup ops avoid)."""
+    assert k == TOKEN_STATS_TOPK  # k is baked into the SQL mirror
+    return (docs.select_columns(["lang", "text"])
+            .map_batches(_partial_token_counts, batch_format="pandas")
+            .groupby(["lang", "token"])
+            .aggregate(Sum("n_part", alias_name="n"))
+            .groupby("lang")
+            .map_groups(_topk_of_lang, batch_format="pandas"))
+
+
+# ---- repetition / duplication quality signals (Gopher-style) ----
+
+#: thresholds for the composite repetitiveness flag
+REP_DUP_2GRAM_MAX = 0.6
+REP_TOP_TOKEN_MAX = 0.2
+
+
+def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document repetition signals over lowercased ws-tokens:
+    duplicate-token fraction, most-frequent-token fraction, duplicate
+    2-gram fraction, and a composite ``is_repetitive`` flag (int 0/1).
+    Every division is (int − int) / max(int, 1) in float64, in the same
+    order as the SQL mirror."""
+    ws = re.compile(WS_TOKEN_RE)
+    n_tok = np.zeros(len(df), dtype=np.int64)
+    n_dist = np.zeros(len(df), dtype=np.int64)
+    top_n = np.zeros(len(df), dtype=np.int64)
+    n_2g = np.zeros(len(df), dtype=np.int64)
+    n_2g_dist = np.zeros(len(df), dtype=np.int64)
+    for i, text in enumerate(df["text"].astype(str)):
+        ts = ws.findall(text.lower())
+        n_tok[i] = len(ts)
+        if ts:
+            arr = np.array(ts, dtype=object)
+            _, counts = np.unique(arr, return_counts=True)
+            n_dist[i] = len(counts)
+            top_n[i] = counts.max()
+            if len(ts) > 1:
+                grams = np.array([f"{ts[j]} {ts[j + 1]}"
+                                  for j in range(len(ts) - 1)], dtype=object)
+                n_2g[i] = len(grams)
+                n_2g_dist[i] = len(np.unique(grams))
+    dup_tok = (n_tok - n_dist) / np.maximum(n_tok, 1)
+    top_frac = top_n / np.maximum(n_tok, 1)
+    dup_2g = (n_2g - n_2g_dist) / np.maximum(n_2g, 1)
+    flag = ((dup_2g > REP_DUP_2GRAM_MAX)
+            | (top_frac > REP_TOP_TOKEN_MAX)).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_tokens": n_tok, "n_distinct_tokens": n_dist,
+        "top_token_n": top_n, "n_2grams": n_2g,
+        "n_distinct_2grams": n_2g_dist,
+        "dup_token_frac": dup_tok, "top_token_frac": top_frac,
+        "dup_2gram_frac": dup_2g, "is_repetitive": flag,
+    })
+
+
+# ---- Dataset-level entry points ----
+
+def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        pii_scrub_batch, batch_format="pandas")
+
+
+def stratified_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "lang"]).map_batches(
+        stratified_sample_batch, batch_format="pandas")
+
+
+def repetition_metrics(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pandas")

@@ -431,3 +431,171 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset,
     return (docs.select_columns(["doc_id", "lang", "text"])
             .map_batches(to_bands, batch_format="pandas")
             .groupby(["lang", "band"]).map_groups(block, batch_format="pandas"))
+
+
+# ---- near-dup clustering: connected components over the LSH pair graph ----
+
+CC_MAX_ROUNDS = 32        # safety bound ≫ any real dup-cluster diameter
+N_NODE_PARTS = 64         # coarse co-partition key for the label joins
+
+
+def _cc_labels(edges_df: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed min-label propagation over (doc_a, doc_b) edges →
+    (node, label) with label = min doc_id of the node's component.
+
+    Per round (all slim int columns, never corpus-sized):
+    1. co-partition edge endpoints with the current labels by
+       ``node % N_NODE_PARTS`` (union + one coarse groupby — the same
+       shuffle-join pattern as lineage.discovery_lineage) and emit one
+       (neighbor, my_label) message per directed edge;
+    2. fold messages into labels with a hash-aggregate Min — never a
+       per-node group task.
+
+    Labels only decrease, so ``sum(label)`` is a strictly decreasing
+    convergence witness: the loop stops the first round it is unchanged
+    (rounds needed = component diameter; near-dup clusters are
+    near-cliques via LSH banding, so this is 2-3 in practice).
+    Each round's labels are materialized — label tables are
+    #dup-endpoint-sized (output-scale), not corpus-scale."""
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        node = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        return pd.DataFrame({"part": (node % N_NODE_PARTS).astype(np.int32),
+                             "node": node, "other": other})
+
+    ends = edges_df.map_batches(endpoints, batch_format="pandas") \
+        .materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "lab_p": df["node"].astype(np.int64)})
+
+    labels = (ends.select_columns(["node"])
+              .map_batches(init_labels, batch_format="pandas")
+              .groupby("node").aggregate(Min("lab_p", alias_name="label"))
+              .materialize())
+
+    def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["other"] < 0, ["node", "label"]]
+        e = g.loc[g["other"] >= 0, ["node", "other"]]
+        m = e.merge(lab, on="node", how="inner")
+        return pd.DataFrame({"node": m["other"].astype(np.int64),
+                             "lab_p": m["label"].astype(np.int64)})
+
+    prev_sum = None
+    for _ in range(CC_MAX_ROUNDS):
+        s = labels.sum("label")
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+
+        def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+            node = df["node"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "part": (node % N_NODE_PARTS).astype(np.int32),
+                "node": node,
+                "other": np.full(len(df), -1, dtype=np.int64),
+                "label": df["label"].to_numpy(dtype=np.int64)})
+
+        def tag_ends(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["label"] = np.int64(-1)
+            return df[["part", "node", "other", "label"]]
+
+        msgs = (labels.map_batches(tag_labels, batch_format="pandas")
+                .union(ends.map_batches(tag_ends, batch_format="pandas"))
+                .groupby("part").map_groups(emit_msgs, batch_format="pandas"))
+
+        def as_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df["node"].astype(np.int64),
+                                 "lab_p": df["label"].astype(np.int64)})
+
+        labels = (msgs.union(labels.map_batches(as_partial,
+                                                batch_format="pandas"))
+                  .groupby("node").aggregate(Min("lab_p", alias_name="label"))
+                  .materialize())
+    return labels
+
+
+def dup_clusters(docs: ray.data.Dataset,
+                 threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """(doc_id, cluster_id, cluster_size, keep): near-duplicate clusters
+    = connected components of the verified MinHash-LSH pair graph
+    (jaccard ≥ threshold), cluster_id = min doc_id of the component,
+    keep = 1 iff the doc is its cluster's canonical representative —
+    the standard "near-dedup then keep one per cluster" corpus pass.
+    Docs in no pair are size-1 clusters of themselves.
+
+    Mirrored by a recursive-CTE DuckDB oracle (transitive-closure min
+    label), so the whole chain — banding, verification, clustering — is
+    value-checked end to end."""
+    edges = minhash_lsh_pairs(docs, threshold) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+    has_edges = edges.count() > 0
+    labels = _cc_labels(edges) if has_edges else None
+
+    # assign cluster_id to every doc: co-partition docs ∪ labels by id
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"part": (d % N_NODE_PARTS).astype(np.int32),
+                             "doc_id": d,
+                             "label": np.full(len(d), -1, dtype=np.int64)})
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"part": (n % N_NODE_PARTS).astype(np.int32),
+                             "doc_id": n,
+                             "label": df["label"].to_numpy(dtype=np.int64)})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["label"] >= 0, ["doc_id", "label"]]
+        d = g.loc[g["label"] < 0, ["doc_id"]]
+        m = d.merge(lab, on="doc_id", how="left")
+        cid = m["label"].fillna(m["doc_id"]).astype(np.int64)
+        return pd.DataFrame({"doc_id": m["doc_id"].astype(np.int64),
+                             "cluster_id": cid})
+
+    tagged = docs.select_columns(["doc_id"]) \
+        .map_batches(tag_docs, batch_format="pandas")
+    if has_edges:
+        tagged = tagged.union(
+            labels.map_batches(tag_labels, batch_format="pandas"))
+    assigned = tagged.groupby("part") \
+        .map_groups(assign, batch_format="pandas").materialize()
+
+    sizes = assigned.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size"))
+
+    # join sizes back: co-partition by cluster_id
+    def tag_assigned(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cluster_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"cpart": (c % N_NODE_PARTS).astype(np.int32),
+                             "cluster_id": c,
+                             "doc_id": df["doc_id"].astype(np.int64),
+                             "cluster_size": np.full(len(df), -1,
+                                                     dtype=np.int64)})
+
+    def tag_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cluster_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"cpart": (c % N_NODE_PARTS).astype(np.int32),
+                             "cluster_id": c,
+                             "doc_id": np.full(len(df), -1, dtype=np.int64),
+                             "cluster_size": df["cluster_size"]
+                             .to_numpy(dtype=np.int64)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.loc[g["doc_id"] < 0, ["cluster_id", "cluster_size"]]
+        d = g.loc[g["doc_id"] >= 0, ["cluster_id", "doc_id"]]
+        m = d.merge(sz, on="cluster_id", how="inner")
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype(np.int64),
+            "cluster_id": m["cluster_id"].astype(np.int64),
+            "cluster_size": m["cluster_size"].astype(np.int64),
+            "keep": (m["doc_id"] == m["cluster_id"]).astype(np.int64)})
+
+    return (assigned.map_batches(tag_assigned, batch_format="pandas")
+            .union(sizes.map_batches(tag_sizes, batch_format="pandas"))
+            .groupby("cpart").map_groups(attach, batch_format="pandas"))

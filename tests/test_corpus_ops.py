@@ -1,0 +1,107 @@
+"""Unit tests for the corpus-curation ops (ghcrawler_ray/ops/corpus.py)
+and near-dup clustering (ops/dedup.py): behaviors the synthetic sf
+documents can't exercise — real PII hits, multi-round label propagation
+on path graphs — plus determinism of the sampling hash. The full
+value-vs-DuckDB-oracle gate for these ops lives in test_ops_oracle.py.
+"""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ghcrawler_ray.ops.corpus import (SAMPLE_PCT, pii_scrub_batch,
+                                      repetition_batch, sample_bucket,
+                                      stratified_sample_batch)
+from ghcrawler_ray.ops.dedup import _cc_labels, dup_clusters
+
+
+def test_pii_scrub_redacts_and_counts():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail a@b.co or c.d+x@e-f.org now",
+            "host 10.0.0.1 and 192.168.255.254 call +4915123456789",
+            "clean text, no pii at all",
+        ],
+    })
+    out = pii_scrub_batch(df)
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0]
+    # doc 3 untouched → md5 equals md5 of the original text
+    import hashlib
+    assert out["clean_md5"].iloc[2] == hashlib.md5(
+        df["text"].iloc[2].encode()).hexdigest()
+    assert out["clean_md5"].iloc[0] != hashlib.md5(
+        df["text"].iloc[0].encode()).hexdigest()
+
+
+def test_pii_redaction_order_email_before_ip():
+    # an ip inside an email address is consumed by the (earlier) email
+    # redaction and must not be double-counted as an ipv4 hit
+    df = pd.DataFrame({"doc_id": [1], "text": ["x@10.0.0.1.ab rest 1.2.3.4"]})
+    out = pii_scrub_batch(df)
+    assert out["n_emails"].iloc[0] == 1
+    assert out["n_ipv4"].iloc[0] == 1            # only the bare 1.2.3.4
+
+
+def test_sample_bucket_deterministic_and_stratified():
+    ids = np.arange(1000)
+    b1, b2 = sample_bucket(ids), sample_bucket(ids)
+    assert (b1 == b2).all()
+    assert 0 <= b1.min() and b1.max() < 100
+    df = pd.DataFrame({"doc_id": ids, "lang": ["en"] * 500 + ["de"] * 500})
+    out = stratified_sample_batch(df)
+    en = out[out["lang"] == "en"]
+    de = out[out["lang"] == "de"]
+    assert len(de) == 500                         # unlisted-rate langs keep all
+    assert abs(len(en) - 5 * SAMPLE_PCT["en"]) < 100   # ≈ pct% of 500
+    assert (en["sample_bucket"] < SAMPLE_PCT["en"]).all()
+
+
+def test_repetition_metrics_extremes():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam spam spam spam spam", "all words fully distinct here", ""],
+    })
+    out = repetition_batch(df)
+    r = out.set_index("doc_id")
+    assert r.loc[1, "dup_token_frac"] == 0.8       # 5 tokens, 1 distinct
+    assert r.loc[1, "dup_2gram_frac"] == 0.75      # 4 grams, 1 distinct
+    assert r.loc[1, "is_repetitive"] == 1
+    assert r.loc[2, "dup_token_frac"] == 0.0
+    assert r.loc[2, "is_repetitive"] == 0
+    assert r.loc[3, "n_tokens"] == 0 and r.loc[3, "is_repetitive"] == 0
+
+
+def test_cc_labels_path_graph_needs_multiple_rounds(ray_session):
+    """A 6-node path 10-11-...-15 has diameter 5: min-label propagation
+    must iterate past round one to converge; plus a separate clique and
+    make sure the two components don't merge."""
+    edges = pd.DataFrame({
+        "doc_a": [10, 11, 12, 13, 14, 100, 100, 101],
+        "doc_b": [11, 12, 13, 14, 15, 101, 102, 102],
+    })
+    labels = _cc_labels(ray.data.from_pandas(edges)).to_pandas()
+    lab = labels.set_index("node")["label"].to_dict()
+    assert all(lab[n] == 10 for n in range(10, 16))
+    assert all(lab[n] == 100 for n in (100, 101, 102))
+
+
+def test_dup_clusters_on_planted_dups(ray_session):
+    """Three near-identical docs (shared shingles ≫ threshold) → one
+    cluster keyed by the min doc_id with keep=1 only there; unrelated
+    docs are singletons."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 9],
+        "text": [base + "one", base + "two", base + "three",
+                 "totally different words entirely unrelated content here",
+                 "yet another completely separate document body text"],
+        "lang": ["en"] * 5,
+    })
+    out = dup_clusters(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["cluster_id"].tolist() == [1, 1, 1, 7, 9]
+    assert out["cluster_size"].tolist() == [3, 3, 3, 1, 1]
+    assert out["keep"].tolist() == [1, 0, 0, 1, 1]
