@@ -435,6 +435,10 @@ def q_repetition_metrics(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.repetition_metrics(_docs(sf_dir))
 
 
+def q_doc_length_stats(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.doc_length_stats(_docs(sf_dir))
+
+
 def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -1004,6 +1008,22 @@ def _ops_sql() -> dict[str, str]:
                                    ORDER BY n DESC, token) AS rank_in_lang
             FROM c QUALIFY rank_in_lang <= {ops_corpus.TOKEN_STATS_TOPK}""",
         "repetition_metrics": _repetition_sql(),
+        "doc_length_stats": """
+            WITH o AS (SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+               FROM documents)
+            SELECT lang, max(n)::BIGINT AS n_docs,
+              min(n_chars) AS min_chars,
+              max(CASE WHEN rn = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1
+                       THEN n_chars END) AS p50_chars,
+              max(CASE WHEN rn = CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1
+                       THEN n_chars END) AS p90_chars,
+              max(CASE WHEN rn = CAST(floor(0.99e0 * (n - 1)) AS BIGINT) + 1
+                       THEN n_chars END) AS p99_chars,
+              max(n_chars) AS max_chars
+            FROM o GROUP BY lang""",
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1091,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "token_stats": q_token_stats,
         "repetition_metrics": q_repetition_metrics,
+        "doc_length_stats": q_doc_length_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,

@@ -201,6 +201,37 @@ def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+# ---- per-stratum length quantiles (exact, nearest-rank) ----
+
+_QUANTILES = (("p50_chars", 0.5), ("p90_chars", 0.9), ("p99_chars", 0.99))
+
+
+def _length_stats_of_lang(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact nearest-rank quantiles: value at index floor(q·(n−1)) of the
+    ascending-sorted lengths — the deterministic rule the SQL mirror
+    reproduces with row_number(). Per-lang groups are #langs-bounded."""
+    v = np.sort(g["n_chars"].to_numpy(dtype=np.int64))
+    n = len(v)
+    row = {"lang": [g["lang"].iloc[0]],
+           "n_docs": np.array([n], dtype=np.int64),
+           "min_chars": np.array([v[0]], dtype=np.int64),
+           "max_chars": np.array([v[-1]], dtype=np.int64)}
+    for name, q in _QUANTILES:
+        row[name] = np.array([v[int(np.floor(q * (n - 1)))]], dtype=np.int64)
+    return pd.DataFrame(row)[["lang", "n_docs", "min_chars", "p50_chars",
+                              "p90_chars", "p99_chars", "max_chars"]]
+
+
+def doc_length_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs, min/p50/p90/p99/max chars): per-language length
+    distribution — the pre-filter profile a corpus pipeline computes
+    before choosing truncation/min-length thresholds. Only (lang,
+    n_chars) is shuffled; quantiles are exact nearest-rank."""
+    return (docs.select_columns(["lang", "n_chars"])
+            .groupby("lang")
+            .map_groups(_length_stats_of_lang, batch_format="pandas"))
+
+
 # ---- Dataset-level entry points ----
 
 def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:

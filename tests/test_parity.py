@@ -122,3 +122,16 @@ def test_links_parity(engine_out, golden):
     cols = ["wave", "src_url", "dst_url", "link_index"]
     pd.testing.assert_frame_equal(
         _norm(el.sort_values(cols), cols), _norm(gl.sort_values(cols), cols))
+
+
+def test_delta_log_matches_store(engine_out):
+    """S6 delta/changelog sink (`providers/storage/deltaStore.js:26-31,
+    102-114` analogue): exactly one append-only 'new' delta row per store
+    upsert, with the store's etag and wave."""
+    delta = _read_dir(engine_out / "delta")
+    pages = _read_dir(engine_out / "pages")
+    assert (delta["change"] == "new").all()
+    cols = ["url", "etag", "wave"]
+    pd.testing.assert_frame_equal(
+        _norm(delta.sort_values(cols), cols),
+        _norm(pages.sort_values(cols), cols))
