@@ -436,88 +436,95 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset,
 # ---- near-dup clustering: connected components over the LSH pair graph ----
 
 CC_MAX_ROUNDS = 32        # safety bound ≫ any real dup-cluster diameter
-N_NODE_PARTS = 64         # coarse co-partition key for the label joins
+N_NODE_PARTS = 16         # co-partition key count — a FIXED job parameter
+                          # (like the engine's n_polite_parts): per-shuffle
+                          # fixed cost scales with it, so it is sized for
+                          # the sandbox; a real cluster raises it
 
 
 def _cc_labels(edges_df: ray.data.Dataset) -> ray.data.Dataset:
     """Distributed min-label propagation over (doc_a, doc_b) edges →
     (node, label) with label = min doc_id of the node's component.
 
-    Per round (all slim int columns, never corpus-sized):
-    1. co-partition edge endpoints with the current labels by
-       ``node % N_NODE_PARTS`` (union + one coarse groupby — the same
-       shuffle-join pattern as lineage.discovery_lineage) and emit one
-       (neighbor, my_label) message per directed edge;
-    2. fold messages into labels with a hash-aggregate Min — never a
-       per-node group task.
+    Delta-based BSP with ONE shuffle per round: every row — current
+    labels, edge endpoints, and in-flight messages — is keyed by
+    ``part = node % N_NODE_PARTS``, so a single ``groupby('part')``
+    co-locates a node's label, its adjacency AND the candidates sent to
+    it. Inside the group (all vectorized pandas, no per-node Python):
+    fold candidates into labels with a min; nodes whose label DECREASED
+    emit their new label to their neighbors (addressed to the
+    neighbor's part — next round's shuffle delivers it). Messages stop
+    flowing exactly at convergence, so the loop exits when a round
+    emits none (rounds ≈ component diameter + 1; LSH dup clusters are
+    near-cliques, so 2-3 in practice).
 
-    Labels only decrease, so ``sum(label)`` is a strictly decreasing
-    convergence witness: the loop stops the first round it is unchanged
-    (rounds needed = component diameter; near-dup clusters are
-    near-cliques via LSH banding, so this is 2-3 in practice).
-    Each round's labels are materialized — label tables are
-    #dup-endpoint-sized (output-scale), not corpus-scale."""
+    Everything here is #dup-endpoint-sized (output scale), never corpus
+    scale; per-round state is materialized (slim int columns) to keep
+    each round one execution instead of a growing lineage chain."""
 
-    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        """Edge rows + an initial self-label message per endpoint (no
+        label rows yet ⇒ round 1 treats every fold as a decrease and
+        seeds the propagation)."""
         a = df["doc_a"].to_numpy(dtype=np.int64)
         b = df["doc_b"].to_numpy(dtype=np.int64)
         node = np.concatenate([a, b])
         other = np.concatenate([b, a])
-        return pd.DataFrame({"part": (node % N_NODE_PARTS).astype(np.int32),
-                             "node": node, "other": other})
+        edges = pd.DataFrame({
+            "part": (node % N_NODE_PARTS).astype(np.int32),
+            "node": node, "other": other,
+            "label": np.full(len(node), -1, dtype=np.int64),
+            "is_msg": np.zeros(len(node), dtype=np.int8)})
+        seeds = pd.DataFrame({
+            "part": edges["part"], "node": node,
+            "other": np.full(len(node), -1, dtype=np.int64),
+            "label": node,
+            "is_msg": np.ones(len(node), dtype=np.int8)})
+        return pd.concat([edges, seeds], ignore_index=True)
 
-    ends = edges_df.map_batches(endpoints, batch_format="pandas") \
+    state = edges_df.map_batches(init_state, batch_format="pandas") \
         .materialize()
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"].astype(np.int64),
-                             "lab_p": df["node"].astype(np.int64)})
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["other"] >= 0]
+        cand = g[g["other"] < 0]             # label rows ∪ messages
+        folded = cand.groupby("node", sort=False)["label"].min()
+        old = cand[cand["is_msg"] == 0].set_index("node")["label"]
+        old = old.reindex(folded.index)      # NaN ⇒ node had no label yet
+        dec = folded[old.isna() | (folded < old)]
+        n = len(folded)
+        labels_out = pd.DataFrame({
+            "part": (folded.index.to_numpy(dtype=np.int64)
+                     % N_NODE_PARTS).astype(np.int32),
+            "node": folded.index.to_numpy(dtype=np.int64),
+            "other": np.full(n, -1, dtype=np.int64),
+            "label": folded.to_numpy(dtype=np.int64),
+            "is_msg": np.zeros(n, dtype=np.int8)})
+        m = e[["node", "other"]].merge(
+            dec.rename("label"), left_on="node", right_index=True)
+        msgs_out = pd.DataFrame({
+            "part": (m["other"].to_numpy(dtype=np.int64)
+                     % N_NODE_PARTS).astype(np.int32),
+            "node": m["other"].to_numpy(dtype=np.int64),
+            "other": np.full(len(m), -1, dtype=np.int64),
+            "label": m["label"].to_numpy(dtype=np.int64),
+            "is_msg": np.ones(len(m), dtype=np.int8)})
+        return pd.concat(
+            [e[["part", "node", "other", "label", "is_msg"]],
+             labels_out, msgs_out], ignore_index=True)
 
-    labels = (ends.select_columns(["node"])
-              .map_batches(init_labels, batch_format="pandas")
-              .groupby("node").aggregate(Min("lab_p", alias_name="label"))
-              .materialize())
-
-    def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g.loc[g["other"] < 0, ["node", "label"]]
-        e = g.loc[g["other"] >= 0, ["node", "other"]]
-        m = e.merge(lab, on="node", how="inner")
-        return pd.DataFrame({"node": m["other"].astype(np.int64),
-                             "lab_p": m["label"].astype(np.int64)})
-
-    prev_sum = None
     for _ in range(CC_MAX_ROUNDS):
-        s = labels.sum("label")
-        if prev_sum is not None and s == prev_sum:
+        state = state.groupby("part") \
+            .map_groups(step, batch_format="pandas").materialize()
+        if state.sum("is_msg") == 0:
             break
-        prev_sum = s
 
-        def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
-            node = df["node"].to_numpy(dtype=np.int64)
-            return pd.DataFrame({
-                "part": (node % N_NODE_PARTS).astype(np.int32),
-                "node": node,
-                "other": np.full(len(df), -1, dtype=np.int64),
-                "label": df["label"].to_numpy(dtype=np.int64)})
+    def final_labels(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[(df["other"] < 0) & (df["is_msg"] == 0)]
+        return pd.DataFrame({"node": lab["node"].astype(np.int64),
+                             "label": lab["label"].astype(np.int64)})
 
-        def tag_ends(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["label"] = np.int64(-1)
-            return df[["part", "node", "other", "label"]]
-
-        msgs = (labels.map_batches(tag_labels, batch_format="pandas")
-                .union(ends.map_batches(tag_ends, batch_format="pandas"))
-                .groupby("part").map_groups(emit_msgs, batch_format="pandas"))
-
-        def as_partial(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": df["node"].astype(np.int64),
-                                 "lab_p": df["label"].astype(np.int64)})
-
-        labels = (msgs.union(labels.map_batches(as_partial,
-                                                batch_format="pandas"))
-                  .groupby("node").aggregate(Min("lab_p", alias_name="label"))
-                  .materialize())
-    return labels
+    return state.map_batches(final_labels, batch_format="pandas")
 
 
 def dup_clusters(docs: ray.data.Dataset,
@@ -529,6 +536,12 @@ def dup_clusters(docs: ray.data.Dataset,
     the standard "near-dedup then keep one per cluster" corpus pass.
     Docs in no pair are size-1 clusters of themselves.
 
+    Two shuffles after the component labels: (1) docs ∪ labels
+    co-partitioned by doc_id hash assigns every doc its cluster_id;
+    (2) re-keying by cluster_id co-locates whole clusters, so
+    cluster_size and the keep flag are computed INSIDE that one group
+    pass (no separate size aggregate + join-back).
+
     Mirrored by a recursive-CTE DuckDB oracle (transitive-closure min
     label), so the whole chain — banding, verification, clustering — is
     value-checked end to end."""
@@ -537,7 +550,7 @@ def dup_clusters(docs: ray.data.Dataset,
     has_edges = edges.count() > 0
     labels = _cc_labels(edges) if has_edges else None
 
-    # assign cluster_id to every doc: co-partition docs ∪ labels by id
+    # shuffle 1: assign cluster_id (docs ∪ labels co-keyed by doc id)
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame({"part": (d % N_NODE_PARTS).astype(np.int32),
@@ -555,8 +568,10 @@ def dup_clusters(docs: ray.data.Dataset,
         d = g.loc[g["label"] < 0, ["doc_id"]]
         m = d.merge(lab, on="doc_id", how="left")
         cid = m["label"].fillna(m["doc_id"]).astype(np.int64)
-        return pd.DataFrame({"doc_id": m["doc_id"].astype(np.int64),
-                             "cluster_id": cid})
+        return pd.DataFrame({
+            "cpart": (cid.to_numpy() % N_NODE_PARTS).astype(np.int32),
+            "doc_id": m["doc_id"].astype(np.int64),
+            "cluster_id": cid})
 
     tagged = docs.select_columns(["doc_id"]) \
         .map_batches(tag_docs, batch_format="pandas")
@@ -564,38 +579,18 @@ def dup_clusters(docs: ray.data.Dataset,
         tagged = tagged.union(
             labels.map_batches(tag_labels, batch_format="pandas"))
     assigned = tagged.groupby("part") \
-        .map_groups(assign, batch_format="pandas").materialize()
+        .map_groups(assign, batch_format="pandas")
 
-    sizes = assigned.groupby("cluster_id").aggregate(
-        Count(alias_name="cluster_size"))
-
-    # join sizes back: co-partition by cluster_id
-    def tag_assigned(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["cluster_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"cpart": (c % N_NODE_PARTS).astype(np.int32),
-                             "cluster_id": c,
-                             "doc_id": df["doc_id"].astype(np.int64),
-                             "cluster_size": np.full(len(df), -1,
-                                                     dtype=np.int64)})
-
-    def tag_sizes(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["cluster_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"cpart": (c % N_NODE_PARTS).astype(np.int32),
-                             "cluster_id": c,
-                             "doc_id": np.full(len(df), -1, dtype=np.int64),
-                             "cluster_size": df["cluster_size"]
-                             .to_numpy(dtype=np.int64)})
-
+    # shuffle 2: whole clusters co-located ⇒ size + keep inside the group
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sz = g.loc[g["doc_id"] < 0, ["cluster_id", "cluster_size"]]
-        d = g.loc[g["doc_id"] >= 0, ["cluster_id", "doc_id"]]
-        m = d.merge(sz, on="cluster_id", how="inner")
+        sz = g.groupby("cluster_id", sort=False)["doc_id"] \
+            .transform("size").to_numpy(dtype=np.int64)
         return pd.DataFrame({
-            "doc_id": m["doc_id"].astype(np.int64),
-            "cluster_id": m["cluster_id"].astype(np.int64),
-            "cluster_size": m["cluster_size"].astype(np.int64),
-            "keep": (m["doc_id"] == m["cluster_id"]).astype(np.int64)})
+            "doc_id": g["doc_id"].astype(np.int64),
+            "cluster_id": g["cluster_id"].astype(np.int64),
+            "cluster_size": sz,
+            "keep": (g["doc_id"] == g["cluster_id"])
+            .to_numpy().astype(np.int64)})
 
-    return (assigned.map_batches(tag_assigned, batch_format="pandas")
-            .union(sizes.map_batches(tag_sizes, batch_format="pandas"))
-            .groupby("cpart").map_groups(attach, batch_format="pandas"))
+    return assigned.groupby("cpart") \
+        .map_groups(attach, batch_format="pandas")
