@@ -345,6 +345,27 @@ def _policy_sql() -> str:
         FROM c"""
 
 
+def q_host_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-host crawl profile over the pages web: page count + total
+    out-links (the A1 metrics-counter analogue aggregated by host —
+    what a crawl operator reads to spot hot hosts before salting)."""
+    from ray.data.aggregate import Count, Sum
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url"].astype(str).str.extract(
+            r"^https?://([^/?#]+)", expand=False).fillna("")
+        html = pd.Series([b.decode() for b in df["html"]], index=df.index)
+        return pd.DataFrame({
+            "host": host,
+            "n_links": html.str.count('<a href="[^"]+"').astype(np.int64)})
+
+    return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
+            .map_batches(stats, batch_format="pandas")
+            .groupby("host")
+            .aggregate(Count(alias_name="n_pages"),
+                       Sum("n_links", alias_name="n_links_total")))
+
+
 def q_pages_lang_dist(sf_dir: str) -> ray.data.Dataset:
     """Per-language page counts (partial per-batch combine → tiny groupby)."""
     from ray.data.aggregate import Count
@@ -453,6 +474,10 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
 
 def q_emb_dup(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.embedding_dup_pairs(_emb(sf_dir))
+
+
+def q_emb_centroids(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.embedding_centroids(_emb(sf_dir))
 
 
 def q_emb_lsh(sf_dir: str) -> ray.data.Dataset:
@@ -631,6 +656,15 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_pages_lang_dist": f"""
             SELECT lang, count(*) AS n_pages
             FROM read_parquet('{pages}') GROUP BY lang""",
+        "crawl_host_stats": f"""
+            WITH t AS (SELECT
+                 regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                 len(regexp_extract_all(decode(html),
+                     '<a href="([^"]+)"'))::BIGINT AS n_links
+               FROM read_parquet('{pages}'))
+            SELECT host, count(*)::BIGINT AS n_pages,
+                   sum(n_links)::BIGINT AS n_links_total
+            FROM t GROUP BY host""",
         "crawl_policy": _policy_sql(),
         "crawl_lineage": _lineage_sql(pages, seeds),
     }
@@ -992,6 +1026,17 @@ def _ops_sql() -> dict[str, str]:
                                    ORDER BY c DESC, neighbor_id) AS rank,
                 round(c, 6) AS cos
             FROM s QUALIFY rank <= 5""",
+        "embedding_centroids": f"""
+            WITH x AS (SELECT label, CAST(r.i AS BIGINT) AS dim,
+                 CAST(floor(embedding[CAST(r.i AS INT) + 1]::DOUBLE
+                            * {ops_ann.CENTROID_FP}e0) AS BIGINT) AS fp
+               FROM embeddings CROSS JOIN range({ops_ann.EMB_DIM}) r(i)),
+            a AS (SELECT label, dim, sum(fp)::BIGINT AS sum_fp,
+                 count(*)::BIGINT AS n_vecs FROM x GROUP BY 1, 2)
+            SELECT label, dim, sum_fp, n_vecs,
+                (sum_fp::DOUBLE / {ops_ann.CENTROID_FP}e0) / n_vecs
+                  AS centroid
+            FROM a""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
@@ -1096,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,
         "crawl_pages_lang_dist": q_pages_lang_dist,
+        "crawl_host_stats": q_host_stats,
         "crawl_policy": q_crawl_policy,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         # training-data ops (documents / embeddings / events views)
@@ -1116,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,
+        "embedding_centroids": q_emb_centroids,
         "embedding_lsh_pairs": q_emb_lsh,
         "events_windowed": q_events_windowed,
         "user_sessions": q_sessions,

@@ -226,3 +226,51 @@ def embedding_lsh_pairs(emb: ray.data.Dataset, threshold: float = LSH_COS_THRESH
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(sig, batch_format="pandas")
             .groupby("sig").map_groups(bucket, batch_format="pandas"))
+
+
+# ---- per-cell centroids (the IVF training primitive) ----
+
+#: fixed-point scale for exact (order-independent) centroid sums: float
+#: summation order differs between Ray's per-batch partials and a serial
+#: scan, so sums are taken over floor(x·2^20) int64 values instead —
+#: associative, overflow-safe (|x| ≤ 1, 10^10 rows ≪ 2^43 headroom)
+CENTROID_FP = 1 << 20
+
+
+def embedding_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(label, dim, sum_fp, n_vecs, centroid): per-cell mean vector in
+    fixed-point — partial per-batch sums inside ``map_batches`` (the
+    combiner), one slim #cells×dim shuffle, exact integer arithmetic so
+    the result is bit-identical regardless of batch/block order — the
+    aggregation a distributed k-means / IVF trainer runs every
+    iteration."""
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)                                  # (B, dim) float64
+        fp = np.floor(m * float(CENTROID_FP)).astype(np.int64)
+        lab = df["label"].to_numpy(dtype=np.int64)
+        out = []
+        for lb in np.unique(lab):
+            s = fp[lab == lb].sum(axis=0)
+            out.append(pd.DataFrame({
+                "label": np.full(len(s), lb, dtype=np.int64),
+                "dim": np.arange(len(s), dtype=np.int64),
+                "fp_part": s,
+                "n_part": np.full(len(s), int((lab == lb).sum()),
+                                  dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["centroid"] = (df["sum_fp"].to_numpy(dtype=np.float64)
+                          / float(CENTROID_FP)) \
+            / df["n_vecs"].to_numpy(dtype=np.int64)
+        return df[["label", "dim", "sum_fp", "n_vecs", "centroid"]]
+
+    return (emb.select_columns(["label", "embedding"])
+            .map_batches(partials, batch_format="pandas")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("fp_part", alias_name="sum_fp"),
+                       Sum("n_part", alias_name="n_vecs"))
+            .map_batches(finish, batch_format="pandas"))
