@@ -507,6 +507,20 @@ def q_sessions(sf_dir: str) -> ray.data.Dataset:
         fix, batch_format="pandas")
 
 
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["window_start"].astype("datetime64[us]")
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df
+    return ops_events.sliding_window_agg(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
+def q_events_asof(sf_dir: str) -> ray.data.Dataset:
+    return ops_events.asof_join_events(_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # SQL mirrors
 
@@ -938,6 +952,9 @@ def _repetition_sql() -> str:
         FROM f"""
 
 
+_HOP_US = ops_events.HOP_MINUTES * 60_000_000
+
+
 def _ops_sql() -> dict[str, str]:
     en = _marker_sql(ops_text.LANG_MARKERS["en"])
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
@@ -1090,6 +1107,27 @@ def _ops_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS total_chars,
                    round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) AS avg_chars
             FROM documents GROUP BY lang""",
+        "events_sliding": f"""
+            WITH x AS (SELECT
+                 make_timestamp(((epoch_us(ts) // {_HOP_US}) * {_HOP_US})
+                                - r.k * {_HOP_US}) AS window_start,
+                 event_type, value
+               FROM events CROSS JOIN range({ops_events.WINDOW_HOPS}) r(k))
+            SELECT window_start, event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM x GROUP BY 1, 2""",
+        "events_asof": f"""
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = '{ops_events.ASOF_LEFT}')
+            SELECT c.event_id, c.user_id, c.ts,
+                   coalesce(p.event_id, -1) AS asof_event_id,
+                   coalesce(p.value, 0.0e0) AS asof_value
+            FROM c LEFT JOIN LATERAL (
+                SELECT event_id, value FROM events e
+                WHERE e.user_id = c.user_id
+                  AND e.event_type = '{ops_events.ASOF_RIGHT}'
+                  AND e.ts <= c.ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) p ON true""",
         "user_sessions": """
             WITH o AS (SELECT event_id, ts, user_id, value,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -1165,6 +1203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_emb_centroids,
         "embedding_lsh_pairs": q_emb_lsh,
         "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
         "user_sessions": q_sessions,
     }
 

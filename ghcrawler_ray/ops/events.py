@@ -88,3 +88,105 @@ def sessionize(events: ray.data.Dataset,
     return (events.select_columns(["event_id", "ts", "user_id", "value"])
             .map_batches(add_part, batch_format="pandas")
             .groupby("upart").map_groups(sessions, batch_format="pandas"))
+
+
+# ---- hopping (sliding) windows ----
+
+HOP_MINUTES = 15
+WINDOW_HOPS = 4          # window length = 4 hops = 1 h
+
+
+def sliding_window_agg(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Hopping-window aggregate (1 h window, 15 min hop): every event
+    lands in WINDOW_HOPS windows, exploded VECTORIZED inside the map
+    task (np.tile — 4× slim rows, html-free), then the same
+    combiner-backed hash groupby as the tumbling path. Output:
+    (window_start, event_type, n_events, sum_value)."""
+    hop = HOP_MINUTES * 60_000_000          # µs
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").to_numpy().astype(np.int64)
+        base = (us // hop) * hop            # floor to hop boundary
+        k = np.tile(np.arange(WINDOW_HOPS, dtype=np.int64), len(df))
+        starts = np.repeat(base, WINDOW_HOPS) - k * hop
+        return pd.DataFrame({
+            "window_start": starts.astype("datetime64[us]"),
+            "event_type": np.repeat(df["event_type"].to_numpy(dtype=object),
+                                    WINDOW_HOPS),
+            "value": np.repeat(df["value"].to_numpy(dtype=np.float64),
+                               WINDOW_HOPS)})
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_value"] = df["sum_value"].round(6)
+        return df
+
+    return (events.select_columns(["ts", "event_type", "value"])
+            .map_batches(explode, batch_format="pandas")
+            .groupby(["window_start", "event_type"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="sum_value"))
+            .map_batches(fix, batch_format="pandas"))
+
+
+# ---- as-of join ----
+
+ASOF_LEFT = "click"
+ASOF_RIGHT = "purchase"
+
+
+def asof_join_events(events: ray.data.Dataset,
+                     left_type: str = ASOF_LEFT,
+                     right_type: str = ASOF_RIGHT) -> ray.data.Dataset:
+    """As-of join within the event stream: for every ``left_type`` event,
+    the most recent ``right_type`` event of the same user at or before
+    its timestamp (ties on ts broken by larger event_id). Output:
+    (event_id, user_id, ts, asof_event_id, asof_value) with -1 / 0.0
+    when no prior right event exists.
+
+    Scale shape: one coarse user-hash shuffle co-locates each user's
+    events; within a partition pandas ``merge_asof`` resolves ALL its
+    users in one vectorized backward-search (sorted by ts, by=user_id) —
+    the standard distributed as-of pattern (co-partition on the equality
+    key, ordered merge on the time key). Documented partitioning
+    assumption: both sides hash-partition by user_id."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin([left_type, right_type])
+        out = df.loc[keep, ["event_id", "ts", "user_id", "event_type",
+                            "value"]].copy()
+        out["upart"] = (out["user_id"].to_numpy(dtype=np.int64)
+                        % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type] \
+            .sort_values(["ts", "event_id"], kind="stable")
+        right = g[g["event_type"] == right_type] \
+            .sort_values(["ts", "event_id"], kind="stable") \
+            .rename(columns={"event_id": "asof_event_id",
+                             "value": "asof_value"})
+        if not len(left):
+            return pd.DataFrame({
+                "event_id": np.empty(0, np.int64),
+                "user_id": np.empty(0, np.int64),
+                "ts": np.empty(0, "datetime64[us]"),
+                "asof_event_id": np.empty(0, np.int64),
+                "asof_value": np.empty(0, np.float64)})
+        # merge_asof keeps the LAST matching right row per left row; the
+        # (ts, event_id) sort makes that "latest ts, then largest id"
+        m = pd.merge_asof(left, right[["ts", "user_id", "asof_event_id",
+                                       "asof_value"]],
+                          on="ts", by="user_id", direction="backward",
+                          allow_exact_matches=True)
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype(np.int64),
+            "user_id": m["user_id"].astype(np.int64),
+            "ts": m["ts"].astype("datetime64[us]"),
+            "asof_event_id": m["asof_event_id"].fillna(-1).astype(np.int64),
+            "asof_value": m["asof_value"].fillna(0.0).astype(np.float64)})
+
+    return (events.select_columns(["event_id", "ts", "user_id",
+                                   "event_type", "value"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("upart").map_groups(asof, batch_format="pandas"))

@@ -105,3 +105,30 @@ def test_dup_clusters_on_planted_dups(ray_session):
     assert out["cluster_id"].tolist() == [1, 1, 1, 7, 9]
     assert out["cluster_size"].tolist() == [3, 3, 3, 1, 1]
     assert out["keep"].tolist() == [1, 0, 0, 1, 1]
+
+
+def test_asof_join_tiebreak_and_missing(ray_session):
+    """Equal-ts purchases resolve to the larger event_id; clicks with no
+    prior purchase get (-1, 0.0); exact-ts matches are included."""
+    from ghcrawler_ray.ops.events import asof_join_events
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:00",   # two purchases, same ts
+        "2024-01-01 10:30",                        # click after both
+        "2024-01-01 09:00",                        # click before any
+        "2024-01-01 10:00",                        # click AT purchase ts
+    ])
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": [7, 7, 7, 7, 7],
+        "event_type": ["purchase", "purchase", "click", "click", "click"],
+        "value": [10.0, 20.0, 0.0, 0.0, 0.0],
+        "props": [""] * 5,
+    })
+    out = asof_join_events(ray.data.from_pandas(ev)).to_pandas() \
+        .set_index("event_id")
+    assert out.loc[3, "asof_event_id"] == 2          # larger id wins the tie
+    assert out.loc[3, "asof_value"] == 20.0
+    assert out.loc[4, "asof_event_id"] == -1
+    assert out.loc[4, "asof_value"] == 0.0
+    assert out.loc[5, "asof_event_id"] == 2          # ts <= click ts counts
