@@ -521,6 +521,10 @@ def q_events_asof(sf_dir: str) -> ray.data.Dataset:
     return ops_events.asof_join_events(_events(sf_dir))
 
 
+def q_events_range_join(sf_dir: str) -> ray.data.Dataset:
+    return ops_events.range_join_bands(_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # SQL mirrors
 
@@ -1128,6 +1132,16 @@ def _ops_sql() -> dict[str, str]:
                   AND e.event_type = '{ops_events.ASOF_RIGHT}'
                   AND e.ts <= c.ts
                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) p ON true""",
+        "events_range_join": f"""
+            WITH bands(band_id, lo, hi) AS (VALUES {", ".join(
+                f"({bid}, {lo!r}e0, "
+                + ("'infinity'::DOUBLE" if hi == float("inf") else f"{hi!r}e0")
+                + ")"
+                for bid, lo, hi in ops_events.VALUE_BANDS)})
+            SELECT e.event_id, e.event_type, e.value,
+                   coalesce(b.band_id, -1) AS band_id
+            FROM events e LEFT JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi""",
         "user_sessions": """
             WITH o AS (SELECT event_id, ts, user_id, value,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -1205,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "user_sessions": q_sessions,
     }
 

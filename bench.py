@@ -43,7 +43,7 @@ from pathlib import Path
 
 BENCH_WAVES = 8
 OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
-               "ann_topk", "events_windowed")
+               "dup_clusters", "ann_topk", "events_windowed", "events_asof")
 SCALING_CPUS = (8, 32)
 
 

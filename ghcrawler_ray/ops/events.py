@@ -190,3 +190,36 @@ def asof_join_events(events: ray.data.Dataset,
                                    "event_type", "value"])
             .map_batches(add_part, batch_format="pandas")
             .groupby("upart").map_groups(asof, batch_format="pandas"))
+
+
+# ---- broadcast range join ----
+
+#: (band_id, lo, hi) value bands — the small side of the range join;
+#: half-open [lo, hi), last band unbounded
+VALUE_BANDS: tuple[tuple[int, float, float], ...] = (
+    (0, 0.0, 2.0), (1, 2.0, 5.0), (2, 5.0, 10.0),
+    (3, 10.0, 15.0), (4, 15.0, float("inf")))
+
+
+def range_join_bands(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_id, event_type, value, band_id): non-equi (range) join of
+    the event stream against a small bands table — the canonical
+    broadcast range join. The bands are a per-task constant (at real
+    scale: `ray.put` once, read in `__init__` of an actor-pool stage —
+    never re-shipped per batch); each batch resolves ALL its rows with
+    one vectorized ``searchsorted`` against the band edges instead of a
+    per-row scan or an all-to-all non-equi join. Events below every band
+    get band_id -1."""
+    edges = np.array([b[1] for b in VALUE_BANDS], dtype=np.float64)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        band = np.searchsorted(edges, v, side="right") - 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "event_type": df["event_type"].astype(str),
+            "value": v,
+            "band_id": band.astype(np.int64)})
+
+    return events.select_columns(["event_id", "event_type", "value"]) \
+        .map_batches(join, batch_format="pandas")
