@@ -67,18 +67,31 @@ def split_spec(spec: str) -> tuple[str, str | None, str]:
 
 
 def classify_rels(src: pd.Series, dst: pd.Series) -> np.ndarray:
-    """Deterministic rel type per (src_url, dst_url) edge — vectorized.
+    """Deterministic rel type per (src_url, dst_url) edge — pyarrow RE2
+    kernels (this runs on every extracted link; the pandas regex version
+    cost ~1.6 µs/edge).
 
     - same host + '?page=' in dst  → 'siblings'  (linkSiblings pagination)
     - same host otherwise          → 'resource'  (linkResource)
     - cross-host                   → 'relation'  (linkRelation)
     Mirrored by the SQL CASE in __ray_entry__ (crawl_link_rels).
     """
-    sh = src.astype("string").str.extract(r"^https?://([^/?#]+)", expand=False)
-    dh = dst.astype("string").str.extract(r"^https?://([^/?#]+)", expand=False)
-    same = (sh.str.lower() == dh.str.lower()).fillna(False).to_numpy(dtype=bool)
-    paged = dst.astype("string").str.contains(r"\?page=", regex=True) \
-        .fillna(False).to_numpy(dtype=bool)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    host_re = r"^https?://(?P<h>[^/?#]+)"
+
+    def hosts(s: pd.Series):
+        arr = pa.Array.from_pandas(s.astype("string").fillna(""),
+                                   type=pa.string())
+        ex = pc.extract_regex(arr, host_re)
+        return pc.utf8_lower(pc.fill_null(pc.struct_field(ex, "h"), "")), arr
+
+    sh, _ = hosts(src)
+    dh, dst_arr = hosts(dst)
+    nonempty = pc.and_(pc.not_equal(sh, ""), pc.not_equal(dh, ""))
+    same = pc.and_(pc.equal(sh, dh), nonempty).to_numpy(zero_copy_only=False)
+    paged = pc.match_substring_regex(dst_arr, r"\?page=") \
+        .to_numpy(zero_copy_only=False)
     return np.where(same & paged, "siblings",
                     np.where(same, "resource", "relation")).astype(object)
 
