@@ -33,8 +33,10 @@ from ghcrawler_ray.config import PRIORITY_RANK, CrawlConfig
 from ghcrawler_ray.frontier import seeds_to_frontier
 from ghcrawler_ray.ops import ann as ops_ann
 from ghcrawler_ray.ops import corpus as ops_corpus
+from ghcrawler_ray.ops import contamination as ops_contam
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
+from ghcrawler_ray.ops import search as ops_search
 from ghcrawler_ray.ops import text as ops_text
 from ghcrawler_ray.ops.multimodal import (frame_samples, media_features,
                                           media_resize)
@@ -525,6 +527,18 @@ def q_events_range_join(sf_dir: str) -> ray.data.Dataset:
     return ops_events.range_join_bands(_events(sf_dir))
 
 
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    return ops_contam.decontaminate(_docs(sf_dir))
+
+
+def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
+    return ops_contam.duplicate_ngrams(_docs(sf_dir))
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    return ops_search.bm25_topk(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # SQL mirrors
 
@@ -739,6 +753,45 @@ def _lineage_sql(pages: str, seeds: str) -> str:
 
 
 _U64 = "18446744073709551616"           # 2^64 (HUGEINT literal)
+
+
+def _gram_concat_sql(k: int) -> str:
+    """tk[i]||' '||…||tk[i+k-1] — the SQL spelling of a k-token shingle,
+    identical to the Python ``' '.join(toks[i:i+k])``."""
+    return " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]"
+                              for j in range(k))
+
+
+def _bm25_sql() -> str:
+    """BM25 mirror: identical operation order to ops/search.py (e0 float
+    literals, left-assoc accumulation term-by-term), rank on the
+    UNROUNDED score with doc_id tie-break, round(…,6) on output."""
+    from ghcrawler_ray.ops import search as _s
+    k1, b = f"{_s.BM25_K1}e0", f"{_s.BM25_B}e0"
+    tf_cols = ",\n                 ".join(
+        f"len(list_filter(regexp_extract_all(lower(text), '[^\\s]+'), "
+        f"t -> t = '{term}')) AS tf_{j}"
+        for j, term in enumerate(_s.QUERY_TERMS))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+        for j in range(len(_s.QUERY_TERMS)))
+    score = " + ".join(
+        f"ln((c.n - c.df_{j} + 0.5e0) / (c.df_{j} + 0.5e0) + 1.0e0)"
+        f" * (f.tf_{j} * ({k1} + 1.0e0))"
+        f" / (f.tf_{j} + {k1} * ((1.0e0 - {b}) + {b} * f.dl"
+        f" / (c.sum_dl / c.n)))"
+        for j in range(len(_s.QUERY_TERMS)))
+    return rf"""
+        WITH f AS (SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[^\s]+')) AS dl,
+                 {tf_cols}
+               FROM documents),
+        c AS (SELECT count(*) AS n, sum(dl) AS sum_dl, {df_cols} FROM f),
+        s AS (SELECT f.doc_id, {score} AS score FROM f, c)
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+               round(score, 6) AS score
+        FROM s QUALIFY rank <= {_s.BM25_TOPK}"""
 _MD5U64 = "('0x' || substr(md5({0}), 1, 16))::UBIGINT"
 
 
@@ -1155,6 +1208,40 @@ def _ops_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_id""",
+        "decontaminate": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DECON_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DECON_K)})) AS sh FROM t),
+            b AS (SELECT DISTINCT unnest(sh) AS g FROM s
+                  WHERE doc_id % {ops_contam.BENCH_MOD} = 0),
+            e AS (SELECT doc_id, unnest(sh) AS g FROM s
+                  WHERE doc_id % {ops_contam.BENCH_MOD} != 0),
+            h AS (SELECT e.doc_id, count(*) AS n_hits
+                  FROM e JOIN b USING (g) GROUP BY 1)
+            SELECT s.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM s LEFT JOIN h USING (doc_id)
+            WHERE s.doc_id % {ops_contam.BENCH_MOD} != 0""",
+        "duplicate_ngrams": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            g AS (SELECT t.doc_id,
+                 ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT::HUGEINT AS hu
+               FROM t, LATERAL (SELECT unnest(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DUP_NGRAM_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DUP_NGRAM_K)})) AS gr) u),
+            gs AS (SELECT doc_id,
+                 CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - {_U64}
+                      ELSE hu END AS BIGINT) AS gram_hash FROM g)
+            SELECT gram_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_total
+            FROM gs GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= {ops_contam.DUP_MIN_DOCS}""",
+        "bm25_topk": _bm25_sql(),
     }
 
 
@@ -1221,6 +1308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "user_sessions": q_sessions,
+        "decontaminate": q_decontaminate,
+        "duplicate_ngrams": q_duplicate_ngrams,
+        "bm25_topk": q_bm25_topk,
     }
 
 

@@ -1,0 +1,152 @@
+"""Benchmark decontamination and corpus-wide duplicate n-gram statistics
+over the ``documents`` table — the two n-gram-overlap curation passes a
+training-data pipeline runs before training:
+
+- ``decontaminate``: flag every corpus document that shares at least one
+  k-token shingle with a (small) benchmark/eval set. The benchmark side
+  is bounded by definition (an eval suite, not the corpus), so its
+  distinct shingle hashes are collected ONCE and broadcast via
+  ``ray.put`` — the classic small-side broadcast join; the 100 TB corpus
+  side streams through one ``map_batches`` pass and never shuffles.
+  Membership tests are a single vectorized ``np.searchsorted`` over the
+  whole batch's concatenated shingle hashes (no per-doc set ops).
+- ``duplicate_ngrams``: (gram_hash, n_docs, n_total) for every k-gram
+  that appears in ≥ ``min_docs`` distinct documents — the C4-style
+  "duplicated span" counting shape. Per-batch PARTIAL counts (np.unique
+  inside the map task) collapse each batch before the one slim
+  ``groupby(gram_hash)`` shuffle of (hash, int, int) rows; the raw text
+  never shuffles.
+
+All hashing is the md5-prefix primitive shared with the LSH family
+(``ops.dedup._hash64_str``), so both ops are reproduced bit-for-bit by
+DuckDB mirrors (``('0x'||substr(md5(g),1,16))::UBIGINT``) and get FULL
+value-hash correctness checks.
+
+Reference context: the reference's content-level dedup is the etag/304
+layer (`providers/fetcher/githubFetcher.js:26-84`); these ops are the
+corpus-curation generalization of that "have I seen this content"
+primitive to sub-document granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dedup import _WS_RE, _hash64_str
+
+DECON_K = 5              # 5-token shingles (decontamination standard: long
+                         # enough that overlap implies shared provenance)
+BENCH_MOD = 25           # doc_id % BENCH_MOD == 0 → the deterministic
+                         # stand-in "benchmark/eval set" (≈4% of docs)
+DUP_NGRAM_K = 5
+DUP_MIN_DOCS = 2
+
+
+def _gram_hashes(text: str, k: int, distinct: bool) -> np.ndarray:
+    """uint64 md5-prefix hashes of the k-token shingles of ``text``
+    (lowercased ws-tokens, same tokenization as the LSH family)."""
+    toks = _WS_RE.findall(text.lower())
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if distinct:
+        grams = sorted(set(grams))
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return _hash64_str(grams)
+
+
+def _batch_grams(texts, k: int, distinct: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated gram hashes for a batch + per-doc lengths."""
+    per_doc = [_gram_hashes(t, k, distinct) for t in texts]
+    lens = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
+                       count=len(per_doc))
+    cat = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+    return cat, lens
+
+
+def benchmark_shingles(docs: ray.data.Dataset, k: int = DECON_K,
+                       bench_mod: int = BENCH_MOD) -> np.ndarray:
+    """Sorted distinct shingle hashes of the benchmark subset. The ONLY
+    driver-side collect in this module, bounded by the benchmark size
+    (an eval suite, not the corpus)."""
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[(df["doc_id"].to_numpy(dtype=np.int64) % bench_mod) == 0]
+        cat, _ = _batch_grams(sub["text"].tolist(), k, distinct=True)
+        return pd.DataFrame({"g": np.unique(cat)})
+
+    t = (docs.select_columns(["doc_id", "text"])
+         .map_batches(grams, batch_format="pandas").to_pandas())
+    return np.unique(t["g"].to_numpy(dtype=np.uint64))
+
+
+def decontaminate(docs: ray.data.Dataset, k: int = DECON_K,
+                  bench_mod: int = BENCH_MOD) -> ray.data.Dataset:
+    """(doc_id, n_hits, contaminated) for every NON-benchmark document:
+    n_hits = how many of its distinct k-token shingles appear anywhere
+    in the benchmark set, contaminated = n_hits > 0."""
+    bench_ref = ray.put(benchmark_shingles(docs, k, bench_mod))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        sub = df[(df["doc_id"].to_numpy(dtype=np.int64) % bench_mod) != 0]
+        cat, lens = _batch_grams(sub["text"].tolist(), k, distinct=True)
+        # one vectorized membership probe for the whole batch
+        if len(bench):
+            idx = np.searchsorted(bench, cat)
+            idx[idx == len(bench)] = 0
+            hit = (bench[idx] == cat).astype(np.int64)
+        else:
+            hit = np.zeros(len(cat), dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        n_hits = csum[ends] - csum[starts]
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(dtype=np.int64),
+            "n_hits": n_hits.astype(np.int64),
+            "contaminated": n_hits > 0})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(flag, batch_format="pandas"))
+
+
+def duplicate_ngrams(docs: ray.data.Dataset, k: int = DUP_NGRAM_K,
+                     min_docs: int = DUP_MIN_DOCS) -> ray.data.Dataset:
+    """(gram_hash, n_docs, n_total) for every k-gram occurring in at
+    least ``min_docs`` distinct documents. n_total counts ALL window
+    occurrences (repeats within a doc included); n_docs counts distinct
+    documents."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-doc: (gram → occurrences); batch-partial: fold duplicate
+        # grams across the batch's docs before the shuffle (combiner)
+        cat, lens = _batch_grams(df["text"].tolist(), k, distinct=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        # occurrences per (doc, gram); gram hashes ride as SIGNED int64
+        # (bit-reinterpreted) — the same signed-view convention as the
+        # winnowing fingerprints, mirrored in SQL by the u64→i64 CASE
+        pairs = np.stack([cat.view(np.int64), doc_idx], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        g = pd.DataFrame({"gram_hash": uniq[:, 0],
+                          "tot": counts.astype(np.int64)})
+        out = g.groupby("gram_hash", sort=False).agg(
+            n_docs=("tot", "size"), n_total=("tot", "sum")).reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n_docs"] >= min_docs].copy()
+        keep["n_docs"] = keep["n_docs"].astype(np.int64)
+        keep["n_total"] = keep["n_total"].astype(np.int64)
+        return keep[["gram_hash", "n_docs", "n_total"]]
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("gram_hash")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_total", alias_name="n_total"))
+            .map_batches(finish, batch_format="pandas"))
