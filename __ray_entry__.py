@@ -36,6 +36,7 @@ from ghcrawler_ray.ops import corpus as ops_corpus
 from ghcrawler_ray.ops import contamination as ops_contam
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
+from ghcrawler_ray.ops import relational as ops_rel
 from ghcrawler_ray.ops import search as ops_search
 from ghcrawler_ray.ops import text as ops_text
 from ghcrawler_ray.ops.multimodal import (frame_samples, media_features,
@@ -537,6 +538,25 @@ def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
 
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return ops_search.bm25_topk(_docs(sf_dir))
+
+
+def _table(sf_dir: str, name: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    return ops_rel.pricing_summary(_table(sf_dir, "lineitem"))
+
+
+def q_segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    return ops_rel.segment_revenue(_table(sf_dir, "orders"), cust)
+
+
+def q_order_revenue_join(sf_dir: str) -> ray.data.Dataset:
+    return ops_rel.order_revenue_join(_table(sf_dir, "orders"),
+                                      _table(sf_dir, "lineitem"))
 
 
 # --------------------------------------------------------------------------
@@ -1242,6 +1262,48 @@ def _ops_sql() -> dict[str, str]:
             FROM gs GROUP BY 1
             HAVING count(DISTINCT doc_id) >= {ops_contam.DUP_MIN_DOCS}""",
         "bm25_topk": _bm25_sql(),
+        # relational mirrors: all money/qty columns are 2-dp fixed-point,
+        # summed as exact integers (cents / 1e-4 / 1e-6 units) and divided
+        # once at the end — identical to ops/relational.py, so sums are
+        # order-independent and bit-exact
+        "pricing_summary": """
+            WITH f AS (SELECT l_returnflag, l_linestatus,
+                 CAST(round(l_quantity*100) AS BIGINT) AS q,
+                 CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+                 CAST(round(l_discount*100) AS BIGINT) AS d,
+                 CAST(round(l_tax*100) AS BIGINT) AS t
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+            SELECT l_returnflag, l_linestatus,
+                 sum(q)/100.0e0 AS sum_qty,
+                 sum(p)/100.0e0 AS sum_base_price,
+                 sum(p*(100-d))/10000.0e0 AS sum_disc_price,
+                 sum(p*(100-d)*(100+t))/1000000.0e0 AS sum_charge,
+                 sum(q)/100.0e0/count(*) AS avg_qty,
+                 sum(p)/100.0e0/count(*) AS avg_price,
+                 sum(d)/100.0e0/count(*) AS avg_disc,
+                 count(*)::BIGINT AS count_order
+            FROM f GROUP BY 1, 2""",
+        "segment_revenue": """
+            SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+                 sum(CAST(round(o.o_totalprice*100) AS BIGINT))/100.0e0
+                   AS total_revenue,
+                 sum(CAST(round(o.o_totalprice*100) AS BIGINT))/100.0e0
+                   /count(*) AS avg_order_value
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1""",
+        "order_revenue_join": """
+            WITH l AS (SELECT l_orderkey,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)) AS v
+               FROM lineitem)
+            SELECT o.o_orderkey,
+                 CAST(round(o.o_totalprice*100) AS BIGINT)/100.0e0
+                   AS o_totalprice,
+                 count(*)::BIGINT AS n_lines,
+                 sum(l.v)/10000.0e0 AS gross_revenue
+            FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2""",
     }
 
 
@@ -1311,6 +1373,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "duplicate_ngrams": q_duplicate_ngrams,
         "bm25_topk": q_bm25_topk,
+        # relational pipelines (TPC-H-style tables)
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "order_revenue_join": q_order_revenue_join,
     }
 
 

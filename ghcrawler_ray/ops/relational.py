@@ -1,0 +1,180 @@
+"""Relational pipelines over the TPC-H-style tables (lineitem / orders /
+customer) — the wide-aggregate and join shapes a data-processing engine
+must provide beyond the crawl's url-keyed joins (SURVEY.md §2.4 has only
+exact url/urn joins; these add the broadcast hash join and the
+co-partition big×big join).
+
+Scale shapes (100 TB discipline):
+- ``pricing_summary``: per-batch PARTIAL groupby (the combiner) collapses
+  each batch to its ≤ #(flag,status) group rows before the one tiny hash
+  shuffle — the canonical pre-aggregated wide aggregate.
+- ``segment_revenue``: customer is the SMALL side — broadcast once via
+  ``ray.put`` (sorted key array + values, probed with searchsorted), the
+  orders stream never shuffles for the join; only the per-segment
+  partials shuffle.
+- ``order_revenue_join``: big×big equi-join by CO-PARTITIONING both
+  sides on the join key (union slim tagged rows, one
+  ``groupby(hash(key) % P)`` shuffle, vectorized pandas join within
+  each coarse partition). Documented partitioning assumption: both
+  sides hash-partition by orderkey; P bounds task count, not key
+  cardinality.
+
+Exactness: every money/quantity column is 2-decimal fixed-point, so all
+sums are carried as int64 (cents / 1e-4 / 1e-6 units) and divided ONCE
+at the end — aggregation is order-independent and bit-identical to the
+DuckDB mirrors (same trick as ``ops/ann.embedding_centroids``). int64
+headroom: charge sums in 1e-6 units reach ~1.2e11 per row, so ~7.6e7
+rows per (flag,status) group per PARTIAL would be needed to overflow —
+at larger scale carry the e6 sums as DECIMAL128-style hi/lo pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+#: TPC-H Q1-style cutoff (dataset ships 1995-2001 dates)
+PRICING_CUTOFF = np.datetime64("1998-09-02", "us")
+N_JOIN_PARTS = 64
+
+
+def _cents(x: pd.Series) -> np.ndarray:
+    """Exact 2-dp fixed-point: the values are 2-decimal by construction,
+    so round-to-nearest recovers the integer cents exactly."""
+    return np.floor(x.to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H Q1 analogue: per (l_returnflag, l_linestatus) over rows with
+    l_shipdate <= cutoff — sum_qty, sum_base_price, sum_disc_price,
+    sum_charge, avg_qty, avg_price, avg_disc, count_order."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= PRICING_CUTOFF]
+        q = _cents(df["l_quantity"])
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        t = _cents(df["l_tax"])
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(dtype=object),
+            "l_linestatus": df["l_linestatus"].to_numpy(dtype=object),
+            "q": q, "p": p, "d": d,
+            "disc_e4": p * (100 - d),
+            "charge_e6": p * (100 - d) * (100 + t),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(["l_returnflag", "l_linestatus"], sort=False) \
+            .sum().reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["q"].to_numpy(np.int64) / 100.0,
+            "sum_base_price": df["p"].to_numpy(np.int64) / 100.0,
+            "sum_disc_price": df["disc_e4"].to_numpy(np.int64) / 10000.0,
+            "sum_charge": df["charge_e6"].to_numpy(np.int64) / 1000000.0,
+            "avg_qty": df["q"].to_numpy(np.int64) / 100.0 / n,
+            "avg_price": df["p"].to_numpy(np.int64) / 100.0 / n,
+            "avg_disc": df["d"].to_numpy(np.int64) / 100.0 / n,
+            "count_order": n})
+        return out
+
+    return (lineitem.select_columns(
+                ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("q", alias_name="q"), Sum("p", alias_name="p"),
+                       Sum("d", alias_name="d"),
+                       Sum("disc_e4", alias_name="disc_e4"),
+                       Sum("charge_e6", alias_name="charge_e6"),
+                       Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pandas"))
+
+
+def segment_revenue(orders: ray.data.Dataset,
+                    customer: pd.DataFrame) -> ray.data.Dataset:
+    """Broadcast hash join orders → customer(c_custkey → c_mktsegment),
+    then per-segment revenue: (c_mktsegment, n_orders, total_revenue,
+    avg_order_value). The customer side is broadcast ONCE (ray.put);
+    each batch probes it with one vectorized searchsorted."""
+    keys = customer["c_custkey"].to_numpy(dtype=np.int64)
+    order_idx = np.argsort(keys, kind="stable")
+    seg = customer["c_mktsegment"].to_numpy(dtype=object)[order_idx]
+    small_ref = ray.put((keys[order_idx], seg))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        skeys, sseg = ray.get(small_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(skeys, ck)
+        pos[pos == len(skeys)] = 0
+        ok = skeys[pos] == ck            # inner join: drop unmatched
+        g = pd.DataFrame({
+            "c_mktsegment": sseg[pos[ok]],
+            "rev": _cents(df["o_totalprice"][ok]),
+            "n": np.ones(int(ok.sum()), dtype=np.int64)})
+        return g.groupby("c_mktsegment", sort=False).sum().reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": df["n"].to_numpy(np.int64),
+            "total_revenue": df["rev"].to_numpy(np.int64) / 100.0,
+            "avg_order_value": (df["rev"].to_numpy(np.int64) / 100.0
+                                / df["n"].to_numpy(np.int64))})
+
+    return (orders.select_columns(["o_custkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pandas"))
+
+
+def order_revenue_join(orders: ray.data.Dataset,
+                       lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Big×big equi-join: per order, line count and gross revenue
+    Σ l_extendedprice·(1−l_discount) next to o_totalprice. Both sides
+    are slimmed to (key, payload) rows, tagged, unioned, and
+    co-partitioned with ONE ``groupby(key % P)`` shuffle; the join is a
+    vectorized pandas merge within each coarse partition (many orders
+    per partition — never one task per key). Inner join: orders with no
+    lineitem rows are dropped."""
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "v": _cents(df["o_totalprice"])})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(dtype=np.int64)
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(df), dtype=np.int8),
+            "v": p * (100 - d)})          # 1e-4 units
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        agg = l.groupby("k", sort=False)["v"].agg(["size", "sum"])
+        m = o.merge(agg, left_on="k", right_index=True, how="inner")
+        return pd.DataFrame({
+            "o_orderkey": m["k"].to_numpy(np.int64),
+            "o_totalprice": m["v"].to_numpy(np.int64) / 100.0,
+            "n_lines": m["size"].to_numpy(np.int64),
+            "gross_revenue": m["sum"].to_numpy(np.int64) / 10000.0})
+
+    tagged = (orders.select_columns(["o_orderkey", "o_totalprice"])
+              .map_batches(tag_orders, batch_format="pandas")
+              .union(lineitem
+                     .select_columns(["l_orderkey", "l_extendedprice",
+                                      "l_discount"])
+                     .map_batches(tag_lines, batch_format="pandas")))
+    return tagged.groupby("part").map_groups(join, batch_format="pandas")

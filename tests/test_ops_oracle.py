@@ -17,7 +17,8 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "supplier", "part", "nation", "region"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 
