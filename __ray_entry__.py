@@ -142,6 +142,17 @@ def q_extract_links(sf_dir: str) -> ray.data.Dataset:
             .map_batches(links, batch_format="pandas"))
 
 
+def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PageRank over the synthesized web's link graph —
+    exact int64 fixed-point power iteration (ops/graph.py), mirrored by
+    an unrolled integer-arithmetic CTE chain."""
+    from ghcrawler_ray.ops.graph import pagerank
+    sf = sf_of_dir(sf_dir)
+    links = q_extract_links(sf_dir).select_columns(["src_url", "dst_url"])
+    nodes = _pages_ds(sf).select_columns(["url"])
+    return pagerank(links, nodes)
+
+
 def q_crawl_lineage(sf_dir: str) -> ray.data.Dataset:
     """Discovery-lineage BFS (J5/L1 history semi-join): shortest path
     from the seed list over the extracted link graph, min-parent
@@ -569,6 +580,40 @@ def _marker_sql(markers) -> str:
     return "['" + "','".join(markers) + "']"
 
 
+def _pagerank_sql(pages: str) -> str:
+    """Unrolled integer-arithmetic PageRank mirror (ops/graph.py): ranks
+    are 1e-12 fixed-point BIGINTs, every step is floor division — no
+    float summation, so the comparison is bit-exact."""
+    from ghcrawler_ray.ops.graph import PR_ITERS, PR_TOTAL
+    prev, its = "r0", []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+        i{i} AS (SELECT n.url,
+                 CAST((SELECT basev FROM c0)
+                      + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, sum({prev}.r // deg.d) AS c
+                 FROM e JOIN deg USING (src)
+                 JOIN {prev} ON {prev}.url = e.src
+                 GROUP BY 1) s ON s.dst = n.url)""")
+        prev = f"i{i}"
+    return rf"""
+        WITH nodes AS (SELECT url FROM read_parquet('{pages}')),
+        l AS (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+        e AS (SELECT l.src, l.dst FROM l JOIN nodes n ON l.dst = n.url),
+        deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        c0 AS (SELECT {PR_TOTAL} // count(*) AS r0v,
+                 (15 * ({PR_TOTAL} // count(*))) // 100 AS basev
+               FROM nodes),
+        r0 AS (SELECT url, CAST((SELECT r0v FROM c0) AS BIGINT) AS r
+               FROM nodes),{",".join(its)}
+        SELECT url, r AS rank_fp, r / 1000000000000.0e0 AS score
+        FROM {prev}"""
+
+
 def _crawl_sql(sf: float) -> dict[str, str]:
     """Crawl-family oracles read the synthesized web parquet by path
     (generated deterministically on demand; paths are stable per sf)."""
@@ -581,6 +626,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_extract_text": f"""
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
+        "crawl_pagerank": _pagerank_sql(pages),
         "crawl_extract_links": f"""
             WITH t AS (SELECT url,
                 regexp_extract_all(decode(html), '<a href="([^"]+)"', 1) AS hrefs
@@ -1332,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract_links": q_extract_links,
         "crawl_link_rels": q_link_rels,
         "crawl_lineage": q_crawl_lineage,
+        "crawl_pagerank": q_crawl_pagerank,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
         "crawl_url_normalize": q_url_normalize,

@@ -1,0 +1,224 @@
+"""Distributed PageRank over the crawl's link graph — the canonical
+iterative graph op a web-scale pipeline runs on its extracted links
+(host/url authority for frontier prioritization; the reference's
+weighted queue selection `providers/queuing/queueSet.js:46-65` is the
+degenerate one-shot version of "rank, then fetch best-first").
+
+Ray-Data-first shape (per iteration, all rows slim — urls + int64s,
+never html):
+  1. contributions: co-partition JOIN ranks × (edges⋈outdeg) on src —
+     one ``groupby(hash(src) % P)`` shuffle, vectorized pandas merge
+     within each coarse partition (same tagged-union pattern as
+     ``ops.relational.order_revenue_join``);
+  2. in-sums: ``groupby(dst)`` via per-batch partial sums (combiner)
+     then one hash aggregate;
+  3. next ranks: co-partition LEFT JOIN nodes × in-sums.
+The static edge⋈outdeg table is computed once and reused across
+iterations. Convergence work is O(E) slim rows per iteration — the
+textbook distributed power iteration.
+
+Exactness: ranks are carried as int64 fixed-point (1e-12 units of
+probability mass) and every step is INTEGER arithmetic with floor
+division — order-independent, bit-identical to the unrolled DuckDB
+mirror (`//`), no float summation anywhere. Damping 0.85 is applied as
+(85·x)//100; per-edge contribution is r_src // outdeg. Floor-division
+remainders and dangling-node mass leak out of the system (total mass
+shrinks slightly per iteration) — acceptable for ranking, documented
+here, and reproduced exactly by the mirror.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..urls import hash64_array
+
+PR_ITERS = 3
+PR_TOTAL = 10 ** 12          # fixed-point scale: 1.0 of rank mass
+N_GRAPH_PARTS = 64
+
+
+def _part_of(urls: pd.Series) -> np.ndarray:
+    return (hash64_array(urls) % N_GRAPH_PARTS).astype(np.int32)
+
+
+def _copart(left: ray.data.Dataset, right: ray.data.Dataset, join):
+    """Tagged-union co-partition join: both sides carry (part, side, …);
+    ``join`` sees one coarse partition with both sides present."""
+    return left.union(right).groupby("part").map_groups(
+        join, batch_format="pandas")
+
+
+def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
+             iters: int = PR_ITERS) -> ray.data.Dataset:
+    """(url, rank_fp, score) after ``iters`` damped power iterations.
+    ``links`` = (src_url, dst_url) rows (multi-edges count once each);
+    ``nodes`` = (url) rows; edges whose dst is not a node are dropped
+    (rank flows only within the fetched page set). rank_fp is the exact
+    int64 fixed-point mass (1e-12 units), score = rank_fp / 1e12."""
+    n = nodes.count()
+    base = (15 * (PR_TOTAL // n)) // 100
+    r0 = PR_TOTAL // n
+
+    # fixed shuffle-partition count, same reasoning as the wave engine
+    # (pipelines/wave.py): Ray's default min_parallelism=200 sprays 200
+    # reduce partitions per all-to-all, and with two barriers per
+    # iteration the fixed cost compounds; the partition count is a JOB
+    # parameter, independent of cluster size
+    ctx = ray.data.DataContext.get_current()
+    prev_par = ctx.min_parallelism
+    ctx.min_parallelism = N_GRAPH_PARTS
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"].astype(str),
+                             "part": _part_of(df["url"])})
+
+    node_tbl = nodes.map_batches(node_rows, batch_format="pandas") \
+        .materialize()
+
+    # ---- static: edges joined with outdeg, keyed by src ----
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # co-partition by DST first to keep only edges into the node set
+        return pd.DataFrame({"part": _part_of(df["dst_url"]),
+                             "side": np.zeros(len(df), dtype=np.int8),
+                             "key": df["dst_url"].astype(str),
+                             "aux": df["src_url"].astype(str)})
+
+    def node_probe(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["part"],
+                             "side": np.ones(len(df), dtype=np.int8),
+                             "key": df["url"],
+                             "aux": df["url"]})
+
+    def keep_known_dst(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        known = set(g.loc[g["side"] == 1, "key"])
+        ok = e["key"].isin(known)
+        return pd.DataFrame({"src": e.loc[ok, "aux"].to_numpy(dtype=object),
+                             "dst": e.loc[ok, "key"].to_numpy(dtype=object)})
+
+    # materialize: edges feed BOTH the deg aggregate and the edge⋈deg
+    # join — Ray Data does not dedupe shared lazy sub-DAGs, so an
+    # unmaterialized `edges` would re-run the whole extraction lineage
+    # once per consumer. The materialized table is slim (two url cols).
+    edges = _copart(
+        links.map_batches(edge_rows, batch_format="pandas"),
+        node_tbl.map_batches(node_probe, batch_format="pandas"),
+        keep_known_dst).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("src", sort=False).size().rename("d").reset_index()
+        c["d"] = c["d"].astype(np.int64)
+        return c
+
+    deg = (edges.map_batches(deg_partial, batch_format="pandas")
+           .groupby("src").aggregate(Sum("d", alias_name="d")))
+
+    def edge_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": _part_of(df["src"]),
+                             "side": np.zeros(len(df), dtype=np.int8),
+                             "key": df["src"].astype(str),
+                             "aux_s": df["dst"].astype(str),
+                             "aux_i": np.zeros(len(df), dtype=np.int64)})
+
+    def deg_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": _part_of(df["src"]),
+                             "side": np.ones(len(df), dtype=np.int8),
+                             "key": df["src"].astype(str),
+                             "aux_s": np.full(len(df), "", dtype=object),
+                             "aux_i": df["d"].to_numpy(dtype=np.int64)})
+
+    def join_deg(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        d = g[g["side"] == 1].set_index("key")["aux_i"]
+        return pd.DataFrame({"src": e["key"].to_numpy(dtype=object),
+                             "dst": e["aux_s"].to_numpy(dtype=object),
+                             "d": e["key"].map(d).to_numpy(dtype=np.int64)})
+
+    edges_deg = _copart(
+        edges.map_batches(edge_tag, batch_format="pandas"),
+        deg.map_batches(deg_tag, batch_format="pandas"),
+        join_deg).materialize()
+
+    # ---- iterate ----
+    def rank_init(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["url", "part"]].copy()
+        out["r"] = np.full(len(df), r0, dtype=np.int64)
+        return out
+
+    ranks = node_tbl.map_batches(rank_init, batch_format="pandas") \
+        .materialize()
+
+    def rank_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["part"],
+                             "side": np.ones(len(df), dtype=np.int8),
+                             "key": df["url"],
+                             "aux_s": np.full(len(df), "", dtype=object),
+                             "aux_i": df["r"].to_numpy(dtype=np.int64)})
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        r = g[g["side"] == 1].set_index("key")["aux_i"]
+        rv = e["key"].map(r).to_numpy(dtype=np.int64)
+        dv = e["aux_i"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"dst": e["aux_s"].to_numpy(dtype=object),
+                             "c": rv // dv})
+
+    def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("dst", sort=False)["c"].sum().reset_index()
+        s["c"] = s["c"].astype(np.int64)
+        return s
+
+    def insum_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": _part_of(df["dst"]),
+                             "side": np.zeros(len(df), dtype=np.int8),
+                             "key": df["dst"].astype(str),
+                             "aux_i": df["c"].to_numpy(dtype=np.int64)})
+
+    def node_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["part"],
+                             "side": np.ones(len(df), dtype=np.int8),
+                             "key": df["url"],
+                             "aux_i": np.zeros(len(df), dtype=np.int64)})
+
+    def next_rank(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g[g["side"] == 1]
+        s = g[g["side"] == 0].set_index("key")["aux_i"]
+        ins = nd["key"].map(s).fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "url": nd["key"].to_numpy(dtype=object),
+            "part": nd["part"].to_numpy(dtype=np.int32),
+            "r": base + (85 * ins) // 100})
+
+    for _ in range(iters):
+        # edges_deg is tagged side=0 with aux_i=outdeg; ranks side=1
+        def edge_retag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"part": _part_of(df["src"]),
+                                 "side": np.zeros(len(df), dtype=np.int8),
+                                 "key": df["src"].astype(str),
+                                 "aux_s": df["dst"].astype(str),
+                                 "aux_i": df["d"].to_numpy(dtype=np.int64)})
+
+        contribs = _copart(
+            edges_deg.map_batches(edge_retag, batch_format="pandas"),
+            ranks.map_batches(rank_tag, batch_format="pandas"),
+            contrib)
+        insum = (contribs.map_batches(contrib_partial, batch_format="pandas")
+                 .groupby("dst").aggregate(Sum("c", alias_name="c")))
+        ranks = _copart(
+            insum.map_batches(insum_tag, batch_format="pandas"),
+            node_tbl.map_batches(node_tag, batch_format="pandas"),
+            next_rank).materialize()
+
+    ctx.min_parallelism = prev_par
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["r"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"url": df["url"].astype(str),
+                             "rank_fp": r,
+                             "score": r / 1e12})
+
+    return ranks.map_batches(finish, batch_format="pandas")
