@@ -36,6 +36,7 @@ from ghcrawler_ray.ops import corpus as ops_corpus
 from ghcrawler_ray.ops import contamination as ops_contam
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
+from ghcrawler_ray.ops import packing as ops_packing
 from ghcrawler_ray.ops import relational as ops_rel
 from ghcrawler_ray.ops import search as ops_search
 from ghcrawler_ray.ops import text as ops_text
@@ -472,6 +473,24 @@ def q_repetition_metrics(sf_dir: str) -> ray.data.Dataset:
 
 def q_doc_length_stats(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.doc_length_stats(_docs(sf_dir))
+
+
+def q_text_normalize(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.text_normalize(_docs(sf_dir))
+
+
+def q_mixture_weights(sf_dir: str):
+    return ops_corpus.mixture_weights(_docs(sf_dir))
+
+
+def q_postings(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.search import postings
+    return postings(_docs(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.packing import pack_sequences
+    return pack_sequences(_docs(sf_dir))
 
 
 def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
@@ -1209,6 +1228,51 @@ def _ops_sql() -> dict[str, str]:
                        THEN n_chars END) AS p99_chars,
               max(n_chars) AS max_chars
             FROM o GROUP BY lang""",
+        "text_normalize": r"""
+            WITH n AS (SELECT doc_id, text,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+               FROM documents)
+            SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
+                length(norm)::BIGINT AS n_chars_norm, md5(norm) AS norm_md5
+            FROM n""",
+        "mixture_weights": rf"""
+            WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(regexp_extract_all(text, '[^\s]+')))::BIGINT
+                     AS n_tokens
+               FROM documents GROUP BY 1)
+            SELECT source, n_docs, n_tokens,
+                CAST(CAST(n_tokens AS HUGEINT) * {ops_corpus.WEIGHT_FP}
+                     // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
+            FROM s""",
+        "postings": r"""
+            WITH tok AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token,
+                 generate_subscripts(
+                     regexp_extract_all(lower(text), '[^\s]+'), 1) AS pos
+               FROM documents)
+            SELECT token, doc_id, count(*)::BIGINT AS tf,
+                (min(pos) - 1)::BIGINT AS first_pos
+            FROM tok GROUP BY 1, 2""",
+        "pack_sequences": rf"""
+            WITH t AS (SELECT lang, doc_id,
+                 len(regexp_extract_all(text, '[^\s]+'))::BIGINT AS n_tokens
+               FROM documents),
+            c AS (SELECT lang, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS cum
+               FROM t)
+            SELECT lang, doc_id, n_tokens,
+                (cum - n_tokens)::BIGINT AS start_off,
+                ((cum - n_tokens) // {ops_packing.SEQ_LEN})::BIGINT
+                    AS start_seq,
+                ((cum - n_tokens) % {ops_packing.SEQ_LEN})::BIGINT
+                    AS offset_in_seq,
+                CASE WHEN n_tokens > 0
+                     THEN ((cum - 1) // {ops_packing.SEQ_LEN})::BIGINT
+                     ELSE ((cum - n_tokens) // {ops_packing.SEQ_LEN})::BIGINT
+                END AS end_seq
+            FROM c""",
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1406,6 +1470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "repetition_metrics": q_repetition_metrics,
         "doc_length_stats": q_doc_length_stats,
+        "text_normalize": q_text_normalize,
+        "mixture_weights": q_mixture_weights,
+        "postings": q_postings,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,

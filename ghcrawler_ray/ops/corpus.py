@@ -247,3 +247,75 @@ def stratified_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
 def repetition_metrics(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         repetition_batch, batch_format="pandas")
+
+
+# ---- text normalization (the normalize-before-persist pass) ----
+
+#: whitespace run (ASCII — matches both Python re and DuckDB RE2 \s
+#: semantics on this corpus)
+NORM_WS_RE = r"\s+"
+
+
+def text_normalize_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_chars_raw, n_chars_norm, norm_md5): lowercase,
+    collapse whitespace runs to single spaces, trim — the canonical
+    text-normalization pass a web corpus applies before dedup so that
+    formatting-only variants hash identically. Slim output: the
+    normalized text never leaves the task (downstream stages recompute
+    it locally or persist it shard-side)."""
+    t = df["text"].astype(str)
+    norm = (t.str.lower()
+            .str.replace(NORM_WS_RE, " ", regex=True)
+            .str.strip())
+    md5 = hashlib.md5
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+        "n_chars_raw": t.str.len().to_numpy(dtype=np.int64),
+        "n_chars_norm": norm.str.len().to_numpy(dtype=np.int64),
+        "norm_md5": [md5(s.encode()).hexdigest() for s in norm],
+    })
+
+
+def text_normalize(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        text_normalize_batch, batch_format="pandas")
+
+
+# ---- domain mixture weights ----
+
+WEIGHT_FP = 10 ** 12    # fixed-point scale for mixture proportions
+
+
+def mixture_weights(docs: ray.data.Dataset) -> pd.DataFrame:
+    """(source, n_docs, n_tokens, weight_fp): per-source token share of
+    the corpus as an exact int64 fixed-point proportion — the sampling
+    weights a training run derives from a curated corpus (domain
+    mixing). One slim combiner pass (per-batch partial sums over
+    (source, tokens, docs)) → a #sources-row aggregate; the division is
+    integer floor so the DuckDB mirror is bit-exact. Result is
+    inherently small (#sources rows) — returned as a DataFrame."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["text"].astype(str).str.count(WS_TOKEN_RE) \
+            .to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"source": df["source"].astype(str),
+                          "n_tokens": tok,
+                          "n_docs": np.ones(len(df), dtype=np.int64)})
+        out = g.groupby("source", sort=False).sum().reset_index()
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    agg = (docs.select_columns(["source", "text"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    total = int(agg["n_tokens"].sum())
+    # Python-int math: n_tokens × 1e12 overflows int64 past ~9.2M
+    # tokens per source; the quotient itself always fits (≤ 1e12)
+    agg["weight_fp"] = np.fromiter(
+        (int(t) * WEIGHT_FP // total for t in agg["n_tokens"]),
+        dtype=np.int64, count=len(agg))
+    agg = agg.sort_values("source", kind="stable").reset_index(drop=True)
+    return agg[["source", "n_docs", "n_tokens", "weight_fp"]]

@@ -1,0 +1,114 @@
+"""Sequence packing for LM training — the concat-and-chunk layout pass
+that turns a deduped/filtered corpus into fixed-length training
+sequences. Each document, in deterministic (lang, doc_id) stream order,
+is assigned its absolute token offset in the per-language token stream
+and therefore the training sequences it spans (GPT-style packing where
+documents may straddle sequence boundaries).
+
+Ray-Data-first shape — a distributed two-level prefix sum, the textbook
+way to compute a global running total without a serial scan:
+  1. slim pass: ``map_batches`` projects each doc to
+     (lang, doc_id, n_tokens, bucket) — the text never shuffles;
+  2. bucket totals: per-batch partial sums (combiner) → one tiny
+     ``groupby(lang, bucket)`` aggregate whose result is #buckets rows
+     (a JOB parameter via ``bucket_span``, independent of corpus size
+     at fixed span; raise the span at 100 TB so the driver table stays
+     ~10^4 rows), prefix-summed on the driver and broadcast;
+  3. within-bucket offsets: ONE slim ``groupby(bucket % P)`` shuffle;
+     inside each coarse partition the cumsum over all its buckets is
+     vectorized across rows (no per-bucket task explosion).
+
+Everything is int64 arithmetic (token counts, floor division) — no
+floats — so the DuckDB window-function mirror in ``__ray_entry__`` is
+bit-exact.
+
+Reference context: the reference batches requests into fixed-size queue
+messages (`providers/queuing/amqpQueue.js` push batching); packing is
+the training-corpus analogue — fixed-size units cut from a deterministic
+stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Sum
+
+from .text import WS_TOKEN_RE
+
+SEQ_LEN = 2048          # tokens per training sequence
+BUCKET_SPAN = 64        # doc_ids per prefix-sum bucket (job parameter)
+N_PACK_PARTS = 32
+
+
+def _slim_batch(df: pd.DataFrame, span: int) -> pd.DataFrame:
+    t = df["text"].astype(str)
+    d = df["doc_id"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "lang": df["lang"].astype(str),
+        "doc_id": d,
+        "n_tokens": t.str.count(WS_TOKEN_RE).to_numpy(dtype=np.int64),
+        "bucket": d // span,
+    })
+
+
+def pack_sequences(docs: ray.data.Dataset, seq_len: int = SEQ_LEN,
+                   bucket_span: int = BUCKET_SPAN) -> ray.data.Dataset:
+    """(lang, doc_id, n_tokens, start_off, start_seq, offset_in_seq,
+    end_seq): absolute token offsets and sequence span of every document
+    in the per-language concat-and-chunk stream ordered by doc_id.
+    Zero-token docs occupy no stream space (end_seq = start_seq)."""
+    slim = docs.map_batches(
+        lambda df: _slim_batch(df, bucket_span),
+        batch_format="pandas").materialize()
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "bucket"], sort=False)["n_tokens"] \
+            .sum().reset_index()
+        g["n_tokens"] = g["n_tokens"].astype(np.int64)
+        return g
+
+    totals = (slim.map_batches(bucket_partial, batch_format="pandas")
+              .groupby(["lang", "bucket"])
+              .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+              .to_pandas())
+    # exclusive prefix per language over bucket order — #buckets rows,
+    # tiny by construction (bucket_span is sized for that)
+    totals = totals.sort_values(["lang", "bucket"], kind="stable")
+    totals["prefix"] = (totals.groupby("lang", sort=False)["n_tokens"]
+                        .cumsum() - totals["n_tokens"])
+    offsets = ray.put({(l, int(b)): int(p) for l, b, p in
+                       zip(totals["lang"], totals["bucket"],
+                           totals["prefix"])})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets)
+        g = g.sort_values(["lang", "bucket", "doc_id"], kind="stable")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        # within-(lang,bucket) exclusive cumsum, vectorized across the
+        # whole coarse partition
+        cum = (g.groupby(["lang", "bucket"], sort=False)["n_tokens"]
+               .cumsum().to_numpy(dtype=np.int64)) - n
+        base = np.fromiter(
+            (off[(l, int(b))] for l, b in zip(g["lang"], g["bucket"])),
+            dtype=np.int64, count=len(g))
+        start = base + cum
+        end = start + n
+        end_seq = np.where(n > 0, (end - 1) // seq_len, start // seq_len)
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(dtype=object),
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": n,
+            "start_off": start,
+            "start_seq": start // seq_len,
+            "offset_in_seq": start % seq_len,
+            "end_seq": end_seq,
+        })
+
+    parts = slim.map_batches(
+        lambda df: df.assign(part=(df["bucket"] % N_PACK_PARTS)
+                             .astype(np.int32)),
+        batch_format="pandas")
+    return parts.groupby("part").map_groups(
+        lambda g: assign(g.drop(columns=["part"])), batch_format="pandas")

@@ -92,3 +92,44 @@ def bm25_topk(docs: ray.data.Dataset, k: int = BM25_TOPK) -> pd.DataFrame:
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["score"] = top["score"].round(6)
     return top[["doc_id", "rank", "score"]]
+
+
+# ---- inverted index (postings) ----
+
+def _postings_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Flat postings (token, doc_id, tf, first_pos) — complete per batch
+    because each document's tokens live entirely in its own row, so NO
+    cross-batch combine or shuffle is needed: the op is embarrassingly
+    parallel and the text never leaves the task. first_pos is 0-based.
+    Vectorized: explode all (doc, token, pos) triples, one C-level
+    pandas groupby per batch."""
+    tok_lists = [_WS_RE.findall(t.lower()) for t in df["text"].tolist()]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    if lens.sum() == 0:
+        return pd.DataFrame({"token": np.array([], dtype=object),
+                             "doc_id": np.array([], dtype=np.int64),
+                             "tf": np.array([], dtype=np.int64),
+                             "first_pos": np.array([], dtype=np.int64)})
+    flat = pd.DataFrame({
+        "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens),
+        "token": np.concatenate([np.asarray(t, dtype=object)
+                                 for t in tok_lists if t]),
+        "pos": np.concatenate([np.arange(n, dtype=np.int64)
+                               for n in lens if n]),
+    })
+    g = flat.groupby(["doc_id", "token"], sort=False)["pos"] \
+        .agg(tf="size", first_pos="min").reset_index()
+    return pd.DataFrame({"token": g["token"].to_numpy(dtype=object),
+                         "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                         "tf": g["tf"].to_numpy(dtype=np.int64),
+                         "first_pos": g["first_pos"].to_numpy(dtype=np.int64)})
+
+
+def postings(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Inverted-index postings over the corpus: one row per distinct
+    (token, document) with term frequency and first position. At fleet
+    scale the output is written as token-hash-partitioned parquet (the
+    index shards); here it stays a Dataset for the caller to sink."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _postings_batch, batch_format="pandas")
