@@ -493,6 +493,11 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     return pack_sequences(_docs(sf_dir))
 
 
+def q_hll_distinct(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.sketch import hll_distinct_tokens
+    return hll_distinct_tokens(_docs(sf_dir))
+
+
 def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.ngram_jaccard_pairs(_docs(sf_dir))
 
@@ -631,6 +636,41 @@ def _pagerank_sql(pages: str) -> str:
                FROM nodes),{",".join(its)}
         SELECT url, r AS rank_fp, r / 1000000000000.0e0 AS score
         FROM {prev}"""
+
+
+def _hll_sql() -> str:
+    """Bit-exact HyperLogLog mirror (ops/sketch.py): register/rank from
+    the same md5-derived u64, harmonic mean in scaled-integer HUGEINT
+    arithmetic — the ESTIMATE itself is reproduced exactly."""
+    from ghcrawler_ray.ops.sketch import (HLL_ALPHA_FP, HLL_M, HLL_P,
+                                          HLL_W, _ALPHA_SCALE)
+    two_w = 1 << HLL_W
+    numer = HLL_ALPHA_FP * HLL_M * HLL_M * two_w
+    return rf"""
+        WITH tok AS (SELECT lang,
+             unnest(regexp_extract_all(lower(text), '[^\s]+')) AS t
+           FROM documents),
+        d AS (SELECT DISTINCT lang, t FROM tok),
+        h AS (SELECT lang, ('0x'||substr(md5(t),1,16))::UBIGINT AS hv
+              FROM d),
+        r AS (SELECT lang, CAST(hv >> {HLL_W} AS BIGINT) AS reg,
+                CASE WHEN hv % {two_w} = 0 THEN {HLL_W + 1}
+                     ELSE {HLL_W} - length(bin(hv % {two_w})) + 1
+                END AS rank
+              FROM h),
+        mx AS (SELECT lang, reg, max(rank) AS mr FROM r GROUP BY 1, 2),
+        s AS (SELECT lang, count(*)::BIGINT AS n_filled,
+                sum(CAST(1 AS BIGINT) << ({HLL_W} - mr))::HUGEINT
+                  + ({HLL_M} - count(*)) * CAST({two_w} AS HUGEINT) AS sv
+              FROM mx GROUP BY 1),
+        raw AS (SELECT lang, n_filled,
+                CAST({numer} // (sv * {_ALPHA_SCALE}) AS BIGINT) AS r
+              FROM s)
+        SELECT lang, CAST({HLL_M} AS BIGINT) AS m, n_filled,
+            CASE WHEN r <= {5 * HLL_M // 2} AND n_filled < {HLL_M}
+                 THEN round({HLL_M} * ln({HLL_M} / ({HLL_M} - n_filled)), 6)
+                 ELSE CAST(r AS DOUBLE) END AS est_distinct
+        FROM raw"""
 
 
 def _crawl_sql(sf: float) -> dict[str, str]:
@@ -1244,6 +1284,7 @@ def _ops_sql() -> dict[str, str]:
                 CAST(CAST(n_tokens AS HUGEINT) * {ops_corpus.WEIGHT_FP}
                      // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
             FROM s""",
+        "hll_distinct_tokens": _hll_sql(),
         "postings": r"""
             WITH tok AS (SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token,
@@ -1471,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_metrics": q_repetition_metrics,
         "doc_length_stats": q_doc_length_stats,
         "text_normalize": q_text_normalize,
+        "hll_distinct_tokens": q_hll_distinct,
         "mixture_weights": q_mixture_weights,
         "postings": q_postings,
         "pack_sequences": q_pack_sequences,

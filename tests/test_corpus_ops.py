@@ -132,3 +132,88 @@ def test_asof_join_tiebreak_and_missing(ray_session):
     assert out.loc[4, "asof_event_id"] == -1
     assert out.loc[4, "asof_value"] == 0.0
     assert out.loc[5, "asof_event_id"] == 2          # ts <= click ts counts
+
+
+def test_hll_estimate_within_tolerance(ray_session):
+    """HLL (m=4096, σ≈1.6%) must land within 5% of the true distinct
+    count on a synthetic vocabulary large enough to exercise many
+    registers."""
+    from ghcrawler_ray.ops.sketch import hll_distinct_tokens
+    rows = []
+    for lang, n in (("en", 3000), ("de", 800)):
+        words = [f"{lang}w{i}" for i in range(n)]
+        # spread vocabulary over docs, with repeats
+        for d in range(60):
+            rows.append({"lang": lang,
+                         "text": " ".join(words[d::60] + words[:10])})
+    ds = ray.data.from_pandas(pd.DataFrame(rows).assign(
+        doc_id=np.arange(len(rows), dtype=np.int64)))
+    out = hll_distinct_tokens(ds).to_pandas().set_index("lang")
+    for lang, n in (("en", 3000), ("de", 800)):
+        est = int(out.loc[lang, "est_distinct"])
+        assert abs(est - n) / n < 0.05, (lang, est, n)
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing offsets are a per-lang exact prefix sum in doc_id order:
+    contiguous, gap-free, independent of input partitioning."""
+    from ghcrawler_ray.ops.packing import pack_sequences
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.where(rng.rand(n) < 0.5, "en", "de"),
+        "text": [" ".join(["tok"] * int(k)) for k in rng.randint(0, 90, n)],
+    })
+    for blocks in (1, 7):
+        out = pack_sequences(ray.data.from_pandas(df).repartition(blocks),
+                             seq_len=64).to_pandas()
+        out = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        for lang, g in out.groupby("lang"):
+            starts = g["start_off"].to_numpy()
+            lens = g["n_tokens"].to_numpy()
+            assert starts[0] == 0
+            assert (starts[1:] == (starts + lens)[:-1]).all()
+            assert (g["start_seq"] == g["start_off"] // 64).all()
+            assert (g["offset_in_seq"] == g["start_off"] % 64).all()
+
+
+def test_corpus_shard_sink_resumable(ray_session, tmp_path):
+    """Sharded sink: deterministic shard files, atomic, and a resume
+    rewrites ONLY missing shards (finished shards' rows are pruned at
+    the scan, their files untouched)."""
+    from ghcrawler_ray.ops.sink import (read_corpus_shards, shard_of,
+                                        write_corpus_shards)
+    n = 400
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": [f"doc {i}" for i in range(n)]})
+    out = str(tmp_path / "corpus")
+    man = write_corpus_shards(ray.data.from_pandas(df), out, n_shards=8)
+    assert (~man["skipped"]).all() and man["shard"].nunique() == 8
+    assert int(man["n_rows"].sum()) == n
+
+    # read-back round trip
+    back = read_corpus_shards(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    # delete two shards, resume: only those rewritten
+    import os
+    kept = {p: os.stat(p).st_mtime_ns for p in man["path"]}
+    victims = man["path"].iloc[[2, 5]].tolist()
+    for v in victims:
+        os.unlink(v)
+    man2 = write_corpus_shards(ray.data.from_pandas(df), out, n_shards=8)
+    redone = man2[~man2["skipped"]]
+    assert sorted(redone["path"]) == sorted(victims)
+    for p, mt in kept.items():
+        if p not in victims:
+            assert os.stat(p).st_mtime_ns == mt, f"{p} was rewritten"
+    back2 = read_corpus_shards(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df)
+
+    # shard assignment is a pure function of doc_id
+    s1 = shard_of(df["doc_id"], 8)
+    s2 = shard_of(df["doc_id"].sample(frac=1, random_state=3).sort_values(), 8)
+    assert (s1 == s2).all()
