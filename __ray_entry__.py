@@ -522,6 +522,15 @@ def q_emb_lsh(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.embedding_lsh_pairs(_emb(sf_dir))
 
 
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    return ops_ann.kmeans_fit(_emb(sf_dir))
+
+
+def q_corpus_curate(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.curate import corpus_curate
+    return corpus_curate(_docs(sf_dir))
+
+
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -671,6 +680,91 @@ def _hll_sql() -> str:
                  THEN round({HLL_M} * ln({HLL_M} / ({HLL_M} - n_filled)), 6)
                  ELSE CAST(r AS DOUBLE) END AS est_distinct
         FROM raw"""
+
+
+def _kmeans_sql() -> str:
+    """Bit-exact k-means mirror (ops/ann.kmeans_fit): same +1-offset
+    fixed-point quantization, unrolled Lloyd rounds as a CTE chain (the
+    pagerank-mirror technique), argmin via row_number ordered by
+    (dist, cluster), centroid update by non-negative integer division
+    (identical under DuckDB's truncating and Python's flooring `//`)."""
+    from ghcrawler_ray.ops.ann import (EMB_DIM, KMEANS_FP, KMEANS_ITERS,
+                                       KMEANS_K)
+    parts = [f"""
+        WITH v AS (SELECT vec_id, CAST(r.i AS BIGINT) AS dim,
+             CAST(floor((embedding[CAST(r.i AS INT) + 1]::DOUBLE + 1e0)
+                        * {KMEANS_FP}e0) AS BIGINT) AS q
+           FROM embeddings CROSS JOIN range({EMB_DIM}) r(i)),
+        c0 AS (SELECT vec_id AS cluster, dim, q AS c, CAST(0 AS BIGINT) AS n
+               FROM v WHERE vec_id < {KMEANS_K})"""]
+    for t in range(1, KMEANS_ITERS + 1):
+        p = t - 1
+        parts.append(f""",
+        d{t} AS (SELECT v.vec_id, c.cluster,
+                 sum((v.q - c.c) * (v.q - c.c)) AS dist
+               FROM v JOIN c{p} c USING (dim) GROUP BY 1, 2),
+        a{t} AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                 FROM d{t}) WHERE rn = 1),
+        s{t} AS (SELECT a.cluster, v.dim, sum(v.q)::BIGINT AS s,
+                 count(*)::BIGINT AS n
+               FROM a{t} a JOIN v USING (vec_id) GROUP BY 1, 2),
+        c{t} AS (SELECT c.cluster, c.dim, COALESCE(s.s // s.n, c.c) AS c,
+                 COALESCE(s.n, 0)::BIGINT AS n
+               FROM c{p} c LEFT JOIN s{t} s
+                 ON s.cluster = c.cluster AND s.dim = c.dim)""")
+    parts.append(f"""
+        SELECT cluster, dim, c AS c_fp, n AS n_vecs FROM c{KMEANS_ITERS}""")
+    return "".join(parts)
+
+
+def _curate_sql() -> str:
+    """End-to-end curation mirror (ops/curate.corpus_curate): quality
+    expression verbatim from the quality_scores mirror, decontamination
+    block verbatim from the decontaminate mirror, exact dedup on the
+    text_normalize md5 — composed in one statement."""
+    from ghcrawler_ray.ops import contamination as ops_contam
+    from ghcrawler_ray.ops.curate import CURATE_MIN_SCORE, CURATE_MIN_TOKENS
+    return rf"""
+        WITH f AS (SELECT doc_id, lang, source, length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+               len(list_filter(regexp_extract_all(lower(text), '[^\s]+'),
+                   t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS norm_md5
+           FROM documents),
+        fq AS (SELECT doc_id, lang, source, n_ws_tokens, norm_md5,
+               0.4e0*least(n_ws_tokens,200)/200.0e0
+                 + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)
+                         *5.0e0, 0.3e0)
+                 + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE)
+                 AS quality_score
+           FROM f),
+        t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[^\s]+') AS tk
+           FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(tk)-{ops_contam.DECON_K - 2}, 1)),
+             i -> {_gram_concat_sql(ops_contam.DECON_K)})) AS sh FROM t),
+        b AS (SELECT DISTINCT unnest(sh) AS g FROM s
+              WHERE doc_id % {ops_contam.BENCH_MOD} = 0),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s
+              WHERE doc_id % {ops_contam.BENCH_MOD} != 0),
+        h AS (SELECT e.doc_id, count(*) AS n_hits
+              FROM e JOIN b USING (g) GROUP BY 1),
+        q AS (SELECT fq.* FROM fq LEFT JOIN h USING (doc_id)
+              WHERE fq.doc_id % {ops_contam.BENCH_MOD} != 0
+                AND coalesce(h.n_hits, 0) = 0
+                AND fq.quality_score >= {CURATE_MIN_SCORE}e0
+                AND fq.n_ws_tokens >= {CURATE_MIN_TOKENS}),
+        d AS (SELECT norm_md5, min(doc_id) AS doc_id,
+              count(*)::BIGINT AS n_copies
+              FROM q GROUP BY 1)
+        SELECT q.doc_id, q.lang, q.source, q.n_ws_tokens, q.quality_score,
+               q.norm_md5, d.n_copies
+        FROM q JOIN d USING (doc_id, norm_md5)"""
 
 
 def _crawl_sql(sf: float) -> dict[str, str]:
@@ -1237,6 +1331,8 @@ def _ops_sql() -> dict[str, str]:
                   AS centroid
             FROM a""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
+        "kmeans_fit": _kmeans_sql(),
+        "corpus_curate": _curate_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
@@ -1522,6 +1618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_emb_dup,
         "embedding_centroids": q_emb_centroids,
         "embedding_lsh_pairs": q_emb_lsh,
+        "kmeans_fit": q_kmeans,
+        "corpus_curate": q_corpus_curate,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

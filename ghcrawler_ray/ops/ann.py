@@ -274,3 +274,93 @@ def embedding_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Sum("fp_part", alias_name="sum_fp"),
                        Sum("n_part", alias_name="n_vecs"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- distributed k-means (Lloyd) over the embedding table ----
+
+#: k-means runs in EXACT integer arithmetic so the result is bit-identical
+#: regardless of batch/block order AND reproducible by the DuckDB oracle:
+#: every vector is quantized once to q_d = floor((x_d + 1) * 2^20) (the +1
+#: offset keeps all values non-negative, making DuckDB's truncating `//`
+#: and Python's flooring `//` agree), distances are int64 sums of squared
+#: differences (≤ 2^42 · dim ≪ 2^63), and centroid updates are integer
+#: floor divisions of exact partial sums.
+KMEANS_FP = 1 << 20
+KMEANS_OFFSET = 1.0
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    return np.floor((m + KMEANS_OFFSET) * float(KMEANS_FP)).astype(np.int64)
+
+
+def kmeans_fit(emb: ray.data.Dataset, k: int = KMEANS_K,
+               iters: int = KMEANS_ITERS) -> pd.DataFrame:
+    """(cluster, dim, c_fp, n_vecs): centroids after ``iters`` Lloyd
+    rounds — the full IVF / semantic-dedup coarse-quantizer trainer
+    (embedding_centroids is its single aggregation step).
+
+    Per round: centroids (k×dim int64, a few KB) are broadcast once via
+    ``ray.put``; one streaming ``map_batches`` pass assigns every vector
+    to its nearest centroid (ties → lowest cluster id) and emits per-batch
+    partial sums; a slim k×dim-row ``groupby.aggregate(Sum)`` reduces
+    them; the driver only ever touches the k×dim centroid table. The
+    embedding table is never materialized and nothing quadratic exists —
+    per round cost is one scan + one bounded shuffle, the canonical
+    distributed-k-means shape at 10^10 rows.
+
+    Initial centroids are the quantized vectors with ``vec_id < k``
+    (deterministic seeding); clusters that lose all members keep their
+    previous centroid. Reference parity: this is OUR scale op (no
+    ghcrawler analogue) — the coarse quantizer feeding ann_topk_ivf's
+    per-cell search."""
+    from ray.data.aggregate import Sum
+
+    init = sorted(emb.filter(expr=f"vec_id < {k}")
+                  .select_columns(["vec_id", "embedding"]).take_all(),
+                  key=lambda r: int(r["vec_id"]))
+    cents = _quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                                for r in init]))          # (k, dim) int64
+    dim = cents.shape[1]
+    n_vecs = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)                             # (k, dim)
+            q = _quantize(_mat(df))                       # (B, dim)
+            diff = q[:, None, :] - c[None, :, :]
+            dist = np.einsum("bkd,bkd->bk", diff, diff)   # (B, k) int64
+            assign = dist.argmin(axis=1)                  # ties → lowest id
+            out = []
+            for cl in np.unique(assign):
+                sel = q[assign == cl]
+                out.append(pd.DataFrame({
+                    "cluster": np.full(dim, cl, dtype=np.int64),
+                    "dim": np.arange(dim, dtype=np.int64),
+                    "s_part": sel.sum(axis=0),
+                    "n_part": np.full(dim, len(sel), dtype=np.int64)}))
+            return pd.concat(out, ignore_index=True)
+
+        agg = (emb.select_columns(["vec_id", "embedding"])
+               .map_batches(partials, batch_format="pandas", batch_size=2048)
+               .groupby(["cluster", "dim"])
+               .aggregate(Sum("s_part", alias_name="s"),
+                          Sum("n_part", alias_name="n"))
+               .to_pandas())                              # ≤ k×dim rows
+        n_vecs = np.zeros(k, dtype=np.int64)
+        for cl, g in agg.groupby("cluster"):
+            cl = int(cl)
+            g = g.sort_values("dim")
+            n = int(g["n"].iloc[0])
+            n_vecs[cl] = n
+            cents[cl] = g["s"].to_numpy(dtype=np.int64) // n
+
+    return pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), dim),
+        "dim": np.tile(np.arange(dim, dtype=np.int64), k),
+        "c_fp": cents.reshape(-1),
+        "n_vecs": np.repeat(n_vecs, dim),
+    })
