@@ -531,6 +531,11 @@ def q_corpus_curate(sf_dir: str) -> ray.data.Dataset:
     return corpus_curate(_docs(sf_dir))
 
 
+def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
+    from ghcrawler_ray.ops.sketch import cms_token_counts
+    return cms_token_counts(_docs(sf_dir))
+
+
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -717,6 +722,31 @@ def _kmeans_sql() -> str:
     parts.append(f"""
         SELECT cluster, dim, c AS c_fp, n AS n_vecs FROM c{KMEANS_ITERS}""")
     return "".join(parts)
+
+
+def _cms_sql() -> str:
+    """Bit-exact count-min mirror (ops/sketch.cms_token_counts): same
+    md5 '{row}:{token}' column hashing, full-sketch build, min-over-rows
+    point query for the fixed candidate list."""
+    from ghcrawler_ray.ops.sketch import CMS_CANDIDATES, CMS_D, CMS_W
+    cand = "['" + "','".join(sorted(CMS_CANDIDATES)) + "']"
+    return rf"""
+        WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+             '[^\s]+')) AS t FROM documents),
+        cnt AS (SELECT t, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+        sk AS (SELECT r.j AS row, CAST(('0x' || substr(md5(
+                 CAST(r.j AS VARCHAR) || ':' || t), 1, 16))::UBIGINT
+                 % {CMS_W} AS BIGINT) AS col,
+               sum(n)::BIGINT AS n
+             FROM cnt CROSS JOIN range({CMS_D}) r(j) GROUP BY 1, 2),
+        cand AS (SELECT unnest({cand}) AS token),
+        look AS (SELECT c.token, r.j AS row, CAST(('0x' || substr(md5(
+                 CAST(r.j AS VARCHAR) || ':' || c.token), 1, 16))::UBIGINT
+                 % {CMS_W} AS BIGINT) AS col
+             FROM cand c CROSS JOIN range({CMS_D}) r(j))
+        SELECT token, min(coalesce(sk.n, 0))::BIGINT AS est_n
+        FROM look LEFT JOIN sk ON sk.row = look.row AND sk.col = look.col
+        GROUP BY 1"""
 
 
 def _curate_sql() -> str:
@@ -1333,6 +1363,7 @@ def _ops_sql() -> dict[str, str]:
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
         "corpus_curate": _curate_sql(),
+        "cms_token_counts": _cms_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
@@ -1620,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
         "corpus_curate": q_corpus_curate,
+        "cms_token_counts": q_cms_tokens,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

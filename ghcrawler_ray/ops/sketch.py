@@ -38,7 +38,7 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Max
 
-from .text import WS_TOKEN_RE
+from .text import STOPWORDS, WS_TOKEN_RE
 
 HLL_P = 12                       # 2^12 = 4096 registers
 HLL_M = 1 << HLL_P
@@ -122,3 +122,69 @@ def hll_distinct_tokens(docs: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Max("rank", alias_name="rank"))
             .groupby("lang")
             .map_groups(_finalize, batch_format="pandas"))
+
+
+# ---- count-min sketch (heavy-hitter counts in sublinear memory) ----
+
+#: depth × width: 4 md5-derived hash rows over 2048 counters — the
+#: point-query error bound is ε ≈ e/W of the total token mass per row,
+#: with failure probability e^-D. At 100 TB the sketch is still D×W
+#: int64 cells; only (row, col, add) partials ever shuffle.
+CMS_D = 4
+CMS_W = 2048
+#: fixed, deterministic point-query set (the mirror and the Ray op must
+#: agree on candidates; local per-batch top-k candidates would depend on
+#: block boundaries and break replayability)
+CMS_CANDIDATES = STOPWORDS
+
+
+def _cms_cols(tokens, row: int) -> np.ndarray:
+    m = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(m(f"{row}:{t}".encode()).digest()[:8], "big")
+         % CMS_W for t in tokens),
+        dtype=np.int64, count=len(tokens))
+
+
+def cms_token_counts(docs: ray.data.Dataset,
+                     candidates: tuple[str, ...] = CMS_CANDIDATES
+                     ) -> pd.DataFrame:
+    """(token, est_n): count-min point estimates of corpus-wide token
+    occurrence counts for a fixed candidate set. Per-batch combiner
+    collapses each batch to ≤ D×W (row, col, add) partials (tokens never
+    shuffle); one slim ``groupby.aggregate(Sum)`` builds the sketch; the
+    driver touches only the D×W cell table. est_n ≥ true count always
+    (CMS overestimates; equality when no hash collisions in some row —
+    pinned by pytest; the DuckDB mirror reproduces est_n exactly)."""
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
+        flat = pd.Series([t for ts in toks for t in ts], dtype=object)
+        if not len(flat):
+            return pd.DataFrame({"row": np.empty(0, np.int64),
+                                 "col": np.empty(0, np.int64),
+                                 "add": np.empty(0, np.int64)})
+        cnt = flat.value_counts()
+        out = []
+        for j in range(CMS_D):
+            out.append(pd.DataFrame({
+                "row": np.full(len(cnt), j, dtype=np.int64),
+                "col": _cms_cols(cnt.index.tolist(), j),
+                "add": cnt.to_numpy(dtype=np.int64)}))
+        p = pd.concat(out, ignore_index=True)
+        return p.groupby(["row", "col"], sort=False, as_index=False).sum()
+
+    sk = (docs.select_columns(["text"])
+          .map_batches(partials, batch_format="pandas")
+          .groupby(["row", "col"])
+          .aggregate(Sum("add", alias_name="n"))
+          .to_pandas())                           # ≤ D×W rows
+    cells = {(int(r), int(c)): int(n)
+             for r, c, n in zip(sk["row"], sk["col"], sk["n"])}
+    cand = sorted(candidates)
+    est = np.array(
+        [min(cells.get((j, int(_cms_cols([t], j)[0])), 0)
+             for j in range(CMS_D)) for t in cand],
+        dtype=np.int64)
+    return pd.DataFrame({"token": cand, "est_n": est})

@@ -217,3 +217,40 @@ def test_corpus_shard_sink_resumable(ray_session, tmp_path):
     s1 = shard_of(df["doc_id"], 8)
     s2 = shard_of(df["doc_id"].sample(frac=1, random_state=3).sort_values(), 8)
     assert (s1 == s2).all()
+
+
+def test_cms_overestimates_and_bounds(ray_session):
+    """CMS point queries must dominate true counts (overestimate-only)
+    and match them exactly when no same-row collision occurs — on a tiny
+    corpus with W >> vocab, all estimates are exact."""
+    from ghcrawler_ray.ops.sketch import cms_token_counts
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat and the hat", "a cat in the hat", "of the cat"],
+    }))
+    out = cms_token_counts(docs).set_index("token")["est_n"]
+    true = {"the": 4, "a": 1, "and": 1, "of": 1, "in": 1,
+            "is": 0, "on": 0, "for": 0, "to": 0, "with": 0}
+    for tok, n in true.items():
+        assert out[tok] >= n
+    # vocab (7 distinct tokens) << W=2048: collisions in ALL 4 rows are
+    # effectively impossible, so the min-over-rows is exact here
+    assert out["the"] == 4 and out["a"] == 1 and out["is"] == 0
+
+
+def test_kmeans_fixed_point_determinism(ray_session):
+    """Same input split across different block layouts → bit-identical
+    centroids (the fixed-point design guarantee), and every vector mass
+    is conserved across clusters."""
+    from ghcrawler_ray.ops.ann import kmeans_fit
+    rng = np.random.RandomState(7)
+    n, dim = 120, 8
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.randn(dim).astype(np.float32) * 0.3
+                      for _ in range(n)],
+    })
+    a = kmeans_fit(ray.data.from_pandas(df), k=4, iters=2)
+    b = kmeans_fit(ray.data.from_pandas(df).repartition(7), k=4, iters=2)
+    pd.testing.assert_frame_equal(a, b)
+    assert a[a["dim"] == 0]["n_vecs"].sum() == n
