@@ -200,19 +200,22 @@ def _bucket_part_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": np.concatenate(out_b)})
 
 
+def _add_bpart(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["bpart"] = (df["band_hash"].to_numpy(dtype=np.int64)
+                   % N_BUCKET_PARTS).astype(np.int32)
+    return df
+
+
 def lsh_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Unique MinHash-LSH candidate pairs (doc_a < doc_b): band explode →
     coarse-partition segment-vectorized bucket all-pairs → cross-band
-    dedup via AGGREGATE (no per-pair, no per-bucket task)."""
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bpart"] = (df["band_hash"].to_numpy(dtype=np.int64)
-                       % N_BUCKET_PARTS).astype(np.int32)
-        return df
-
+    dedup via AGGREGATE (no per-pair, no per-bucket task).
+    ``minhash_lsh_pairs`` inlines the same stages but dedups the pair
+    list driver-side (it materializes the candidates anyway)."""
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(_band_rows, batch_format="pandas")
-            .map_batches(add_part, batch_format="pandas")
+            .map_batches(_add_bpart, batch_format="pandas")
             .groupby("bpart")
             .map_groups(_bucket_part_pairs, batch_format="pandas")
             .groupby(["doc_a", "doc_b"])
@@ -227,21 +230,32 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
     Scale shape: the only driver-side materialization is the candidate
     PAIR LIST (output-sized). Shingle sets are never collected: documents
     stream once more, emitting (pair_id, shingle_hash) rows only for docs
-    that appear in a candidate pair; two slim aggregates then compute
-    |A∩B| (hashes seen from both sides) and |A∪B| = |A|+|B|−|A∩B|, and
-    jaccard = inter/union in one int/int division (bit-identical to the
-    scalar form)."""
-    cand = lsh_candidate_pairs(docs).take_all()
+    that appear in a candidate pair; ONE co-partitioned group pass
+    (``pair_id % N_BUCKET_PARTS``) then computes |A∩B| (hashes seen from
+    both sides) and |A∪B| = |A|+|B|−|A∩B| vectorized across all of a
+    partition's pairs, and jaccard = inter/union in one int/int division
+    (bit-identical to the scalar form). Cross-band pair dedup happens on
+    the already-materialized candidate list (a set-dedup of output-sized
+    data), so the whole op is exactly two shuffle executions: the LSH
+    bucket groupby and the verify groupby."""
+    cand = (docs.select_columns(["doc_id", "text"])
+            .map_batches(_band_rows, batch_format="pandas")
+            .map_batches(_add_bpart, batch_format="pandas")
+            .groupby("bpart")
+            .map_groups(_bucket_part_pairs, batch_format="pandas")
+            .take_all())
     if not cand:
         return ray.data.from_pandas(pd.DataFrame(
             {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
              "jaccard": np.empty(0, np.float64)}))
-    pairs = sorted((int(r["doc_a"]), int(r["doc_b"])) for r in cand)
+    pairs = sorted({(int(r["doc_a"]), int(r["doc_b"])) for r in cand})
     doc_pairs: dict[int, list[int]] = {}
     for pid, (a, b) in enumerate(pairs):
         doc_pairs.setdefault(a, []).append(pid)
         doc_pairs.setdefault(b, []).append(pid)
     dp_ref = ray.put(doc_pairs)
+
+    pairs_ref = ray.put(np.array(pairs, dtype=np.int64))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         dp = ray.get(dp_ref)
@@ -256,43 +270,40 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
                 pid_out.append(np.full(len(hs), pid, dtype=np.int64))
                 hash_out.append(hs)
         if not pid_out:
-            return pd.DataFrame({"pair_id": np.empty(0, np.int64),
+            return pd.DataFrame({"vpart": np.empty(0, np.int32),
+                                 "pair_id": np.empty(0, np.int64),
                                  "sh_hash": np.empty(0, np.int64)})
-        return pd.DataFrame({"pair_id": np.concatenate(pid_out),
+        pid = np.concatenate(pid_out)
+        return pd.DataFrame({"vpart": (pid % N_BUCKET_PARTS).astype(np.int32),
+                             "pair_id": pid,
                              "sh_hash": np.concatenate(hash_out)})
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # (pair_id, sh_hash, cnt∈{1,2}) → per-pair partial inter/total
-        inter = (df["cnt"] == 2).astype(np.int64)
-        return pd.DataFrame({"pair_id": df["pair_id"].astype(np.int64),
-                             "inter_p": inter,
-                             "total_p": df["cnt"].astype(np.int64)}) \
-            .groupby("pair_id", as_index=False).sum()
-
-    per_pair = (docs.select_columns(["doc_id", "text"])
-                .map_batches(explode, batch_format="pandas")
-                .groupby(["pair_id", "sh_hash"])
-                .aggregate(Count(alias_name="cnt"))
-                .map_batches(partial, batch_format="pandas")
-                .groupby("pair_id")
-                .aggregate(Sum("inter_p", alias_name="inter"),
-                           Sum("total_p", alias_name="total")))
-
-    pairs_arr = np.array(pairs, dtype=np.int64)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        pid = df["pair_id"].to_numpy(dtype=np.int64)
-        inter = df["inter"].to_numpy(dtype=np.int64)
-        union = df["total"].to_numpy(dtype=np.int64) - inter
+    def verify_part(g: pd.DataFrame, _pairs=pairs_ref) -> pd.DataFrame:
+        """One coarse partition = all shingle rows of many pairs.
+        total = |A|+|B| rows per pair; inter = hashes contributed by
+        BOTH sides (each side's hashes are distinct, so a (pair, hash)
+        seen twice is an intersection hit) — all vectorized."""
+        pairs_arr = ray.get(_pairs)
+        inter_hit = g.duplicated(["pair_id", "sh_hash"]).to_numpy()
+        per = pd.DataFrame({"pair_id": g["pair_id"].to_numpy(np.int64),
+                            "inter": inter_hit.astype(np.int64)}) \
+            .groupby("pair_id", sort=False).agg(
+                inter=("inter", "sum"), total=("inter", "size"))
+        pid = per.index.to_numpy(dtype=np.int64)
+        inter = per["inter"].to_numpy(dtype=np.int64)
+        union = per["total"].to_numpy(dtype=np.int64) - inter
         ok = union > 0
-        j = np.zeros(len(df), dtype=np.float64)
+        j = np.zeros(len(per), dtype=np.float64)
         j[ok] = inter[ok] / union[ok]
         keep = ok & (j >= threshold)
         return pd.DataFrame({"doc_a": pairs_arr[pid[keep], 0],
                              "doc_b": pairs_arr[pid[keep], 1],
                              "jaccard": j[keep]})
 
-    return per_pair.map_batches(finish, batch_format="pandas")
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(explode, batch_format="pandas")
+            .groupby("vpart")
+            .map_groups(verify_part, batch_format="pandas"))
 
 
 # ---- SimHash ----
