@@ -536,6 +536,14 @@ def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
     return cms_token_counts(_docs(sf_dir))
 
 
+def q_source_caps(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.source_caps(_docs(sf_dir))
+
+
+def q_bpe_pairs(sf_dir: str) -> pd.DataFrame:
+    return ops_corpus.bpe_pair_counts(_docs(sf_dir))
+
+
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1364,6 +1372,21 @@ def _ops_sql() -> dict[str, str]:
         "kmeans_fit": _kmeans_sql(),
         "corpus_curate": _curate_sql(),
         "cms_token_counts": _cms_sql(),
+        "source_caps": f"""
+            SELECT doc_id, source, rank_in_source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) - 1 AS rank_in_source
+              FROM documents)
+            WHERE rank_in_source < {ops_corpus.SOURCE_CAP}""",
+        "bpe_pair_counts": rf"""
+            WITH t AS (SELECT regexp_extract_all(lower(text), '[^\s]+')
+                 AS tk FROM documents),
+            p AS (SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS pair
+               FROM t WHERE len(tk) >= 2),
+            c AS (SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1)
+            SELECT pair, n FROM c ORDER BY n DESC, pair ASC
+            LIMIT {ops_corpus.BPE_PAIR_TOPK}""",
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
@@ -1652,6 +1675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans,
         "corpus_curate": q_corpus_curate,
         "cms_token_counts": q_cms_tokens,
+        "source_caps": q_source_caps,
+        "bpe_pair_counts": q_bpe_pairs,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

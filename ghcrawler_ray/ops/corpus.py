@@ -319,3 +319,92 @@ def mixture_weights(docs: ray.data.Dataset) -> pd.DataFrame:
         dtype=np.int64, count=len(agg))
     agg = agg.sort_values("source", kind="stable").reset_index(drop=True)
     return agg[["source", "n_docs", "n_tokens", "weight_fp"]]
+
+
+# ---- per-source document caps (host-cap rule) ----
+
+SOURCE_CAP = 10          # max docs kept per source
+SOURCE_CAP_PARTS = 64    # coarse co-partition key space
+
+
+def source_caps(docs: ray.data.Dataset,
+                cap: int = SOURCE_CAP) -> ray.data.Dataset:
+    """(doc_id, source, rank_in_source): the web-corpus "at most N
+    documents per host/source" rule — rank = position by ascending
+    doc_id within the source, rows with rank ≥ cap dropped.
+
+    Scale shape: only slim (doc_id, source) rows ever move; ONE
+    coarse co-partition shuffle on ``hash(source) % SOURCE_CAP_PARTS``
+    co-locates each source's rows, then ranks are a vectorized
+    sort + cumcount across ALL of a partition's sources (no per-source
+    task, no global sort). Skewed giant sources stay bounded because
+    only their first ``cap`` rows survive the group pass's output.
+    Reference parity: per-org allow-cap filtering at pop/push
+    (`lib/crawler.js:321-339,563-576`) generalized to a count cap."""
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].astype(str)
+        part = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+             % SOURCE_CAP_PARTS for s in src),
+            dtype=np.int64, count=len(src))
+        return pd.DataFrame({"part": part.astype(np.int32),
+                             "doc_id": df["doc_id"].astype(np.int64),
+                             "source": src})
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        rank = g.groupby("source", sort=False).cumcount().to_numpy()
+        keep = rank < cap
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64)[keep],
+            "source": g["source"].to_numpy()[keep],
+            "rank_in_source": rank[keep].astype(np.int64)})
+
+    return (docs.select_columns(["doc_id", "source"])
+            .map_batches(slim, batch_format="pandas")
+            .groupby("part")
+            .map_groups(rank_part, batch_format="pandas"))
+
+
+# ---- BPE first-merge pair statistics (tokenizer-training prep) ----
+
+BPE_PAIR_TOPK = 32
+
+
+def bpe_pair_counts(docs: ray.data.Dataset,
+                    k: int = BPE_PAIR_TOPK) -> pd.DataFrame:
+    """(pair, n): the k most frequent ADJACENT whitespace-token pairs
+    corpus-wide (ties broken by pair text asc) — the statistic the first
+    BPE merge selects its rule from. Per-batch combiner collapses each
+    batch to its distinct pairs before the one slim ``groupby(pair)``
+    shuffle; per-block local top-k then a k×blocks driver reduce keeps
+    the global sort away (the bm25 local-topk shape). Deterministic:
+    counts are exact integers; ordering is (n desc, pair asc)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
+        pairs = [f"{ts[i]} {ts[i + 1]}"
+                 for ts in toks for i in range(len(ts) - 1)]
+        if not pairs:
+            return pd.DataFrame({"pair": np.empty(0, object),
+                                 "n_part": np.empty(0, np.int64)})
+        cnt = pd.Series(pairs, dtype=object).value_counts()
+        return pd.DataFrame({"pair": cnt.index.to_numpy(dtype=object),
+                             "n_part": cnt.to_numpy(dtype=np.int64)})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "pair"], ascending=[False, True],
+                            kind="stable")
+        return df.head(k)
+
+    top = (docs.select_columns(["text"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("pair")
+           .aggregate(Sum("n_part", alias_name="n"))
+           .map_batches(local_topk, batch_format="pandas")
+           .to_pandas())
+    top = top.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    top["n"] = top["n"].astype(np.int64)
+    return top[["pair", "n"]]
