@@ -8,8 +8,9 @@ On a real cluster::
 Subcommands mirror the reference's service surface
 (`lib/crawlerService.js`, `routes/deadletters.js`, `routes/webhook.js`):
 ``crawl`` (run / resume), ``deadletters`` (list / count / requeue),
-``inject-seeds`` (between-run webhook analogue), ``status`` (manifest +
-metrics summary).
+``inject-seeds`` (between-run webhook analogue), ``store`` (doc-store
+get/etag/list/delete/count, `providers/storage/storageDocStore.js`
+analogue), ``status`` (manifest + metrics summary).
 
 The module never force-reinitializes Ray: under ``ray job submit`` the
 job driver connects to the running cluster; standalone it starts a local
@@ -81,6 +82,25 @@ def _cmd_inject_seeds(args) -> int:
     return 0
 
 
+def _cmd_store(args) -> int:
+    from .state.store import PagesDocStore
+    store = PagesDocStore(args.out, n_buckets=args.n_buckets)
+    if args.action == "get":
+        doc = store.get(args.url)
+        print(json.dumps(doc, default=str) if doc else "null")
+    elif args.action == "etag":
+        print(json.dumps({"url": args.url, "etag": store.etag(args.url)}))
+    elif args.action == "count":
+        print(json.dumps({"live": store.count(),
+                          "rows": store.count(live_only=False)}))
+    elif args.action == "list":
+        df = store.list(prefix=args.prefix or "", limit=args.limit)
+        print(df.to_json(orient="records"))
+    elif args.action == "delete":
+        print(json.dumps({"deleted": store.delete(args.url)}))
+    return 0
+
+
 def _cmd_status(args) -> int:
     out = Path(args.out)
     manifests = sorted(out.glob("manifests/wave=*.json"),
@@ -123,6 +143,16 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--seeds", required=True, help="seed parquet path")
     i.add_argument("--wave", type=int, required=True)
     i.set_defaults(fn=_cmd_inject_seeds)
+
+    st = sub.add_parser("store", help="doc-store get/etag/list/delete/count")
+    st.add_argument("action", choices=["get", "etag", "count", "list",
+                                       "delete"])
+    st.add_argument("--out", required=True)
+    st.add_argument("--url")
+    st.add_argument("--prefix")
+    st.add_argument("--limit", type=int)
+    st.add_argument("--n-buckets", type=int, default=64)
+    st.set_defaults(fn=_cmd_store)
 
     s = sub.add_parser("status", help="manifest summary")
     s.add_argument("--out", required=True)
