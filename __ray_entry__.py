@@ -143,6 +143,14 @@ def q_extract_links(sf_dir: str) -> ray.data.Dataset:
             .map_batches(links, batch_format="pandas"))
 
 
+def q_degree_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-node in/out degrees over the extracted link graph (all hrefs,
+    including never-fetched dst urls)."""
+    from ghcrawler_ray.ops.graph import degree_stats
+    return degree_stats(
+        q_extract_links(sf_dir).select_columns(["src_url", "dst_url"]))
+
+
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Distributed PageRank over the synthesized web's link graph —
     exact int64 fixed-point power iteration (ops/graph.py), mirrored by
@@ -526,6 +534,10 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return ops_ann.kmeans_fit(_emb(sf_dir))
 
 
+def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.ann_topk_kmeans(_emb(sf_dir))
+
+
 def q_corpus_curate(sf_dir: str) -> ray.data.Dataset:
     from ghcrawler_ray.ops.curate import corpus_curate
     return corpus_curate(_docs(sf_dir))
@@ -732,6 +744,38 @@ def _kmeans_sql() -> str:
     return "".join(parts)
 
 
+def _ann_kmeans_sql() -> str:
+    """IVF-with-learned-cells mirror (ops/ann.ann_topk_kmeans): reuse
+    the k-means CTE chain, assign EVERY vector to its final-centroid
+    cell in the same integer metric, search only the query's cell."""
+    from ghcrawler_ray.ops.ann import KMEANS_ITERS, N_QUERIES
+    base = _kmeans_sql().rsplit("SELECT cluster, dim", 1)[0].rstrip()
+    assert base.endswith(")"), "kmeans CTE chain changed shape"
+    T = KMEANS_ITERS
+    return base + f""",
+        dq AS (SELECT v.vec_id, c.cluster,
+               sum((v.q - c.c) * (v.q - c.c)) AS dist
+             FROM v JOIN c{T} c USING (dim) GROUP BY 1, 2),
+        aq AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+               FROM dq) WHERE rn = 1),
+        qs AS (SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv,
+               a.cluster
+             FROM embeddings e JOIN aq a USING (vec_id)
+             WHERE e.vec_id < {N_QUERIES}),
+        sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+             FROM qs q JOIN aq a ON a.cluster = q.cluster
+             JOIN embeddings e ON e.vec_id = a.vec_id
+             WHERE e.vec_id != q.qid)
+        SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY c DESC, neighbor_id) AS rank,
+            round(c, 6) AS cos
+        FROM sims QUALIFY rank <= 5"""
+
+
 def _cms_sql() -> str:
     """Bit-exact count-min mirror (ops/sketch.cms_token_counts): same
     md5 '{row}:{token}' column hashing, full-sketch build, min-over-rows
@@ -818,6 +862,17 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
         "crawl_pagerank": _pagerank_sql(pages),
+        "crawl_degree_stats": f"""
+            WITH l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+            x AS (SELECT src_url AS url, 1 AS o, 0 AS i FROM l
+                  UNION ALL
+                  SELECT dst_url AS url, 0 AS o, 1 AS i FROM l)
+            SELECT url, sum(o)::BIGINT AS out_degree,
+                   sum(i)::BIGINT AS in_degree
+            FROM x GROUP BY 1""",
         "crawl_extract_links": f"""
             WITH t AS (SELECT url,
                 regexp_extract_all(decode(html), '<a href="([^"]+)"', 1) AS hrefs
@@ -1370,6 +1425,7 @@ def _ops_sql() -> dict[str, str]:
             FROM a""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
+        "ann_topk_kmeans": _ann_kmeans_sql(),
         "corpus_curate": _curate_sql(),
         "cms_token_counts": _cms_sql(),
         "source_caps": f"""
@@ -1634,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_link_rels": q_link_rels,
         "crawl_lineage": q_crawl_lineage,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
         "crawl_url_normalize": q_url_normalize,
@@ -1673,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_emb_centroids,
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
+        "ann_topk_kmeans": q_ann_kmeans,
         "corpus_curate": q_corpus_curate,
         "cms_token_counts": q_cms_tokens,
         "source_caps": q_source_caps,

@@ -364,3 +364,71 @@ def kmeans_fit(emb: ray.data.Dataset, k: int = KMEANS_K,
         "c_fp": cents.reshape(-1),
         "n_vecs": np.repeat(n_vecs, dim),
     })
+
+
+def kmeans_cells(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment in the trainer's exact integer metric
+    (ties → lowest cluster id) — shared by training, indexing and query
+    routing so they can never disagree."""
+    q = _quantize(m)
+    diff = q[:, None, :] - cents[None, :, :]
+    return np.einsum("bkd,bkd->bk", diff, diff).argmin(axis=1)
+
+
+def ann_topk_kmeans(emb: ray.data.Dataset, k: int = 5,
+                    n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """IVF ANN with LEARNED cells: the coarse quantizer is
+    :func:`kmeans_fit`'s centroid table (instead of ``ann_topk_ivf``'s
+    given ``label``), queries are routed to their own cell, and only
+    that cell is searched — the complete train→index→search path a
+    10^10-row vector store runs. One ``groupby(cell)`` co-partitioning
+    shuffle; centroids (k×dim ints) broadcast once via ``ray.put``."""
+    cf = kmeans_fit(emb)
+    kk = int(cf["cluster"].max()) + 1
+    dim = int(cf["dim"].max()) + 1
+    cents = np.zeros((kk, dim), dtype=np.int64)
+    cents[cf["cluster"].to_numpy(), cf["dim"].to_numpy()] = \
+        cf["c_fp"].to_numpy()
+    c_ref = ray.put(cents)
+
+    q = (emb.filter(expr=f"vec_id < {n_queries}")
+         .select_columns(["vec_id", "embedding"]).take_all())
+    q_ids = np.array([int(r["vec_id"]) for r in q], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in q])
+    q_cells = kmeans_cells(q_mat, cents)
+    by_cell: dict[int, list] = {}
+    for qid, qc, qv in zip(q_ids, q_cells, q_mat):
+        by_cell.setdefault(int(qc), []).append((int(qid), qv))
+    q_ref = ray.put(by_cell)
+
+    def assign(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+        df = df.copy()
+        df["cell"] = kmeans_cells(_mat(df), ray.get(_c)).astype(np.int32)
+        return df
+
+    def cell_search(g: pd.DataFrame, _q=q_ref) -> pd.DataFrame:
+        queries = ray.get(_q).get(int(g["cell"].iloc[0]), [])
+        empty = pd.DataFrame({"query_id": np.empty(0, np.int64),
+                              "neighbor_id": np.empty(0, np.int64),
+                              "rank": np.empty(0, np.int64),
+                              "cos": np.empty(0, np.float64)})
+        if not queries:
+            return empty
+        m = _normed(_mat(g))
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        out = []
+        for qid, qv in queries:
+            s = m @ (qv / np.linalg.norm(qv))
+            bi = np.flatnonzero(ids != qid)
+            order = bi[np.lexsort((ids[bi], -s[bi]))][:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": ids[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "cos": np.round(s[order], 6)}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pandas")
+            .groupby("cell").map_groups(cell_search, batch_format="pandas"))

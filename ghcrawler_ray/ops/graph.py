@@ -222,3 +222,33 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
                              "score": r / 1e12})
 
     return ranks.map_batches(finish, batch_format="pandas")
+
+
+def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, out_degree, in_degree) over the extracted link graph —
+    the first-look authority/hub profile a crawl operator reads (and
+    the exact input a HITS/PageRank sanity check wants). One streaming
+    explode pass — each edge contributes a (node, is_out) row,
+    pre-summed per batch (combiner) — then a single slim
+    ``groupby(url)`` aggregate; edge endpoints never move twice and the
+    shuffle is #distinct-node-rows sized. Reference context: queue-depth
+    / store-count style operator counters (`lib/crawlerService.js`
+    stats), generalized per node."""
+    from ray.data.aggregate import Sum
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src_url"].astype(str)
+        dst = df["dst_url"].astype(str)
+        part = pd.DataFrame({
+            "url": pd.concat([src, dst], ignore_index=True),
+            "out_p": np.concatenate([np.ones(len(src), dtype=np.int64),
+                                     np.zeros(len(dst), dtype=np.int64)]),
+            "in_p": np.concatenate([np.zeros(len(src), dtype=np.int64),
+                                    np.ones(len(dst), dtype=np.int64)])})
+        return part.groupby("url", sort=False, as_index=False).sum()
+
+    return (links.select_columns(["src_url", "dst_url"])
+            .map_batches(explode, batch_format="pandas")
+            .groupby("url")
+            .aggregate(Sum("out_p", alias_name="out_degree"),
+                       Sum("in_p", alias_name="in_degree")))

@@ -1,0 +1,44 @@
+"""JSONL / CSV source-format adapters (ghcrawler_ray/sources.py):
+round-trip fidelity to the canonical parquet tables and seed-frame
+defaults (`routes/requests.js:64-80` buildRequestFromSpec analogue)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from ghcrawler_ray.frontier import seeds_to_frontier
+from ghcrawler_ray.sources import (read_docs_jsonl, read_seeds_csv,
+                                   write_docs_jsonl)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_docs_jsonl_roundtrip(ray_session, tmp_path):
+    orig = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas().head(50)
+    out = tmp_path / "jsonl"
+    write_docs_jsonl(ray.data.from_pandas(orig), str(out))
+    back = (read_docs_jsonl(str(out)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[sorted(orig.columns)],
+                                  orig[sorted(orig.columns)],
+                                  check_dtype=False)
+
+
+def test_seeds_csv_defaults_and_frontier(ray_session, tmp_path):
+    p = tmp_path / "seeds.csv"
+    p.write_text("url\nhttp://host0.example/p/0\nhttp://host1.example/p/1\n")
+    seeds = read_seeds_csv(str(p))
+    assert seeds["priority"].tolist() == ["normal", "normal"]
+    assert seeds["policy"].tolist() == ["default", "default"]
+    assert seeds["seq"].tolist() == [0, 1]
+    fr = seeds_to_frontier(seeds)
+    assert len(fr) == 2 and (fr["depth"] == 0).all()
+
+    # explicit columns pass through
+    p2 = tmp_path / "seeds2.csv"
+    p2.write_text("url,priority,policy,seq\n"
+                  "http://a.example/,events,default,7\n")
+    s2 = read_seeds_csv(str(p2))
+    assert s2.iloc[0]["priority"] == "events" and s2.iloc[0]["seq"] == 7
