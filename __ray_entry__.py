@@ -538,6 +538,10 @@ def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk_kmeans(_emb(sf_dir))
 
 
+def q_semantic_dup(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.semantic_dup_pairs(_emb(sf_dir))
+
+
 def q_corpus_curate(sf_dir: str) -> ray.data.Dataset:
     from ghcrawler_ray.ops.curate import corpus_curate
     return corpus_curate(_docs(sf_dir))
@@ -799,6 +803,31 @@ def _cms_sql() -> str:
         SELECT token, min(coalesce(sk.n, 0))::BIGINT AS est_n
         FROM look LEFT JOIN sk ON sk.row = look.row AND sk.col = look.col
         GROUP BY 1"""
+
+
+def _semdup_sql() -> str:
+    """SemDeDup mirror (ops/ann.semantic_dup_pairs): kmeans CTE chain +
+    final-centroid cell assignment, exact cosine within cells only."""
+    from ghcrawler_ray.ops.ann import KMEANS_ITERS, SEMDUP_COS_THRESHOLD
+    base = _kmeans_sql().rsplit("SELECT cluster, dim", 1)[0].rstrip()
+    T = KMEANS_ITERS
+    return base + f""",
+        dq AS (SELECT v.vec_id, c.cluster,
+               sum((v.q - c.c) * (v.q - c.c)) AS dist
+             FROM v JOIN c{T} c USING (dim) GROUP BY 1, 2),
+        aq AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+               FROM dq) WHERE rn = 1),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(
+                 ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+             FROM aq a JOIN aq b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             JOIN embeddings ea ON ea.vec_id = a.vec_id
+             JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT vec_a, vec_b, round(c, 6) AS cos FROM p
+        WHERE c >= {SEMDUP_COS_THRESHOLD}e0"""
 
 
 def _curate_sql() -> str:
@@ -1426,6 +1455,7 @@ def _ops_sql() -> dict[str, str]:
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
         "ann_topk_kmeans": _ann_kmeans_sql(),
+        "semantic_dup_pairs": _semdup_sql(),
         "corpus_curate": _curate_sql(),
         "cms_token_counts": _cms_sql(),
         "source_caps": f"""
@@ -1731,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
         "ann_topk_kmeans": q_ann_kmeans,
+        "semantic_dup_pairs": q_semantic_dup,
         "corpus_curate": q_corpus_curate,
         "cms_token_counts": q_cms_tokens,
         "source_caps": q_source_caps,

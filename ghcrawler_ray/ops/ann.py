@@ -432,3 +432,48 @@ def ann_topk_kmeans(emb: ray.data.Dataset, k: int = 5,
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(assign, batch_format="pandas")
             .groupby("cell").map_groups(cell_search, batch_format="pandas"))
+
+
+SEMDUP_COS_THRESHOLD = 0.4
+
+
+def semantic_dup_pairs(emb: ray.data.Dataset,
+                       threshold: float = SEMDUP_COS_THRESHOLD
+                       ) -> ray.data.Dataset:
+    """(vec_a, vec_b, cos): SemDeDup-shaped near-duplicate detection —
+    cluster the embedding space with :func:`kmeans_fit`, then compare
+    ONLY within each learned cell (exact cosine, vec_a < vec_b). The
+    quadratic term shrinks from n² to Σ|cell|²; recall misses only
+    cross-cell pairs (the documented trade-off; more clusters + soft
+    assignment raise it at scale). One ``groupby(cell)`` shuffle after
+    a streaming assignment pass; centroids broadcast once."""
+    cf = kmeans_fit(emb)
+    kk = int(cf["cluster"].max()) + 1
+    dim = int(cf["dim"].max()) + 1
+    cents = np.zeros((kk, dim), dtype=np.int64)
+    cents[cf["cluster"].to_numpy(), cf["dim"].to_numpy()] = \
+        cf["c_fp"].to_numpy()
+    c_ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+        df = df.copy()
+        df["cell"] = kmeans_cells(_mat(df), ray.get(_c)).astype(np.int32)
+        return df
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": np.empty(0, np.int64),
+                                 "vec_b": np.empty(0, np.int64),
+                                 "cos": np.empty(0, np.float64)})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        m = _normed(_mat(g))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep],
+                             "cos": np.round(sims[ia, ib][keep], 6)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pandas")
+            .groupby("cell").map_groups(cell_pairs, batch_format="pandas"))
