@@ -43,7 +43,8 @@ from pathlib import Path
 
 BENCH_WAVES = 8
 OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
-               "dup_clusters", "ann_topk", "events_windowed", "events_asof")
+               "dup_clusters", "ann_topk", "events_windowed", "events_asof",
+               "kmeans_fit", "corpus_curate")
 SCALING_CPUS = (8, 32)
 
 

@@ -234,8 +234,6 @@ def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
     shuffle is #distinct-node-rows sized. Reference context: queue-depth
     / store-count style operator counters (`lib/crawlerService.js`
     stats), generalized per node."""
-    from ray.data.aggregate import Sum
-
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         src = df["src_url"].astype(str)
         dst = df["dst_url"].astype(str)
@@ -245,10 +243,22 @@ def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
                                      np.zeros(len(dst), dtype=np.int64)]),
             "in_p": np.concatenate([np.zeros(len(src), dtype=np.int64),
                                     np.ones(len(dst), dtype=np.int64)])})
-        return part.groupby("url", sort=False, as_index=False).sum()
+        agg = part.groupby("url", sort=False, as_index=False).sum()
+        # int shuffle key: a groupby over raw url STRINGS sort-shuffles
+        # megabytes of text (measured 136 s vs 3 s at sf0.1); the coarse
+        # hash co-partition moves the same combiner rows under an int32
+        agg["part"] = _part_of(agg["url"])
+        return agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("url", sort=False, as_index=False)[
+            ["out_p", "in_p"]].sum()
+        return pd.DataFrame({
+            "url": out["url"],
+            "out_degree": out["out_p"].to_numpy(dtype=np.int64),
+            "in_degree": out["in_p"].to_numpy(dtype=np.int64)})
 
     return (links.select_columns(["src_url", "dst_url"])
             .map_batches(explode, batch_format="pandas")
-            .groupby("url")
-            .aggregate(Sum("out_p", alias_name="out_degree"),
-                       Sum("in_p", alias_name="in_degree")))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
