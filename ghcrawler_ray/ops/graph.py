@@ -32,7 +32,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..urls import hash64_array
 
@@ -100,63 +99,64 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
         return pd.DataFrame({"src": e.loc[ok, "aux"].to_numpy(dtype=object),
                              "dst": e.loc[ok, "key"].to_numpy(dtype=object)})
 
-    # materialize: edges feed BOTH the deg aggregate and the edge⋈deg
-    # join — Ray Data does not dedupe shared lazy sub-DAGs, so an
-    # unmaterialized `edges` would re-run the whole extraction lineage
-    # once per consumer. The materialized table is slim (two url cols).
+    # materialize: cuts the extraction lineage so the src-keyed
+    # re-partition below starts from the slim (src, dst) table.
     edges = _copart(
         links.map_batches(edge_rows, batch_format="pandas"),
         node_tbl.map_batches(node_probe, batch_format="pandas"),
         keep_known_dst).materialize()
 
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = df.groupby("src", sort=False).size().rename("d").reset_index()
-        c["d"] = c["d"].astype(np.int64)
-        return c
-
-    deg = (edges.map_batches(deg_partial, batch_format="pandas")
-           .groupby("src").aggregate(Sum("d", alias_name="d")))
-
+    # outdeg: every edge of a src lands in the same src-keyed partition,
+    # so the degree is a vectorized transform('size') INSIDE the one
+    # co-partition pass — no string-keyed deg aggregate, no deg⋈edges
+    # join (the first cut's groupby('src') sort-shuffled ~1M url strings).
+    # From here on the loop carries INT64 NODE IDS (hash64(url), the same
+    # identity the whole engine keys on) — urls rejoin only at the end,
+    # so each iteration shuffles pure-integer rows.
     def edge_tag(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": _part_of(df["src"]),
-                             "side": np.zeros(len(df), dtype=np.int8),
-                             "key": df["src"].astype(str),
-                             "aux_s": df["dst"].astype(str),
-                             "aux_i": np.zeros(len(df), dtype=np.int64)})
+        sid = hash64_array(df["src"].astype(str))
+        return pd.DataFrame({"part": (sid % N_GRAPH_PARTS).astype(np.int32),
+                             "src_id": sid,
+                             "dst_id": hash64_array(df["dst"].astype(str))})
 
-    def deg_tag(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": _part_of(df["src"]),
-                             "side": np.ones(len(df), dtype=np.int8),
-                             "key": df["src"].astype(str),
-                             "aux_s": np.full(len(df), "", dtype=object),
-                             "aux_i": df["d"].to_numpy(dtype=np.int64)})
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src_id", "dst_id"]].copy()
+        g["d"] = g.groupby("src_id", sort=False)["src_id"] \
+            .transform("size").to_numpy(dtype=np.int64)
+        return g
 
-    def join_deg(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["side"] == 0]
-        d = g[g["side"] == 1].set_index("key")["aux_i"]
-        return pd.DataFrame({"src": e["key"].to_numpy(dtype=object),
-                             "dst": e["aux_s"].to_numpy(dtype=object),
-                             "d": e["key"].map(d).to_numpy(dtype=np.int64)})
+    # pin block counts: Ray's sort-shuffle emits one output partition
+    # per INPUT block, and union concatenates block lists — without the
+    # repartitions below every iteration inherits the previous one's
+    # blocks and the shuffle fans out further each round (measured
+    # 64 -> 640 blocks and 2.5 s -> 24 s per iteration at sf0.1)
+    edges_deg = (edges.map_batches(edge_tag, batch_format="pandas")
+                 .groupby("part")
+                 .map_groups(attach_deg, batch_format="pandas")
+                 .repartition(N_GRAPH_PARTS)
+                 .materialize())
 
-    edges_deg = _copart(
-        edges.map_batches(edge_tag, batch_format="pandas"),
-        deg.map_batches(deg_tag, batch_format="pandas"),
-        join_deg).materialize()
+    def id_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["part"],
+                             "nid": hash64_array(df["url"])})
+
+    node_ids = node_tbl.map_batches(id_rows, batch_format="pandas") \
+        .materialize()
 
     # ---- iterate ----
     def rank_init(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["url", "part"]].copy()
+        out = df[["part", "nid"]].copy()
         out["r"] = np.full(len(df), r0, dtype=np.int64)
         return out
 
-    ranks = node_tbl.map_batches(rank_init, batch_format="pandas") \
+    ranks = node_ids.map_batches(rank_init, batch_format="pandas") \
         .materialize()
 
     def rank_tag(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"part": df["part"],
                              "side": np.ones(len(df), dtype=np.int8),
-                             "key": df["url"],
-                             "aux_s": np.full(len(df), "", dtype=object),
+                             "key": df["nid"].to_numpy(dtype=np.int64),
+                             "aux": np.zeros(len(df), dtype=np.int64),
                              "aux_i": df["r"].to_numpy(dtype=np.int64)})
 
     def contrib(g: pd.DataFrame) -> pd.DataFrame:
@@ -164,64 +164,97 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
         r = g[g["side"] == 1].set_index("key")["aux_i"]
         rv = e["key"].map(r).to_numpy(dtype=np.int64)
         dv = e["aux_i"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"dst": e["aux_s"].to_numpy(dtype=object),
+        return pd.DataFrame({"dst_id": e["aux"].to_numpy(dtype=np.int64),
                              "c": rv // dv})
 
     def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("dst", sort=False)["c"].sum().reset_index()
+        s = df.groupby("dst_id", sort=False)["c"].sum().reset_index()
         s["c"] = s["c"].astype(np.int64)
         return s
 
     def insum_tag(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": _part_of(df["dst"]),
+        d = df["dst_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"part": (d % N_GRAPH_PARTS).astype(np.int32),
                              "side": np.zeros(len(df), dtype=np.int8),
-                             "key": df["dst"].astype(str),
+                             "key": d,
+                             "aux": np.zeros(len(df), dtype=np.int64),
                              "aux_i": df["c"].to_numpy(dtype=np.int64)})
 
     def node_tag(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"part": df["part"],
                              "side": np.ones(len(df), dtype=np.int8),
-                             "key": df["url"],
+                             "key": df["nid"].to_numpy(dtype=np.int64),
+                             "aux": np.zeros(len(df), dtype=np.int64),
                              "aux_i": np.zeros(len(df), dtype=np.int64)})
 
     def next_rank(g: pd.DataFrame) -> pd.DataFrame:
+        # side-0 rows are per-BATCH partials (combiner output), so the
+        # final per-node in-sum is a vectorized groupby-sum INSIDE this
+        # co-partition pass — the first cut ran a separate string-keyed
+        # groupby('dst') aggregate per iteration
         nd = g[g["side"] == 1]
-        s = g[g["side"] == 0].set_index("key")["aux_i"]
+        s = g[g["side"] == 0].groupby("key", sort=False)["aux_i"].sum()
         ins = nd["key"].map(s).fillna(0).to_numpy(dtype=np.int64)
         return pd.DataFrame({
-            "url": nd["key"].to_numpy(dtype=object),
+            "nid": nd["key"].to_numpy(dtype=np.int64),
             "part": nd["part"].to_numpy(dtype=np.int32),
             "r": base + (85 * ins) // 100})
 
     for _ in range(iters):
         # edges_deg is tagged side=0 with aux_i=outdeg; ranks side=1
         def edge_retag(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"part": _part_of(df["src"]),
-                                 "side": np.zeros(len(df), dtype=np.int8),
-                                 "key": df["src"].astype(str),
-                                 "aux_s": df["dst"].astype(str),
-                                 "aux_i": df["d"].to_numpy(dtype=np.int64)})
+            sid = df["src_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "part": (sid % N_GRAPH_PARTS).astype(np.int32),
+                "side": np.zeros(len(df), dtype=np.int8),
+                "key": sid,
+                "aux": df["dst_id"].to_numpy(dtype=np.int64),
+                "aux_i": df["d"].to_numpy(dtype=np.int64)})
 
+        # materialize between the two coparts: Ray executes a union of a
+        # multi-stage lazy chain with a materialized side poorly (one
+        # fused execution with two all-to-alls ran ~15x slower than the
+        # two executions separately — measured 35 s vs 2.4 s/stage at
+        # sf0.1); the intermediate is slim (dst_id, c) combiner rows
         contribs = _copart(
             edges_deg.map_batches(edge_retag, batch_format="pandas"),
             ranks.map_batches(rank_tag, batch_format="pandas"),
-            contrib)
-        insum = (contribs.map_batches(contrib_partial, batch_format="pandas")
-                 .groupby("dst").aggregate(Sum("c", alias_name="c")))
+            contrib).map_batches(contrib_partial,
+                                 batch_format="pandas") \
+            .repartition(N_GRAPH_PARTS).materialize()
         ranks = _copart(
-            insum.map_batches(insum_tag, batch_format="pandas"),
-            node_tbl.map_batches(node_tag, batch_format="pandas"),
-            next_rank).materialize()
+            contribs.map_batches(insum_tag, batch_format="pandas"),
+            node_ids.map_batches(node_tag, batch_format="pandas"),
+            next_rank).repartition(N_GRAPH_PARTS).materialize()
 
     ctx.min_parallelism = prev_par
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        r = df["r"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"url": df["url"].astype(str),
+    # map node ids back to urls: one final co-partition join
+    def rank_out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["part"],
+                             "tag": np.zeros(len(df), dtype=np.int8),
+                             "nid": df["nid"].to_numpy(dtype=np.int64),
+                             "url": "",
+                             "r": df["r"].to_numpy(dtype=np.int64)})
+
+    def url_out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["part"],
+                             "tag": np.ones(len(df), dtype=np.int8),
+                             "nid": hash64_array(df["url"]),
+                             "url": df["url"].astype(str),
+                             "r": np.zeros(len(df), dtype=np.int64)})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[g["tag"] == 1].set_index("nid")["url"]
+        rk = g[g["tag"] == 0]
+        r = rk["r"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"url": rk["nid"].map(u).to_numpy(dtype=object),
                              "rank_fp": r,
                              "score": r / 1e12})
 
-    return ranks.map_batches(finish, batch_format="pandas")
+    return (ranks.map_batches(rank_out, batch_format="pandas")
+            .union(node_tbl.map_batches(url_out, batch_format="pandas"))
+            .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
 def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
