@@ -234,19 +234,29 @@ def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     sf0.01 — the project's own measured per-group-task pitfall)."""
     import hashlib
 
-    from ray.data.aggregate import Count, Min
+    from ghcrawler_ray.urls import hash64_array
 
     def h(df: pd.DataFrame) -> pd.DataFrame:
+        ch = pd.Series([hashlib.md5(bytes(b)).hexdigest()
+                        for b in df["html"]])
+        # coarse int co-partition: a global groupby over 200k+ md5
+        # STRINGS sort-shuffles the text key space (35 s at sf0.1);
+        # folding inside 64 hash partitions runs in ~3 s
         return pd.DataFrame({
-            "content_hash": [hashlib.md5(bytes(b)).hexdigest()
-                             for b in df["html"]],
-            "url": df["url"].astype(str)})
+            "part": (hash64_array(ch) % 64).astype(np.int32),
+            "content_hash": ch.to_numpy(),
+            "url": df["url"].astype(str).to_numpy()})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", sort=False).agg(
+            keep_url=("url", "min"), n_copies=("url", "size")).reset_index()
+        out["n_copies"] = out["n_copies"].astype(np.int64)
+        return out[["content_hash", "keep_url", "n_copies"]]
 
     return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
             .map_batches(h, batch_format="pandas")
-            .groupby("content_hash")
-            .aggregate(Min("url", alias_name="keep_url"),
-                       Count(alias_name="n_copies")))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
@@ -372,21 +382,38 @@ def q_host_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-host crawl profile over the pages web: page count + total
     out-links (the A1 metrics-counter analogue aggregated by host —
     what a crawl operator reads to spot hot hosts before salting)."""
-    from ray.data.aggregate import Count, Sum
+    from ghcrawler_ray.urls import hash64_array
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: collapse to (host, partial sums) before the
+        # shuffle, then fold inside 64 int-keyed coarse partitions — the
+        # global string groupby shuffled 207k host strings (12 s at sf0.1)
         host = df["url"].astype(str).str.extract(
             r"^https?://([^/?#]+)", expand=False).fillna("")
         html = pd.Series([b.decode() for b in df["html"]], index=df.index)
-        return pd.DataFrame({
+        p = pd.DataFrame({
             "host": host,
             "n_links": html.str.count('<a href="[^"]+"').astype(np.int64)})
+        out = p.groupby("host", sort=False).agg(
+            n_pages=("n_links", "size"),
+            n_links_total=("n_links", "sum")).reset_index()
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["n_links_total"] = out["n_links_total"].astype(np.int64)
+        out["part"] = (hash64_array(out["host"]) % 64).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", sort=False).agg(
+            n_pages=("n_pages", "sum"),
+            n_links_total=("n_links_total", "sum")).reset_index()
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["n_links_total"] = out["n_links_total"].astype(np.int64)
+        return out[["host", "n_pages", "n_links_total"]]
 
     return (_pages_ds(sf_of_dir(sf_dir)).select_columns(["url", "html"])
             .map_batches(stats, batch_format="pandas")
-            .groupby("host")
-            .aggregate(Count(alias_name="n_pages"),
-                       Sum("n_links", alias_name="n_links_total")))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
 
 
 def q_pages_lang_dist(sf_dir: str) -> ray.data.Dataset:

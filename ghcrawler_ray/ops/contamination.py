@@ -12,10 +12,9 @@ training-data pipeline runs before training:
   whole batch's concatenated shingle hashes (no per-doc set ops).
 - ``duplicate_ngrams``: (gram_hash, n_docs, n_total) for every k-gram
   that appears in ≥ ``min_docs`` distinct documents — the C4-style
-  "duplicated span" counting shape. Per-batch PARTIAL counts (np.unique
-  inside the map task) collapse each batch before the one slim
-  ``groupby(gram_hash)`` shuffle of (hash, int, int) rows; the raw text
-  never shuffles.
+  "duplicated span" counting shape. Per-batch PARTIAL counts collapse
+  each batch before one coarse ``groupby(gram_hash % 64)`` co-partition
+  fold of (hash, int, int) rows; the raw text never shuffles.
 
 All hashing is the md5-prefix primitive shared with the LSH family
 (``ops.dedup._hash64_str``), so both ops are reproduced bit-for-bit by
@@ -34,7 +33,6 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from .dedup import _WS_RE, _hash64_str
 
@@ -121,32 +119,40 @@ def duplicate_ngrams(docs: ray.data.Dataset, k: int = DUP_NGRAM_K,
     occurrences (repeats within a doc included); n_docs counts distinct
     documents."""
 
+    n_parts = 64
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # per-doc: (gram → occurrences); batch-partial: fold duplicate
-        # grams across the batch's docs before the shuffle (combiner)
+        # grams across the batch's docs before the shuffle (combiner).
+        # gram hashes ride as SIGNED int64 (bit-reinterpreted) — the
+        # same signed-view convention as the winnowing fingerprints,
+        # mirrored in SQL by the u64→i64 CASE
         cat, lens = _batch_grams(df["text"].tolist(), k, distinct=False)
         doc_idx = np.repeat(np.arange(len(lens)), lens)
-        # occurrences per (doc, gram); gram hashes ride as SIGNED int64
-        # (bit-reinterpreted) — the same signed-view convention as the
-        # winnowing fingerprints, mirrored in SQL by the u64→i64 CASE
-        pairs = np.stack([cat.view(np.int64), doc_idx], axis=1)
-        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
-        g = pd.DataFrame({"gram_hash": uniq[:, 0],
-                          "tot": counts.astype(np.int64)})
-        out = g.groupby("gram_hash", sort=False).agg(
+        g = pd.DataFrame({"gram_hash": cat.view(np.int64), "doc": doc_idx})
+        per = g.groupby(["gram_hash", "doc"], sort=False) \
+            .size().reset_index(name="tot")
+        out = per.groupby("gram_hash", sort=False).agg(
             n_docs=("tot", "size"), n_total=("tot", "sum")).reset_index()
         out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_total"] = out["n_total"].astype(np.int64)
+        # coarse int co-partition key: a global groupby over millions of
+        # distinct gram hashes sort-shuffles the full key space (39 s at
+        # sf0.1); folding inside 64 hash partitions runs in seconds
+        out["part"] = (out["gram_hash"].to_numpy(dtype=np.int64)
+                       % n_parts).astype(np.int32)
         return out
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[df["n_docs"] >= min_docs].copy()
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("gram_hash", sort=False).agg(
+            n_docs=("n_docs", "sum"), n_total=("n_total", "sum")) \
+            .reset_index()
+        keep = s[s["n_docs"] >= min_docs].copy()
         keep["n_docs"] = keep["n_docs"].astype(np.int64)
         keep["n_total"] = keep["n_total"].astype(np.int64)
         return keep[["gram_hash", "n_docs", "n_total"]]
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(partial, batch_format="pandas")
-            .groupby("gram_hash")
-            .aggregate(Sum("n_docs", alias_name="n_docs"),
-                       Sum("n_total", alias_name="n_total"))
-            .map_batches(finish, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
