@@ -146,10 +146,31 @@ def token_stats(docs: ray.data.Dataset,
     O(100) languages, so map_groups per lang is NOT the per-group-task
     pitfall the dedup ops avoid)."""
     assert k == TOKEN_STATS_TOPK  # k is baked into the SQL mirror
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse int co-partition on the token hash (string groupbys
+        # sort-shuffle the vocab text; see the degree_stats lesson)
+        from ..urls import hash64_array
+        df = df.copy()
+        df["part"] = (hash64_array(df["token"]) % 64).astype(np.int32)
+        return df
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # full count per (lang, token) — a token's rows all share the
+        # part — then per-lang LOCAL top-k: the global top-k is a subset
+        # of the union of the 64 per-part top-ks
+        s = g.groupby(["lang", "token"], sort=False)["n_part"].sum() \
+            .rename("n").reset_index()
+        s["n"] = s["n"].astype(np.int64)
+        return (s.sort_values(["n", "token"], ascending=[False, True],
+                              kind="stable")
+                .groupby("lang", sort=False).head(TOKEN_STATS_TOPK))
+
     return (docs.select_columns(["lang", "text"])
             .map_batches(_partial_token_counts, batch_format="pandas")
-            .groupby(["lang", "token"])
-            .aggregate(Sum("n_part", alias_name="n"))
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold_topk, batch_format="pandas")
             .groupby("lang")
             .map_groups(_topk_of_lang, batch_format="pandas"))
 

@@ -129,17 +129,29 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     md5(text). Partial per-batch hashing, one slim groupby shuffle."""
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ch = pd.Series([hashlib.md5(t.encode()).hexdigest()
+                        for t in df["text"].astype(str)])
+        # coarse int co-partition (md5-STRING groupbys sort-shuffle the
+        # full text key space; the int fold is 5x faster at sf0.1)
         return pd.DataFrame({
-            "content_hash": [hashlib.md5(t.encode()).hexdigest()
-                             for t in df["text"].astype(str)],
-            "doc_id": df["doc_id"].astype(np.int64),
+            "part": (_hash64_str(ch.tolist()).view(np.int64) % 64)
+            .astype(np.int32),
+            "content_hash": ch.to_numpy(),
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
         })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", sort=False).agg(
+            keep_doc_id=("doc_id", "min"),
+            n_copies=("doc_id", "size")).reset_index()
+        out["keep_doc_id"] = out["keep_doc_id"].astype(np.int64)
+        out["n_copies"] = out["n_copies"].astype(np.int64)
+        return out[["content_hash", "keep_doc_id", "n_copies"]]
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(add_hash, batch_format="pandas")
-            .groupby("content_hash")
-            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
-                       Count(alias_name="n_copies")))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
 
 
 # ---- MinHash + LSH ----
