@@ -86,8 +86,11 @@ class CrawlConfig:
     #     waves — late retry-only waves, crawl tails). 0 = always distribute.
     #     Cross-wave state (seen-set shards) is shared either way, so modes
     #     can alternate wave-by-wave with identical results (test_parity
-    #     runs both modes against the oracle). ---
-    local_wave_threshold: int = 4_096
+    #     runs both modes against the oracle). 32k rows is still a trickle
+    #     at the design point (vectorized pandas over 32k rows is ~10 ms vs
+    #     seconds of fixed cost for a 4-barrier Ray execution); a throttled
+    #     crawl tail spends hundreds of waves below this line. ---
+    local_wave_threshold: int = 32_768
 
     # --- link→priority rule (reference: paginated pages go to 'soon',
     #     providers/fetcher/githubProcessor.js:58-79) ---
