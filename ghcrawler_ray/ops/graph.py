@@ -4,18 +4,42 @@ iterative graph op a web-scale pipeline runs on its extracted links
 weighted queue selection `providers/queuing/queueSet.js:46-65` is the
 degenerate one-shot version of "rank, then fetch best-first").
 
-Ray-Data-first shape (per iteration, all rows slim — urls + int64s,
-never html):
-  1. contributions: co-partition JOIN ranks × (edges⋈outdeg) on src —
-     one ``groupby(hash(src) % P)`` shuffle, vectorized pandas merge
-     within each coarse partition (same tagged-union pattern as
-     ``ops.relational.order_revenue_join``);
-  2. in-sums: ``groupby(dst)`` via per-batch partial sums (combiner)
-     then one hash aggregate;
-  3. next ranks: co-partition LEFT JOIN nodes × in-sums.
-The static edge⋈outdeg table is computed once and reused across
-iterations. Convergence work is O(E) slim rows per iteration — the
-textbook distributed power iteration.
+Architecture (the "actor pool holding static state" pattern — the one
+place the Dataset API genuinely can't express the semantics, because a
+Dataset shuffle cannot PIN the static edge table in place across
+iterations; a Dataset-only power iteration re-shuffles all O(E) edges
+every round, measured 9 s/iteration at sf0.1):
+
+  setup (ZERO Dataset all-to-alls — a sort-shuffle of ~1M tiny-block
+  rows cost 11-13 s per barrier at sf0.1, pure fixed overhead):
+    1. one streaming ``map_batches`` pass over links: urls hashed to
+       int64 node ids in-task, each batch sliced by hash(dst)%P and the
+       slices pushed straight into the destination ``_GraphShard``
+       actors (object-store transfer task→actor, never via the driver);
+    2. one streaming pass over nodes pushing (nid, url) slices the same
+       way;
+    3. shard-side exchange: each dst-shard drops edges whose dst was
+       never fetched (local sorted-membership test) and re-scatters the
+       survivors to their hash(src)%P shard as ``ray.put`` partials —
+       only ObjectRefs flow through the driver. The src-shard computes
+       out-degrees locally (all of a src's edges land in its shard) and
+       holds the edge arrays for the whole run.
+  per iteration (no Dataset execution, no edge movement):
+    each shard vectorizes c = r_src // outdeg over its own edges,
+    partial-sums by destination shard, and ``ray.put``s one slim
+    (dst_id, c) partial PER TARGET SHARD; P² refs through the driver,
+    each shard fetches exactly the O(V/P) partial rows destined for it
+    and folds them into next ranks. Per-iteration traffic is O(V)
+    combiner rows total vs O(E) for the shuffle shape.
+  output: shards kept (nid → url), so they emit finished
+    (url, rank_fp, score) Arrow tables → ``from_arrow_refs`` — no final
+    join pass either.
+
+Partitioning assumption: P (= N_GRAPH_PARTS) shards each hold E/P
+edges + V/P rank entries in memory — the same per-core working set a
+sort-shuffle reduce task would hold, but persistent. Size P to the
+cluster's aggregate heap at the 10^10-URL design point exactly as you
+would size reduce partitions.
 
 Exactness: ranks are carried as int64 fixed-point (1e-12 units of
 probability mass) and every step is INTEGER arithmetic with floor
@@ -31,6 +55,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray
 import ray.data
 
 from ..urls import hash64_array
@@ -40,15 +66,159 @@ PR_TOTAL = 10 ** 12          # fixed-point scale: 1.0 of rank mass
 N_GRAPH_PARTS = 64
 
 
+def _sum_by_key(keys: np.ndarray, vals: np.ndarray):
+    """Vectorized groupby-sum over int64 keys: sort + reduceat."""
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = vals[order]
+    if len(k) == 0:
+        return k, v
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], np.add.reduceat(v, starts)
+
+
+def _slice_by_part(part: np.ndarray, n_parts: int, *cols: np.ndarray):
+    """Yield (p, col-slices...) for each non-empty partition, after one
+    stable argsort of the partition keys."""
+    order = np.argsort(part, kind="stable")
+    sorted_part = part[order]
+    cols = [c[order] for c in cols]
+    bounds = np.searchsorted(sorted_part, np.arange(n_parts + 1))
+    for p in range(n_parts):
+        lo, hi = bounds[p], bounds[p + 1]
+        if lo != hi:
+            yield p, *(c[lo:hi] for c in cols)
+
+
+@ray.remote(num_cpus=0)
+class _GraphShard:
+    """One graph partition: static (src, dst, outdeg) edge arrays, the
+    partition's (nid → url) map and its current integer ranks.
+    num_cpus=0 like the seen shards — P shards must co-exist on any
+    cluster size; per-iteration compute is a few vectorized numpy
+    passes over E/P rows."""
+
+    def __init__(self, part: int, n_parts: int, base: int, r0: int):
+        self.part = part
+        self.n_parts = n_parts
+        self.base = base
+        self.r0 = r0
+        self._pending: list[tuple[np.ndarray, np.ndarray]] = []
+        self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._node_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self.nids = np.empty(0, dtype=np.int64)
+
+    def add_pending(self, src: np.ndarray, dst: np.ndarray) -> int:
+        """Receive raw edges routed by hash(dst)%P (membership filter
+        happens here, where this shard's node set lives)."""
+        self._pending.append((np.asarray(src, dtype=np.int64),
+                              np.asarray(dst, dtype=np.int64)))
+        return len(src)
+
+    def add_nodes(self, nids: np.ndarray, urls: np.ndarray) -> int:
+        self._node_chunks.append((np.asarray(nids, dtype=np.int64),
+                                  np.asarray(urls, dtype=object)))
+        return len(nids)
+
+    def seal_nodes(self) -> None:
+        if self._node_chunks:
+            nid = np.concatenate([c[0] for c in self._node_chunks])
+            url = np.concatenate([c[1] for c in self._node_chunks])
+            order = np.argsort(nid, kind="stable")
+            keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+            self.nids = nid[order][keep]
+            self.urls = url[order][keep]
+        else:
+            self.urls = np.empty(0, dtype=object)
+        self._node_chunks = []
+
+    def filter_scatter(self) -> dict:
+        """Drop pending edges whose dst was never fetched (local sorted
+        membership) and re-scatter survivors to their hash(src)%P shard:
+        {src_part: ObjectRef of (src, dst slices)}."""
+        if self._pending:
+            src = np.concatenate([c[0] for c in self._pending])
+            dst = np.concatenate([c[1] for c in self._pending])
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        self._pending = []
+        if len(self.nids) and len(dst):
+            pos = np.searchsorted(self.nids, dst)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == dst
+            src, dst = src[ok], dst[ok]
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        return {p: ray.put((s, d)) for p, s, d in
+                _slice_by_part((src % self.n_parts).astype(np.int64),
+                               self.n_parts, src, dst)}
+
+    def recv_edges(self, refs: list) -> None:
+        for s, d in ray.get(list(refs)):
+            self._edge_chunks.append((s, d))
+
+    def seal(self) -> None:
+        """Freeze edges: per-edge out-degrees (every edge of a src lives
+        in this shard), edges grouped by destination shard so
+        contribution partials slice cheaply; init ranks."""
+        if self._edge_chunks:
+            src = np.concatenate([c[0] for c in self._edge_chunks])
+            dst = np.concatenate([c[1] for c in self._edge_chunks])
+        else:
+            src = np.empty(0, dtype=np.int64)
+            dst = np.empty(0, dtype=np.int64)
+        self._edge_chunks = []
+        # out-degree per edge row (multi-edges count once each, matching
+        # the mirror): group sizes via sort + reduceat
+        uk, cnt = _sum_by_key(src, np.ones(len(src), dtype=np.int64))
+        deg = cnt[np.searchsorted(uk, src)] if len(src) else \
+            np.empty(0, dtype=np.int64)
+        dpart = (dst % self.n_parts).astype(np.int64)
+        order = np.argsort(dpart, kind="stable")
+        self.src = src[order]
+        self.dst = dst[order]
+        self.deg = deg[order]
+        self._bounds = np.searchsorted(dpart[order],
+                                       np.arange(self.n_parts + 1))
+        self.r = np.full(len(self.nids), self.r0, dtype=np.int64)
+
+    def contrib_refs(self) -> dict:
+        """One power-iteration scatter: {dst_part: ObjectRef of
+        (dst_id array, partial-sum array)} — each target shard fetches
+        only its own slim partial, never the whole contribution set."""
+        rank_per_edge = self.r[np.searchsorted(self.nids, self.src)]
+        c = rank_per_edge // self.deg
+        out = {}
+        for p in range(self.n_parts):
+            lo, hi = self._bounds[p], self._bounds[p + 1]
+            if lo == hi:
+                continue
+            k, v = _sum_by_key(self.dst[lo:hi], c[lo:hi])
+            out[p] = ray.put((k, v))
+        return out
+
+    def apply(self, refs: list) -> None:
+        """Gather this shard's inbound partials and fold next ranks:
+        r = base + (85 · insum) // 100 (insum 0 for no inflow)."""
+        ins = np.zeros(len(self.nids), dtype=np.int64)
+        if refs:
+            parts = ray.get(list(refs))
+            k = np.concatenate([p[0] for p in parts])
+            v = np.concatenate([p[1] for p in parts])
+            uk, sv = _sum_by_key(k, v)
+            idx = np.searchsorted(self.nids, uk)
+            ins[idx] = sv
+        self.r = self.base + (85 * ins) // 100
+
+    def ranks_arrow(self) -> pa.Table:
+        return pa.table({
+            "url": pa.array(self.urls, type=pa.string()),
+            "rank_fp": pa.array(self.r, type=pa.int64()),
+            "score": pa.array(self.r / 1e12, type=pa.float64())})
+
+
 def _part_of(urls: pd.Series) -> np.ndarray:
     return (hash64_array(urls) % N_GRAPH_PARTS).astype(np.int32)
-
-
-def _copart(left: ray.data.Dataset, right: ray.data.Dataset, join):
-    """Tagged-union co-partition join: both sides carry (part, side, …);
-    ``join`` sees one coarse partition with both sides present."""
-    return left.union(right).groupby("part").map_groups(
-        join, batch_format="pandas")
 
 
 def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
@@ -61,200 +231,56 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
     n = nodes.count()
     base = (15 * (PR_TOTAL // n)) // 100
     r0 = PR_TOTAL // n
+    P = N_GRAPH_PARTS
+    shards = [_GraphShard.remote(p, P, base, r0) for p in range(P)]
 
-    # fixed shuffle-partition count, same reasoning as the wave engine
-    # (pipelines/wave.py): Ray's default min_parallelism=200 sprays 200
-    # reduce partitions per all-to-all, and with two barriers per
-    # iteration the fixed cost compounds; the partition count is a JOB
-    # parameter, independent of cluster size
-    ctx = ray.data.DataContext.get_current()
-    prev_par = ctx.min_parallelism
-    ctx.min_parallelism = N_GRAPH_PARTS
+    # ---- setup pass 1: stream links, hash urls to int64 node ids
+    # in-task, slice each batch by hash(dst)%P and push the slices
+    # straight into the destination shards (task→actor object-store
+    # transfer; the arrays are deserialized into the actor heap, so
+    # nothing depends on the transient map task after it exits) ----
+    def scatter_edges(df: pd.DataFrame) -> pd.DataFrame:
+        sid = hash64_array(df["src_url"].astype(str))
+        did = hash64_array(df["dst_url"].astype(str))
+        refs = [shards[p].add_pending.remote(s, d) for p, s, d in
+                _slice_by_part((did % P).astype(np.int64), P, sid, did)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
 
-    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"url": df["url"].astype(str),
-                             "part": _part_of(df["url"])})
+    # ---- setup pass 2: stream nodes, push (nid, url) slices; the url
+    # strings stay in the owning shard so the output needs no join ----
+    def scatter_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str).to_numpy(dtype=object)
+        nid = hash64_array(df["url"])
+        refs = [shards[p].add_nodes.remote(i, u) for p, i, u in
+                _slice_by_part((nid % P).astype(np.int64), P, nid, urls)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
 
-    node_tbl = nodes.map_batches(node_rows, batch_format="pandas") \
-        .materialize()
+    links.map_batches(scatter_edges, batch_format="pandas").materialize()
+    nodes.map_batches(scatter_nodes, batch_format="pandas").materialize()
 
-    # ---- static: edges joined with outdeg, keyed by src ----
-    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # co-partition by DST first to keep only edges into the node set
-        return pd.DataFrame({"part": _part_of(df["dst_url"]),
-                             "side": np.zeros(len(df), dtype=np.int8),
-                             "key": df["dst_url"].astype(str),
-                             "aux": df["src_url"].astype(str)})
+    # ---- shard-side exchange: dst-shards drop never-fetched dsts and
+    # re-scatter survivors to their src-shard; refs only via driver ----
+    ray.get([s.seal_nodes.remote() for s in shards])
+    outs = ray.get([s.filter_scatter.remote() for s in shards])
+    ray.get([shards[q].recv_edges.remote(
+        [outs[p][q] for p in range(P) if q in outs[p]])
+        for q in range(P)])
+    ray.get([s.seal.remote() for s in shards])
 
-    def node_probe(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": df["part"],
-                             "side": np.ones(len(df), dtype=np.int8),
-                             "key": df["url"],
-                             "aux": df["url"]})
-
-    def keep_known_dst(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["side"] == 0]
-        known = set(g.loc[g["side"] == 1, "key"])
-        ok = e["key"].isin(known)
-        return pd.DataFrame({"src": e.loc[ok, "aux"].to_numpy(dtype=object),
-                             "dst": e.loc[ok, "key"].to_numpy(dtype=object)})
-
-    # materialize: cuts the extraction lineage so the src-keyed
-    # re-partition below starts from the slim (src, dst) table.
-    edges = _copart(
-        links.map_batches(edge_rows, batch_format="pandas"),
-        node_tbl.map_batches(node_probe, batch_format="pandas"),
-        keep_known_dst).materialize()
-
-    # outdeg: every edge of a src lands in the same src-keyed partition,
-    # so the degree is a vectorized transform('size') INSIDE the one
-    # co-partition pass — no string-keyed deg aggregate, no deg⋈edges
-    # join (the first cut's groupby('src') sort-shuffled ~1M url strings).
-    # From here on the loop carries INT64 NODE IDS (hash64(url), the same
-    # identity the whole engine keys on) — urls rejoin only at the end,
-    # so each iteration shuffles pure-integer rows.
-    def edge_tag(df: pd.DataFrame) -> pd.DataFrame:
-        sid = hash64_array(df["src"].astype(str))
-        return pd.DataFrame({"part": (sid % N_GRAPH_PARTS).astype(np.int32),
-                             "src_id": sid,
-                             "dst_id": hash64_array(df["dst"].astype(str))})
-
-    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["src_id", "dst_id"]].copy()
-        g["d"] = g.groupby("src_id", sort=False)["src_id"] \
-            .transform("size").to_numpy(dtype=np.int64)
-        return g
-
-    # pin block counts: Ray's sort-shuffle emits one output partition
-    # per INPUT block, and union concatenates block lists — without the
-    # repartitions below every iteration inherits the previous one's
-    # blocks and the shuffle fans out further each round (measured
-    # 64 -> 640 blocks and 2.5 s -> 24 s per iteration at sf0.1)
-    edges_deg = (edges.map_batches(edge_tag, batch_format="pandas")
-                 .groupby("part")
-                 .map_groups(attach_deg, batch_format="pandas")
-                 .repartition(N_GRAPH_PARTS)
-                 .materialize())
-
-    def id_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": df["part"],
-                             "nid": hash64_array(df["url"])})
-
-    node_ids = node_tbl.map_batches(id_rows, batch_format="pandas") \
-        .materialize()
-
-    # ---- iterate ----
-    def rank_init(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["part", "nid"]].copy()
-        out["r"] = np.full(len(df), r0, dtype=np.int64)
-        return out
-
-    ranks = node_ids.map_batches(rank_init, batch_format="pandas") \
-        .materialize()
-
-    def rank_tag(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": df["part"],
-                             "side": np.ones(len(df), dtype=np.int8),
-                             "key": df["nid"].to_numpy(dtype=np.int64),
-                             "aux": np.zeros(len(df), dtype=np.int64),
-                             "aux_i": df["r"].to_numpy(dtype=np.int64)})
-
-    def contrib(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["side"] == 0]
-        r = g[g["side"] == 1].set_index("key")["aux_i"]
-        rv = e["key"].map(r).to_numpy(dtype=np.int64)
-        dv = e["aux_i"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"dst_id": e["aux"].to_numpy(dtype=np.int64),
-                             "c": rv // dv})
-
-    def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.groupby("dst_id", sort=False)["c"].sum().reset_index()
-        s["c"] = s["c"].astype(np.int64)
-        return s
-
-    def insum_tag(df: pd.DataFrame) -> pd.DataFrame:
-        d = df["dst_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"part": (d % N_GRAPH_PARTS).astype(np.int32),
-                             "side": np.zeros(len(df), dtype=np.int8),
-                             "key": d,
-                             "aux": np.zeros(len(df), dtype=np.int64),
-                             "aux_i": df["c"].to_numpy(dtype=np.int64)})
-
-    def node_tag(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": df["part"],
-                             "side": np.ones(len(df), dtype=np.int8),
-                             "key": df["nid"].to_numpy(dtype=np.int64),
-                             "aux": np.zeros(len(df), dtype=np.int64),
-                             "aux_i": np.zeros(len(df), dtype=np.int64)})
-
-    def next_rank(g: pd.DataFrame) -> pd.DataFrame:
-        # side-0 rows are per-BATCH partials (combiner output), so the
-        # final per-node in-sum is a vectorized groupby-sum INSIDE this
-        # co-partition pass — the first cut ran a separate string-keyed
-        # groupby('dst') aggregate per iteration
-        nd = g[g["side"] == 1]
-        s = g[g["side"] == 0].groupby("key", sort=False)["aux_i"].sum()
-        ins = nd["key"].map(s).fillna(0).to_numpy(dtype=np.int64)
-        return pd.DataFrame({
-            "nid": nd["key"].to_numpy(dtype=np.int64),
-            "part": nd["part"].to_numpy(dtype=np.int32),
-            "r": base + (85 * ins) // 100})
-
+    # ---- iterate: scatter/gather of O(V)-sized rank partials only ----
     for _ in range(iters):
-        # edges_deg is tagged side=0 with aux_i=outdeg; ranks side=1
-        def edge_retag(df: pd.DataFrame) -> pd.DataFrame:
-            sid = df["src_id"].to_numpy(dtype=np.int64)
-            return pd.DataFrame({
-                "part": (sid % N_GRAPH_PARTS).astype(np.int32),
-                "side": np.zeros(len(df), dtype=np.int8),
-                "key": sid,
-                "aux": df["dst_id"].to_numpy(dtype=np.int64),
-                "aux_i": df["d"].to_numpy(dtype=np.int64)})
+        outs = ray.get([s.contrib_refs.remote() for s in shards])
+        ray.get([shards[q].apply.remote(
+            [outs[p][q] for p in range(P) if q in outs[p]])
+            for q in range(P)])
 
-        # materialize between the two coparts: Ray executes a union of a
-        # multi-stage lazy chain with a materialized side poorly (one
-        # fused execution with two all-to-alls ran ~15x slower than the
-        # two executions separately — measured 35 s vs 2.4 s/stage at
-        # sf0.1); the intermediate is slim (dst_id, c) combiner rows
-        contribs = _copart(
-            edges_deg.map_batches(edge_retag, batch_format="pandas"),
-            ranks.map_batches(rank_tag, batch_format="pandas"),
-            contrib).map_batches(contrib_partial,
-                                 batch_format="pandas") \
-            .repartition(N_GRAPH_PARTS).materialize()
-        ranks = _copart(
-            contribs.map_batches(insum_tag, batch_format="pandas"),
-            node_ids.map_batches(node_tag, batch_format="pandas"),
-            next_rank).repartition(N_GRAPH_PARTS).materialize()
-
-    ctx.min_parallelism = prev_par
-
-    # map node ids back to urls: one final co-partition join
-    def rank_out(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": df["part"],
-                             "tag": np.zeros(len(df), dtype=np.int8),
-                             "nid": df["nid"].to_numpy(dtype=np.int64),
-                             "url": "",
-                             "r": df["r"].to_numpy(dtype=np.int64)})
-
-    def url_out(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"part": df["part"],
-                             "tag": np.ones(len(df), dtype=np.int8),
-                             "nid": hash64_array(df["url"]),
-                             "url": df["url"].astype(str),
-                             "r": np.zeros(len(df), dtype=np.int64)})
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        u = g[g["tag"] == 1].set_index("nid")["url"]
-        rk = g[g["tag"] == 0]
-        r = rk["r"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"url": rk["nid"].map(u).to_numpy(dtype=object),
-                             "rank_fp": r,
-                             "score": r / 1e12})
-
-    return (ranks.map_batches(rank_out, batch_format="pandas")
-            .union(node_tbl.map_batches(url_out, batch_format="pandas"))
-            .groupby("part").map_groups(finish, batch_format="pandas"))
+    # materialize while the shards are alive (the returned tables are
+    # driver-owned return values, but materializing avoids any lineage
+    # reconstruction needing the by-then-terminated actors)
+    return ray.data.from_arrow_refs(
+        [s.ranks_arrow.remote() for s in shards]).materialize()
 
 
 def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
