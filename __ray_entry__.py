@@ -29,7 +29,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 import ray.data
 
-from ghcrawler_ray.config import PRIORITY_RANK, CrawlConfig
+from ghcrawler_ray.config import (PRIORITY_RANK, CrawlConfig,
+                                  tune_data_context)
 from ghcrawler_ray.frontier import seeds_to_frontier
 from ghcrawler_ray.ops import ann as ops_ann
 from ghcrawler_ray.ops import corpus as ops_corpus
@@ -46,6 +47,10 @@ from ghcrawler_ray.pipelines.wave import CrawlEngine
 from ghcrawler_ray.stages.extract import extract_links_df, extract_text_batch
 from ghcrawler_ray.testgen import GENVER, ensure_testdata, sf_of_dir
 from ghcrawler_ray.urls import normalize_series, split_host_path
+
+# pin the ops-wide shuffle partition count (the driver calls ray.init
+# before importing this module; DataContext is process-global either way)
+tune_data_context()
 
 # --------------------------------------------------------------------------
 # crawl plumbing

@@ -38,6 +38,24 @@ REFERENCE_WEIGHTS: dict[str, int] = {
 
 PRIORITIES: tuple[str, ...] = tuple(PRIORITY_RANK)
 
+#: Repo-wide coarse co-partition width: every hash co-partition
+#: (``hash64(key) % N``) and every pinned shuffle in ops/ uses this many
+#: partitions — a JOB parameter independent of cluster size (2-4x a
+#: 32-core node; scale it with the cluster at the design point).
+N_COARSE_PARTS = 64
+
+
+def tune_data_context() -> None:
+    """Pin Ray Data's all-to-all partition count to the repo's coarse
+    co-partition width. The default ``min_parallelism=200`` sprays 200
+    reduce partitions per shuffle regardless of data size, which at ops
+    scale is pure fixed cost (measured: a 40k-row ``groupby`` barrier
+    4.6 s at 200 vs 2.6 s at 64 partitions, sf0.1/32 cpus). The wave
+    engine pins its own (``pipelines/wave.py``); this covers the ops/
+    pipelines when invoked via ``__ray_entry__``/bench/CLI."""
+    import ray.data
+    ray.data.DataContext.get_current().min_parallelism = N_COARSE_PARTS
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
