@@ -178,6 +178,44 @@ def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
 
 N_BUCKET_PARTS = 64      # coarse shuffle key: bucket-hash % parts
 
+#: Bounded local verify (the engine's local_wave_threshold pattern):
+#: candidate pairs are OUTPUT-sized, so when they touch at most this
+#: many docs, one remote task verifies them against the candidate docs'
+#: texts (gathered as slim filtered Arrow blocks, no shuffle) instead of
+#: paying the streaming verify's explode + groupby barrier. The
+#: streaming path below remains the scale path.
+VERIFY_LOCAL_MAX_DOCS = 100_000
+
+
+@ray.remote
+def _verify_pairs_local(pairs: np.ndarray, threshold: float,
+                        *blocks) -> pd.DataFrame:
+    """Single-task exact-Jaccard verify: same int intersection/union
+    counts and the same one float division as the streaming verify —
+    bit-identical output."""
+    texts: dict[int, str] = {}
+    for t in blocks:
+        df = t.to_pandas()
+        texts.update(zip(df["doc_id"].astype(np.int64),
+                         df["text"].astype(str)))
+    sh_cache: dict[int, set[str]] = {}
+
+    def sh(d: int) -> set[str]:
+        if d not in sh_cache:
+            sh_cache[d] = shingle_set(texts[d])
+        return sh_cache[d]
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in pairs:
+        j = jaccard(sh(int(a)), sh(int(b)))
+        if j >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(j)
+    return pd.DataFrame({"doc_a": np.array(out_a, dtype=np.int64),
+                         "doc_b": np.array(out_b, dtype=np.int64),
+                         "jaccard": np.array(out_j, dtype=np.float64)})
+
 
 def _bucket_part_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """One COARSE partition = many LSH buckets; pairs are emitted with a
@@ -228,6 +266,10 @@ def lsh_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(_band_rows, batch_format="pandas")
             .map_batches(_add_bpart, batch_format="pandas")
+            # materialize the slim band rows: fusing the doc scan with
+            # the bucket all-to-all in one execution runs several times
+            # slower than two executions (the repo's measured pattern)
+            .materialize()
             .groupby("bpart")
             .map_groups(_bucket_part_pairs, batch_format="pandas")
             .groupby(["doc_a", "doc_b"])
@@ -253,6 +295,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
     cand = (docs.select_columns(["doc_id", "text"])
             .map_batches(_band_rows, batch_format="pandas")
             .map_batches(_add_bpart, batch_format="pandas")
+            .materialize()          # see lsh_candidate_pairs note
             .groupby("bpart")
             .map_groups(_bucket_part_pairs, batch_format="pandas")
             .take_all())
@@ -261,6 +304,27 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
             {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
              "jaccard": np.empty(0, np.float64)}))
     pairs = sorted({(int(r["doc_a"]), int(r["doc_b"])) for r in cand})
+
+    # bounded local verify: candidate pairs touch few docs → gather the
+    # candidate docs' (doc_id, text) as filtered Arrow block refs (one
+    # streaming pass, no shuffle) and verify in one task
+    cand_ids = np.unique(np.array(pairs, dtype=np.int64).ravel())
+    if len(cand_ids) <= VERIFY_LOCAL_MAX_DOCS:
+        ids_ref = ray.put(cand_ids)
+
+        def keep_cand(df: pd.DataFrame) -> pd.DataFrame:
+            ids = ray.get(ids_ref)
+            d = df["doc_id"].to_numpy(np.int64)
+            pos = np.searchsorted(ids, d)
+            np.minimum(pos, len(ids) - 1, out=pos)
+            return df.loc[ids[pos] == d, ["doc_id", "text"]]
+
+        blocks = (docs.select_columns(["doc_id", "text"])
+                  .map_batches(keep_cand, batch_format="pandas")
+                  .to_arrow_refs())
+        return ray.data.from_pandas_refs([_verify_pairs_local.remote(
+            np.array(pairs, dtype=np.int64), threshold, *blocks)])
+
     doc_pairs: dict[int, list[int]] = {}
     for pid, (a, b) in enumerate(pairs):
         doc_pairs.setdefault(a, []).append(pid)
@@ -465,9 +529,43 @@ N_NODE_PARTS = 16         # co-partition key count — a FIXED job parameter
                           # the sandbox; a real cluster raises it
 
 
-def _cc_labels(edges_df: ray.data.Dataset) -> ray.data.Dataset:
+#: Bounded local fold (the engine's local_wave_threshold pattern): the
+#: pair graph is OUTPUT-sized (verified near-dup pairs), so below this
+#: many edges one remote task computes components directly — the BSP
+#: path below exists for when the dup graph itself is distributed-scale.
+CC_LOCAL_MAX_EDGES = 4_000_000
+
+
+@ray.remote
+def _cc_local(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Single-task min-label connected components: edge relaxation +
+    pointer jumping (labels are node ids, so a label can be chased one
+    hop per round) until fixpoint — identical labels to the BSP path
+    (min doc_id of the component)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = nodes.copy()
+    while True:
+        m = np.minimum(label[ia], label[ib])
+        new = label.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = np.minimum(new, label[np.searchsorted(nodes, new)])
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pd.DataFrame({"node": nodes, "label": label})
+
+
+def _cc_labels(edges_df: ray.data.Dataset,
+               n_edges: int | None = None) -> ray.data.Dataset:
     """Distributed min-label propagation over (doc_a, doc_b) edges →
     (node, label) with label = min doc_id of the node's component.
+
+    Below ``CC_LOCAL_MAX_EDGES`` (pair graphs are output-sized) the fold
+    runs in ONE remote task (`_cc_local`) instead of paying ~2 barrier
+    executions per BSP round on a few hundred rows.
 
     Delta-based BSP with ONE shuffle per round: every row — current
     labels, edge endpoints, and in-flight messages — is keyed by
@@ -484,6 +582,13 @@ def _cc_labels(edges_df: ray.data.Dataset) -> ray.data.Dataset:
     Everything here is #dup-endpoint-sized (output scale), never corpus
     scale; per-round state is materialized (slim int columns) to keep
     each round one execution instead of a growing lineage chain."""
+    if n_edges is None:
+        n_edges = edges_df.count()
+    if n_edges <= CC_LOCAL_MAX_EDGES:
+        pairs = edges_df.to_pandas()
+        return ray.data.from_pandas_refs([_cc_local.remote(
+            pairs["doc_a"].to_numpy(np.int64),
+            pairs["doc_b"].to_numpy(np.int64))])
 
     def init_state(df: pd.DataFrame) -> pd.DataFrame:
         """Edge rows + an initial self-label message per endpoint (no
@@ -570,8 +675,47 @@ def dup_clusters(docs: ray.data.Dataset,
     value-checked end to end."""
     edges = minhash_lsh_pairs(docs, threshold) \
         .select_columns(["doc_a", "doc_b"]).materialize()
-    has_edges = edges.count() > 0
-    labels = _cc_labels(edges) if has_edges else None
+    n_edges = edges.count()
+    has_edges = n_edges > 0
+    labels = _cc_labels(edges, n_edges) if has_edges else None
+
+    # broadcast fast path: the label table is output-sized (one row per
+    # dup-graph ENDPOINT, not per doc). Below the bound, ship it once
+    # via ray.put and assign cluster_id/size/keep in a single streaming
+    # pass over docs — zero shuffles. Cluster sizes are derivable from
+    # the label table alone: labeled clusters count their endpoint rows,
+    # everything else is a size-1 singleton of itself.
+    if not has_edges or labels.count() <= CC_LOCAL_MAX_EDGES:
+        if has_edges:
+            lab = labels.to_pandas().sort_values("node")
+            node_arr = lab["node"].to_numpy(np.int64)
+            label_arr = lab["label"].to_numpy(np.int64)
+            lab_u, lab_sz = np.unique(label_arr, return_counts=True)
+        else:
+            node_arr = label_arr = lab_u = np.empty(0, np.int64)
+            lab_sz = np.empty(0, np.int64)
+        ref = ray.put((node_arr, label_arr, lab_u,
+                       lab_sz.astype(np.int64)))
+
+        def assign_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            nodes, labs, lu, lsz = ray.get(ref)
+            d = df["doc_id"].to_numpy(np.int64)
+            if len(nodes):
+                pos = np.searchsorted(nodes, d)
+                np.minimum(pos, len(nodes) - 1, out=pos)
+                found = nodes[pos] == d
+                cid = np.where(found, labs[pos], d)
+                sz = np.ones(len(d), dtype=np.int64)
+                sz[found] = lsz[np.searchsorted(lu, cid[found])]
+            else:
+                cid = d
+                sz = np.ones(len(d), dtype=np.int64)
+            return pd.DataFrame({
+                "doc_id": d, "cluster_id": cid, "cluster_size": sz,
+                "keep": (d == cid).astype(np.int64)})
+
+        return docs.select_columns(["doc_id"]) \
+            .map_batches(assign_bcast, batch_format="pandas")
 
     # shuffle 1: assign cluster_id (docs ∪ labels co-keyed by doc id)
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
