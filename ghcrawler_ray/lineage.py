@@ -7,26 +7,39 @@ request (`lib/request.js` context / `lib/visitorMap.js` path navigation,
 `lib/crawler.js` seen-check before requeue); the analogue here is the
 explicit `lineage` column (seed > ... > url) plus BFS-level dedup.
 
-Ray-Data-first shape: level-synchronous BFS. Each level advance is two
-co-partition reduce-side joins expressed as tagged union + ONE
-``groupby('part')`` over a COARSE ``hash64(key) % N_LIN_PARTS`` int key,
-with the actual join/pick vectorized in pandas across ALL of a
-partition's keys. (The first cut grouped by the raw url string — a
-string sort-shuffle of the full edge set per level AND one Python group
-invocation per distinct url: measured 313 s at sf0.1; this shape runs
-the same BFS in a few seconds.)
+Architecture (the same partition-actor shape as `ops/graph.pagerank` —
+the one case the Dataset API can't express well, because a Dataset
+shuffle cannot PIN the static edge table in place across BFS levels; the
+previous Dataset-only composition re-shuffled all O(E) edges per level,
+~2 barriers × 2-3 s of fixed all-to-all cost each):
 
-Each level is materialized once (the BFS frontier, bounded by graph
-width) and unioned into the result. At 100 TB the edges dataset should
-be hash-partitioned by src once and reused across levels; the per-level
-shuffle cost is then O(frontier), not O(E) — documented assumption, the
-composition below re-shuffles edges per level for simplicity.
+  setup: ONE streaming ``map_batches`` pass over links slices each batch
+  by ``hash64(src) % P`` and pushes the (src, dst) slices straight into
+  that partition's ``_LinShard`` actor (task→actor object-store
+  transfer, never via the driver). Seeds are scattered the same way by
+  ``hash64(url) % P``.
+  per level: each shard joins its own frontier × its own edges (both
+  live on the shard — frontier urls and edge srcs share the hash
+  partitioning), scatters candidate (child, parent, parent-lineage)
+  slices to the child's shard as ``ray.put`` refs; the child's shard
+  drops already-seen children (its local seen set IS the hasSeen
+  suppression), picks the lexicographic-min parent per child, extends
+  the lineage string, and the survivors become its next frontier.
+  Per-level traffic is O(frontier-adjacent candidates); edges never
+  move again.
+  output: shards emit their accumulated (url, depth, parent_url,
+  lineage) rows → ``from_pandas_refs`` — no final join.
+
+Partitioning assumption: P shards each hold E/P edges + the seen/result
+rows of V/P urls — the same per-core working set a reduce task would
+hold, but persistent; size P to the cluster like reduce partitions.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data
 
 from .urls import hash64_array
@@ -40,10 +53,6 @@ _EMPTY_LEVEL = pd.DataFrame({
     "parent_url": pd.Series(dtype=str), "lineage": pd.Series(dtype=str)})
 
 
-def _parts(s: pd.Series) -> np.ndarray:
-    return (hash64_array(s.astype(str)) % N_LIN_PARTS).astype(np.int32)
-
-
 def _seed_level(seeds: list[str]) -> pd.DataFrame:
     urls = sorted({s for s in seeds if s.startswith("http")})
     return pd.DataFrame({
@@ -53,45 +62,106 @@ def _seed_level(seeds: list[str]) -> pd.DataFrame:
         "lineage": pd.Series(urls, dtype=str)})
 
 
-def _join_part(g: pd.DataFrame) -> pd.DataFrame:
-    """One coarse partition: level rows (tag P: key=url, lineage) ×
-    edge rows (tag C: key=src, child) → (child, parent, plineage),
-    vectorized merge across all the partition's urls."""
-    p = g.loc[g["tag"] == "P", ["key", "lineage"]]
-    c = g.loc[g["tag"] == "C", ["key", "child"]]
-    if not len(p) or not len(c):
-        return pd.DataFrame({"child": pd.Series(dtype=str),
-                             "parent": pd.Series(dtype=str),
-                             "plineage": pd.Series(dtype=str)})
-    m = c.merge(p, on="key", how="inner")
-    return pd.DataFrame({"child": m["child"].astype(str),
-                         "parent": m["key"].astype(str),
-                         "plineage": m["lineage"].astype(str)})
+def _slice_by_part(part: np.ndarray, n_parts: int, *cols: np.ndarray):
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    cols = [c[order] for c in cols]
+    bounds = np.searchsorted(sp, np.arange(n_parts + 1))
+    for p in range(n_parts):
+        lo, hi = bounds[p], bounds[p + 1]
+        if lo != hi:
+            yield p, *(c[lo:hi] for c in cols)
 
 
-def _make_pick(depth: int):
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        """One coarse partition: candidate rows (tag C: key=child,
-        parent, plineage) minus seen keys (tag S), then min-parent per
-        child — sort + drop_duplicates, no per-key Python."""
-        seen_keys = g.loc[g["tag"] == "S", "key"]
-        c = g[g["tag"] == "C"]
+@ray.remote(num_cpus=0)
+class _LinShard:
+    """One BFS partition: static edges keyed by hash(src)%P, plus the
+    partition's seen set, current frontier and accumulated result rows
+    for urls keyed by hash(url)%P (src- and url-partitioning coincide,
+    so a shard's frontier joins its own edges locally)."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+        self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self.seen: set[str] = set()
+        self.frontier = pd.DataFrame({"url": pd.Series(dtype=str),
+                                      "lineage": pd.Series(dtype=str)})
+        self.results: list[pd.DataFrame] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._edge_chunks.append((src, dst))
+        return len(src)
+
+    def seal_edges(self) -> None:
+        if self._edge_chunks:
+            src = np.concatenate([c[0] for c in self._edge_chunks])
+            dst = np.concatenate([c[1] for c in self._edge_chunks])
+        else:
+            src = np.empty(0, dtype=object)
+            dst = np.empty(0, dtype=object)
+        self._edge_chunks = []
+        self.edges = pd.DataFrame({
+            "src": pd.Series(src, dtype=object),
+            "dst": pd.Series(dst, dtype=object),
+            "dpart": (hash64_array(pd.Series(dst, dtype=str))
+                      % self.n_parts).astype(np.int32)
+            if len(dst) else np.empty(0, dtype=np.int32)})
+
+    def add_seeds(self, level: pd.DataFrame) -> None:
+        self.seen.update(level["url"])
+        self.frontier = level[["url", "lineage"]].reset_index(drop=True)
+        self.results.append(level)
+
+    def expand(self) -> dict:
+        """Join own frontier × own edges; scatter (child, parent,
+        parent-lineage) candidate slices to the child's shard."""
+        if not len(self.frontier) or not len(self.edges):
+            self.frontier = self.frontier.iloc[:0]
+            return {}
+        m = self.edges.merge(self.frontier.rename(
+            columns={"url": "src", "lineage": "plineage"}), on="src")
+        self.frontier = self.frontier.iloc[:0]
+        if not len(m):
+            return {}
+        return {p: ray.put((c, par, pl)) for p, c, par, pl in
+                _slice_by_part(m["dpart"].to_numpy(np.int64), self.n_parts,
+                               m["dst"].to_numpy(dtype=object),
+                               m["src"].to_numpy(dtype=object),
+                               m["plineage"].to_numpy(dtype=object))}
+
+    def absorb(self, depth: int, refs: list) -> int:
+        """Fold inbound candidates: drop seen children (hasSeen
+        suppression), min-parent tie-break, extend lineage; survivors
+        are this shard's next frontier."""
+        if not refs:
+            return 0
+        parts = ray.get(list(refs))
+        c = pd.DataFrame({
+            "key": np.concatenate([p[0] for p in parts]),
+            "parent": np.concatenate([p[1] for p in parts]),
+            "plineage": np.concatenate([p[2] for p in parts])})
+        c = c[~c["key"].isin(self.seen)]
         if not len(c):
-            return _EMPTY_LEVEL
-        c = c[~c["key"].isin(set(seen_keys))]
-        if not len(c):
-            return _EMPTY_LEVEL
+            return 0
         best = c.sort_values(["key", "parent"], kind="stable") \
             .drop_duplicates("key", keep="first")
         url = best["key"].astype(str)
-        return pd.DataFrame({
+        level = pd.DataFrame({
             "url": url,
             "depth": np.full(len(best), depth, dtype=np.int64),
             "parent_url": best["parent"].astype(str).to_numpy(),
             "lineage": (best["plineage"].astype(str) + SEP + url)
             .to_numpy()})
-    pick.__name__ = f"pick_level_{depth}"
-    return pick
+        self.seen.update(level["url"])
+        self.frontier = level[["url", "lineage"]].reset_index(drop=True)
+        self.results.append(level)
+        return len(level)
+
+    def result_rows(self) -> pd.DataFrame:
+        if not self.results:
+            return _EMPTY_LEVEL
+        return pd.concat(self.results, ignore_index=True)
 
 
 def discovery_lineage(links: ray.data.Dataset, seeds: list[str],
@@ -100,63 +170,37 @@ def discovery_lineage(links: ray.data.Dataset, seeds: list[str],
     over ``links`` (columns src_url, dst_url), depth ≤ ``max_depth``.
     Parent tie-break = lexicographic min parent url (deterministic, and
     expressible as ``min(src)`` in the DuckDB mirror)."""
-    level = ray.data.from_pandas(_seed_level(seeds)).materialize()
-    out = [level]
-    seen = level.select_columns(["url"]).materialize()
+    P = N_LIN_PARTS
+    shards = [_LinShard.remote(p, P) for p in range(P)]
 
-    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
-        src = df["src_url"].astype(str)
-        return pd.DataFrame({"part": _parts(src), "key": src,
-                             "child": df["dst_url"].astype(str),
-                             "lineage": "", "tag": "C"})
+    def scatter_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src_url"].astype(str).to_numpy(dtype=object)
+        dst = df["dst_url"].astype(str).to_numpy(dtype=object)
+        spart = (hash64_array(df["src_url"].astype(str)) % P)
+        refs = [shards[p].add_edges.remote(s, d) for p, s, d in
+                _slice_by_part(spart.astype(np.int64), P, src, dst)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
 
-    # materialize once: a lazy `edges` would re-run the upstream link
-    # extraction every level (Ray Data does not dedupe shared sub-DAGs);
-    # the table is slim (part, src, dst, lineage-tag columns)
-    edges = links.map_batches(as_edges, batch_format="pandas") \
-        .repartition(N_LIN_PARTS).materialize()
+    links.map_batches(scatter_edges, batch_format="pandas").materialize()
+    ray.get([s.seal_edges.remote() for s in shards])
+
+    seed_df = _seed_level(seeds)
+    spart = (hash64_array(seed_df["url"]) % P).astype(np.int64)
+    ray.get([shards[p].add_seeds.remote(
+        seed_df[spart == p].reset_index(drop=True))
+        for p in np.unique(spart)])
 
     for d in range(1, max_depth + 1):
-        lvl_keyed = level.map_batches(
-            lambda df: pd.DataFrame({"part": _parts(df["url"]),
-                                     "key": df["url"].astype(str),
-                                     "child": "", "lineage": df["lineage"],
-                                     "tag": "P"}), batch_format="pandas")
-        # materialize between the two coparts: a fused execution of two
-        # chained union+groupby all-to-alls runs far slower than the two
-        # executions separately (measured in ops/graph.pagerank); the
-        # intermediate is slim (child, parent, plineage) rows
-        children = (edges.union(lvl_keyed)
-                    .groupby("part")
-                    .map_groups(_join_part, batch_format="pandas")
-                    .repartition(N_LIN_PARTS)
-                    .materialize())
-        cand = children.map_batches(
-            lambda df: pd.DataFrame({"part": _parts(df["child"]),
-                                     "key": df["child"].astype(str),
-                                     "parent": df["parent"],
-                                     "plineage": df["plineage"], "tag": "C"}),
-            batch_format="pandas")
-        seen_keyed = seen.map_batches(
-            lambda df: pd.DataFrame({"part": _parts(df["url"]),
-                                     "key": df["url"].astype(str),
-                                     "parent": "", "plineage": "",
-                                     "tag": "S"}), batch_format="pandas")
-        # repartition pins block counts (Ray shuffles emit one output
-        # partition per input block and unions concatenate block lists;
-        # see ops/graph.pagerank for the measured blow-up)
-        level = (cand.union(seen_keyed)
-                 .groupby("part")
-                 .map_groups(_make_pick(d), batch_format="pandas")
-                 .repartition(N_LIN_PARTS)
-                 .materialize())
-        if not level.count():
+        outs = ray.get([s.expand.remote() for s in shards])
+        grew = ray.get([shards[q].absorb.remote(
+            d, [outs[p][q] for p in range(P) if q in outs[p]])
+            for q in range(P)])
+        if sum(grew) == 0:
             break
-        out.append(level)
-        seen = seen.union(level.select_columns(["url"])) \
-            .repartition(N_LIN_PARTS).materialize()
 
-    res = out[0]
-    for lv in out[1:]:
-        res = res.union(lv)
-    return res
+    # materialize while the shards are alive (return values are
+    # driver-owned, but this avoids lineage reconstruction needing the
+    # by-then-terminated actors)
+    return ray.data.from_pandas_refs(
+        [s.result_rows.remote() for s in shards]).materialize()

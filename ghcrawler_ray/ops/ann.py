@@ -289,6 +289,9 @@ KMEANS_FP = 1 << 20
 KMEANS_OFFSET = 1.0
 KMEANS_K = 8
 KMEANS_ITERS = 3
+#: driver-fold bound for per-round partials (blocks × k × dim int rows);
+#: above it the reduce goes through a distributed groupby instead.
+KMEANS_DRIVER_FOLD_MAX = 4_000_000
 
 
 def _quantize(m: np.ndarray) -> np.ndarray:
@@ -304,11 +307,15 @@ def kmeans_fit(emb: ray.data.Dataset, k: int = KMEANS_K,
     Per round: centroids (k×dim int64, a few KB) are broadcast once via
     ``ray.put``; one streaming ``map_batches`` pass assigns every vector
     to its nearest centroid (ties → lowest cluster id) and emits per-batch
-    partial sums; a slim k×dim-row ``groupby.aggregate(Sum)`` reduces
-    them; the driver only ever touches the k×dim centroid table. The
-    embedding table is never materialized and nothing quadratic exists —
-    per round cost is one scan + one bounded shuffle, the canonical
-    distributed-k-means shape at 10^10 rows.
+    partial sums (≤ k×dim rows per batch). The partials are folded the
+    sidecar way (the wave engine's pattern): driver work is
+    O(blocks × k × dim) integer rows — order-independent int64 sums, so
+    the fold is exact — below ``KMEANS_DRIVER_FOLD_MAX`` rows, falling
+    back to a distributed ``groupby.aggregate(Sum)`` above it. The input
+    is materialized ONCE so the 3 rounds re-scan object-store blocks,
+    not the parquet source. Nothing quadratic exists — per round cost is
+    one scan + one k×dim-sized reduce, the canonical distributed-k-means
+    shape at 10^10 rows.
 
     Initial centroids are the quantized vectors with ``vec_id < k``
     (deterministic seeding); clusters that lose all members keep their
@@ -317,13 +324,14 @@ def kmeans_fit(emb: ray.data.Dataset, k: int = KMEANS_K,
     per-cell search."""
     from ray.data.aggregate import Sum
 
-    init = sorted(emb.filter(expr=f"vec_id < {k}")
-                  .select_columns(["vec_id", "embedding"]).take_all(),
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    init = sorted(src.filter(expr=f"vec_id < {k}").take_all(),
                   key=lambda r: int(r["vec_id"]))
     cents = _quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
                                 for r in init]))          # (k, dim) int64
     dim = cents.shape[1]
     n_vecs = np.zeros(k, dtype=np.int64)
+    driver_fold = src.num_blocks() * k * dim <= KMEANS_DRIVER_FOLD_MAX
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -344,12 +352,17 @@ def kmeans_fit(emb: ray.data.Dataset, k: int = KMEANS_K,
                     "n_part": np.full(dim, len(sel), dtype=np.int64)}))
             return pd.concat(out, ignore_index=True)
 
-        agg = (emb.select_columns(["vec_id", "embedding"])
-               .map_batches(partials, batch_format="pandas", batch_size=2048)
-               .groupby(["cluster", "dim"])
-               .aggregate(Sum("s_part", alias_name="s"),
-                          Sum("n_part", alias_name="n"))
-               .to_pandas())                              # ≤ k×dim rows
+        parts = src.map_batches(partials, batch_format="pandas",
+                                batch_size=2048)
+        if driver_fold:
+            agg = parts.to_pandas().groupby(
+                ["cluster", "dim"], sort=False, as_index=False).agg(
+                    s=("s_part", "sum"), n=("n_part", "sum"))
+        else:
+            agg = (parts.groupby(["cluster", "dim"])
+                   .aggregate(Sum("s_part", alias_name="s"),
+                              Sum("n_part", alias_name="n"))
+                   .to_pandas())                          # ≤ k×dim rows
         n_vecs = np.zeros(k, dtype=np.int64)
         for cl, g in agg.groupby("cluster"):
             cl = int(cl)

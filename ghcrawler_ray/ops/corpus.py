@@ -398,32 +398,42 @@ def bpe_pair_counts(docs: ray.data.Dataset,
     corpus-wide (ties broken by pair text asc) — the statistic the first
     BPE merge selects its rule from. Per-batch combiner collapses each
     batch to its distinct pairs before the one slim ``groupby(pair)``
-    shuffle; per-block local top-k then a k×blocks driver reduce keeps
-    the global sort away (the bm25 local-topk shape). Deterministic:
-    counts are exact integers; ordering is (n desc, pair asc)."""
-    from ray.data.aggregate import Sum
+    shuffle; per-PARTITION local top-k then a k×parts driver reduce
+    keeps the global sort away (the bm25 local-topk shape). The shuffle
+    key is a coarse ``hash64(pair) % 64`` INT (a raw string groupby
+    sort-shuffles the full distinct-pair text — the repo's measured
+    pitfall); a pair lives wholly in one partition, so per-partition
+    top-k is lossless. Deterministic: counts are exact integers;
+    ordering is (n desc, pair asc)."""
+    from ..urls import hash64_array
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
         pairs = [f"{ts[i]} {ts[i + 1]}"
                  for ts in toks for i in range(len(ts) - 1)]
         if not pairs:
-            return pd.DataFrame({"pair": np.empty(0, object),
+            return pd.DataFrame({"part": np.empty(0, np.int32),
+                                 "pair": np.empty(0, object),
                                  "n_part": np.empty(0, np.int64)})
         cnt = pd.Series(pairs, dtype=object).value_counts()
-        return pd.DataFrame({"pair": cnt.index.to_numpy(dtype=object),
-                             "n_part": cnt.to_numpy(dtype=np.int64)})
+        pair = cnt.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "part": (hash64_array(pd.Series(pair)) % 64).astype(np.int32),
+            "pair": pair,
+            "n_part": cnt.to_numpy(dtype=np.int64)})
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["n", "pair"], ascending=[False, True],
-                            kind="stable")
-        return df.head(k)
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pair", sort=False, as_index=False)["n_part"] \
+            .sum().rename(columns={"n_part": "n"})
+        out = out.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="stable")
+        return out.head(k)
 
     top = (docs.select_columns(["text"])
            .map_batches(partial, batch_format="pandas")
-           .groupby("pair")
-           .aggregate(Sum("n_part", alias_name="n"))
-           .map_batches(local_topk, batch_format="pandas")
+           .materialize()   # split scan from all-to-all (fusion pitfall)
+           .groupby("part")
+           .map_groups(fold_topk, batch_format="pandas")
            .to_pandas())
     top = top.sort_values(["n", "pair"], ascending=[False, True],
                           kind="stable").head(k).reset_index(drop=True)

@@ -18,12 +18,11 @@ Scale shape (100 TB discipline):
   slim feature rows (ids, counts, md5).
 - the benchmark shingle set is bounded by the EVAL suite size, collected
   once and broadcast via `ray.put` (read per task, never re-shipped).
-- exact dedup is the `aggregate(Min, Count)` shape on the slim rows
-  (one hash shuffle, no per-group Python tasks).
-- the keep-list → feature join-back is a co-partitioned merge on
-  `doc_id % CURATE_PARTS` (tagged union + one int-keyed groupby;
-  vectorized `pd.merge` per coarse partition — never a broadcast of an
-  O(corpus) side).
+- exact dedup + keep-list resolution happen in ONE int-keyed co-partition
+  (`hash64(norm_md5) % CURATE_PARTS`): every row of a duplicate class
+  lands in the same coarse partition, so min-doc_id, class size AND the
+  keep filter are a single vectorized transform inside that one group
+  pass — one all-to-all total, no string-keyed shuffle, no join-back.
 
 Reference parity: the reference slims + gates documents per-type before
 store (`providers/fetcher/githubProcessor.js:248-252`,
@@ -40,11 +39,15 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from .contamination import BENCH_MOD, DECON_K, _batch_grams, benchmark_shingles
 from .corpus import NORM_WS_RE
 from .text import quality_batch
+
+
+def _md5_part(md5s: list[str]) -> np.ndarray:
+    """First 8 hex chars of the (already computed) md5 as an int key."""
+    return np.array([int(s[:8], 16) for s in md5s], dtype=np.int64)
 
 CURATE_MIN_SCORE = 0.5   # composite quality-score floor
 CURATE_MIN_TOKENS = 10   # ws-token floor (drops fragments)
@@ -87,54 +90,33 @@ def corpus_curate(docs: ray.data.Dataset,
                 & (q["n_ws_tokens"].to_numpy() >= min_tokens)
                 & (doc_id % BENCH_MOD != 0)
                 & (n_hits == 0))
+        md5s = [md5(s.encode()).hexdigest() for s in norm]
         out = pd.DataFrame({
             "doc_id": doc_id,
             "lang": df["lang"].astype(str).to_numpy(),
             "source": df["source"].astype(str).to_numpy(),
             "n_ws_tokens": q["n_ws_tokens"].to_numpy(dtype=np.int64),
             "quality_score": q["quality_score"].to_numpy(),
-            "norm_md5": [md5(s.encode()).hexdigest() for s in norm],
+            "norm_md5": md5s,
+            # int co-partition key over the DUP CLASS: every row of a
+            # normalized-text class lands in one coarse partition
+            "part": (_md5_part(md5s) % CURATE_PARTS).astype(np.int32),
         })
         return out[keep]
 
-    feats = (docs.select_columns(["doc_id", "text", "lang", "source"])
-             .map_batches(gates, batch_format="pandas"))
+    def resolve_class(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("norm_md5", sort=False)["doc_id"]
+        keep_id = grp.transform("min").to_numpy(dtype=np.int64)
+        n = grp.transform("size").to_numpy(dtype=np.int64)
+        g = g.assign(n_copies=n)
+        return g.loc[g["doc_id"].to_numpy(dtype=np.int64) == keep_id,
+                     OUT_COLS]
 
-    kept = (feats.select_columns(["norm_md5", "doc_id"])
-            .groupby("norm_md5")
-            .aggregate(Min("doc_id", alias_name="doc_id"),
-                       Count(alias_name="n_copies")))
-
-    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["part"] = (df["doc_id"].to_numpy(dtype=np.int64)
-                      % CURATE_PARTS).astype(np.int32)
-        df["n_copies"] = np.int64(0)
-        df["side"] = np.int8(0)
-        return df[OUT_COLS + ["part", "side"]]
-
-    def tag_b(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-            "lang": "", "source": "",
-            "n_ws_tokens": np.int64(0), "quality_score": np.float64(0),
-            "norm_md5": df["norm_md5"].astype(str).to_numpy(),
-            "n_copies": df["n_copies"].to_numpy(dtype=np.int64),
-        })
-        out["part"] = (out["doc_id"].to_numpy(dtype=np.int64)
-                       % CURATE_PARTS).astype(np.int32)
-        out["side"] = np.int8(1)
-        return out[OUT_COLS + ["part", "side"]]
-
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1]
-        m = a.drop(columns=["n_copies", "part", "side"]).merge(
-            b[["doc_id", "norm_md5", "n_copies"]],
-            on=["doc_id", "norm_md5"], how="inner")
-        return m[OUT_COLS]
-
-    tagged = (feats.map_batches(tag_a, batch_format="pandas")
-              .union(kept.map_batches(tag_b, batch_format="pandas")))
-    return tagged.groupby("part").map_groups(join_part,
-                                             batch_format="pandas")
+    # materialize the slim survivor rows before the all-to-all (fusing
+    # the gates scan with a shuffle in one execution is the repo's
+    # measured several-times-slower pattern)
+    return (docs.select_columns(["doc_id", "text", "lang", "source"])
+            .map_batches(gates, batch_format="pandas")
+            .materialize()
+            .groupby("part")
+            .map_groups(resolve_class, batch_format="pandas"))

@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 SESSION_GAP_MIN = 30
 N_USER_PARTS = 64
@@ -30,21 +29,49 @@ N_USER_PARTS = 64
 
 def windowed_agg(events: ray.data.Dataset, window: str = "hour") -> ray.data.Dataset:
     """Tumbling-window aggregate: (window_start, event_type) →
-    n_events, sum_value, min_value, max_value, avg_value."""
+    n_events, sum_value, min_value, max_value, avg_value.
 
-    def add_window(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_type", "value"]].copy()
-        out["window_start"] = df["ts"].dt.floor("h" if window == "hour" else "D")
-        return out
+    Combiner shape: each batch pre-aggregates to one partial row per
+    (window, type), shuffled under a coarse INT key (never raw events
+    under a (timestamp, string) sort key); the fold re-sums partials and
+    derives avg = sum/n. Callers round sum/avg to 6 dp (the SQL mirror
+    does the same), which absorbs the partial-sum float association."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "ws": df["ts"].dt.floor("h" if window == "hour" else "D")
+            .to_numpy().astype("datetime64[us]").astype(np.int64),
+            "event_type": df["event_type"].to_numpy(dtype=object),
+            "value": df["value"].to_numpy(dtype=np.float64)})
+        agg = part.groupby(["ws", "event_type"], sort=False,
+                           as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"),
+            mn=("value", "min"), mx=("value", "max"))
+        agg["part"] = ((agg["ws"].to_numpy(dtype=np.int64)
+                        // 3_600_000_000) % N_USER_PARTS).astype(np.int32)
+        return agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ws", "event_type"], sort=False,
+                        as_index=False).agg(
+            n_events=("n", "sum"), sum_value=("s", "sum"),
+            min_value=("mn", "min"), max_value=("mx", "max"))
+        n = out["n_events"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "window_start": out["ws"].to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+            "event_type": out["event_type"].astype(str),
+            "n_events": n,
+            "sum_value": out["sum_value"].to_numpy(dtype=np.float64),
+            "min_value": out["min_value"].to_numpy(dtype=np.float64),
+            "max_value": out["max_value"].to_numpy(dtype=np.float64),
+            "avg_value": out["sum_value"].to_numpy(dtype=np.float64) / n})
 
     return (events.select_columns(["ts", "event_type", "value"])
-            .map_batches(add_window, batch_format="pandas")
-            .groupby(["window_start", "event_type"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value", alias_name="sum_value"),
-                       Min("value", alias_name="min_value"),
-                       Max("value", alias_name="max_value"),
-                       Mean("value", alias_name="avg_value")))
+            .map_batches(combine, batch_format="pandas")
+            .materialize()      # split scan from all-to-all (fusion pitfall)
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
 
 
 def sessionize(events: ray.data.Dataset,
@@ -99,34 +126,50 @@ WINDOW_HOPS = 4          # window length = 4 hops = 1 h
 def sliding_window_agg(events: ray.data.Dataset) -> ray.data.Dataset:
     """Hopping-window aggregate (1 h window, 15 min hop): every event
     lands in WINDOW_HOPS windows, exploded VECTORIZED inside the map
-    task (np.tile — 4× slim rows, html-free), then the same
-    combiner-backed hash groupby as the tumbling path. Output:
+    task (np.repeat — 4× slim rows, html-free) and immediately combined
+    per batch, so the shuffle moves one row per (window, type) per
+    batch under a coarse INT key — never the 4×-exploded event rows
+    under a (timestamp, string) sort key (the repo's measured
+    string-shuffle pitfall). The per-partition fold re-sums the
+    partials; sum_value is rounded to 6 dp (matching the SQL mirror),
+    which absorbs the float partial-sum association. Output:
     (window_start, event_type, n_events, sum_value)."""
     hop = HOP_MINUTES * 60_000_000          # µs
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode_combine(df: pd.DataFrame) -> pd.DataFrame:
         us = df["ts"].astype("datetime64[us]").to_numpy().astype(np.int64)
         base = (us // hop) * hop            # floor to hop boundary
         k = np.tile(np.arange(WINDOW_HOPS, dtype=np.int64), len(df))
-        starts = np.repeat(base, WINDOW_HOPS) - k * hop
-        return pd.DataFrame({
-            "window_start": starts.astype("datetime64[us]"),
+        part = pd.DataFrame({
+            "ws": np.repeat(base, WINDOW_HOPS) - k * hop,
             "event_type": np.repeat(df["event_type"].to_numpy(dtype=object),
                                     WINDOW_HOPS),
             "value": np.repeat(df["value"].to_numpy(dtype=np.float64),
                                WINDOW_HOPS)})
+        agg = part.groupby(["ws", "event_type"], sort=False,
+                           as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        agg["part"] = ((agg["ws"].to_numpy(dtype=np.int64) // hop)
+                       % N_USER_PARTS).astype(np.int32)
+        return agg
 
-    def fix(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["sum_value"] = df["sum_value"].round(6)
-        return df
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ws", "event_type"], sort=False,
+                        as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        return pd.DataFrame({
+            "window_start": out["ws"].to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+            "event_type": out["event_type"].astype(str),
+            "n_events": out["n_events"].to_numpy(dtype=np.int64),
+            "sum_value": out["sum_value"].round(6)})
 
     return (events.select_columns(["ts", "event_type", "value"])
-            .map_batches(explode, batch_format="pandas")
-            .groupby(["window_start", "event_type"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value", alias_name="sum_value"))
-            .map_batches(fix, batch_format="pandas"))
+            .map_batches(explode_combine, batch_format="pandas")
+            # split the scan from the all-to-all (measured fusion pitfall)
+            .materialize()
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
 
 
 # ---- as-of join ----
