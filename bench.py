@@ -74,7 +74,12 @@ def run_once(sf_dir: str, cpus: int) -> dict:
         sf = sf_of_dir(sf_dir)
         root = ensure_testdata(sf)          # cached; not part of the timing
         crawl_s, rows = None, 0
-        for rep in range(2):                # best-of-2: variance is ±30%
+        # best-of-N: run-to-run variance on this box is ±30% (measured
+        # 77 s vs 94 s for the identical sf1.0/32-cpu job minutes apart),
+        # which alone can swing the N-vs-4N efficiency ratio 0.7 <-> 1.0;
+        # scaling evidence uses 3 reps per parallelism level
+        n_reps = int(os.environ.get("GHCRAWLER_BENCH_REPS", "2"))
+        for rep in range(n_reps):
             out = Path(f"/tmp/ghcrawler_bench/cpus{cpus}-sf{sf}-r{rep}")
             t0 = time.time()
             CrawlEngine(root, out, CrawlConfig(max_waves=BENCH_WAVES,
@@ -132,7 +137,8 @@ def run_scaling(sf_dir: str) -> dict:
     runs = []
     for cpus in SCALING_CPUS:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_SF_DIR=sf_dir, GHCRAWLER_BENCH_CRAWL_ONLY="1")
+                   GRAFT_SF_DIR=sf_dir, GHCRAWLER_BENCH_CRAWL_ONLY="1",
+                   GHCRAWLER_BENCH_REPS="3")
         cp = subprocess.run([sys.executable, __file__, "--child"],
                             capture_output=True, text=True, env=env,
                             cwd=str(Path(__file__).parent))

@@ -104,11 +104,18 @@ class CrawlConfig:
     #     waves — late retry-only waves, crawl tails). 0 = always distribute.
     #     Cross-wave state (seen-set shards) is shared either way, so modes
     #     can alternate wave-by-wave with identical results (test_parity
-    #     runs both modes against the oracle). 32k rows is still a trickle
-    #     at the design point (vectorized pandas over 32k rows is ~10 ms vs
-    #     seconds of fixed cost for a 4-barrier Ray execution); a throttled
-    #     crawl tail spends hundreds of waves below this line. ---
-    local_wave_threshold: int = 32_768
+    #     runs both modes against the oracle).
+    #     Do NOT raise this as a small-box micro-optimization: a local
+    #     wave is a SERIAL driver stall, so every row processed locally
+    #     is removed from the parallelizable fraction. Measured at
+    #     sf1.0: threshold 32k made the 8-CPU run 44% faster (its
+    #     4-barrier fixed cost is ~4x higher) while slightly hurting
+    #     32 CPUs — scaling efficiency fell 0.82 -> 0.54. At the
+    #     10^10-URL design point the same setting would stall a
+    #     256-node cluster once per trickle wave. 4096 rows is the
+    #     break-even where local vectorized pandas beats the
+    #     distributed path at EVERY cluster size we measure. ---
+    local_wave_threshold: int = 4_096
 
     # --- link→priority rule (reference: paginated pages go to 'soon',
     #     providers/fetcher/githubProcessor.js:58-79) ---

@@ -240,8 +240,10 @@ CENTROID_FP = 1 << 20
 def embedding_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
     """(label, dim, sum_fp, n_vecs, centroid): per-cell mean vector in
     fixed-point — partial per-batch sums inside ``map_batches`` (the
-    combiner), one slim #cells×dim shuffle, exact integer arithmetic so
-    the result is bit-identical regardless of batch/block order — the
+    combiner), then a #cells×dim-sized reduce: folded driver-side (the
+    sidecar pattern — exact order-independent int64 sums, O(blocks ×
+    cells × dim) slim rows) when the input block count is bounded,
+    through a distributed ``groupby.aggregate(Sum)`` otherwise — the
     aggregation a distributed k-means / IVF trainer runs every
     iteration."""
     from ray.data.aggregate import Sum
@@ -268,9 +270,14 @@ def embedding_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
             / df["n_vecs"].to_numpy(dtype=np.int64)
         return df[["label", "dim", "sum_fp", "n_vecs", "centroid"]]
 
-    return (emb.select_columns(["label", "embedding"])
-            .map_batches(partials, batch_format="pandas")
-            .groupby(["label", "dim"])
+    parts = emb.select_columns(["label", "embedding"]) \
+        .map_batches(partials, batch_format="pandas")
+    if emb.count() <= 4_000_000:    # parquet-metadata count, no execution
+        agg = parts.to_pandas().groupby(
+            ["label", "dim"], sort=False, as_index=False).agg(
+                sum_fp=("fp_part", "sum"), n_vecs=("n_part", "sum"))
+        return ray.data.from_pandas(finish(agg))
+    return (parts.groupby(["label", "dim"])
             .aggregate(Sum("fp_part", alias_name="sum_fp"),
                        Sum("n_part", alias_name="n_vecs"))
             .map_batches(finish, batch_format="pandas"))

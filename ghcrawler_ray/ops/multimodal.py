@@ -132,7 +132,7 @@ class FrameSampleStage:
 
 def media_resize(pages: ray.data.Dataset, target_w: int = 224,
                  target_h: int = 224, payload_col: str = "html",
-                 id_col: str = "url", concurrency: int = 4) -> ray.data.Dataset:
+                 id_col: str = "url", concurrency: int = 16) -> ray.data.Dataset:
     """Aspect-preserving resize planning over a binary column (actor
     pool, small batches — same sizing rationale as media_features)."""
     return pages.select_columns([id_col, payload_col]).map_batches(
@@ -145,7 +145,7 @@ def media_resize(pages: ray.data.Dataset, target_w: int = 224,
 
 def frame_samples(pages: ray.data.Dataset, n_frames: int = 4,
                   payload_col: str = "html", id_col: str = "url",
-                  concurrency: int = 4) -> ray.data.Dataset:
+                  concurrency: int = 16) -> ray.data.Dataset:
     """Evenly-spaced frame sampling over a binary column (actor pool);
     output is one row per sampled frame."""
     return pages.select_columns([id_col, payload_col]).map_batches(
@@ -157,12 +157,14 @@ def frame_samples(pages: ray.data.Dataset, n_frames: int = 4,
 
 
 def media_features(pages: ray.data.Dataset, payload_col: str = "html",
-                   id_col: str = "url", concurrency: int = 4) -> ray.data.Dataset:
+                   id_col: str = "url", concurrency: int = 16) -> ray.data.Dataset:
     """Feature-extract over a binary column via an actor pool (decoder
     state loads once per actor, batches stay small)."""
     # autoscaling pool (1..concurrency) at half a CPU per actor: a fixed
     # full-CPU pool can reserve every core of a small cluster and starve
-    # the upstream read tasks (observed deadlock at num_cpus=4)
+    # the upstream read tasks (observed deadlock at num_cpus=4). The
+    # ceiling of 16 (≈ 8 reserved CPUs) lets the payload-hash compute
+    # use a 32-core node; the floor of 1 keeps 4-CPU test sessions safe.
     return pages.select_columns([id_col, payload_col]).map_batches(
         MediaFeatureStage, fn_constructor_kwargs={
             "payload_col": payload_col, "id_col": id_col},

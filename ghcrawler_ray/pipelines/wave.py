@@ -313,20 +313,36 @@ class CrawlEngine:
             .groupby("lpart").map_groups(
                 _make_link_sink(side.nf_dir, cfg), batch_format="pandas")
         )
+        import os
+        import time as _time
+        _timing = bool(os.environ.get("GHCRAWLER_WAVE_TIMING"))
+        _t = _time.time()
         pipe.count()   # the terminal that drives the whole wave
+        if _timing:
+            print(f"[wave {k}] pipe: {_time.time() - _t:.2f}s", flush=True)
+            _t = _time.time()
 
         # ---- driver-side sidecar merges (tiny) ----
         next_hot = self._hot_from_sidecars(Path(side.hot_dir))
         self._stats_from_sidecars(Path(side.stats_dir), k)
         if side.order_dir is not None:
             self._order_from_sidecars(Path(side.order_dir), k)
+        if _timing:
+            print(f"[wave {k}] sidecars: {_time.time() - _t:.2f}s", flush=True)
+            _t = _time.time()
 
         nf_dir = Path(side.nf_dir)
         n_next = sum(pq.ParquetFile(str(f)).metadata.num_rows
                      for f in nf_dir.glob("*.parquet")) if nf_dir.exists() else 0
         if n_next == 0 and nf_dir.exists():
             shutil.rmtree(nf_dir)
+        if _timing:
+            print(f"[wave {k}] footers: {_time.time() - _t:.2f}s", flush=True)
+            _t = _time.time()
         self._snapshot_seen(k + 1)
+        if _timing:
+            print(f"[wave {k}] snapshot: {_time.time() - _t:.2f}s",
+                  flush=True)
         return n_next, clock + cfg.wave_ms, next_hot
 
     # ---------- sidecar merges (driver work O(#hosts / #buckets×#outcomes)) ----------
