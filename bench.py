@@ -20,7 +20,7 @@ barriers ≈ 13 ms × partition count each + driver bookkeeping) is the
 same order as the per-wave compute, which under-represents how the SAME
 job scales when waves are big. The job config (shuffle partition count
 etc.) is identical at both parallelism levels. Crawl timings are
-best-of-2 inside each child (measured run-to-run variance ±30%).
+best-of-3 inside each child (measured run-to-run variance ±30%).
 
 The headline workload is the wave-loop crawl (SURVEY.md §7.0) over the
 deterministic synthesized web at the dir's scale factor, capped at
@@ -74,11 +74,11 @@ def run_once(sf_dir: str, cpus: int) -> dict:
         sf = sf_of_dir(sf_dir)
         root = ensure_testdata(sf)          # cached; not part of the timing
         crawl_s, rows = None, 0
-        # best-of-N: run-to-run variance on this box is ±30% (measured
+        # best-of-3: run-to-run variance on this box is ±30% (measured
         # 77 s vs 94 s for the identical sf1.0/32-cpu job minutes apart),
-        # which alone can swing the N-vs-4N efficiency ratio 0.7 <-> 1.0;
-        # scaling evidence uses 3 reps per parallelism level
-        n_reps = int(os.environ.get("GHCRAWLER_BENCH_REPS", "2"))
+        # which alone can swing the N-vs-4N efficiency ratio 0.7 <-> 1.0
+        # and the headline by 50%
+        n_reps = int(os.environ.get("GHCRAWLER_BENCH_REPS", "3"))
         for rep in range(n_reps):
             out = Path(f"/tmp/ghcrawler_bench/cpus{cpus}-sf{sf}-r{rep}")
             t0 = time.time()
