@@ -202,5 +202,8 @@ def discovery_lineage(links: ray.data.Dataset, seeds: list[str],
     # materialize while the shards are alive (return values are
     # driver-owned, but this avoids lineage reconstruction needing the
     # by-then-terminated actors)
-    return ray.data.from_pandas_refs(
+    out = ray.data.from_pandas_refs(
         [s.result_rows.remote() for s in shards]).materialize()
+    for s in shards:        # deterministic teardown: scatter closures
+        ray.kill(s)         # hold handles, so GC alone is late
+    return out

@@ -279,8 +279,11 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
     # materialize while the shards are alive (the returned tables are
     # driver-owned return values, but materializing avoids any lineage
     # reconstruction needing the by-then-terminated actors)
-    return ray.data.from_arrow_refs(
+    out = ray.data.from_arrow_refs(
         [s.ranks_arrow.remote() for s in shards]).materialize()
+    for s in shards:        # deterministic teardown: scatter closures
+        ray.kill(s)         # hold handles, so GC alone is late
+    return out
 
 
 def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
