@@ -272,7 +272,7 @@ def embedding_centroids(emb: ray.data.Dataset) -> ray.data.Dataset:
 
     parts = emb.select_columns(["label", "embedding"]) \
         .map_batches(partials, batch_format="pandas")
-    if emb.count() <= 4_000_000:    # parquet-metadata count, no execution
+    if emb.count() <= CENTROIDS_DRIVER_FOLD_MAX:    # metadata count
         agg = parts.to_pandas().groupby(
             ["label", "dim"], sort=False, as_index=False).agg(
                 sum_fp=("fp_part", "sum"), n_vecs=("n_part", "sum"))
@@ -299,6 +299,10 @@ KMEANS_ITERS = 3
 #: driver-fold bound for per-round partials (blocks × k × dim int rows);
 #: above it the reduce goes through a distributed groupby instead.
 KMEANS_DRIVER_FOLD_MAX = 4_000_000
+
+#: embedding_centroids' driver-fold bound (input rows; combiner output is
+#: blocks × cells × dim rows). Same sidecar-vs-distributed switch.
+CENTROIDS_DRIVER_FOLD_MAX = 4_000_000
 
 
 def _quantize(m: np.ndarray) -> np.ndarray:
