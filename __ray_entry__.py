@@ -105,7 +105,9 @@ def q_crawl_order(sf_dir: str) -> pd.DataFrame:
     out = _crawl_out(sf_of_dir(sf_dir))
     files = sorted((out / "order").glob("wave=*.parquet"),
                    key=lambda p: int(p.stem.split("=")[1]))
-    df = pq.read_table([str(f) for f in files]).to_pandas()
+    cols = ["wave", "seq_in_wave", "url", "host", "priority", "outcome",
+            "attempt"]
+    df = pq.read_table([str(f) for f in files], columns=cols).to_pandas()
     cols = ["wave", "seq_in_wave", "url", "host", "priority", "outcome", "attempt"]
     df = df[cols]
     for c in ("wave", "seq_in_wave", "attempt"):

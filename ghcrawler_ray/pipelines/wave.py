@@ -317,10 +317,17 @@ class CrawlEngine:
         import time as _time
         _timing = bool(os.environ.get("GHCRAWLER_WAVE_TIMING"))
         _t = _time.time()
-        pipe.count()   # the terminal that drives the whole wave
-        if _timing:
+        if _timing and os.environ.get("GHCRAWLER_WAVE_TIMING") == "stats":
+            mat = pipe.materialize()   # profiling mode: keep stats
             print(f"[wave {k}] pipe: {_time.time() - _t:.2f}s", flush=True)
+            print(mat.stats(), flush=True)
             _t = _time.time()
+        else:
+            pipe.count()   # the terminal that drives the whole wave
+            if _timing:
+                print(f"[wave {k}] pipe: {_time.time() - _t:.2f}s",
+                      flush=True)
+                _t = _time.time()
 
         # ---- driver-side sidecar merges (tiny) ----
         next_hot = self._hot_from_sidecars(Path(side.hot_dir))
