@@ -231,19 +231,27 @@ class CrawlEngine:
                 n_next, clock, hot = self._run_wave_local(
                     k, clock, files, robots_ref, hot)
             else:
-                # the sort-shuffles inherit their partition count from the
-                # input block count: force a fixed block count (= shuffle
-                # partition count, a job parameter — see ctx.min_parallelism
-                # note above) so every stage of the chain parallelizes the
-                # same way at any cluster size; a single-file frontier would
-                # otherwise run the wave on one task. The n_rows/256k term
-                # keeps one slim block ~50 MB at any scale.
-                n_blocks = int(max(self.cfg.n_polite_parts,
-                                   -(-n_rows // 262144)))
+                # PHYSICAL partition count for this wave's shuffles. The
+                # part COLUMN values (polite_part/etag_part/bucket/lpart,
+                # all % cfg.n_polite_parts — the job parameter) are what
+                # semantics key on; the reduce-partition count below only
+                # sets task counts, so it can adapt to the wave size
+                # without touching results (groupby groups by VALUE, and
+                # map_groups splits per value inside a reduce partition).
+                # Profiling (GHCRAWLER_WAVE_TIMING=stats): a sub-100k-row
+                # wave's wall is ~90% scheduling latency of the 4 chained
+                # shuffles' ~512 tasks while all map compute totals
+                # ~0.6 s — halving the task count halves the wave floor.
+                # The n_rows/256k term keeps one slim block ~50 MB.
+                wave_parts = int(min(self.cfg.n_polite_parts,
+                                     max(16, n_rows // 4096)))
+                n_blocks = int(max(wave_parts, -(-n_rows // 262144)))
+                ctx.min_parallelism = wave_parts
                 frontier = ray.data.read_parquet(
                     files, override_num_blocks=n_blocks)
                 n_next, clock, hot = self._run_wave(k, clock, frontier,
                                                     robots_ref, hot, min_nb)
+                ctx.min_parallelism = self.cfg.n_polite_parts
             self._write_manifest(k, {"wave": k, "next_clock": clock,
                                      "next_frontier_rows": n_next,
                                      "hot_hosts": sorted(hot)})
