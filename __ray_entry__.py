@@ -657,6 +657,10 @@ def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
 
 
+def q_dedup_spans(sf_dir: str) -> ray.data.Dataset:
+    return ops_contam.dedup_spans(_docs(sf_dir))
+
+
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return ops_search.bm25_topk(_docs(sf_dir))
 
@@ -1696,6 +1700,35 @@ def _ops_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_total
             FROM gs GROUP BY 1
             HAVING count(DISTINCT doc_id) >= {ops_contam.DUP_MIN_DOCS}""",
+        "dedup_spans": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            g AS (SELECT t.doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+                 ('0x' || substr(md5({_gram_concat_sql(ops_contam.DUP_NGRAM_K)}),
+                  1, 16))::UBIGINT AS hu
+               FROM t, LATERAL (SELECT unnest(range(1,
+                 greatest(len(tk)-{ops_contam.DUP_NGRAM_K - 2}, 1))) AS i) u),
+            d AS (SELECT hu FROM g GROUP BY hu
+                  HAVING count(DISTINCT doc_id) >= {ops_contam.DUP_MIN_DOCS}),
+            cov AS (SELECT DISTINCT g.doc_id, g.pos + r.j AS tpos
+                    FROM g JOIN d USING (hu),
+                    LATERAL (SELECT unnest(
+                      range({ops_contam.DUP_NGRAM_K})) AS j) r),
+            tok AS (SELECT t.doc_id, CAST(r.j AS BIGINT) AS tpos,
+                    tk[CAST(r.j AS INT) + 1] AS tok
+                    FROM t, LATERAL (SELECT unnest(range(len(tk))) AS j) r),
+            kept AS (SELECT tok.doc_id, tok.tpos, tok.tok
+                     FROM tok LEFT JOIN cov
+                       ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+                     WHERE cov.doc_id IS NULL),
+            agg AS (SELECT doc_id,
+                    string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                    count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   len(t.tk)::BIGINT AS n_tokens,
+                   (len(t.tk) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM t LEFT JOIN agg a USING (doc_id)""",
         "bm25_topk": _bm25_sql(),
         # relational mirrors: all money/qty columns are 2-dp fixed-point,
         # summed as exact integers (cents / 1e-4 / 1e-6 units) and divided
@@ -1821,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_sessions,
         "decontaminate": q_decontaminate,
         "duplicate_ngrams": q_duplicate_ngrams,
+        "dedup_spans": q_dedup_spans,
         "bm25_topk": q_bm25_topk,
         # relational pipelines (TPC-H-style tables)
         "pricing_summary": q_pricing_summary,

@@ -156,3 +156,162 @@ def duplicate_ngrams(docs: ray.data.Dataset, k: int = DUP_NGRAM_K,
             .map_batches(partial, batch_format="pandas")
             .groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---- duplicated-span REMOVAL (the curation counterpart of the stats) ----
+
+# Broadcast ceiling for the duplicated-gram hash table: 8M int64 hashes
+# = 64 MB in the object store — comfortably a "small side" on a worker.
+# Beyond it the distributed co-partition join path runs instead.
+SPAN_BROADCAST_MAX = 8_000_000
+SPAN_PARTS = 64
+
+
+def _covered_mask(n_toks: int, hit_pos: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask of tokens covered by >=1 duplicated k-gram starting
+    at any position in ``hit_pos`` — interval stabbing via a diff array
+    (no per-position loop)."""
+    delta = np.zeros(n_toks + 1, dtype=np.int64)
+    np.add.at(delta, hit_pos, 1)
+    np.add.at(delta, np.minimum(hit_pos + k, n_toks), -1)
+    return np.cumsum(delta[:-1]) > 0
+
+
+def _clean_docs(df: pd.DataFrame, dup_sorted: np.ndarray,
+                k: int) -> pd.DataFrame:
+    """Rebuild each doc with every token covered by a duplicated gram
+    removed. ``dup_sorted`` = sorted int64 duplicated-gram hashes."""
+    ids, texts = df["doc_id"].to_numpy(dtype=np.int64), df["text"].tolist()
+    clean, n_tok, n_rm = [], [], []
+    for text in texts:
+        toks = _WS_RE.findall(text.lower())
+        h = _gram_hashes(text, k, distinct=False).view(np.int64)
+        if len(h) and len(dup_sorted):
+            idx = np.searchsorted(dup_sorted, h)
+            idx[idx == len(dup_sorted)] = 0
+            hit_pos = np.flatnonzero(dup_sorted[idx] == h)
+        else:
+            hit_pos = np.empty(0, dtype=np.int64)
+        covered = _covered_mask(len(toks), hit_pos, k)
+        kept = np.array(toks, dtype=object)[~covered] if len(toks) else []
+        clean.append(" ".join(kept))
+        n_tok.append(len(toks))
+        n_rm.append(int(covered.sum()))
+    return pd.DataFrame({
+        "doc_id": ids,
+        "clean_text": np.array(clean, dtype=object),
+        "n_tokens": np.array(n_tok, dtype=np.int64),
+        "n_removed": np.array(n_rm, dtype=np.int64)})
+
+
+def dedup_spans(docs: ray.data.Dataset, k: int = DUP_NGRAM_K,
+                min_docs: int = DUP_MIN_DOCS) -> ray.data.Dataset:
+    """Duplicated-span removal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", at k-gram granularity): every token
+    covered by a k-gram that occurs in >= ``min_docs`` distinct docs is
+    removed; output (doc_id, clean_text, n_tokens, n_removed) for EVERY
+    document (tokens lowercased ws-tokens, the family's tokenization).
+
+    Scale shape: the duplicated-gram table from ``duplicate_ngrams`` is
+    output-sized. When it fits ``SPAN_BROADCAST_MAX`` it is broadcast
+    once via ``ray.put`` and the corpus streams through ONE map_batches
+    pass (searchsorted probe + diff-array interval stabbing per doc).
+    Beyond that, the dormant distributed path (pinned equal by
+    tests/test_scale_paths.py) never ships the table: doc grams explode
+    to slim (part, gram_hash, doc_id, pos) rows and hash-join the dup
+    table inside each of ``SPAN_PARTS`` co-partitions, then the hit
+    positions co-partition with the docs on doc_id % SPAN_PARTS for the
+    rebuild — raw text crosses the wire exactly once.
+    """
+    dup = (duplicate_ngrams(docs, k, min_docs)
+           .select_columns(["gram_hash"]).materialize())
+    slim = docs.select_columns(["doc_id", "text"])
+
+    if dup.count() <= SPAN_BROADCAST_MAX:
+        arr = np.sort(dup.to_pandas()["gram_hash"].to_numpy(dtype=np.int64))
+        ref = ray.put(arr)
+
+        def clean(df: pd.DataFrame) -> pd.DataFrame:
+            return _clean_docs(df, ray.get(ref), k)
+
+        return slim.map_batches(clean, batch_format="pandas")
+
+    # -- distributed path: co-partition join on gram_hash % SPAN_PARTS --
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        cat, lens = _batch_grams(df["text"].tolist(), k, distinct=False)
+        g = cat.view(np.int64)
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+            if len(lens) else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "part": (g % SPAN_PARTS).astype(np.int32),
+            "gram_hash": g,
+            "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens),
+            "pos": pos})
+
+    def tag_dup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["gram_hash"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part": (g % SPAN_PARTS).astype(np.int32),
+            "gram_hash": g,
+            "doc_id": np.full(len(g), -1, dtype=np.int64),
+            "pos": np.full(len(g), -1, dtype=np.int64)})
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        side_dup = g["doc_id"].to_numpy(dtype=np.int64) < 0
+        table = np.sort(np.unique(g.loc[side_dup, "gram_hash"]
+                                  .to_numpy(dtype=np.int64)))
+        probe = g.loc[~side_dup]
+        h = probe["gram_hash"].to_numpy(dtype=np.int64)
+        if len(h) and len(table):
+            idx = np.searchsorted(table, h)
+            idx[idx == len(table)] = 0
+            hit = table[idx] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        out = probe.loc[hit, ["doc_id", "pos"]].copy()
+        out["upart"] = (out["doc_id"].to_numpy(dtype=np.int64)
+                        % SPAN_PARTS).astype(np.int32)
+        return out
+
+    hits = (slim.map_batches(explode, batch_format="pandas").union(
+                dup.map_batches(tag_dup, batch_format="pandas"))
+            .materialize()
+            .groupby("part").map_groups(join_part, batch_format="pandas"))
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "upart": (ids % SPAN_PARTS).astype(np.int32),
+            "doc_id": ids,
+            "pos": np.full(len(ids), -1, dtype=np.int64),
+            "text": df["text"].astype(str).to_numpy()})
+
+    def tag_hits(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "upart": df["upart"].to_numpy(dtype=np.int32),
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "pos": df["pos"].to_numpy(dtype=np.int64),
+            "text": np.full(len(df), "", dtype=object)})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["pos"].to_numpy(dtype=np.int64) < 0
+        docs_g = g.loc[is_doc, ["doc_id", "text"]]
+        hit_pos = {did: grp["pos"].to_numpy(dtype=np.int64)
+                   for did, grp in g.loc[~is_doc].groupby("doc_id")}
+        rows = []
+        for did, text in zip(docs_g["doc_id"].to_numpy(dtype=np.int64),
+                             docs_g["text"].tolist()):
+            toks = _WS_RE.findall(text.lower())
+            covered = _covered_mask(
+                len(toks), hit_pos.get(did, np.empty(0, np.int64)), k)
+            kept = np.array(toks, dtype=object)[~covered] if len(toks) else []
+            rows.append((did, " ".join(kept), len(toks), int(covered.sum())))
+        return pd.DataFrame(rows, columns=["doc_id", "clean_text",
+                                           "n_tokens", "n_removed"]) \
+            .astype({"doc_id": np.int64, "n_tokens": np.int64,
+                     "n_removed": np.int64})
+
+    return (slim.map_batches(tag_docs, batch_format="pandas")
+            .union(hits.map_batches(tag_hits, batch_format="pandas"))
+            .materialize()
+            .groupby("upart").map_groups(rebuild, batch_format="pandas"))

@@ -12,6 +12,7 @@ import ray.data
 
 import __ray_entry__ as entrymod
 from ghcrawler_ray.ops import ann as ops_ann
+from ghcrawler_ray.ops import contamination as ops_contam
 from ghcrawler_ray.ops import dedup as ops_dedup
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -44,6 +45,16 @@ def test_minhash_streaming_verify_equals_local(ray_session, monkeypatch):
     fast = _canon(_pd(ops_dedup.minhash_lsh_pairs(docs)))
     monkeypatch.setattr(ops_dedup, "VERIFY_LOCAL_MAX_DOCS", -1)
     slow = _canon(_pd(ops_dedup.minhash_lsh_pairs(docs)))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
+                                  rtol=0, atol=0)
+
+
+def test_dedup_spans_distributed_equals_broadcast(ray_session, monkeypatch):
+    docs = entrymod._docs(SF_DIR)
+    fast = _canon(_pd(ops_contam.dedup_spans(docs)))
+    # force the co-partition join + co-partition rebuild path
+    monkeypatch.setattr(ops_contam, "SPAN_BROADCAST_MAX", -1)
+    slow = _canon(_pd(ops_contam.dedup_spans(docs)))
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
                                   rtol=0, atol=0)
 
