@@ -549,6 +549,15 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     return pack_sequences(_docs(sf_dir))
 
 
+def q_shuffle_shards(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.packing import shuffle_shards
+    return shuffle_shards(_docs(sf_dir))
+
+
+def q_unigram_rank_scores(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.unigram_rank_scores(_docs(sf_dir))
+
+
 def q_hll_distinct(sf_dir: str) -> ray.data.Dataset:
     from ghcrawler_ray.ops.sketch import hll_distinct_tokens
     return hll_distinct_tokens(_docs(sf_dir))
@@ -1602,6 +1611,45 @@ def _ops_sql() -> dict[str, str]:
                      ELSE ((cum - n_tokens) // {ops_packing.SEQ_LEN})::BIGINT
                 END AS end_seq
             FROM c""",
+        "shuffle_shards": rf"""
+            WITH k AS (SELECT doc_id,
+                 ('0x' || substr(md5('{ops_packing.SHUFFLE_SALT}'
+                     || CAST(doc_id AS VARCHAR)),
+                   1, {ops_packing.SHUFFLE_KEY_HEX}))::UBIGINT AS u
+               FROM documents),
+            s AS (SELECT doc_id, CAST(u AS BIGINT) AS shuffle_key,
+                 CAST(u % {ops_packing.N_SHUFFLE_SHARDS} AS BIGINT)
+                     AS shard
+               FROM k)
+            SELECT doc_id, shuffle_key, shard,
+                (row_number() OVER (PARTITION BY shard
+                    ORDER BY shuffle_key, doc_id) - 1)::BIGINT
+                    AS pos_in_shard
+            FROM s""",
+        "unigram_rank_scores": rf"""
+            WITH tok AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token
+               FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            v AS (SELECT token,
+                 row_number() OVER (ORDER BY n DESC, token) AS rank
+               FROM c QUALIFY rank <= {ops_text.UNI_VOCAB_V}),
+            r AS (SELECT tok.doc_id,
+                 coalesce(v.rank, {ops_text.UNI_VOCAB_V + 1}) AS rank
+               FROM tok LEFT JOIN v USING (token)),
+            a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(rank)::BIGINT AS rank_sum FROM r GROUP BY 1)
+            SELECT d.doc_id,
+                coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                coalesce(a.rank_sum, 0)::BIGINT AS rank_sum,
+                CASE WHEN coalesce(a.n_tokens, 0) > 0
+                     THEN a.rank_sum * {ops_text.UNI_RANK_FP} // a.n_tokens
+                     ELSE 0 END::BIGINT AS mean_rank_fp,
+                CASE WHEN coalesce(a.n_tokens, 0) >= {ops_text.UNI_MIN_TOKENS}
+                      AND (a.rank_sum * {ops_text.UNI_RANK_FP} // a.n_tokens)
+                          <= {ops_text.UNI_KEEP_MAX_FP}
+                     THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM documents d LEFT JOIN a USING (doc_id)""",
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1834,6 +1882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": q_mixture_weights,
         "postings": q_postings,
         "pack_sequences": q_pack_sequences,
+        "shuffle_shards": q_shuffle_shards,
+        "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,

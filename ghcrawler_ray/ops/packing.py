@@ -112,3 +112,99 @@ def pack_sequences(docs: ray.data.Dataset, seq_len: int = SEQ_LEN,
         batch_format="pandas")
     return parts.groupby("part").map_groups(
         lambda g: assign(g.drop(columns=["part"])), batch_format="pandas")
+
+
+# ---- deterministic training-order shuffle (shard + position) ----
+
+# A training run wants the corpus in a reproducible pseudo-random order,
+# cut into shards a data loader can consume independently. Shard choice
+# and within-shard order both derive from one md5 key, so the layout is
+# stable under corpus appends and across reruns (same property as
+# ``corpus.stratified_sample``). 60-bit keys (15 md5 hex chars) keep the
+# value inside BIGINT so the DuckDB mirror needs no unsigned casts.
+N_SHUFFLE_SHARDS = 16
+SHUFFLE_KEY_HEX = 15
+SHUFFLE_SALT = "shuf-"
+SHUFFLE_BUCKET_BITS = 8      # 256 key-range buckets per shard
+N_SHUFFLE_PARTS = 32
+
+
+def _shuffle_keys(ids: np.ndarray) -> np.ndarray:
+    from hashlib import md5
+    return np.fromiter(
+        (int(md5((SHUFFLE_SALT + str(i)).encode())
+             .hexdigest()[:SHUFFLE_KEY_HEX], 16) for i in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def shuffle_shards(docs: ray.data.Dataset,
+                   n_shards: int = N_SHUFFLE_SHARDS) -> ray.data.Dataset:
+    """(doc_id, shuffle_key, shard, pos_in_shard): deterministic global
+    shuffle of the corpus into ``n_shards`` training shards. ``shard`` =
+    key % n_shards; ``pos_in_shard`` ranks the shard by (key, doc_id).
+
+    Scale shape — the same distributed two-level prefix sum as
+    ``pack_sequences``, never a global sort: keys are uniform, so the
+    top ``SHUFFLE_BUCKET_BITS`` bits of the key are a pre-sorted range
+    bucket. Per-(shard, bucket) counts (combiner → tiny aggregate of
+    ≤ shards×2^bits rows) prefix-sum on the driver; one slim
+    co-partition pass ranks within each bucket vectorized and adds the
+    bucket base. Raw text never enters the pipeline (doc_id-only slim).
+    """
+    shift = 4 * SHUFFLE_KEY_HEX - SHUFFLE_BUCKET_BITS
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        key = _shuffle_keys(ids)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "shuffle_key": key,
+            "shard": key % np.int64(n_shards),
+            "bucket": key >> np.int64(shift)})
+
+    slim_ds = docs.select_columns(["doc_id"]) \
+        .map_batches(slim, batch_format="pandas").materialize()
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["shard", "bucket"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    totals = (slim_ds.map_batches(counts, batch_format="pandas")
+              .groupby(["shard", "bucket"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    totals = totals.sort_values(["shard", "bucket"], kind="stable")
+    totals["prefix"] = (totals.groupby("shard", sort=False)["n"]
+                        .cumsum() - totals["n"])
+    base_ref = ray.put({(int(s), int(b)): int(p) for s, b, p in
+                        zip(totals["shard"], totals["bucket"],
+                            totals["prefix"])})
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)
+        g = g.sort_values(["shard", "bucket", "shuffle_key", "doc_id"],
+                          kind="stable")
+        within = (g.groupby(["shard", "bucket"], sort=False)
+                  .cumcount().to_numpy(dtype=np.int64))
+        off = np.fromiter(
+            (base[(int(s), int(b))] for s, b in zip(g["shard"],
+                                                    g["bucket"])),
+            dtype=np.int64, count=len(g))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "shuffle_key": g["shuffle_key"].to_numpy(dtype=np.int64),
+            "shard": g["shard"].to_numpy(dtype=np.int64),
+            "pos_in_shard": off + within})
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        combo = ((df["shard"].to_numpy(dtype=np.int64)
+                  << np.int64(SHUFFLE_BUCKET_BITS))
+                 + df["bucket"].to_numpy(dtype=np.int64))
+        return df.assign(
+            part=(combo % np.int64(N_SHUFFLE_PARTS)).astype(np.int32))
+
+    parts = slim_ds.map_batches(add_part, batch_format="pandas")
+    return parts.groupby("part").map_groups(
+        lambda g: rank_part(g.drop(columns=["part"])),
+        batch_format="pandas")

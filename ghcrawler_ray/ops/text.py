@@ -190,3 +190,109 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
 def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pandas")
+
+
+# ---- unigram-rank LM quality score (CCNet-shaped, integer-exact) ----
+
+# CCNet buckets documents by language-model perplexity; the integer-
+# exact analogue below scores a document by the mean frequency RANK of
+# its tokens against the corpus unigram table (common tokens = low rank
+# = "head" text; rare/OOV-heavy text scores high). All arithmetic is
+# int64 (fixed-point mean), so the DuckDB mirror is bit-exact.
+UNI_VOCAB_V = 16             # unigram table size (rank 1..V; OOV = V+1)
+UNI_RANK_FP = 10 ** 6        # fixed-point scale for the mean rank
+UNI_MIN_TOKENS = 10          # floor below which a doc is never kept
+UNI_KEEP_MAX_FP = 12 * UNI_RANK_FP  # mean-rank ceiling for keep=1
+UNI_PARTS = 64
+
+
+def unigram_rank_table(docs: ray.data.Dataset,
+                       v: int = UNI_VOCAB_V) -> pd.DataFrame:
+    """Top-``v`` corpus tokens as (token, rank), rank ordered by
+    (count desc, token asc). Combiner → vocab-sized int co-partition
+    fold → per-part local top-v → driver merge of ≤ v×parts rows (the
+    global top-v is a subset of the per-part top-v union because a
+    token's counts land wholly in its hash partition)."""
+    from ..urls import hash64_array
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ws = re.compile(WS_TOKEN_RE)
+        toks = []
+        for text in df["text"].astype(str):
+            toks.append(np.array(ws.findall(text.lower()), dtype=object))
+        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        out = pd.DataFrame({"token": flat}).groupby(
+            "token", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        out["part"] = (hash64_array(out["token"]) % UNI_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["n"].sum().reset_index()
+        s["n"] = s["n"].astype(np.int64)
+        return s.sort_values(["n", "token"], ascending=[False, True],
+                             kind="stable").head(v)
+
+    cand = (docs.select_columns(["text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .to_pandas())
+    cand = cand.sort_values(["n", "token"], ascending=[False, True],
+                            kind="stable").head(v).reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[["token", "rank"]]
+
+
+def unigram_rank_scores(docs: ray.data.Dataset,
+                        v: int = UNI_VOCAB_V) -> ray.data.Dataset:
+    """(doc_id, n_tokens, rank_sum, mean_rank_fp, keep) per document.
+    mean_rank_fp = rank_sum * UNI_RANK_FP // n_tokens (0 for empty
+    docs); keep = 1 iff n_tokens >= UNI_MIN_TOKENS and mean_rank_fp <=
+    UNI_KEEP_MAX_FP.
+
+    Scale shape: the unigram table is v rows by construction —
+    broadcast once via ``ray.put`` (sorted token array + parallel rank
+    array); the corpus streams through ONE map_batches pass whose
+    lookup is a single ``np.searchsorted`` over the batch's
+    concatenated tokens with per-doc segment sums (no per-doc set ops).
+    """
+    tbl = unigram_rank_table(docs, v)
+    order = np.argsort(tbl["token"].to_numpy(dtype=object), kind="stable")
+    vocab = tbl["token"].to_numpy(dtype=object)[order]
+    ranks = tbl["rank"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((vocab, ranks))
+    oov = np.int64(v + 1)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        voc, rk = ray.get(ref)
+        ws = re.compile(WS_TOKEN_RE)
+        toks, lens = [], []
+        for text in df["text"].astype(str):
+            ts = ws.findall(text.lower())
+            toks.append(np.array(ts, dtype=object))
+            lens.append(len(ts))
+        lens = np.array(lens, dtype=np.int64)
+        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        if len(flat) and len(voc):
+            idx = np.minimum(np.searchsorted(voc, flat), len(voc) - 1)
+            r = np.where(voc[idx] == flat, rk[idx], oov)
+        else:
+            r = np.full(len(flat), oov, dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(r, dtype=np.int64)])
+        ends = np.cumsum(lens)
+        rank_sum = csum[ends] - csum[ends - lens]
+        mean_fp = np.where(
+            lens > 0, rank_sum * np.int64(UNI_RANK_FP)
+            // np.maximum(lens, 1), np.int64(0))
+        keep = ((lens >= UNI_MIN_TOKENS)
+                & (mean_fp <= UNI_KEEP_MAX_FP)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": lens,
+            "rank_sum": rank_sum.astype(np.int64),
+            "mean_rank_fp": mean_fp.astype(np.int64),
+            "keep": keep})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(score, batch_format="pandas"))
