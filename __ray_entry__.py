@@ -549,6 +549,10 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     return pack_sequences(_docs(sf_dir))
 
 
+def q_quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.quantize_embeddings(_emb(sf_dir))
+
+
 def q_shuffle_shards(sf_dir: str) -> ray.data.Dataset:
     from ghcrawler_ray.ops.packing import shuffle_shards
     return shuffle_shards(_docs(sf_dir))
@@ -1611,6 +1615,21 @@ def _ops_sql() -> dict[str, str]:
                      ELSE ((cum - n_tokens) // {ops_packing.SEQ_LEN})::BIGINT
                 END AS end_seq
             FROM c""",
+        "quantize_embeddings": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+            x AS (SELECT vec_id, CAST(u.i AS BIGINT) - 1 AS dim,
+                 v[CAST(u.i AS INT)] AS val
+               FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+            s AS (SELECT dim, min(val) AS mn, max(val) AS mx
+               FROM x GROUP BY 1)
+            SELECT x.vec_id, x.dim,
+                CASE WHEN s.mx > s.mn
+                     THEN least(CAST(floor((x.val - s.mn)
+                          * {ops_ann.QUANT_LEVELS}e0 / (s.mx - s.mn))
+                          AS BIGINT), {ops_ann.QUANT_LEVELS})
+                     ELSE 0 END AS q
+            FROM x JOIN s USING (dim)""",
         "shuffle_shards": rf"""
             WITH k AS (SELECT doc_id,
                  ('0x' || substr(md5('{ops_packing.SHUFFLE_SALT}'
@@ -1883,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": q_postings,
         "pack_sequences": q_pack_sequences,
         "shuffle_shards": q_shuffle_shards,
+        "quantize_embeddings": q_quantize_embeddings,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_topk": q_ann_topk,

@@ -501,3 +501,57 @@ def semantic_dup_pairs(emb: ray.data.Dataset,
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(assign, batch_format="pandas")
             .groupby("cell").map_groups(cell_pairs, batch_format="pandas"))
+
+
+# ---- int8 scalar quantization (index-compression pass) ----
+
+# Per-dimension affine quantization to [0, 255] — the scalar-quantizer
+# compression step a vector index runs before storing 100 TB of
+# embeddings (4 bytes/dim -> 1). Exploded (vec_id, dim, q) output so the
+# DuckDB mirror value-checks every cell; a production sink would keep
+# the list layout.
+QUANT_LEVELS = 255
+
+
+def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(vec_id, dim, q): q = floor((x - min_d) * 255 / (max_d - min_d))
+    capped at 255; constant dimensions quantize to 0. The float
+    expression tree matches the SQL mirror exactly (same IEEE-double
+    left-associated ops), so values are bit-exact.
+
+    Scale shape: pass 1 reduces to EMB_DIM rows per batch (per-batch
+    min/max combiner) and one EMB_DIM-group aggregate; the (min, max)
+    table is dims-bounded and broadcast in the closure; pass 2 is one
+    streaming vectorized map_batches — embeddings never shuffle."""
+    from ray.data.aggregate import Max, Min
+
+    def partial_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        return pd.DataFrame({
+            "dim": np.arange(m.shape[1], dtype=np.int64),
+            "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    stats = (emb.select_columns(["embedding"])
+             .map_batches(partial_minmax, batch_format="pandas")
+             .groupby("dim")
+             .aggregate(Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx"))
+             .to_pandas().sort_values("dim"))
+    mn = stats["mn"].to_numpy(dtype=np.float64)
+    mx = stats["mx"].to_numpy(dtype=np.float64)
+    span = mx - mn
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - mn) * np.float64(QUANT_LEVELS) / span)
+        q = np.where(span > 0,
+                     np.minimum(q, QUANT_LEVELS), 0.0).astype(np.int64)
+        n, d = m.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(df["vec_id"].to_numpy(dtype=np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "q": q.reshape(-1)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(quant, batch_format="pandas"))
