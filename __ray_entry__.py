@@ -549,6 +549,11 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     return pack_sequences(_docs(sf_dir))
 
 
+def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.search import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir))
+
+
 def q_quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.quantize_embeddings(_emb(sf_dir))
 
@@ -1615,6 +1620,22 @@ def _ops_sql() -> dict[str, str]:
                      ELSE ((cum - n_tokens) // {ops_packing.SEQ_LEN})::BIGINT
                 END AS end_seq
             FROM c""",
+        "tfidf_top_terms": rf"""
+            WITH tok AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token
+               FROM documents),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+               FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.token,
+                 tf.tf * ((n.n * {ops_search.TFIDF_FP}) // dfq.df)
+                     AS tfidf_fp
+               FROM tf CROSS JOIN n JOIN dfq USING (token))
+            SELECT doc_id, token, tfidf_fp,
+                row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf_fp DESC, token)::BIGINT AS rank_in_doc
+            FROM sc QUALIFY rank_in_doc <= {ops_search.TFIDF_TOPK}""",
         "quantize_embeddings": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                FROM embeddings),
@@ -1903,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "shuffle_shards": q_shuffle_shards,
         "quantize_embeddings": q_quantize_embeddings,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_topk": q_ann_topk,

@@ -133,3 +133,83 @@ def postings(docs: ray.data.Dataset) -> ray.data.Dataset:
     index shards); here it stays a Dataset for the caller to sink."""
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _postings_batch, batch_format="pandas")
+
+
+# ---- TF-IDF top terms per document (integer-surrogate idf) ----
+
+# idf_fp = (N_docs * TFIDF_FP) // df — an integer-exact idf surrogate
+# (monotone in 1/df, so rankings match the ln(N/df) classic) that keeps
+# the whole op in int64 and the DuckDB mirror bit-exact.
+TFIDF_FP = 10 ** 6
+TFIDF_TOPK = 3
+TFIDF_PARTS = 64
+
+
+def tfidf_top_terms(docs: ray.data.Dataset,
+                    k: int = TFIDF_TOPK) -> ray.data.Dataset:
+    """(doc_id, token, tfidf_fp, rank_in_doc): the top-``k`` ws-tokens
+    of every document by tf × integer-idf, rank ordered by
+    (tfidf_fp desc, token asc).
+
+    Scale shape — two slim co-partition shuffles, NO vocab broadcast
+    (the vocabulary of a 100 TB corpus is itself huge):
+      1. combiner: per-batch (doc_id, token, tf) rows — (doc_id, token)
+         is unique per batch because tf is counted within the doc;
+      2. token-hash co-partition: every (doc_id, token) row of a token
+         lands in one partition, so df = row count per token is local;
+         emit (doc_id, token, tfidf_fp);
+      3. doc-hash co-partition: per-doc top-k vectorized across the
+         whole partition (sort + groupby head, no per-doc tasks).
+    """
+    from ..urls import hash64_array
+
+    n_docs = docs.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [np.array(_WS_RE.findall(t.lower()), dtype=object)
+                for t in df["text"].astype(str)]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "token": np.empty(0, object),
+                                 "tf": np.empty(0, np.int64),
+                                 "part": np.empty(0, np.int32)})
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64),
+                                lens),
+            "token": np.concatenate(toks)})
+        out = flat.groupby(["doc_id", "token"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        out["tf"] = out["tf"].astype(np.int64)
+        out["part"] = (hash64_array(out["token"]) % TFIDF_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_tok = g.groupby("token", sort=False)["doc_id"] \
+            .transform("size").to_numpy(dtype=np.int64)
+        idf = (np.int64(n_docs) * np.int64(TFIDF_FP)) // df_per_tok
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "token": g["token"].to_numpy(dtype=object),
+            "tfidf_fp": g["tf"].to_numpy(dtype=np.int64) * idf})
+        out["dpart"] = (out["doc_id"] % TFIDF_PARTS).astype(np.int32)
+        return out
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tfidf_fp", "token"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.groupby("doc_id", sort=False).head(k).copy()
+        top["rank_in_doc"] = (top.groupby("doc_id", sort=False)
+                              .cumcount().to_numpy(dtype=np.int64) + 1)
+        return top[["doc_id", "token", "tfidf_fp", "rank_in_doc"]]
+
+    scored = (docs.select_columns(["doc_id", "text"])
+              .map_batches(tf_rows, batch_format="pandas")
+              .materialize()
+              .groupby("part")
+              .map_groups(lambda g: score_part(g.drop(columns=["part"])),
+                          batch_format="pandas"))
+    return scored.groupby("dpart").map_groups(
+        lambda g: topk_part(g.drop(columns=["dpart"])),
+        batch_format="pandas")
