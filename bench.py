@@ -44,7 +44,8 @@ from pathlib import Path
 BENCH_WAVES = 8
 OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "dup_clusters", "ann_topk", "events_windowed", "events_asof",
-               "kmeans_fit", "corpus_curate")
+               "kmeans_fit", "corpus_curate", "dedup_spans",
+               "pack_sequences", "crawl_pagerank")
 SCALING_CPUS = (8, 32)
 
 
