@@ -618,6 +618,11 @@ def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
     return cms_token_counts(_docs(sf_dir))
 
 
+def q_hist_quantiles(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.sketch import hist_length_quantiles
+    return hist_length_quantiles(_docs(sf_dir))
+
+
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.source_caps(_docs(sf_dir))
 
@@ -1591,6 +1596,21 @@ def _ops_sql() -> dict[str, str]:
                      // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
+        "hist_length_quantiles": """
+            WITH b AS (SELECT lang, n_chars // 64 AS bin, count(*)::BIGINT AS n
+               FROM documents GROUP BY 1, 2),
+            o AS (SELECT lang, bin, n,
+                 sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY lang) AS tot
+               FROM b)
+            SELECT lang, max(tot)::BIGINT AS n_docs, 64::BIGINT AS bin_w,
+              min(CASE WHEN cum >= CAST(floor(0.5e0 * (tot - 1)) AS BIGINT) + 1
+                       THEN bin * 64 END)::BIGINT AS est_p50_chars,
+              min(CASE WHEN cum >= CAST(floor(0.9e0 * (tot - 1)) AS BIGINT) + 1
+                       THEN bin * 64 END)::BIGINT AS est_p90_chars,
+              min(CASE WHEN cum >= CAST(floor(0.99e0 * (tot - 1)) AS BIGINT) + 1
+                       THEN bin * 64 END)::BIGINT AS est_p99_chars
+            FROM o GROUP BY lang""",
         "postings": r"""
             WITH tok AS (SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token,
@@ -1919,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": q_doc_length_stats,
         "text_normalize": q_text_normalize,
         "hll_distinct_tokens": q_hll_distinct,
+        "hist_length_quantiles": q_hist_quantiles,
         "mixture_weights": q_mixture_weights,
         "postings": q_postings,
         "pack_sequences": q_pack_sequences,

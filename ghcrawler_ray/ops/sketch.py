@@ -188,3 +188,64 @@ def cms_token_counts(docs: ray.data.Dataset,
              for j in range(CMS_D)) for t in cand],
         dtype=np.int64)
     return pd.DataFrame({"token": cand, "est_n": est})
+
+
+# ---- mergeable histogram quantiles (the 100 TB quantile path) ----
+
+#: fixed bin width in chars. The exact per-stratum quantile op
+#: (``ops.corpus.doc_length_stats``) shuffles one slim row per DOCUMENT;
+#: this sketch shuffles at most #langs × #bins COUNTER rows regardless
+#: of corpus size — the shape a 100 TB profile pass needs. Error is
+#: bounded by the bin width (estimate = lower edge of the bin holding
+#: the nearest-rank target; pinned in pytest).
+HIST_BIN_W = 64
+
+
+def _hist_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: (lang, bin, n) — already count-reduced, so
+    the shuffle moves bounded counter rows, never documents."""
+    part = pd.DataFrame({
+        "lang": df["lang"].to_numpy(dtype=object),
+        "bin": df["n_chars"].to_numpy(dtype=np.int64) // HIST_BIN_W})
+    g = part.groupby(["lang", "bin"], sort=False).size().reset_index(name="n")
+    g["n"] = g["n"].astype(np.int64)
+    return g
+
+
+_HIST_QUANTILES = (("est_p50_chars", 0.5), ("est_p90_chars", 0.9),
+                   ("est_p99_chars", 0.99))
+
+
+def _hist_finalize(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-lang finalize over ≤ #bins counter rows: nearest-rank target
+    floor(q·(n−1))+1 (the same rule as the exact op), estimate = lower
+    edge of the first bin whose cumulative count reaches it."""
+    g = g.sort_values("bin", kind="stable")
+    n = np.int64(g["n"].sum())
+    cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+    bins = g["bin"].to_numpy(dtype=np.int64)
+    row = {"lang": [g["lang"].iloc[0]],
+           "n_docs": np.array([n], dtype=np.int64),
+           "bin_w": np.array([HIST_BIN_W], dtype=np.int64)}
+    for name, q in _HIST_QUANTILES:
+        target = np.int64(np.floor(q * (n - 1))) + 1
+        b = bins[np.searchsorted(cum, target)]
+        row[name] = np.array([b * HIST_BIN_W], dtype=np.int64)
+    return pd.DataFrame(row)[["lang", "n_docs", "bin_w", "est_p50_chars",
+                              "est_p90_chars", "est_p99_chars"]]
+
+
+def hist_length_quantiles(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs, bin_w, est_p50/p90/p99_chars): approximate
+    per-language length quantiles from a mergeable fixed-width
+    histogram. Combiner → ≤ #langs × #bins Sum shuffle → #langs tiny
+    finalize groups; memory and shuffle volume are O(#bins), not
+    O(#docs) — run this instead of the exact op when the corpus is
+    100 TB and a ±bin_w answer is enough."""
+    from ray.data.aggregate import Sum
+    return (docs.select_columns(["lang", "n_chars"])
+            .map_batches(_hist_partials, batch_format="pandas")
+            .groupby(["lang", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("lang")
+            .map_groups(_hist_finalize, batch_format="pandas"))

@@ -254,3 +254,32 @@ def test_kmeans_fixed_point_determinism(ray_session):
     b = kmeans_fit(ray.data.from_pandas(df).repartition(7), k=4, iters=2)
     pd.testing.assert_frame_equal(a, b)
     assert a[a["dim"] == 0]["n_vecs"].sum() == n
+
+
+def test_hist_quantiles_within_bin_of_exact(ray_session):
+    """The mergeable histogram sketch must land within one bin width
+    BELOW the exact nearest-rank quantile (estimate = lower bin edge),
+    independent of input partitioning."""
+    from ghcrawler_ray.ops.corpus import doc_length_stats
+    from ghcrawler_ray.ops.sketch import HIST_BIN_W, hist_length_quantiles
+    rng = np.random.RandomState(11)
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.where(rng.rand(n) < 0.6, "en", "de"),
+        "n_chars": rng.randint(1, 5000, n).astype(np.int64),
+    })
+    exact = None
+    for blocks in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        est = hist_length_quantiles(ds).to_pandas() \
+            .sort_values("lang").reset_index(drop=True)
+        if exact is None:
+            exact = doc_length_stats(ds).to_pandas() \
+                .sort_values("lang").reset_index(drop=True)
+            first = est
+        else:                       # partition-invariant
+            assert est.equals(first)
+        for q in ("p50", "p90", "p99"):
+            d = exact[f"{q}_chars"].to_numpy() - est[f"est_{q}_chars"].to_numpy()
+            assert ((d >= 0) & (d < HIST_BIN_W)).all(), (q, d)
