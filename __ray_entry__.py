@@ -623,6 +623,11 @@ def q_hist_quantiles(sf_dir: str) -> ray.data.Dataset:
     return hist_length_quantiles(_docs(sf_dir))
 
 
+def q_quality_gate(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.curate import quality_percentile_gate
+    return quality_percentile_gate(_docs(sf_dir))
+
+
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.source_caps(_docs(sf_dir))
 
@@ -1596,6 +1601,36 @@ def _ops_sql() -> dict[str, str]:
                      // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
+        "quality_percentile_gate": rf"""
+            WITH f AS (SELECT doc_id, lang, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+                   len(list_filter(regexp_extract_all(lower(text), '[^\s]+'),
+                       t -> list_contains({_STOP_SQL}, t))) AS n_stop
+              FROM documents),
+            s AS (SELECT doc_id, lang,
+                0.4e0*least(n_ws_tokens,200)/200.0e0
+                  + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)*5.0e0,
+                          0.3e0)
+                  + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE)
+                  AS quality_score
+              FROM f),
+            b AS (SELECT doc_id, lang, quality_score,
+                CAST(floor(quality_score * 1000.0e0) AS BIGINT) AS score_bin
+              FROM s),
+            h AS (SELECT lang, score_bin AS bin, count(*)::BIGINT AS n
+              FROM b GROUP BY 1, 2),
+            o AS (SELECT lang, bin, n,
+                sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                sum(n) OVER (PARTITION BY lang) AS tot
+              FROM h),
+            thr AS (SELECT lang,
+                min(CASE WHEN cum >= CAST(floor(0.1e0*(tot-1)) AS BIGINT) + 1
+                         THEN bin END) AS thr_bin
+              FROM o GROUP BY lang)
+            SELECT b.doc_id, b.lang, b.quality_score, b.score_bin,
+                thr.thr_bin, b.score_bin >= thr.thr_bin AS keep
+            FROM b JOIN thr USING (lang)""",
         "hist_length_quantiles": """
             WITH b AS (SELECT lang, n_chars // 64 AS bin, count(*)::BIGINT AS n
                FROM documents GROUP BY 1, 2),
@@ -1940,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "hll_distinct_tokens": q_hll_distinct,
         "hist_length_quantiles": q_hist_quantiles,
+        "quality_percentile_gate": q_quality_gate,
         "mixture_weights": q_mixture_weights,
         "postings": q_postings,
         "pack_sequences": q_pack_sequences,

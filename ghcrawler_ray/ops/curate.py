@@ -120,3 +120,70 @@ def corpus_curate(docs: ray.data.Dataset,
             .materialize()
             .groupby("part")
             .map_groups(resolve_class, batch_format="pandas"))
+
+
+# ---- percentile quality gate (data-dependent threshold, two passes) ----
+
+GATE_BIN_FP = 1000     # score bin = floor(quality_score * 1000); score ≤ 1.0
+GATE_Q = 0.1           # drop the bottom decile per language
+
+
+def quality_percentile_gate(docs: ray.data.Dataset,
+                            q: float = GATE_Q) -> ray.data.Dataset:
+    """(doc_id, lang, quality_score, score_bin, thr_bin, keep): gate each
+    document on a DATA-DEPENDENT per-language quality threshold — the
+    p-quantile of the corpus's own score distribution (CCNet-style
+    head/middle/tail cuts use exactly this shape) — instead of the fixed
+    floor ``corpus_curate`` applies.
+
+    Two streaming passes, zero row-level shuffles:
+      1. combiner → ≤ #langs × 1001 (lang, score-bin, n) counter rows →
+         Sum shuffle → threshold bin per lang = lower edge of the bin
+         holding nearest-rank floor(q·(n−1))+1 (bounded driver fold,
+         broadcast once via ``ray.put``);
+      2. re-score each batch locally (recompute beats a full-row
+         shuffle at 100 TB) and flag ``keep = score_bin ≥ thr_bin``.
+
+    Everything is floor-of-IEEE-product integer binning, so the DuckDB
+    mirror reproduces keep decisions bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    def bin_partials(df: pd.DataFrame) -> pd.DataFrame:
+        sc = quality_batch(df)["quality_score"].to_numpy()
+        part = pd.DataFrame({
+            "lang": df["lang"].to_numpy(dtype=object),
+            "bin": np.floor(sc * float(GATE_BIN_FP)).astype(np.int64)})
+        g = (part.groupby(["lang", "bin"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    slim = docs.select_columns(["doc_id", "text", "lang"])
+    hist = (slim.map_batches(bin_partials, batch_format="pandas")
+            .groupby(["lang", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                      # ≤ #langs × 1001 rows
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("bin", kind="stable")
+        n = int(g["n"].sum())
+        target = int(np.floor(q * (n - 1))) + 1
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        thr[str(lang)] = int(g["bin"].to_numpy()[np.searchsorted(cum, target)])
+    thr_ref = ray.put(thr)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        sc = quality_batch(df)["quality_score"].to_numpy()
+        bins = np.floor(sc * float(GATE_BIN_FP)).astype(np.int64)
+        tb = df["lang"].map(t).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "lang": df["lang"].to_numpy(dtype=object),
+            "quality_score": sc,
+            "score_bin": bins,
+            "thr_bin": tb,
+            "keep": bins >= tb,
+        })
+
+    return slim.map_batches(gate, batch_format="pandas")

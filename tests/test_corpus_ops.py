@@ -283,3 +283,34 @@ def test_hist_quantiles_within_bin_of_exact(ray_session):
         for q in ("p50", "p90", "p99"):
             d = exact[f"{q}_chars"].to_numpy() - est[f"est_{q}_chars"].to_numpy()
             assert ((d >= 0) & (d < HIST_BIN_W)).all(), (q, d)
+
+
+def test_quality_gate_drops_bottom_decile(ray_session):
+    """Per-lang drop fraction is ~q (never more than q plus the mass of
+    one score bin), thresholds are data-dependent per lang, and the
+    result is partition-invariant."""
+    from ghcrawler_ray.ops.curate import quality_percentile_gate
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 2 else "de"
+        n_words = int(rng.randint(2, 80))
+        words = ["the" if rng.rand() < 0.3 else f"w{rng.randint(50)}"
+                 for _ in range(n_words)]
+        rows.append({"doc_id": i, "lang": lang, "text": " ".join(words)})
+    df = pd.DataFrame(rows)
+    first = None
+    for blocks in (1, 7):
+        out = quality_percentile_gate(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        if first is None:
+            first = out
+        else:
+            assert out.equals(first)
+    for lang, g in first.groupby("lang"):
+        dropped = 1.0 - g["keep"].mean()
+        assert 0.0 < dropped <= 0.1 + 0.05, (lang, dropped)
+        # every dropped doc scores strictly below every kept doc's bin
+        assert g.loc[~g["keep"], "score_bin"].max() \
+            < g.loc[g["keep"], "score_bin"].min() + 1
