@@ -628,6 +628,10 @@ def q_quality_gate(sf_dir: str) -> ray.data.Dataset:
     return quality_percentile_gate(_docs(sf_dir))
 
 
+def q_project_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.project_embeddings(_emb(sf_dir))
+
+
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.source_caps(_docs(sf_dir))
 
@@ -1706,6 +1710,32 @@ def _ops_sql() -> dict[str, str]:
                           AS BIGINT), {ops_ann.QUANT_LEVELS})
                      ELSE 0 END AS q
             FROM x JOIN s USING (dim)""",
+        "project_embeddings": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+            x AS (SELECT vec_id, CAST(u.i AS BIGINT) - 1 AS dim,
+                 v[CAST(u.i AS INT)] AS val
+               FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+            s AS (SELECT dim, min(val) AS mn, max(val) AS mx
+               FROM x GROUP BY 1),
+            q AS (SELECT x.vec_id, x.dim,
+                CASE WHEN s.mx > s.mn
+                     THEN least(CAST(floor((x.val - s.mn)
+                          * {ops_ann.QUANT_LEVELS}e0 / (s.mx - s.mn))
+                          AS BIGINT), {ops_ann.QUANT_LEVELS})
+                     ELSE 0 END AS qv
+              FROM x JOIN s USING (dim)),
+            sgn AS (SELECT CAST(t.i AS BIGINT) AS dim,
+                 CAST(u.j AS BIGINT) AS out_dim,
+                 CASE WHEN ('0x' || substr(md5('{ops_ann.JL_SALT}:'
+                        || t.i || ':' || u.j), 1, 1))::INT % 2 = 0
+                      THEN 1 ELSE -1 END AS sg
+               FROM range(0, {ops_ann.EMB_DIM}) t(i),
+                    range(0, {ops_ann.JL_OUT_DIM}) u(j))
+            SELECT q.vec_id, sgn.out_dim,
+                sum(sgn.sg * q.qv)::BIGINT AS proj
+            FROM q JOIN sgn USING (dim)
+            GROUP BY 1, 2""",
         "shuffle_shards": rf"""
             WITH k AS (SELECT doc_id,
                  ('0x' || substr(md5('{ops_packing.SHUFFLE_SALT}'
@@ -1981,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "shuffle_shards": q_shuffle_shards,
         "quantize_embeddings": q_quantize_embeddings,
+        "project_embeddings": q_project_embeddings,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,

@@ -22,6 +22,8 @@ differences.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import ray
@@ -555,3 +557,77 @@ def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
 
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(quant, batch_format="pandas"))
+
+
+# ---- seeded ±1 (JL) projection of quantized embeddings ----
+
+#: output dimensionality of the sparse-JL sketch (64 → 16)
+JL_OUT_DIM = 16
+JL_SALT = "jl"
+
+
+def jl_signs(dim: int = EMB_DIM, out_dim: int = JL_OUT_DIM) -> np.ndarray:
+    """Deterministic ±1 projection matrix (dim × out_dim): sign(i,j) =
+    +1 iff the first md5 hex digit of ``jl:i:j`` is even — seeded from
+    content, so every worker (and the SQL mirror) regenerates the same
+    matrix instead of shipping one."""
+    m = hashlib.md5
+    s = np.empty((dim, out_dim), dtype=np.int64)
+    for i in range(dim):
+        for j in range(out_dim):
+            s[i, j] = 1 if int(m(f"{JL_SALT}:{i}:{j}".encode())
+                               .hexdigest()[0], 16) % 2 == 0 else -1
+    return s
+
+
+def project_embeddings(emb: ray.data.Dataset,
+                       out_dim: int = JL_OUT_DIM) -> ray.data.Dataset:
+    """(vec_id, out_dim, proj): Johnson–Lindenstrauss ±1 projection of
+    the int8-QUANTIZED embeddings — the dimensionality-reduction sketch
+    an ANN index applies after scalar quantization (Achlioptas-style
+    database-friendly random projection), 64 int8 cells → 16 int64
+    sums per vector.
+
+    Exactness: quantization is the same floor-of-IEEE expression as
+    ``quantize_embeddings``; the projection is then pure int64 matmul
+    (order-free), so the DuckDB mirror reproduces every cell.
+
+    Scale shape: one EMB_DIM-row min/max combiner pass (same as
+    quantize), then ONE streaming map_batches with the 64×16 sign
+    matrix regenerated per actor — embeddings never shuffle, nothing
+    is broadcast but a dims-bounded stats table."""
+    from ray.data.aggregate import Max, Min
+
+    def partial_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        return pd.DataFrame({
+            "dim": np.arange(m.shape[1], dtype=np.int64),
+            "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    stats = (emb.select_columns(["embedding"])
+             .map_batches(partial_minmax, batch_format="pandas")
+             .groupby("dim")
+             .aggregate(Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx"))
+             .to_pandas().sort_values("dim"))
+    mn = stats["mn"].to_numpy(dtype=np.float64)
+    mx = stats["mx"].to_numpy(dtype=np.float64)
+    span = mx - mn
+    signs = jl_signs(len(mn), out_dim)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - mn) * np.float64(QUANT_LEVELS) / span)
+        q = np.where(span > 0,
+                     np.minimum(q, QUANT_LEVELS), 0.0).astype(np.int64)
+        p = q @ signs                      # int64-exact, order-free
+        n = len(df)
+        return pd.DataFrame({
+            "vec_id": np.repeat(df["vec_id"].to_numpy(dtype=np.int64),
+                                out_dim),
+            "out_dim": np.tile(np.arange(out_dim, dtype=np.int64), n),
+            "proj": p.reshape(-1)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(project, batch_format="pandas"))

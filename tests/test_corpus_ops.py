@@ -314,3 +314,36 @@ def test_quality_gate_drops_bottom_decile(ray_session):
         # every dropped doc scores strictly below every kept doc's bin
         assert g.loc[~g["keep"], "score_bin"].max() \
             < g.loc[g["keep"], "score_bin"].min() + 1
+
+
+def test_jl_projection_preserves_similarity(ray_session):
+    """The ±1 JL sketch must keep projected cosine close to original
+    cosine (the property an ANN prefilter relies on) and be
+    partition-invariant / deterministic."""
+    from ghcrawler_ray.ops.ann import project_embeddings
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 64)
+    # make planted near-dup pairs (i, i+20)
+    base[20:] = base[:20] + 0.1 * rng.randn(20, 64)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": list(base),
+                       "label": np.zeros(40, dtype=np.int64)})
+    first = None
+    for blocks in (1, 5):
+        out = project_embeddings(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas() \
+            .sort_values(["vec_id", "out_dim"]).reset_index(drop=True)
+        if first is None:
+            first = out
+        else:
+            assert out.equals(first)
+    p = first["proj"].to_numpy(dtype=np.float64).reshape(40, 16)
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+    sims = pn @ pn.T
+    planted = np.array([sims[i, i + 20] for i in range(20)])
+    off = sims[np.triu_indices(20, k=1)]      # unrelated pairs
+    # quantization shifts vectors into the positive orthant, so the
+    # unrelated-pair baseline sits high (~0.75); planted dups must still
+    # separate clearly above it
+    assert planted.mean() > off.mean() + 0.2
+    assert planted.min() > off.mean()
