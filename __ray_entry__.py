@@ -632,6 +632,10 @@ def q_project_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.project_embeddings(_emb(sf_dir))
 
 
+def q_vocab_encode(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.vocab_encode(_docs(sf_dir))
+
+
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.source_caps(_docs(sf_dir))
 
@@ -1710,6 +1714,20 @@ def _ops_sql() -> dict[str, str]:
                           AS BIGINT), {ops_ann.QUANT_LEVELS})
                      ELSE 0 END AS q
             FROM x JOIN s USING (dim)""",
+        "vocab_encode": rf"""
+            WITH tok AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token,
+                 generate_subscripts(
+                     regexp_extract_all(lower(text), '[^\s]+'), 1) AS pos
+               FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            v AS (SELECT token,
+                 row_number() OVER (ORDER BY n DESC, token) AS rank
+               FROM c QUALIFY rank <= {ops_text.ENC_VOCAB_V})
+            SELECT t.doc_id, (t.pos - 1)::BIGINT AS pos,
+                coalesce(v.rank, 0)::BIGINT AS token_id
+            FROM tok t LEFT JOIN v USING (token)
+            WHERE t.pos <= {ops_text.ENC_MAX_POS}""",
         "project_embeddings": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                FROM embeddings),
@@ -2012,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": q_shuffle_shards,
         "quantize_embeddings": q_quantize_embeddings,
         "project_embeddings": q_project_embeddings,
+        "vocab_encode": q_vocab_encode,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,

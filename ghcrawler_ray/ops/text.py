@@ -296,3 +296,59 @@ def unigram_rank_scores(docs: ray.data.Dataset,
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(score, batch_format="pandas"))
+
+
+# ---- vocab encoding (tokenize-to-ids, the pre-training input step) ----
+
+ENC_VOCAB_V = 256            # token ids 1..V by (count desc, token asc)
+ENC_MAX_POS = 64             # encode the first N tokens per document
+
+
+def vocab_encode(docs: ray.data.Dataset, v: int = ENC_VOCAB_V,
+                 max_pos: int = ENC_MAX_POS) -> ray.data.Dataset:
+    """(doc_id, pos, token_id): the corpus encoded against its own
+    top-``v`` unigram vocabulary — token_id = frequency rank (1..v),
+    OOV = 0, positions 0..max_pos−1. The id-ization step between
+    curation and sequence packing (``ops.packing.pack_sequences``
+    consumes exactly these lengths).
+
+    Scale shape: the vocab is built by :func:`unigram_rank_table`
+    (combiner → vocab-sized int co-partition fold) and broadcast ONCE
+    via ``ray.put`` (v is bounded); the corpus then streams through one
+    vectorized map_batches pass — one ``np.searchsorted`` over the
+    batch's concatenated token prefix, never a per-row loop, and text
+    never shuffles. Exploded (doc_id, pos, token_id) output so the
+    DuckDB mirror value-checks every cell; a production sink keeps the
+    list layout."""
+    tbl = unigram_rank_table(docs, v)
+    order = np.argsort(tbl["token"].to_numpy(dtype=object), kind="stable")
+    vocab = tbl["token"].to_numpy(dtype=object)[order]
+    ranks = tbl["rank"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((vocab, ranks))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        voc, rk = ray.get(ref)
+        ws = re.compile(WS_TOKEN_RE)
+        toks, lens, ids = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(dtype=np.int64),
+                                df["text"].astype(str)):
+            ts = ws.findall(text.lower())[:max_pos]
+            toks.append(np.array(ts, dtype=object))
+            lens.append(len(ts))
+            ids.append(doc_id)
+        lens = np.array(lens, dtype=np.int64)
+        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        if len(flat) and len(voc):
+            idx = np.minimum(np.searchsorted(voc, flat), len(voc) - 1)
+            tid = np.where(voc[idx] == flat, rk[idx], np.int64(0))
+        else:
+            tid = np.zeros(len(flat), dtype=np.int64)
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+            if len(lens) else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": np.repeat(np.array(ids, dtype=np.int64), lens),
+            "pos": pos,
+            "token_id": tid.astype(np.int64)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(encode, batch_format="pandas"))

@@ -347,3 +347,31 @@ def test_jl_projection_preserves_similarity(ray_session):
     # separate clearly above it
     assert planted.mean() > off.mean() + 0.2
     assert planted.min() > off.mean()
+
+
+def test_vocab_encode_ids_and_oov(ray_session):
+    """token_id = frequency rank (count desc, token asc), OOV = 0,
+    positions capped at max_pos; partition-invariant."""
+    from ghcrawler_ray.ops.text import vocab_encode
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a a a b b c rare1",
+                 "b a c c rare2 " + " ".join(f"x{i}" for i in range(80)),
+                 "c a b", ""],
+    })
+    first = None
+    for blocks in (1, 3):
+        out = vocab_encode(ray.data.from_pandas(df).repartition(blocks),
+                           v=3, max_pos=8).to_pandas() \
+            .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        if first is None:
+            first = out
+        else:
+            assert out.equals(first)
+    # counts: a=6, b=5, c=5 -> ranks a=1, b=2, c=3 (ties by token asc)
+    d0 = first[first["doc_id"] == 0]["token_id"].tolist()
+    assert d0 == [1, 1, 1, 2, 2, 3, 0]          # rare1 -> OOV 0
+    d1 = first[first["doc_id"] == 1]
+    assert len(d1) == 8                          # max_pos cap
+    assert d1["token_id"].tolist() == [2, 1, 3, 3, 0, 0, 0, 0]
+    assert len(first[first["doc_id"] == 3]) == 0  # empty doc -> no rows
