@@ -636,6 +636,10 @@ def q_vocab_encode(sf_dir: str) -> ray.data.Dataset:
     return ops_text.vocab_encode(_docs(sf_dir))
 
 
+def q_mixture_resample(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.mixture_resample(_docs(sf_dir))
+
+
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.source_caps(_docs(sf_dir))
 
@@ -1714,6 +1718,28 @@ def _ops_sql() -> dict[str, str]:
                           AS BIGINT), {ops_ann.QUANT_LEVELS})
                      ELSE 0 END AS q
             FROM x JOIN s USING (dim)""",
+        "mixture_resample": rf"""
+            WITH s AS (SELECT source,
+                 sum(len(regexp_extract_all(text, '[^\s]+')))::HUGEINT
+                     AS tok
+               FROM documents GROUP BY 1),
+            t AS (SELECT sum(tok) AS total, count(*) AS ns FROM s),
+            r AS (SELECT s.source,
+                 CASE WHEN s.tok = 0 THEN {ops_corpus.MIX_PPM}
+                      ELSE least({ops_corpus.MIX_PPM},
+                           CAST(t.total * {ops_corpus.MIX_PPM}
+                                // (t.ns * s.tok) AS BIGINT))
+                 END AS rate_ppm
+               FROM s, t),
+            b AS (SELECT d.doc_id, d.source,
+                 CAST(('0x' || substr(md5('mix-'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                      % {ops_corpus.MIX_PPM} AS BIGINT) AS bucket_ppm,
+                 r.rate_ppm
+               FROM documents d JOIN r USING (source))
+            SELECT doc_id, source, bucket_ppm, rate_ppm,
+                bucket_ppm < rate_ppm AS keep
+            FROM b""",
         "vocab_encode": rf"""
             WITH tok AS (SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token,
@@ -2031,6 +2057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "project_embeddings": q_project_embeddings,
         "vocab_encode": q_vocab_encode,
+        "mixture_resample": q_mixture_resample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,

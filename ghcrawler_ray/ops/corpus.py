@@ -439,3 +439,66 @@ def bpe_pair_counts(docs: ray.data.Dataset,
                           kind="stable").head(k).reset_index(drop=True)
     top["n"] = top["n"].astype(np.int64)
     return top[["pair", "n"]]
+
+
+# ---- mixture resampling (apply target domain weights) ----
+
+MIX_PPM = 10 ** 6        # keep-rate resolution (parts per million)
+_MIX_SALT = "mix-"
+
+
+def mixture_resample(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, source, bucket_ppm, rate_ppm, keep): deterministically
+    down-sample over-represented sources toward a UNIFORM per-source
+    token share — the static domain-reweighting pass a training run
+    applies after measuring :func:`mixture_weights`. A source holding
+    more than 1/#sources of corpus tokens gets keep-rate
+    total·PPM // (#sources · its_tokens); under-represented sources
+    keep everything (rate capped at PPM).
+
+    Scale shape: one slim combiner pass → #sources-row driver fold
+    (same sidecar shape as ``mixture_weights``), then ONE streaming
+    keep-flag pass — the hash-bucket rule (md5 of the doc_id) is
+    stateless, so the sample is reproducible after corpus appends and
+    needs no shuffle. All integer arithmetic; bit-exact mirror."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["text"].astype(str).str.count(WS_TOKEN_RE) \
+            .to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"source": df["source"].astype(str),
+                          "n_tokens": tok})
+        out = g.groupby("source", sort=False).sum().reset_index()
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out
+
+    agg = (docs.select_columns(["source", "text"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    total = int(agg["n_tokens"].sum())
+    ns = len(agg)
+    rates = {
+        str(s): (MIX_PPM if t == 0
+                 else min(MIX_PPM, total * MIX_PPM // (ns * int(t))))
+        for s, t in zip(agg["source"], agg["n_tokens"])}
+    ref = ray.put(rates)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        m = hashlib.md5
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        bucket = np.fromiter(
+            (int.from_bytes(m(f"{_MIX_SALT}{int(d)}".encode()).digest()[:8],
+                            "big") % MIX_PPM for d in ids),
+            dtype=np.int64, count=len(ids))
+        rate = df["source"].astype(str).map(r).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": df["source"].astype(str).to_numpy(dtype=object),
+            "bucket_ppm": bucket,
+            "rate_ppm": rate,
+            "keep": bucket < rate,
+        })
+
+    return (docs.select_columns(["doc_id", "source"])
+            .map_batches(flag, batch_format="pandas"))

@@ -375,3 +375,32 @@ def test_vocab_encode_ids_and_oov(ray_session):
     assert len(d1) == 8                          # max_pos cap
     assert d1["token_id"].tolist() == [2, 1, 3, 3, 0, 0, 0, 0]
     assert len(first[first["doc_id"] == 3]) == 0  # empty doc -> no rows
+
+
+def test_mixture_resample_uniformizes_sources(ray_session):
+    """A source holding ~3/4 of corpus tokens is down-sampled toward the
+    uniform 1/2 share; the small source keeps everything. Deterministic
+    and partition-invariant."""
+    from ghcrawler_ray.ops.corpus import MIX_PPM, mixture_resample
+    df = pd.DataFrame({
+        "doc_id": np.arange(600, dtype=np.int64),
+        "source": ["big"] * 450 + ["small"] * 150,
+        "text": ["tok " * 20] * 600,      # equal per-doc tokens
+    })
+    first = None
+    for blocks in (1, 6):
+        out = mixture_resample(
+            ray.data.from_pandas(df).repartition(blocks)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        if first is None:
+            first = out
+        else:
+            assert out.equals(first)
+    r = first.groupby("source")["rate_ppm"].first()
+    # big: total*PPM // (2 * big_tokens) = 600 // (2*450) of PPM
+    assert r["big"] == 600 * MIX_PPM // (2 * 450)
+    assert r["small"] == MIX_PPM                  # capped: keep all
+    kept = first[first["keep"]].groupby("source").size()
+    assert kept["small"] == 150
+    # ~2/3 of big kept (hash buckets approximately uniform)
+    assert abs(kept["big"] - 300) < 60
