@@ -34,6 +34,7 @@ from ghcrawler_ray.config import (PRIORITY_RANK, CrawlConfig,
 from ghcrawler_ray.frontier import seeds_to_frontier
 from ghcrawler_ray.ops import ann as ops_ann
 from ghcrawler_ray.ops import corpus as ops_corpus
+from ghcrawler_ray.ops import curate as ops_curate
 from ghcrawler_ray.ops import contamination as ops_contam
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
@@ -638,6 +639,11 @@ def q_vocab_encode(sf_dir: str) -> ray.data.Dataset:
 
 def q_mixture_resample(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.mixture_resample(_docs(sf_dir))
+
+
+def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.curate import quality_buckets
+    return quality_buckets(_docs(sf_dir))
 
 
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
@@ -1718,6 +1724,41 @@ def _ops_sql() -> dict[str, str]:
                           AS BIGINT), {ops_ann.QUANT_LEVELS})
                      ELSE 0 END AS q
             FROM x JOIN s USING (dim)""",
+        "quality_buckets": rf"""
+            WITH f AS (SELECT doc_id, lang, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+                   len(list_filter(regexp_extract_all(lower(text), '[^\s]+'),
+                       t -> list_contains({_STOP_SQL}, t))) AS n_stop
+              FROM documents),
+            b AS (SELECT doc_id, lang,
+                CAST(floor((0.4e0*least(n_ws_tokens,200)/200.0e0
+                  + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)*5.0e0,
+                          0.3e0)
+                  + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE))
+                  * 1000.0e0) AS BIGINT) AS score_bin
+              FROM f),
+            h AS (SELECT lang, score_bin AS bin, count(*)::BIGINT AS n
+              FROM b GROUP BY 1, 2),
+            o AS (SELECT lang, bin, n,
+                sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                sum(n) OVER (PARTITION BY lang) AS tot
+              FROM h),
+            thr AS (SELECT lang,
+                min(CASE WHEN cum >=
+                        CAST(floor({ops_curate.TERCILE_LO!r}e0*(tot-1))
+                             AS BIGINT) + 1
+                         THEN bin END) AS lo_bin,
+                min(CASE WHEN cum >=
+                        CAST(floor({ops_curate.TERCILE_HI!r}e0*(tot-1))
+                             AS BIGINT) + 1
+                         THEN bin END) AS hi_bin
+              FROM o GROUP BY lang)
+            SELECT b.doc_id, b.lang, b.score_bin, thr.lo_bin, thr.hi_bin,
+                CASE WHEN b.score_bin >= thr.hi_bin THEN 'head'
+                     WHEN b.score_bin >= thr.lo_bin THEN 'middle'
+                     ELSE 'tail' END AS bucket
+            FROM b JOIN thr USING (lang)""",
         "mixture_resample": rf"""
             WITH s AS (SELECT source,
                  sum(len(regexp_extract_all(text, '[^\s]+')))::HUGEINT
@@ -2058,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "project_embeddings": q_project_embeddings,
         "vocab_encode": q_vocab_encode,
         "mixture_resample": q_mixture_resample,
+        "quality_buckets": q_quality_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,

@@ -128,6 +128,40 @@ GATE_BIN_FP = 1000     # score bin = floor(quality_score * 1000); score ≤ 1.0
 GATE_Q = 0.1           # drop the bottom decile per language
 
 
+def _score_bin_thresholds(slim: ray.data.Dataset,
+                          qs: tuple[float, ...]) -> dict[str, list[int]]:
+    """Per-lang nearest-rank quantile bins of the composite quality
+    score: combiner → ≤ #langs × (GATE_BIN_FP+1) counter rows → Sum
+    shuffle → bounded driver fold. Shared by the percentile gate and
+    the CCNet-style tercile bucketing."""
+    from ray.data.aggregate import Sum
+
+    def bin_partials(df: pd.DataFrame) -> pd.DataFrame:
+        sc = quality_batch(df)["quality_score"].to_numpy()
+        part = pd.DataFrame({
+            "lang": df["lang"].to_numpy(dtype=object),
+            "bin": np.floor(sc * float(GATE_BIN_FP)).astype(np.int64)})
+        g = (part.groupby(["lang", "bin"], sort=False)
+             .size().reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = (slim.map_batches(bin_partials, batch_format="pandas")
+            .groupby(["lang", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    thr: dict[str, list[int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("bin", kind="stable")
+        n = int(g["n"].sum())
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        bins = g["bin"].to_numpy(dtype=np.int64)
+        thr[str(lang)] = [
+            int(bins[np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1)])
+            for q in qs]
+    return thr
+
+
 def quality_percentile_gate(docs: ray.data.Dataset,
                             q: float = GATE_Q) -> ray.data.Dataset:
     """(doc_id, lang, quality_score, score_bin, thr_bin, keep): gate each
@@ -146,30 +180,9 @@ def quality_percentile_gate(docs: ray.data.Dataset,
 
     Everything is floor-of-IEEE-product integer binning, so the DuckDB
     mirror reproduces keep decisions bit-for-bit."""
-    from ray.data.aggregate import Sum
-
-    def bin_partials(df: pd.DataFrame) -> pd.DataFrame:
-        sc = quality_batch(df)["quality_score"].to_numpy()
-        part = pd.DataFrame({
-            "lang": df["lang"].to_numpy(dtype=object),
-            "bin": np.floor(sc * float(GATE_BIN_FP)).astype(np.int64)})
-        g = (part.groupby(["lang", "bin"], sort=False)
-             .size().reset_index(name="n"))
-        g["n"] = g["n"].astype(np.int64)
-        return g
-
     slim = docs.select_columns(["doc_id", "text", "lang"])
-    hist = (slim.map_batches(bin_partials, batch_format="pandas")
-            .groupby(["lang", "bin"])
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas())                      # ≤ #langs × 1001 rows
-    thr: dict[str, int] = {}
-    for lang, g in hist.groupby("lang"):
-        g = g.sort_values("bin", kind="stable")
-        n = int(g["n"].sum())
-        target = int(np.floor(q * (n - 1))) + 1
-        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
-        thr[str(lang)] = int(g["bin"].to_numpy()[np.searchsorted(cum, target)])
+    thr = {lang: t[0] for lang, t in
+           _score_bin_thresholds(slim, (q,)).items()}
     thr_ref = ray.put(thr)
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
@@ -187,3 +200,45 @@ def quality_percentile_gate(docs: ray.data.Dataset,
         })
 
     return slim.map_batches(gate, batch_format="pandas")
+
+
+# ---- CCNet-style quality buckets (head / middle / tail) ----
+
+#: tercile cut points (IEEE doubles; the SQL mirror inlines their reprs)
+TERCILE_LO = 1 / 3
+TERCILE_HI = 2 / 3
+
+
+def quality_buckets(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, lang, score_bin, lo_bin, hi_bin, bucket): CCNet's
+    head/middle/tail split — each document labeled by which per-language
+    score TERCILE it falls in ('tail' = bottom third, 'head' = top
+    third). CCNet buckets by LM perplexity terciles; this is the same
+    cut over the composite quality score (swap the scorer per deployment).
+
+    Same two-pass zero-row-shuffle shape as
+    :func:`quality_percentile_gate`, one histogram pass computing BOTH
+    cut points."""
+    slim = docs.select_columns(["doc_id", "text", "lang"])
+    thr = _score_bin_thresholds(slim, (TERCILE_LO, TERCILE_HI))
+    thr_ref = ray.put(thr)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        sc = quality_batch(df)["quality_score"].to_numpy()
+        bins = np.floor(sc * float(GATE_BIN_FP)).astype(np.int64)
+        pair = df["lang"].map(t)
+        lo = pair.map(lambda p: p[0]).to_numpy(dtype=np.int64)
+        hi = pair.map(lambda p: p[1]).to_numpy(dtype=np.int64)
+        bucket = np.where(bins >= hi, "head",
+                          np.where(bins >= lo, "middle", "tail"))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "lang": df["lang"].to_numpy(dtype=object),
+            "score_bin": bins,
+            "lo_bin": lo,
+            "hi_bin": hi,
+            "bucket": bucket.astype(object),
+        })
+
+    return slim.map_batches(label, batch_format="pandas")
