@@ -45,7 +45,9 @@ BENCH_WAVES = 8
 OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "dup_clusters", "ann_topk", "events_windowed", "events_asof",
                "kmeans_fit", "corpus_curate", "dedup_spans",
-               "pack_sequences", "crawl_pagerank")
+               "pack_sequences", "crawl_pagerank",
+               "quality_percentile_gate", "vocab_encode",
+               "project_embeddings")
 SCALING_CPUS = (8, 32)
 
 
