@@ -174,6 +174,14 @@ def q_degree_stats(sf_dir: str) -> ray.data.Dataset:
     return degree_stats(_links_ds(sf_dir))
 
 
+def q_host_components(sf_dir: str) -> ray.data.Dataset:
+    """Weakly-connected components of the host graph (site clusters),
+    labels = min md5-derived node id — mirrored by a recursive-CTE
+    reachability closure."""
+    from ghcrawler_ray.ops.graph import host_components
+    return host_components(_links_ds(sf_dir))
+
+
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Distributed PageRank over the synthesized web's link graph —
     exact int64 fixed-point power iteration (ops/graph.py), mirrored by
@@ -989,6 +997,44 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
         "crawl_pagerank": _pagerank_sql(pages),
+        "crawl_host_components": f"""
+            WITH RECURSIVE l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+            h AS (SELECT
+                 lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                     AS a,
+                 lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                     AS b
+               FROM l
+               WHERE regexp_matches(src_url, '^https?://[^/?#]+')
+                 AND regexp_matches(dst_url, '^https?://[^/?#]+')),
+            -- NOTE: under WITH RECURSIVE DuckDB treats a bare UNION in
+            -- ANY cte as the recursive base/step pattern (no dedup for
+            -- a non-self-referencing body) — use UNION ALL + DISTINCT
+            nodes AS (SELECT DISTINCT host FROM (
+                 SELECT a AS host FROM h UNION ALL SELECT b FROM h)),
+            ids AS (SELECT host,
+                 CAST(('0x' || substr(md5(host), 1, 15))::UBIGINT AS BIGINT)
+                     AS node_id
+               FROM nodes),
+            e AS (SELECT DISTINCT a, b FROM h WHERE a <> b),
+            und AS (SELECT DISTINCT s, d FROM (
+                 SELECT a AS s, b AS d FROM e
+                 UNION ALL SELECT b, a FROM e)),
+            reach(node, lab_id) AS (
+                SELECT host, node_id FROM ids
+                UNION
+                SELECT u.d, r.lab_id
+                FROM reach r JOIN und u ON u.s = r.node),
+            comp AS (SELECT node AS host, min(lab_id) AS component_id
+               FROM reach GROUP BY 1),
+            sz AS (SELECT component_id, count(*)::BIGINT AS component_size
+               FROM comp GROUP BY 1)
+            SELECT i.host, i.node_id, c.component_id, sz.component_size
+            FROM ids i JOIN comp c USING (host)
+            JOIN sz USING (component_id)""",
         "crawl_degree_stats": f"""
             WITH l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -2059,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_link_rels": q_link_rels,
         "crawl_lineage": q_crawl_lineage,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_host_components": q_host_components,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,

@@ -53,6 +53,8 @@ here, and reproduced exactly by the mirror.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -324,3 +326,78 @@ def degree_stats(links: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(explode, batch_format="pandas")
             .groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---- host-graph connected components (site-cluster discovery) ----
+
+#: 15 hex digits = 60-bit md5-derived node ids (fit int64; the SQL
+#: mirror computes the identical value)
+HOSTC_HEX = 15
+_HOST_RE = r"^https?://([^/?#]+)"
+
+
+def _host_ids(hosts) -> np.ndarray:
+    m = hashlib.md5
+    return np.fromiter(
+        (int(m(h.encode()).hexdigest()[:HOSTC_HEX], 16) for h in hosts),
+        dtype=np.int64, count=len(hosts))
+
+
+def host_components(links: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, node_id, component_id, component_size): weakly-connected
+    components of the HOST graph (an edge wherever any page of host A
+    links any page of host B) — the site-cluster / link-farm discovery
+    pass a crawl runs to group mutually-linking domains.
+    component_id = min md5-derived node id in the component.
+
+    Scale shape: page-level edges collapse to distinct host pairs
+    INSIDE each batch (the host graph is orders of magnitude smaller
+    than the url graph), labels come from the same delta-BSP
+    min-label propagation as near-dup clustering
+    (``ops.dedup._cc_labels`` — one co-partition shuffle per round,
+    single-task fold below its output-scale bound), and the final
+    host/label/size merge is a #hosts-bounded driver fold (the same
+    O(#hosts) sidecar budget as the politeness and metrics designs).
+
+    Reference context: host/org grouping is the reference's allow-list
+    + org-filter unit (`lib/crawler.js:587-589` split of host/org);
+    components generalize it to the discovered link structure."""
+    from .dedup import _cc_labels
+
+    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        out = pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+        return out
+
+    pairs = (links.select_columns(["src_url", "dst_url"])
+             .map_batches(host_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).count()           # global distinct pairs
+             .select_columns(["a", "b"])
+             .to_pandas())                           # ≤ #hosts² ≪ #urls
+    hosts = sorted(set(pairs["a"]) | set(pairs["b"]))
+    ids = _host_ids(hosts)
+    id_of = dict(zip(hosts, ids))
+    e = pairs[pairs["a"] != pairs["b"]]
+    edges = pd.DataFrame({
+        "doc_a": e["a"].map(id_of).to_numpy(dtype=np.int64),
+        "doc_b": e["b"].map(id_of).to_numpy(dtype=np.int64)})
+    if len(edges):
+        lab = (_cc_labels(ray.data.from_pandas(edges), len(edges))
+               .to_pandas())
+        label_of = dict(zip(lab["node"].astype(np.int64),
+                            lab["label"].astype(np.int64)))
+    else:
+        label_of = {}
+    comp = np.array([label_of.get(int(i), int(i)) for i in ids],
+                    dtype=np.int64)
+    sizes = pd.Series(comp).value_counts()
+    out = pd.DataFrame({
+        "host": np.array(hosts, dtype=object),
+        "node_id": ids,
+        "component_id": comp,
+        "component_size": pd.Series(comp).map(sizes)
+        .to_numpy(dtype=np.int64)})
+    return ray.data.from_pandas(out)

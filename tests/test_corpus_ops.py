@@ -404,3 +404,28 @@ def test_mixture_resample_uniformizes_sources(ray_session):
     assert kept["small"] == 150
     # ~2/3 of big kept (hash buckets approximately uniform)
     assert abs(kept["big"] - 300) < 60
+
+
+def test_host_components_multi_cluster(ray_session):
+    """Two disjoint host clusters + one isolated self-linking host:
+    components must not merge; labels = min md5-derived node id;
+    sizes correct."""
+    from ghcrawler_ray.ops.graph import _host_ids, host_components
+    links = pd.DataFrame({
+        "src_url": ["http://a1.x/p", "http://a2.x/q", "http://b1.y/r",
+                    "http://solo.z/s", "http://A1.x/up"],
+        "dst_url": ["http://a2.x/1", "http://a3.x/2", "http://b2.y/3",
+                    "http://solo.z/other",          # self edge only
+                    "http://a3.x/case"],            # case-insensitive host
+    })
+    out = host_components(ray.data.from_pandas(links)).to_pandas() \
+        .set_index("host")
+    assert len(out) == 6                     # a1 a2 a3 b1 b2 solo
+    ca = {out.loc[h, "component_id"] for h in ("a1.x", "a2.x", "a3.x")}
+    cb = {out.loc[h, "component_id"] for h in ("b1.y", "b2.y")}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    assert out.loc["solo.z", "component_size"] == 1
+    assert out.loc["solo.z", "component_id"] == \
+        out.loc["solo.z", "node_id"]
+    assert (out.loc[["a1.x", "a2.x", "a3.x"], "component_size"] == 3).all()
+    assert ca.pop() == min(_host_ids(["a1.x", "a2.x", "a3.x"]))
