@@ -654,6 +654,10 @@ def q_quality_buckets(sf_dir: str) -> ray.data.Dataset:
     return quality_buckets(_docs(sf_dir))
 
 
+def q_fixed_n_sample(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.fixed_n_sample(_docs(sf_dir))
+
+
 def q_source_caps(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.source_caps(_docs(sf_dir))
 
@@ -1770,6 +1774,17 @@ def _ops_sql() -> dict[str, str]:
                           AS BIGINT), {ops_ann.QUANT_LEVELS})
                      ELSE 0 END AS q
             FROM x JOIN s USING (dim)""",
+        "fixed_n_sample": rf"""
+            WITH k AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('fixn-'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                      AS BIGINT) AS sample_key
+               FROM documents)
+            SELECT doc_id, lang, sample_key,
+                (row_number() OVER (PARTITION BY lang
+                    ORDER BY sample_key, doc_id) - 1)::BIGINT
+                    AS rank_in_lang
+            FROM k QUALIFY rank_in_lang < {ops_corpus.FIXED_SAMPLE_N}""",
         "quality_buckets": rf"""
             WITH f AS (SELECT doc_id, lang, length(text) AS n_chars,
                    len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
@@ -2147,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_encode": q_vocab_encode,
         "mixture_resample": q_mixture_resample,
         "quality_buckets": q_quality_buckets,
+        "fixed_n_sample": q_fixed_n_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,

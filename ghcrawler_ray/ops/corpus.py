@@ -502,3 +502,51 @@ def mixture_resample(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return (docs.select_columns(["doc_id", "source"])
             .map_batches(flag, batch_format="pandas"))
+
+
+# ---- exact-N deterministic sample per stratum ----
+
+FIXED_SAMPLE_N = 50
+_FIXN_SALT = "fixn-"
+_FIXN_HEX = 15           # 60-bit keys fit int64; SQL mirrors the value
+
+
+def _fixn_keys(doc_ids) -> np.ndarray:
+    m = hashlib.md5
+    return np.fromiter(
+        (int(m(f"{_FIXN_SALT}{int(d)}".encode()).hexdigest()[:_FIXN_HEX],
+             16) for d in doc_ids),
+        dtype=np.int64, count=len(doc_ids))
+
+
+def fixed_n_sample(docs: ray.data.Dataset,
+                   n: int = FIXED_SAMPLE_N) -> ray.data.Dataset:
+    """(doc_id, lang, sample_key, rank_in_lang): EXACTLY min(n, stratum
+    size) documents per language — the fixed-size eval/holdout draw
+    (a rate-based sample like ``stratified_sample`` can't hit an exact
+    count). Selection = the n smallest md5-derived keys per lang, ties
+    by doc_id, so the draw is uniform-ish, reproducible, and stable
+    under corpus repartitioning.
+
+    Scale shape: a per-batch combiner keeps only each batch's local
+    top-n per lang (the global top-n is a subset of the union of local
+    top-n's), so the fold input is ≤ n × #langs × #blocks slim rows —
+    never the corpus; the final per-lang rank is a tiny map_groups."""
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "lang": df["lang"].to_numpy(dtype=object),
+            "sample_key": _fixn_keys(df["doc_id"])})
+        g = g.sort_values(["lang", "sample_key", "doc_id"], kind="stable")
+        return g.groupby("lang", sort=False).head(n)
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sample_key", "doc_id"], kind="stable").head(n) \
+            .reset_index(drop=True)
+        g["rank_in_lang"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "lang", "sample_key", "rank_in_lang"]]
+
+    return (docs.select_columns(["doc_id", "lang"])
+            .map_batches(local_topn, batch_format="pandas")
+            .groupby("lang")
+            .map_groups(final_topn, batch_format="pandas"))

@@ -429,3 +429,29 @@ def test_host_components_multi_cluster(ray_session):
         out.loc["solo.z", "node_id"]
     assert (out.loc[["a1.x", "a2.x", "a3.x"], "component_size"] == 3).all()
     assert ca.pop() == min(_host_ids(["a1.x", "a2.x", "a3.x"]))
+
+
+def test_fixed_n_sample_exact_count_and_stability(ray_session):
+    """Exactly min(n, stratum size) rows per lang; the selected SET is
+    invariant under partitioning AND under appending new docs with
+    larger keys than the current cut (stability the rate-based sampler
+    also has, but with an exact count)."""
+    from ghcrawler_ray.ops.corpus import fixed_n_sample
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": ["en"] * 280 + ["de"] * 20,
+    })
+    first = None
+    for blocks in (1, 8):
+        out = fixed_n_sample(ray.data.from_pandas(df).repartition(blocks),
+                             n=50).to_pandas() \
+            .sort_values(["lang", "rank_in_lang"]).reset_index(drop=True)
+        if first is None:
+            first = out
+        else:
+            assert out.equals(first)
+    counts = first.groupby("lang").size()
+    assert counts["en"] == 50 and counts["de"] == 20   # min(n, size)
+    en = first[first["lang"] == "en"]
+    assert (en["rank_in_lang"].to_numpy() == np.arange(50)).all()
+    assert en["sample_key"].is_monotonic_increasing
