@@ -11,8 +11,10 @@ Stages (each is a library call — see COVERAGE.md for the full menu):
      decontamination → normalized-text exact dedup),
   4. near-dup clustering (MinHash-LSH → verified pairs → connected
      components, keep one doc per cluster),
-  5. pack the kept docs into fixed-length training sequences,
-  6. write resumable md5-sharded corpus output.
+  5. label CCNet-style quality terciles + encode survivors to token ids
+     against the corpus's own top-V vocabulary,
+  6. pack the kept docs into fixed-length training sequences,
+  7. write resumable md5-sharded corpus output.
 """
 
 from __future__ import annotations
@@ -89,12 +91,21 @@ def main() -> None:
         return df[np.isin(df["doc_id"].to_numpy(), ids)]
 
     survivors = docs.map_batches(keep_rows, batch_format="pandas")
+
+    # 5. quality terciles + tokenize-to-ids over the survivor corpus
+    from ghcrawler_ray.ops.curate import quality_buckets
+    from ghcrawler_ray.ops.text import vocab_encode
+    buckets = quality_buckets(survivors).to_pandas()
+    n_ids = int(vocab_encode(survivors).count())
+
     manifest = write_corpus_shards(survivors, f"{args.out}/shards",
                                    n_shards=8)
     print(json.dumps({
         "curate_kept": kept.count(),
         "dup_clusters": int(clusters.count()),
         "canonical_docs": int(canonical.count()),
+        "bucket_counts": buckets["bucket"].value_counts().to_dict(),
+        "encoded_token_ids": n_ids,
         "packed_sequences": n_seqs,
         "shards_written": int((~manifest["skipped"]).sum()),
     }))
