@@ -617,6 +617,10 @@ def q_semantic_dup(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.semantic_dup_pairs(_emb(sf_dir))
 
 
+def q_knn_graph(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.knn_graph(_emb(sf_dir))
+
+
 def q_corpus_curate(sf_dir: str) -> ray.data.Dataset:
     from ghcrawler_ray.ops.curate import corpus_curate
     return corpus_curate(_docs(sf_dir))
@@ -938,6 +942,35 @@ def _semdup_sql() -> str:
              JOIN embeddings eb ON eb.vec_id = b.vec_id)
         SELECT vec_a, vec_b, round(c, 6) AS cos FROM p
         WHERE c >= {SEMDUP_COS_THRESHOLD}e0"""
+
+
+def _knn_graph_sql() -> str:
+    """k-NN graph mirror (ops/ann.knn_graph): kmeans CTE chain +
+    final-centroid cell assignment, per-vector window top-k within the
+    cell."""
+    from ghcrawler_ray.ops.ann import KMEANS_ITERS, KNN_K
+    base = _kmeans_sql().rsplit("SELECT cluster, dim", 1)[0].rstrip()
+    T = KMEANS_ITERS
+    return base + f""",
+        dq AS (SELECT v.vec_id, c.cluster,
+               sum((v.q - c.c) * (v.q - c.c)) AS dist
+             FROM v JOIN c{T} c USING (dim) GROUP BY 1, 2),
+        aq AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+               FROM dq) WHERE rn = 1),
+        sims AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(
+                 ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+             FROM aq a JOIN aq b
+               ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+             JOIN embeddings ea ON ea.vec_id = a.vec_id
+             JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT vec_id, neighbor_id,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY c DESC, neighbor_id) AS rank,
+            round(c, 6) AS cos
+        FROM sims QUALIFY rank <= {KNN_K}"""
 
 
 def _curate_sql() -> str:
@@ -1604,6 +1637,7 @@ def _ops_sql() -> dict[str, str]:
         "kmeans_fit": _kmeans_sql(),
         "ann_topk_kmeans": _ann_kmeans_sql(),
         "semantic_dup_pairs": _semdup_sql(),
+        "knn_graph": _knn_graph_sql(),
         "corpus_curate": _curate_sql(),
         "cms_token_counts": _cms_sql(),
         "source_caps": f"""
@@ -2174,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
+        "knn_graph": q_knn_graph,
         "corpus_curate": q_corpus_curate,
         "cms_token_counts": q_cms_tokens,
         "source_caps": q_source_caps,

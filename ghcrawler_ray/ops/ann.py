@@ -631,3 +631,63 @@ def project_embeddings(emb: ray.data.Dataset,
 
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(project, batch_format="pandas"))
+
+
+# ---- k-NN graph over learned cells ----
+
+KNN_K = 3
+
+
+def knn_graph(emb: ray.data.Dataset, k: int = KNN_K) -> ray.data.Dataset:
+    """(vec_id, neighbor_id, rank, cos): approximate k-nearest-neighbor
+    graph over EVERY vector — the SemDeDup / cluster-pruning /
+    graph-clustering building block. Same IVF approximation as
+    :func:`semantic_dup_pairs`: neighbors are searched only within the
+    vector's learned k-means cell (recall misses cross-cell edges; more
+    cells + soft assignment raise it at scale), so the quadratic term is
+    Σ|cell|², never n².
+
+    One streaming assignment pass (centroids broadcast once) + one
+    ``groupby(cell)`` shuffle; per-cell top-k is a single vectorized
+    stable argsort (ties by ascending neighbor_id, matching the SQL
+    window order)."""
+    cf = kmeans_fit(emb)
+    kk = int(cf["cluster"].max()) + 1
+    dim = int(cf["dim"].max()) + 1
+    cents = np.zeros((kk, dim), dtype=np.int64)
+    cents[cf["cluster"].to_numpy(), cf["dim"].to_numpy()] = \
+        cf["c_fp"].to_numpy()
+    c_ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+        df = df.copy()
+        df["cell"] = kmeans_cells(_mat(df), ray.get(_c)).astype(np.int32)
+        return df
+
+    def cell_knn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": np.empty(0, np.int64),
+                              "neighbor_id": np.empty(0, np.int64),
+                              "rank": np.empty(0, np.int64),
+                              "cos": np.empty(0, np.float64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id")          # columns ascend by id →
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        m = _normed(_mat(g))
+        sims = m @ m.T
+        np.fill_diagonal(sims, -2.0)         # exclude self (cos ≥ -1)
+        kk = min(k, len(g) - 1)
+        # stable argsort on -sims: ties resolve to the earlier column =
+        # the smaller neighbor_id (same rule as the mirror's window)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(g)), kk)
+        cols = order.reshape(-1)
+        return pd.DataFrame({
+            "vec_id": ids[rows],
+            "neighbor_id": ids[cols],
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(g)),
+            "cos": np.round(sims[rows, cols], 6)})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pandas")
+            .groupby("cell").map_groups(cell_knn, batch_format="pandas"))
