@@ -626,6 +626,11 @@ def q_corpus_curate(sf_dir: str) -> ray.data.Dataset:
     return corpus_curate(_docs(sf_dir))
 
 
+def q_hll_users(sf_dir: str) -> ray.data.Dataset:
+    from ghcrawler_ray.ops.sketch import hll_distinct_users
+    return hll_distinct_users(_events(sf_dir))
+
+
 def q_cms_tokens(sf_dir: str) -> pd.DataFrame:
     from ghcrawler_ray.ops.sketch import cms_token_counts
     return cms_token_counts(_docs(sf_dir))
@@ -892,6 +897,40 @@ def _ann_kmeans_sql() -> str:
                                ORDER BY c DESC, neighbor_id) AS rank,
             round(c, 6) AS cos
         FROM sims QUALIFY rank <= 5"""
+
+
+def _hll_users_sql() -> str:
+    """Per-window distinct-user HLL mirror (ops/sketch.hll_distinct_users):
+    identical register/estimate arithmetic, keyed by the tumbling hour
+    and hashing the decimal user_id string."""
+    from ghcrawler_ray.ops.sketch import (HLL_ALPHA_FP, HLL_M, HLL_W,
+                                          _ALPHA_SCALE)
+    two_w = 1 << HLL_W
+    numer = HLL_ALPHA_FP * HLL_M * HLL_M * two_w
+    return rf"""
+        WITH d AS (SELECT DISTINCT date_trunc('hour', ts) AS ws,
+             CAST(user_id AS VARCHAR) AS t FROM events),
+        h AS (SELECT ws, ('0x'||substr(md5(t),1,16))::UBIGINT AS hv
+              FROM d),
+        r AS (SELECT ws, CAST(hv >> {HLL_W} AS BIGINT) AS reg,
+                CASE WHEN hv % {two_w} = 0 THEN {HLL_W + 1}
+                     ELSE {HLL_W} - length(bin(hv % {two_w})) + 1
+                END AS rank
+              FROM h),
+        mx AS (SELECT ws, reg, max(rank) AS mr FROM r GROUP BY 1, 2),
+        s AS (SELECT ws, count(*)::BIGINT AS n_filled,
+                sum(CAST(1 AS BIGINT) << ({HLL_W} - mr))::HUGEINT
+                  + ({HLL_M} - count(*)) * CAST({two_w} AS HUGEINT) AS sv
+              FROM mx GROUP BY 1),
+        raw AS (SELECT ws, n_filled,
+                CAST({numer} // (sv * {_ALPHA_SCALE}) AS BIGINT) AS r
+              FROM s)
+        SELECT ws AS window_start, CAST({HLL_M} AS BIGINT) AS m, n_filled,
+            CASE WHEN r <= {5 * HLL_M // 2} AND n_filled < {HLL_M}
+                 THEN round({HLL_M} * ln({HLL_M} / ({HLL_M} - n_filled)), 6)
+                 ELSE r::DOUBLE
+            END AS est_distinct
+        FROM raw"""
 
 
 def _cms_sql() -> str:
@@ -1703,6 +1742,7 @@ def _ops_sql() -> dict[str, str]:
                      // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
+        "hll_distinct_users": _hll_users_sql(),
         "quality_percentile_gate": rf"""
             WITH f AS (SELECT doc_id, lang, length(text) AS n_chars,
                    len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
@@ -2185,6 +2225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": q_doc_length_stats,
         "text_normalize": q_text_normalize,
         "hll_distinct_tokens": q_hll_distinct,
+        "hll_distinct_users": q_hll_users,
         "hist_length_quantiles": q_hist_quantiles,
         "quality_percentile_gate": q_quality_gate,
         "mixture_weights": q_mixture_weights,

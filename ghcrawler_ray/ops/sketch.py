@@ -88,7 +88,7 @@ def _register_rows(df: pd.DataFrame) -> pd.DataFrame:
     return g
 
 
-def _finalize(g: pd.DataFrame) -> pd.DataFrame:
+def _finalize(g: pd.DataFrame, key: str = "lang") -> pd.DataFrame:
     ranks = g["rank"].to_numpy(dtype=np.int64)
     n_filled = len(g)
     # S = Σ 2^(HLL_W − M_j) over filled registers, + 2^HLL_W per empty
@@ -106,7 +106,7 @@ def _finalize(g: pd.DataFrame) -> pd.DataFrame:
         est = round(HLL_M * float(np.log(HLL_M / v)), 6)
     else:
         est = float(raw)
-    return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+    return pd.DataFrame({key: [g[key].iloc[0]],
                          "m": np.array([HLL_M], dtype=np.int64),
                          "n_filled": np.array([n_filled], dtype=np.int64),
                          "est_distinct": np.array([est],
@@ -249,3 +249,53 @@ def hist_length_quantiles(docs: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Sum("n", alias_name="n"))
             .groupby("lang")
             .map_groups(_hist_finalize, batch_format="pandas"))
+
+
+# ---- per-window distinct users (streaming-analytics HLL) ----
+
+def hll_distinct_users(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(window_start, m, n_filled, est_distinct): HyperLogLog estimate
+    of DISTINCT USERS per tumbling hour over the events stream — the
+    streaming-analytics cardinality the reference's live counters
+    approximate per queue (`lib/crawlerService.js` stats), generalized
+    to event windows. Same O(#windows × m) register shuffle as the
+    vocabulary sketch: an exact count-distinct would move every
+    (window, user) pair; this moves at most m counter rows per window
+    no matter how many events the window holds."""
+    def registers(df: pd.DataFrame) -> pd.DataFrame:
+        ws = (df["ts"].dt.floor("h").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        part = pd.DataFrame({"ws": ws, "uid": df["user_id"]
+                             .to_numpy(dtype=np.int64)}).drop_duplicates()
+        h = _hash_u64([str(int(u)) for u in part["uid"]])
+        reg = (h >> np.uint64(HLL_W)).astype(np.int64)
+        w = h & np.uint64((1 << HLL_W) - 1)
+        nbits = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        nbits[nz] = np.floor(np.log2(w[nz].astype(np.float64))) \
+            .astype(np.int64)
+        too_hi = nz & ((np.uint64(1) << nbits.clip(0).astype(np.uint64)) > w)
+        nbits[too_hi] -= 1
+        too_lo = nz & ((np.uint64(2) << nbits.clip(0).astype(np.uint64))
+                       <= w)
+        nbits[too_lo] += 1
+        rank = np.where(nz, HLL_W - nbits, HLL_W + 1).astype(np.int64)
+        out = pd.DataFrame({"ws": part["ws"].to_numpy(dtype=np.int64),
+                            "reg": reg, "rank": rank})
+        g = out.groupby(["ws", "reg"], sort=False)["rank"].max() \
+            .reset_index()
+        g["rank"] = g["rank"].astype(np.int64)
+        return g
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        out = _finalize(g, key="ws")
+        out["window_start"] = out.pop("ws").astype(np.int64) \
+            .astype("datetime64[us]")
+        return out[["window_start", "m", "n_filled", "est_distinct"]]
+
+    return (events.select_columns(["ts", "user_id"])
+            .map_batches(registers, batch_format="pandas")
+            .groupby(["ws", "reg"])
+            .aggregate(Max("rank", alias_name="rank"))
+            .groupby("ws")
+            .map_groups(fin, batch_format="pandas"))

@@ -484,3 +484,31 @@ def test_knn_graph_planted_neighbors(ray_session):
     # trade-off); the overwhelming majority must be mutual rank-1
     assert hits >= 12, hits
     assert first.groupby("vec_id").size().max() <= 3
+
+
+def test_hll_users_estimate_within_tolerance(ray_session):
+    """Per-window distinct-user HLL lands within 5% of truth on windows
+    with thousands of users (and is exact-ish via linear counting)."""
+    from ghcrawler_ray.ops.sketch import hll_distinct_users
+    rng = np.random.RandomState(13)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s")
+    frames = []
+    for w, n_users in ((0, 3000), (1, 700)):
+        uids = np.arange(n_users, dtype=np.int64) + w * 10_000_000
+        uids = np.concatenate([uids, uids[: n_users // 2]])  # repeats
+        frames.append(pd.DataFrame({
+            "ts": np.full(len(uids), base + w * hour),
+            "user_id": uids,
+            "event_id": np.arange(len(uids), dtype=np.int64),
+            "event_type": ["click"] * len(uids),
+            "value": np.zeros(len(uids)),
+            "props": [""] * len(uids)}))
+    ev = pd.concat(frames, ignore_index=True).sample(
+        frac=1.0, random_state=rng).reset_index(drop=True)
+    out = hll_distinct_users(ray.data.from_pandas(ev).repartition(6)) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    assert len(out) == 2
+    for i, n in ((0, 3000), (1, 700)):
+        est = float(out.loc[i, "est_distinct"])
+        assert abs(est - n) / n < 0.05, (i, est, n)
