@@ -33,6 +33,7 @@ from ghcrawler_ray.config import (PRIORITY_RANK, CrawlConfig,
                                   tune_data_context)
 from ghcrawler_ray.frontier import seeds_to_frontier
 from ghcrawler_ray.ops import ann as ops_ann
+from ghcrawler_ray.ops import bpe as ops_bpe
 from ghcrawler_ray.ops import corpus as ops_corpus
 from ghcrawler_ray.ops import curate as ops_curate
 from ghcrawler_ray.ops import contamination as ops_contam
@@ -673,6 +674,36 @@ def q_source_caps(sf_dir: str) -> ray.data.Dataset:
 
 def q_bpe_pairs(sf_dir: str) -> pd.DataFrame:
     return ops_corpus.bpe_pair_counts(_docs(sf_dir))
+
+
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    return ops_bpe.bpe_train(_docs(sf_dir))
+
+
+def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.pmi_bigrams(_docs(sf_dir))
+
+
+def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
+    return ops_search.phrase_search(_docs(sf_dir))
+
+
+def q_window_topk_users(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["window_start"].astype("datetime64[us]")
+        return df
+    return ops_events.window_topk_users(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
+def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cohort_day"] = df["cohort_day"].astype("datetime64[us]")
+        return df
+    return ops_events.cohort_retention(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
 
 
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
@@ -1573,6 +1604,42 @@ def _repetition_sql() -> str:
 _HOP_US = ops_events.HOP_MINUTES * 60_000_000
 
 
+def _bpe_train_sql(k: int = ops_bpe.BPE_MERGES) -> str:
+    """Unrolled K-iteration BPE mirror. Tokenization state is the same
+    double-delimited string as ops/bpe.py ('||h||i||'); DuckDB's
+    ``replace`` is non-overlapping left-to-right like ``str.replace``,
+    and the '|l||r|' → '|lr|' pattern keeps the boundary guards, so the
+    greedy merge is bit-identical (see ops/bpe.py module doc)."""
+    ctes = [r"""w0 AS (
+        SELECT '||' || array_to_string(regexp_extract_all(token, '.'),
+                                       '||') || '||' AS w,
+               count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[^\s]+'))
+                  AS token FROM documents)
+        GROUP BY 1)"""]
+    sels = []
+    for i in range(k):
+        ctes.append(f"""p{i} AS (
+            SELECT arr[CAST(u.i AS INT)] AS lhs,
+                   arr[CAST(u.i AS INT) + 1] AS rhs,
+                   sum(cnt)::BIGINT AS n
+            FROM (SELECT string_split(trim(w, '|'), '||') AS arr, cnt
+                  FROM w{i}) t,
+                 LATERAL (SELECT unnest(range(1, len(arr))) AS i) u
+            GROUP BY 1, 2)""")
+        ctes.append(f"""b{i} AS (
+            SELECT lhs, rhs, n FROM p{i}
+            ORDER BY n DESC, lhs, rhs LIMIT 1)""")
+        if i + 1 < k:
+            ctes.append(f"""w{i + 1} AS (
+            SELECT replace(t.w, '|' || b.lhs || '||' || b.rhs || '|',
+                           '|' || b.lhs || b.rhs || '|') AS w, t.cnt
+            FROM w{i} t, b{i} b)""")
+        sels.append(f"SELECT {i + 1}::BIGINT AS merge_rank, lhs, rhs, "
+                    f"lhs || rhs AS merged, n AS pair_count FROM b{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def _ops_sql() -> dict[str, str]:
     en = _marker_sql(ops_text.LANG_MARKERS["en"])
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
@@ -1694,6 +1761,45 @@ def _ops_sql() -> dict[str, str]:
             c AS (SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1)
             SELECT pair, n FROM c ORDER BY n DESC, pair ASC
             LIMIT {ops_corpus.BPE_PAIR_TOPK}""",
+        "bpe_train": _bpe_train_sql(),
+        # pmi_fp: three truncating BIGINT divisions in the exact order
+        # ops/text.pmi_bigrams uses (a=(n·U)//c_l, b=(a·U)//c_r,
+        # pmi_fp=(b·FP)//T) — integer-exact on both sides
+        "pmi_bigrams": rf"""
+            WITH ts AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token,
+                 generate_subscripts(tk, 1) AS pos FROM ts),
+            uni AS (SELECT token, count(*)::BIGINT AS n FROM tok
+               GROUP BY 1),
+            tot AS (SELECT sum(n)::BIGINT AS u FROM uni),
+            bi AS (SELECT a.token AS tok_l, b.token AS tok_r,
+                 count(*)::BIGINT AS n_pair
+               FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               GROUP BY 1, 2),
+            tb AS (SELECT sum(n_pair)::BIGINT AS t FROM bi),
+            f AS (SELECT * FROM bi
+               WHERE n_pair >= {ops_text.PMI_MIN_COUNT})
+            SELECT f.tok_l, f.tok_r, f.n_pair,
+                (((((f.n_pair * tot.u) // ul.n) * tot.u) // ur.n)
+                    * {ops_text.PMI_FP}) // tb.t AS pmi_fp
+            FROM f JOIN uni ul ON ul.token = f.tok_l
+                   JOIN uni ur ON ur.token = f.tok_r, tot, tb""",
+        "phrase_search": rf"""
+            WITH ts AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token,
+                 generate_subscripts(tk, 1) AS pos FROM ts),
+            m AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               WHERE a.token = '{ops_search.PHRASE[0]}'
+                 AND b.token = '{ops_search.PHRASE[1]}')
+            SELECT doc_id, count(*)::BIGINT AS n_occurrences,
+                (min(pos) - 1)::BIGINT AS first_pos
+            FROM m GROUP BY 1""",
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
@@ -2002,6 +2108,23 @@ def _ops_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.DUP_COS_THRESHOLD}""",
+        "window_topk_users": f"""
+            WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+                 user_id, count(*)::BIGINT AS n_events
+               FROM events GROUP BY 1, 2)
+            SELECT window_start, user_id, n_events, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY window_start
+                  ORDER BY n_events DESC, user_id)::BIGINT AS rank
+              FROM c)
+            WHERE rank <= {ops_events.TOPK_WINDOW_K}""",
+        "cohort_retention": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                 date_trunc('day', ts) AS day FROM events),
+            c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+            SELECT c.cohort AS cohort_day,
+                date_diff('day', c.cohort, ud.day)::BIGINT AS day_offset,
+                count(*)::BIGINT AS n_users
+            FROM ud JOIN c USING (user_id) GROUP BY 1, 2""",
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value,
@@ -2254,6 +2377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": q_cms_tokens,
         "source_caps": q_source_caps,
         "bpe_pair_counts": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
+        "pmi_bigrams": q_pmi_bigrams,
+        "phrase_search": q_phrase_search,
+        "window_topk_users": q_window_topk_users,
+        "cohort_retention": q_cohort_retention,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

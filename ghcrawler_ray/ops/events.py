@@ -266,3 +266,108 @@ def range_join_bands(events: ray.data.Dataset) -> ray.data.Dataset:
 
     return events.select_columns(["event_id", "event_type", "value"]) \
         .map_batches(join, batch_format="pandas")
+
+
+# ---- per-window heavy hitters ----
+
+TOPK_WINDOW_K = 5
+
+
+def window_topk_users(events: ray.data.Dataset,
+                      k: int = TOPK_WINDOW_K) -> ray.data.Dataset:
+    """Per tumbling hour window, the top-``k`` users by event count:
+    (window_start, user_id, n_events, rank 1..k), rank ordered by
+    (n desc, user_id asc).
+
+    Combiner shape: each batch collapses to one (window, user) partial
+    row; ONE coarse int-keyed shuffle co-locates a window's partials;
+    the fold re-sums and takes the per-window top-k vectorized across
+    ALL windows of the partition (sort + grouped head, never one task
+    per window). Only (int, int, int) rows ever move."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "ws": df["ts"].dt.floor("h").to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "user_id": df["user_id"].to_numpy(dtype=np.int64)}) \
+            .groupby(["ws", "user_id"], sort=False, as_index=False).size()
+        g["n"] = g["size"].astype(np.int64)
+        g["part"] = ((g["ws"].to_numpy(dtype=np.int64) // 3_600_000_000)
+                     % N_USER_PARTS).astype(np.int32)
+        return g[["part", "ws", "user_id", "n"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ws", "user_id"], sort=False, as_index=False)["n"] \
+            .sum()
+        out = out.sort_values(["ws", "n", "user_id"],
+                              ascending=[True, False, True], kind="stable")
+        top = out.groupby("ws", sort=False).head(k).copy()
+        top["rank"] = (top.groupby("ws", sort=False).cumcount()
+                       .to_numpy(dtype=np.int64) + 1)
+        return pd.DataFrame({
+            "window_start": top["ws"].to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+            "user_id": top["user_id"].to_numpy(dtype=np.int64),
+            "n_events": top["n"].to_numpy(dtype=np.int64),
+            "rank": top["rank"].to_numpy(dtype=np.int64)})
+
+    return (events.select_columns(["ts", "user_id"])
+            .map_batches(combine, batch_format="pandas")
+            .materialize()      # split scan from all-to-all (fusion pitfall)
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+# ---- cohort retention ----
+
+def cohort_retention(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Day-grain cohort retention: cohort = a user's first active day;
+    output (cohort_day, day_offset, n_users) = how many of each
+    cohort's users were active ``day_offset`` days after joining.
+
+    Shape: per-batch distinct (user, day) combiner → ONE user-hash
+    co-partition (a user's days all land together, so cohort = local
+    min and the (cohort, offset) partial counts are exact) → the
+    second groupby moves only #(cohort × offset) count rows (≤ days²,
+    tiny) — the classic two-level distinct-then-count without ever
+    shuffling raw events."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "day": df["ts"].dt.floor("D").to_numpy()
+            .astype("datetime64[us]").astype(np.int64)}) \
+            .drop_duplicates()
+        g["part"] = (g["user_id"].to_numpy(dtype=np.int64)
+                     % N_USER_PARTS).astype(np.int32)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min") \
+            .to_numpy(dtype=np.int64)
+        day = g["day"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "cohort": cohort,
+            "day_offset": (day - cohort) // 86_400_000_000}) \
+            .groupby(["cohort", "day_offset"], sort=False,
+                     as_index=False).size()
+        out["n"] = out["size"].astype(np.int64)
+        out["cpart"] = ((out["cohort"].to_numpy(dtype=np.int64)
+                         // 86_400_000_000) % N_USER_PARTS).astype(np.int32)
+        return out[["cpart", "cohort", "day_offset", "n"]]
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort", "day_offset"], sort=False,
+                        as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "cohort_day": out["cohort"].to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+            "day_offset": out["day_offset"].to_numpy(dtype=np.int64),
+            "n_users": out["n"].to_numpy(dtype=np.int64)})
+
+    return (events.select_columns(["ts", "user_id"])
+            .map_batches(combine, batch_format="pandas")
+            .materialize()
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("cpart").map_groups(fold2, batch_format="pandas"))

@@ -213,3 +213,54 @@ def tfidf_top_terms(docs: ray.data.Dataset,
     return scored.groupby("dpart").map_groups(
         lambda g: topk_part(g.drop(columns=["dpart"])),
         batch_format="pandas")
+
+
+# ---- exact phrase search ----
+
+#: fixed phrase — adjacent-token match over the corpus vocabulary
+PHRASE: tuple[str, str] = ("hash", "join")
+
+
+def phrase_search(docs: ray.data.Dataset,
+                  phrase: tuple[str, str] = PHRASE) -> ray.data.Dataset:
+    """Exact consecutive-phrase match: (doc_id, n_occurrences,
+    first_pos) for every document containing ``phrase[0] phrase[1]``
+    as adjacent whitespace tokens (first_pos 0-based).
+
+    Embarrassingly parallel — a document's tokens live wholly in its
+    row, so the match is one vectorized pass per batch (flattened
+    token/pos arrays, adjacent-row compare) with NO shuffle at all;
+    the output is only matching (int, int, int) rows. This is the
+    positional-postings phrase query collapsed to its map-only form;
+    for multi-term phrases over a pre-built index, join ``postings``
+    shards on (doc_id, pos+1) instead."""
+    l_tok, r_tok = phrase
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [_WS_RE.findall(t.lower()) for t in df["text"].tolist()]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                              "n_occurrences": np.empty(0, np.int64),
+                              "first_pos": np.empty(0, np.int64)})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in tok_lists if len(t)])
+        doc = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens if n])
+        hit = np.zeros(len(flat), dtype=bool)
+        if len(flat) > 1:
+            hit[:-1] = ((flat[:-1] == l_tok) & (flat[1:] == r_tok)
+                        & (doc[:-1] == doc[1:]))
+        if not hit.any():
+            return empty
+        m = pd.DataFrame({"doc_id": doc[hit], "pos": pos[hit]}) \
+            .groupby("doc_id", sort=False)["pos"] \
+            .agg(n_occurrences="size", first_pos="min").reset_index()
+        return m.astype({"doc_id": np.int64, "n_occurrences": np.int64,
+                         "first_pos": np.int64})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        match, batch_format="pandas")

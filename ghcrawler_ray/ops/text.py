@@ -352,3 +352,118 @@ def vocab_encode(docs: ray.data.Dataset, v: int = ENC_VOCAB_V,
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(encode, batch_format="pandas"))
+
+
+# ---- PMI bigram collocations ----
+
+# pmi_fp is an integer-exact PMI surrogate: with U = total unigram
+# positions, T = total bigram positions, the true PMI ratio is
+# p(l,r)/(p(l)p(r)) = n_pair·U²/(T·c_l·c_r); it is computed as three
+# truncating int64 divisions in a FIXED order (each step provably fits
+# int64 because n_pair ≤ min(c_l, c_r)), so the DuckDB mirror is
+# bit-exact. Monotone in the true ratio up to the truncation, which is
+# what a collocation ranking needs. At extreme corpus sizes (U ≳ 3e9)
+# switch the last two steps to log-space floats.
+PMI_FP = 10 ** 6
+PMI_MIN_COUNT = 10
+PMI_PARTS = 64
+
+
+def pmi_bigrams(docs: ray.data.Dataset,
+                min_count: int = PMI_MIN_COUNT) -> ray.data.Dataset:
+    """Collocation mining: (tok_l, tok_r, n_pair, pmi_fp) for every
+    adjacent whitespace-token bigram with corpus count ≥ ``min_count``.
+
+    Scale shape — NO vocab broadcast (a 100 TB corpus' unigram table is
+    itself big): two slim tagged-union co-partition joins, the tfidf /
+    order_revenue_join pattern. Pass A co-partitions bigram partials
+    with unigram counts under ``hash64(lhs) % P`` (a bigram's partials
+    all land where its lhs count lives → fold sums them and attaches
+    c_l); pass B re-keys the surviving ≥min_count bigrams by rhs and
+    attaches c_r. The corpus-level scalars U and T come from two tiny
+    ``Sum`` aggregates over the already-materialized slim partials.
+    The raw text is scanned twice (uni + bi partials) and never
+    shuffles; everything that moves is (token, int) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..urls import hash64_array
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
+        flat = [w for ts in toks for w in ts]
+        if not flat:
+            return pd.DataFrame({"part": np.empty(0, np.int32),
+                                 "side": np.empty(0, np.int8),
+                                 "lhs": np.empty(0, object),
+                                 "rhs": np.empty(0, object),
+                                 "n": np.empty(0, np.int64),
+                                 "cl": np.empty(0, np.int64)})
+        cnt = pd.Series(flat, dtype=object).value_counts()
+        tok = cnt.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "part": (hash64_array(pd.Series(tok)) % PMI_PARTS)
+            .astype(np.int32),
+            "side": np.zeros(len(tok), dtype=np.int8),
+            "lhs": tok,
+            "rhs": np.full(len(tok), "", dtype=object),
+            "n": cnt.to_numpy(dtype=np.int64),
+            "cl": np.zeros(len(tok), dtype=np.int64)})
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
+        l = [ts[i] for ts in toks for i in range(len(ts) - 1)]
+        r = [ts[i + 1] for ts in toks for i in range(len(ts) - 1)]
+        if not l:
+            return uni_partial(pd.DataFrame({"text": []}))
+        g = pd.DataFrame({"lhs": np.array(l, dtype=object),
+                          "rhs": np.array(r, dtype=object)}) \
+            .groupby(["lhs", "rhs"], sort=False, as_index=False).size()
+        return pd.DataFrame({
+            "part": (hash64_array(g["lhs"]) % PMI_PARTS).astype(np.int32),
+            "side": np.ones(len(g), dtype=np.int8),
+            "lhs": g["lhs"].to_numpy(dtype=object),
+            "rhs": g["rhs"].to_numpy(dtype=object),
+            "n": g["size"].to_numpy(dtype=np.int64),
+            "cl": np.zeros(len(g), dtype=np.int64)})
+
+    txt = docs.select_columns(["text"])
+    uni = txt.map_batches(uni_partial, batch_format="pandas").materialize()
+    bi = txt.map_batches(bi_partial, batch_format="pandas").materialize()
+    total_u = int(uni.aggregate(Sum("n", alias_name="s"))["s"])
+    total_t = int(bi.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def fold_a(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[g["side"] == 0].groupby("lhs", sort=False, as_index=False)["n"] \
+            .sum().rename(columns={"lhs": "tok", "n": "c"})
+        b = g[g["side"] == 1].groupby(["lhs", "rhs"], sort=False,
+                                      as_index=False)["n"].sum()
+        b = b[b["n"] >= min_count]
+        m = b.merge(u, left_on="lhs", right_on="tok", how="inner")
+        return pd.DataFrame({
+            "part": (hash64_array(m["rhs"]) % PMI_PARTS).astype(np.int32),
+            "side": np.ones(len(m), dtype=np.int8),
+            "lhs": m["lhs"].to_numpy(dtype=object),
+            "rhs": m["rhs"].to_numpy(dtype=object),
+            "n": m["n"].to_numpy(dtype=np.int64),
+            "cl": m["c"].to_numpy(dtype=np.int64)})
+
+    def fold_b(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[g["side"] == 0].groupby("lhs", sort=False, as_index=False)["n"] \
+            .sum().rename(columns={"lhs": "tok", "n": "cr"})
+        b = g[g["side"] == 1]
+        m = b.merge(u, left_on="rhs", right_on="tok", how="inner")
+        n_pair = m["n"].to_numpy(dtype=np.int64)
+        cl = m["cl"].to_numpy(dtype=np.int64)
+        cr = m["cr"].to_numpy(dtype=np.int64)
+        a = (n_pair * np.int64(total_u)) // cl
+        b2 = (a * np.int64(total_u)) // cr
+        return pd.DataFrame({
+            "tok_l": m["lhs"].to_numpy(dtype=object),
+            "tok_r": m["rhs"].to_numpy(dtype=object),
+            "n_pair": n_pair,
+            "pmi_fp": (b2 * np.int64(PMI_FP)) // np.int64(total_t)})
+
+    pass_a = uni.union(bi).groupby("part") \
+        .map_groups(fold_a, batch_format="pandas")
+    return uni.union(pass_a).groupby("part") \
+        .map_groups(fold_b, batch_format="pandas")

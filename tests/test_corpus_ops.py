@@ -512,3 +512,28 @@ def test_hll_users_estimate_within_tolerance(ray_session):
     for i, n in ((0, 3000), (1, 700)):
         est = float(out.loc[i, "est_distinct"])
         assert abs(est - n) / n < 0.05, (i, est, n)
+
+
+# ---- bpe_train building blocks (ops/bpe.py) ----
+
+def test_bpe_delim_replace_is_greedy_bpe():
+    """The double-delimiter encoding makes plain str.replace reproduce
+    BPE's greedy left-to-right one-pass merge (boundary guards survive
+    each replacement) — the property the DuckDB mirror relies on."""
+    from ghcrawler_ray.ops.bpe import _delim
+    assert _delim("aaaa").replace("|a||a|", "|aa|") == "||aa||aa||"
+    assert _delim("aaa").replace("|a||a|", "|aa|") == "||aa||a||"
+    # no cross-token false match: 'ax y' must not match pair (x, y)
+    assert _delim("axy").replace("|x||y|", "|xy|") == "||a||x||y||".replace(
+        "|x||y|", "|xy|")  # merges only at a real (x, y) boundary
+    assert _delim("axy").replace("|ax||y|", "|axy|") == _delim("axy")
+
+
+def test_bpe_pair_counts_overlapping_weighted():
+    import numpy as np
+    from ghcrawler_ray.ops.bpe import _delim, _pair_counts
+    pc = _pair_counts([_delim("aaa"), _delim("ab")],
+                      np.array([2, 3], dtype=np.int64))
+    got = {(r.lhs, r.rhs): int(r.n) for r in pc.itertuples()}
+    # positions-based (overlapping) counts, weighted by word frequency
+    assert got == {("a", "a"): 4, ("a", "b"): 3}
