@@ -706,6 +706,21 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
         fix, batch_format="pandas")
 
 
+def q_zscore_anomalies(sf_dir: str) -> ray.data.Dataset:
+    return ops_events.zscore_anomalies(_events(sf_dir))
+
+
+def q_funnel_conversion(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("t_view", "t_click", "t_purchase"):
+            df[c] = df[c].astype("datetime64[us]")
+        df["depth"] = df["depth"].astype(np.int64)
+        return df
+    return ops_events.funnel_conversion(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -2108,6 +2123,46 @@ def _ops_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.DUP_COS_THRESHOLD}""",
+        # z = (cents·n − S)/sqrt(n·Q − S²): int64 moments, ONE fixed
+        # IEEE expression over exactly-representable doubles — bit-exact
+        # vs ops/events.zscore_anomalies with no rounding
+        "zscore_anomalies": f"""
+            WITH c AS (SELECT event_id, event_type, value,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+            m AS (SELECT event_type, count(*)::BIGINT AS n,
+                 sum(cents)::BIGINT AS s,
+                 sum(cents * cents)::BIGINT AS q
+               FROM c GROUP BY 1),
+            z AS (SELECT c.event_id, c.event_type, c.value,
+                 CAST(c.cents * m.n - m.s AS DOUBLE)
+                   / sqrt(CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                          - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                   AS z
+               FROM c JOIN m USING (event_type))
+            SELECT event_id, event_type, value, z FROM z
+            WHERE abs(z) >= {ops_events.Z_THRESHOLD!r}e0""",
+        "funnel_conversion": f"""
+            WITH f AS (SELECT user_id, event_type, ts FROM events
+               WHERE event_type IN ('{ops_events.FUNNEL_STEPS[0]}',
+                 '{ops_events.FUNNEL_STEPS[1]}',
+                 '{ops_events.FUNNEL_STEPS[2]}')),
+            v AS (SELECT user_id, min(ts) AS t_view FROM f
+               WHERE event_type = '{ops_events.FUNNEL_STEPS[0]}'
+               GROUP BY 1),
+            c AS (SELECT f.user_id, min(f.ts) AS t_click
+               FROM f JOIN v USING (user_id)
+               WHERE f.event_type = '{ops_events.FUNNEL_STEPS[1]}'
+                 AND f.ts > v.t_view GROUP BY 1),
+            p AS (SELECT f.user_id, min(f.ts) AS t_purchase
+               FROM f JOIN c USING (user_id)
+               WHERE f.event_type = '{ops_events.FUNNEL_STEPS[2]}'
+                 AND f.ts > c.t_click GROUP BY 1)
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                (1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END)
+                   ::BIGINT AS depth
+            FROM v LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)""",
         "window_topk_users": f"""
             WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
                  user_id, count(*)::BIGINT AS n_events
@@ -2382,6 +2437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "window_topk_users": q_window_topk_users,
         "cohort_retention": q_cohort_retention,
+        "zscore_anomalies": q_zscore_anomalies,
+        "funnel_conversion": q_funnel_conversion,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

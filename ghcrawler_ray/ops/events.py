@@ -371,3 +371,118 @@ def cohort_retention(events: ray.data.Dataset) -> ray.data.Dataset:
             .materialize()
             .groupby("part").map_groups(fold, batch_format="pandas")
             .groupby("cpart").map_groups(fold2, batch_format="pandas"))
+
+
+# ---- z-score anomaly detection ----
+
+Z_THRESHOLD = 3.0
+
+
+def zscore_anomalies(events: ray.data.Dataset,
+                     z_thresh: float = Z_THRESHOLD) -> ray.data.Dataset:
+    """Per-event-type outliers: (event_id, event_type, value, z) for
+    every event whose value is ≥ ``z_thresh`` population standard
+    deviations from its type's mean.
+
+    Exactness: values are 2-dp fixed-point by construction, so the
+    per-type moments (n, S=Σcents, Q=Σcents²) are exact int64 partial
+    sums — order-independent — reduced by one tiny ``aggregate`` (#types
+    scalar rows on the driver). The per-row z is ONE fixed IEEE
+    expression over exactly-representable doubles
+    (``(c·n−S) / sqrt(n·Q − S²)``, every operand < 2^53), so the DuckDB
+    mirror is bit-exact with no rounding. Shape: one moments pass + one
+    streaming flag pass with the ≤#types constants in the closure
+    (``ray.put`` at fleet scale); zero row shuffles. At 10⁹+ rows/type
+    carry Q as a hi/lo pair (int64 headroom, same note as
+    ops/relational.py)."""
+    from ray.data.aggregate import Count, Sum
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"]
+                          .to_numpy(dtype=object),
+                          "s": c, "q": c * c,
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return g.groupby("event_type", sort=False, as_index=False).sum()
+
+    m = (events.select_columns(["event_type", "value"])
+         .map_batches(moments, batch_format="pandas")
+         .groupby("event_type")
+         .aggregate(Sum("s", alias_name="s"), Sum("q", alias_name="q"),
+                    Sum("n", alias_name="n"))
+         .to_pandas())                     # ≤ #types rows
+    stats = {r.event_type: (int(r.n), int(r.s),
+                            float(r.n) * float(r.q)
+                            - float(r.s) * float(r.s))
+             for r in m.itertuples()}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        et = df["event_type"].to_numpy(dtype=object)
+        n = np.fromiter((stats[t][0] for t in et), dtype=np.int64,
+                        count=len(et))
+        s = np.fromiter((stats[t][1] for t in et), dtype=np.int64,
+                        count=len(et))
+        den = np.sqrt(np.fromiter((stats[t][2] for t in et),
+                                  dtype=np.float64, count=len(et)))
+        z = (c * n - s).astype(np.float64) / den
+        keep = np.abs(z) >= z_thresh
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64)[keep],
+            "event_type": et[keep],
+            "value": df["value"].to_numpy(dtype=np.float64)[keep],
+            "z": z[keep]})
+
+    return (events.select_columns(["event_id", "event_type", "value"])
+            .map_batches(flag, batch_format="pandas"))
+
+
+# ---- conversion funnel ----
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Strict sequential funnel per user over ``FUNNEL_STEPS``:
+    (user_id, t_view, t_click, t_purchase, depth) where t_click is the
+    user's first click strictly AFTER their first view, t_purchase the
+    first purchase strictly after that click; depth = steps reached
+    (users with no view are absent).
+
+    Shape: slim (user, type, ts) projection → ONE user-hash
+    co-partition; within a partition every step is a vectorized
+    filter + groupby-min across ALL its users (never a task per user)."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(FUNNEL_STEPS)]
+        out = df[["user_id", "event_type", "ts"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["event_type"] == FUNNEL_STEPS[0]] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "t_view"})
+        c = g[g["event_type"] == FUNNEL_STEPS[1]] \
+            .merge(v, on="user_id", how="inner")
+        c = c[c["ts"] > c["t_view"]] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "t_click"})
+        p = g[g["event_type"] == FUNNEL_STEPS[2]] \
+            .merge(c, on="user_id", how="inner")
+        p = p[p["ts"] > p["t_click"]] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "t_purchase"})
+        out = v.merge(c, on="user_id", how="left") \
+            .merge(p, on="user_id", how="left")
+        out["depth"] = (1 + out["t_click"].notna().astype(np.int64)
+                        + out["t_purchase"].notna().astype(np.int64))
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out[["user_id", "t_view", "t_click", "t_purchase", "depth"]]
+
+    return (events.select_columns(["user_id", "event_type", "ts"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(funnel, batch_format="pandas"))
