@@ -183,6 +183,13 @@ def q_host_components(sf_dir: str) -> ray.data.Dataset:
     return host_components(_links_ds(sf_dir))
 
 
+def q_host_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-host triangle participation in the host graph — mirrored by
+    a canonicalized (s<d) three-way self-join."""
+    from ghcrawler_ray.ops.graph import host_triangles
+    return host_triangles(_links_ds(sf_dir))
+
+
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Distributed PageRank over the synthesized web's link graph —
     exact int64 fixed-point power iteration (ops/graph.py), mirrored by
@@ -1119,6 +1126,29 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
         "crawl_pagerank": _pagerank_sql(pages),
+        "crawl_host_triangles": f"""
+            WITH l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+            h AS (SELECT
+                 lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                     AS a,
+                 lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                     AS b
+               FROM l
+               WHERE regexp_matches(src_url, '^https?://[^/?#]+')
+                 AND regexp_matches(dst_url, '^https?://[^/?#]+')),
+            e AS (SELECT DISTINCT least(a, b) AS s, greatest(a, b) AS d
+               FROM h WHERE a <> b),
+            tri AS (SELECT e1.s AS ha, e1.d AS hb, e2.d AS hc
+               FROM e e1 JOIN e e2 ON e2.s = e1.d
+                         JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+            u AS (SELECT ha AS host FROM tri
+               UNION ALL SELECT hb FROM tri
+               UNION ALL SELECT hc FROM tri)
+            SELECT host, count(*)::BIGINT AS n_triangles
+            FROM u GROUP BY 1""",
         "crawl_host_components": f"""
             WITH RECURSIVE l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -2373,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage": q_crawl_lineage,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_host_components": q_host_components,
+        "crawl_host_triangles": q_host_triangles,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,

@@ -47,7 +47,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "kmeans_fit", "corpus_curate", "dedup_spans",
                "pack_sequences", "crawl_pagerank",
                "quality_percentile_gate", "vocab_encode",
-               "project_embeddings")
+               "project_embeddings", "bpe_train", "pmi_bigrams",
+               "funnel_conversion")
 SCALING_CPUS = (8, 32)
 
 

@@ -401,3 +401,51 @@ def host_components(links: ray.data.Dataset) -> ray.data.Dataset:
         "component_size": pd.Series(comp).map(sizes)
         .to_numpy(dtype=np.int64)})
     return ray.data.from_pandas(out)
+
+
+def host_triangles(links: ray.data.Dataset) -> pd.DataFrame:
+    """(host, n_triangles): per-host triangle participation in the
+    undirected HOST graph (edge wherever any page of host A links any
+    page of host B, self-loops dropped) — the clustering-structure /
+    link-ring signal next to ``host_components``' reachability.
+
+    Scale shape: page-level edges collapse to distinct host pairs
+    inside each batch, then one global distinct groupby — the host-pair
+    list is orders of magnitude smaller than the url graph (the same
+    #hosts-bounded budget as ``host_components``, which pulls the same
+    table). The triangle enumeration is two vectorized merges over the
+    canonicalized (s < d) edge list: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with
+    a < b < c, so each triangle is counted exactly once. At a scale
+    where host pairs outgrow one task, the same two joins run as
+    hash64(key) co-partition stages (the order_revenue_join shape)."""
+
+    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+
+    pairs = (links.select_columns(["src_url", "dst_url"])
+             .map_batches(host_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).count()           # global distinct pairs
+             .select_columns(["a", "b"])
+             .to_pandas())                           # ≤ #hosts² ≪ #urls
+    a = pairs["a"].to_numpy(dtype=object)
+    b = pairs["b"].to_numpy(dtype=object)
+    keep = a != b
+    e = pd.DataFrame({"s": np.minimum(a[keep], b[keep]),
+                      "d": np.maximum(a[keep], b[keep])}).drop_duplicates()
+    m = e.merge(e, left_on="d", right_on="s", suffixes=("_1", "_2"))
+    # (a=s_1, b=d_1=s_2, c=d_2) with a<b<c; close with the (a, c) edge
+    tri = m.merge(e, left_on=["s_1", "d_2"], right_on=["s", "d"],
+                  how="inner")
+    hosts = np.concatenate([tri["s_1"].to_numpy(dtype=object),
+                            tri["d_1"].to_numpy(dtype=object),
+                            tri["d_2"].to_numpy(dtype=object)])
+    if not len(hosts):
+        return pd.DataFrame({"host": np.empty(0, object),
+                             "n_triangles": np.empty(0, np.int64)})
+    cnt = pd.Series(hosts, dtype=object).value_counts()
+    return pd.DataFrame({"host": cnt.index.to_numpy(dtype=object),
+                         "n_triangles": cnt.to_numpy(dtype=np.int64)})
