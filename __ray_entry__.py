@@ -713,6 +713,19 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
         fix, batch_format="pandas")
 
 
+def q_rolling_active_users(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["day"].astype("datetime64[us]")
+        return df
+    return ops_events.rolling_active_users(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
+def q_rollup_doc_stats(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.rollup_doc_stats(_docs(sf_dir))
+
+
 def q_zscore_anomalies(sf_dir: str) -> ray.data.Dataset:
     return ops_events.zscore_anomalies(_events(sf_dir))
 
@@ -2153,6 +2166,22 @@ def _ops_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= {ops_ann.DUP_COS_THRESHOLD}""",
+        "rolling_active_users": f"""
+            WITH ud AS (SELECT DISTINCT user_id,
+                 date_trunc('day', ts) AS day FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            w AS (SELECT DISTINCT ud.user_id, d.day AS wday
+               FROM ud JOIN days d
+                 ON ud.day <= d.day
+                AND ud.day > d.day - INTERVAL {ops_events.ROLLING_DAYS} DAY)
+            SELECT wday AS day, count(*)::BIGINT AS n_active_users
+            FROM w GROUP BY 1""",
+        "rollup_doc_stats": f"""
+            SELECT coalesce(lang, '{ops_corpus.ROLLUP_ALL}') AS lang,
+                coalesce(source, '{ops_corpus.ROLLUP_ALL}') AS source,
+                count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)""",
         # z = (cents·n − S)/sqrt(n·Q − S²): int64 moments, ONE fixed
         # IEEE expression over exactly-representable doubles — bit-exact
         # vs ops/events.zscore_anomalies with no rounding
@@ -2470,6 +2499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "zscore_anomalies": q_zscore_anomalies,
         "funnel_conversion": q_funnel_conversion,
+        "rolling_active_users": q_rolling_active_users,
+        "rollup_doc_stats": q_rollup_doc_stats,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

@@ -550,3 +550,52 @@ def fixed_n_sample(docs: ray.data.Dataset,
             .map_batches(local_topn, batch_format="pandas")
             .groupby("lang")
             .map_groups(final_topn, batch_format="pandas"))
+
+
+# ---- ROLLUP grouping-set aggregate ----
+
+ROLLUP_ALL = "ALL"
+
+
+def rollup_doc_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUP BY ROLLUP (lang, source) over the corpus: (lang, source,
+    n_docs, total_chars) at three grouping levels — per (lang, source),
+    per-lang subtotal (source='ALL'), and the grand total
+    (lang='ALL', source='ALL').
+
+    Shape: the per-batch combiner emits ALL THREE grouping levels as
+    partial rows (≤ 3×#groups per batch), so one slim hash-groupby
+    finishes every level in a single shuffle — rollups never re-scan or
+    re-shuffle the corpus per level. Counts/sums are exact int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            "lang": df["lang"].to_numpy(dtype=object),
+            "source": df["source"].to_numpy(dtype=object),
+            "n": np.ones(len(df), dtype=np.int64),
+            "chars": df["n_chars"].to_numpy(dtype=np.int64)})
+        lvl0 = base.groupby(["lang", "source"], sort=False,
+                            as_index=False).sum()
+        lvl1 = lvl0.groupby("lang", sort=False, as_index=False) \
+            [["n", "chars"]].sum()
+        lvl1["source"] = ROLLUP_ALL
+        lvl2 = pd.DataFrame({"lang": [ROLLUP_ALL], "source": [ROLLUP_ALL],
+                             "n": [lvl1["n"].sum()],
+                             "chars": [lvl1["chars"].sum()]})
+        return pd.concat([lvl0, lvl1[["lang", "source", "n", "chars"]],
+                          lvl2], ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "source": df["source"].astype(str),
+            "n_docs": df["n"].to_numpy(dtype=np.int64),
+            "total_chars": df["chars"].to_numpy(dtype=np.int64)})
+
+    return (docs.select_columns(["lang", "source", "n_chars"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("chars", alias_name="chars"))
+            .map_batches(finish, batch_format="pandas"))

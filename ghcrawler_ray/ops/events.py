@@ -486,3 +486,66 @@ def funnel_conversion(events: ray.data.Dataset) -> ray.data.Dataset:
     return (events.select_columns(["user_id", "event_type", "ts"])
             .map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(funnel, batch_format="pandas"))
+
+
+# ---- rolling window distinct actives ----
+
+ROLLING_DAYS = 7
+
+
+def rolling_active_users(events: ray.data.Dataset,
+                         window_days: int = ROLLING_DAYS) -> ray.data.Dataset:
+    """(day, n_active_users): distinct users with ≥1 event in the
+    trailing ``window_days``-day window ending at each day present in
+    the stream — the DAU/WAU-style rolling-distinct the HLL sketch
+    (``ops.sketch.hll_distinct_users``) approximates per hour, here
+    exact per day.
+
+    Shape: distinct (user, day) combiner → ONE user-hash co-partition
+    where each user's days EXPLODE into their ≤``window_days`` target
+    windows and dedup locally (a user is co-located, so the distinct
+    (user, window) set is exact without a second wide shuffle) → the
+    final groupby moves only (day, count) partials. The present-day
+    domain is a tiny sidecar aggregate broadcast into the fold."""
+    day_us = 86_400_000_000
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "day": df["ts"].dt.floor("D").to_numpy()
+            .astype("datetime64[us]").astype(np.int64)}) \
+            .drop_duplicates()
+        g["part"] = (g["user_id"].to_numpy(dtype=np.int64)
+                     % N_USER_PARTS).astype(np.int32)
+        return g
+
+    ud = (events.select_columns(["ts", "user_id"])
+          .map_batches(combine, batch_format="pandas")
+          .materialize())
+    days = np.sort(ud.groupby("day").count().to_pandas()["day"]
+                   .to_numpy(dtype=np.int64))        # tiny: #days rows
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        uid = np.repeat(g["user_id"].to_numpy(dtype=np.int64), window_days)
+        wday = (np.repeat(g["day"].to_numpy(dtype=np.int64), window_days)
+                + np.tile(np.arange(window_days, dtype=np.int64) * day_us,
+                          len(g)))
+        keep = np.isin(wday, days)       # window ends must be present days
+        out = pd.DataFrame({"user_id": uid[keep], "wday": wday[keep]}) \
+            .drop_duplicates() \
+            .groupby("wday", as_index=False).size()
+        out["n"] = out["size"].astype(np.int64)
+        out["dpart"] = ((out["wday"].to_numpy(dtype=np.int64) // day_us)
+                        % N_USER_PARTS).astype(np.int32)
+        return out[["dpart", "wday", "n"]]
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("wday", sort=False, as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "day": out["wday"].to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+            "n_active_users": out["n"].to_numpy(dtype=np.int64)})
+
+    return (ud.groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("dpart").map_groups(fold2, batch_format="pandas"))

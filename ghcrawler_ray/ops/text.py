@@ -375,20 +375,21 @@ def pmi_bigrams(docs: ray.data.Dataset,
     adjacent whitespace-token bigram with corpus count ≥ ``min_count``.
 
     Scale shape — NO vocab broadcast (a 100 TB corpus' unigram table is
-    itself big): two slim tagged-union co-partition joins, the tfidf /
-    order_revenue_join pattern. Pass A co-partitions bigram partials
-    with unigram counts under ``hash64(lhs) % P`` (a bigram's partials
-    all land where its lhs count lives → fold sums them and attaches
-    c_l); pass B re-keys the surviving ≥min_count bigrams by rhs and
-    attaches c_r. The corpus-level scalars U and T come from two tiny
-    ``Sum`` aggregates over the already-materialized slim partials.
-    The raw text is scanned twice (uni + bi partials) and never
-    shuffles; everything that moves is (token, int) rows."""
+    itself big): ONE text scan emits unigram AND bigram partials as
+    tagged slim rows, keyed ``hash64(token) % P`` / ``hash64(lhs) % P``
+    so pass A's fold can attach c_l partition-locally (a bigram's
+    partials all land where its lhs count lives); the fold passes the
+    unigram rows through unchanged and re-keys surviving ≥min_count
+    bigrams by rhs, so pass B attaches c_r with the SECOND and final
+    co-partition shuffle. The corpus-level scalars U and T come from
+    one tiny per-side ``Sum`` aggregate over the materialized partials.
+    The raw text never shuffles; everything that moves is (token, int)
+    rows."""
     from ray.data.aggregate import Sum
 
     from ..urls import hash64_array
 
-    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
         flat = [w for ts in toks for w in ts]
         if not flat:
@@ -400,7 +401,7 @@ def pmi_bigrams(docs: ray.data.Dataset,
                                  "cl": np.empty(0, np.int64)})
         cnt = pd.Series(flat, dtype=object).value_counts()
         tok = cnt.index.to_numpy(dtype=object)
-        return pd.DataFrame({
+        uni = pd.DataFrame({
             "part": (hash64_array(pd.Series(tok)) % PMI_PARTS)
             .astype(np.int32),
             "side": np.zeros(len(tok), dtype=np.int8),
@@ -408,44 +409,46 @@ def pmi_bigrams(docs: ray.data.Dataset,
             "rhs": np.full(len(tok), "", dtype=object),
             "n": cnt.to_numpy(dtype=np.int64),
             "cl": np.zeros(len(tok), dtype=np.int64)})
-
-    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
         l = [ts[i] for ts in toks for i in range(len(ts) - 1)]
         r = [ts[i + 1] for ts in toks for i in range(len(ts) - 1)]
         if not l:
-            return uni_partial(pd.DataFrame({"text": []}))
+            return uni
         g = pd.DataFrame({"lhs": np.array(l, dtype=object),
                           "rhs": np.array(r, dtype=object)}) \
             .groupby(["lhs", "rhs"], sort=False, as_index=False).size()
-        return pd.DataFrame({
+        bi = pd.DataFrame({
             "part": (hash64_array(g["lhs"]) % PMI_PARTS).astype(np.int32),
             "side": np.ones(len(g), dtype=np.int8),
             "lhs": g["lhs"].to_numpy(dtype=object),
             "rhs": g["rhs"].to_numpy(dtype=object),
             "n": g["size"].to_numpy(dtype=np.int64),
             "cl": np.zeros(len(g), dtype=np.int64)})
+        return pd.concat([uni, bi], ignore_index=True)
 
-    txt = docs.select_columns(["text"])
-    uni = txt.map_batches(uni_partial, batch_format="pandas").materialize()
-    bi = txt.map_batches(bi_partial, batch_format="pandas").materialize()
-    total_u = int(uni.aggregate(Sum("n", alias_name="s"))["s"])
-    total_t = int(bi.aggregate(Sum("n", alias_name="s"))["s"])
+    parts = (docs.select_columns(["text"])
+             .map_batches(partials, batch_format="pandas").materialize())
+    tot = parts.groupby("side").aggregate(Sum("n", alias_name="s")) \
+        .to_pandas().set_index("side")["s"]
+    total_u, total_t = int(tot[0]), int(tot[1])
 
     def fold_a(g: pd.DataFrame) -> pd.DataFrame:
-        u = g[g["side"] == 0].groupby("lhs", sort=False, as_index=False)["n"] \
+        uni = g[g["side"] == 0]
+        u = uni.groupby("lhs", sort=False, as_index=False)["n"] \
             .sum().rename(columns={"lhs": "tok", "n": "c"})
         b = g[g["side"] == 1].groupby(["lhs", "rhs"], sort=False,
                                       as_index=False)["n"].sum()
         b = b[b["n"] >= min_count]
         m = b.merge(u, left_on="lhs", right_on="tok", how="inner")
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "part": (hash64_array(m["rhs"]) % PMI_PARTS).astype(np.int32),
             "side": np.ones(len(m), dtype=np.int8),
             "lhs": m["lhs"].to_numpy(dtype=object),
             "rhs": m["rhs"].to_numpy(dtype=object),
             "n": m["n"].to_numpy(dtype=np.int64),
             "cl": m["c"].to_numpy(dtype=np.int64)})
+        # unigram counts ride through unchanged (part = hash(token)),
+        # so pass B needs no second union with the partials
+        return pd.concat([uni[out.columns], out], ignore_index=True)
 
     def fold_b(g: pd.DataFrame) -> pd.DataFrame:
         u = g[g["side"] == 0].groupby("lhs", sort=False, as_index=False)["n"] \
@@ -463,7 +466,5 @@ def pmi_bigrams(docs: ray.data.Dataset,
             "n_pair": n_pair,
             "pmi_fp": (b2 * np.int64(PMI_FP)) // np.int64(total_t)})
 
-    pass_a = uni.union(bi).groupby("part") \
-        .map_groups(fold_a, batch_format="pandas")
-    return uni.union(pass_a).groupby("part") \
-        .map_groups(fold_b, batch_format="pandas")
+    return (parts.groupby("part").map_groups(fold_a, batch_format="pandas")
+            .groupby("part").map_groups(fold_b, batch_format="pandas"))
