@@ -726,6 +726,10 @@ def q_rollup_doc_stats(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.rollup_doc_stats(_docs(sf_dir))
 
 
+def q_length_percentile_ranks(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.length_percentile_ranks(_docs(sf_dir))
+
+
 def q_zscore_anomalies(sf_dir: str) -> ray.data.Dataset:
     return ops_events.zscore_anomalies(_events(sf_dir))
 
@@ -2182,6 +2186,10 @@ def _ops_sql() -> dict[str, str]:
                 count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)""",
+        "length_percentile_ranks": """
+            SELECT doc_id, n_chars,
+                percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+            FROM documents""",
         # z = (cents·n − S)/sqrt(n·Q − S²): int64 moments, ONE fixed
         # IEEE expression over exactly-representable doubles — bit-exact
         # vs ops/events.zscore_anomalies with no rounding
@@ -2501,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": q_funnel_conversion,
         "rolling_active_users": q_rolling_active_users,
         "rollup_doc_stats": q_rollup_doc_stats,
+        "length_percentile_ranks": q_length_percentile_ranks,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

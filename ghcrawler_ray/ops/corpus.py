@@ -599,3 +599,46 @@ def rollup_doc_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Sum("n", alias_name="n"),
                        Sum("chars", alias_name="chars"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- exact global percentile ranks ----
+
+def length_percentile_ranks(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """SQL ``percent_rank() OVER (ORDER BY n_chars)`` at corpus scale:
+    (doc_id, n_chars, pct_rank) with pct_rank = count_less / (N − 1)
+    (ties share their minimum rank, exactly the window-function rule).
+
+    Shape: a global sort would be an all-to-all over every row — instead
+    the value histogram (n_chars is a bounded int, so #distinct values ≪
+    #docs) comes from a per-batch combiner + one value-keyed slim
+    shuffle; the cumulative counts-below table is a driver-side cumsum
+    over that bounded table, broadcast into ONE streaming searchsorted
+    pass. pct_rank is a single IEEE division of exact ints — bit-exact
+    vs the window mirror with no rounding."""
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.Series(df["n_chars"].to_numpy(dtype=np.int64)) \
+            .value_counts()
+        return pd.DataFrame({"v": c.index.to_numpy(dtype=np.int64),
+                             "n": c.to_numpy(dtype=np.int64)})
+
+    from ray.data.aggregate import Sum
+    h = (docs.select_columns(["n_chars"])
+         .map_batches(hist, batch_format="pandas")
+         .groupby("v").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())                     # #distinct-values rows
+    h = h.sort_values("v").reset_index(drop=True)
+    vals = h["v"].to_numpy(dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(h["n"].to_numpy(np.int64))[:-1]])
+    total = int(h["n"].sum())
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_chars"].to_numpy(dtype=np.int64)
+        less = below[np.searchsorted(vals, c)]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "n_chars": c,
+            "pct_rank": less.astype(np.float64) / np.float64(total - 1)})
+
+    return (docs.select_columns(["doc_id", "n_chars"])
+            .map_batches(rank, batch_format="pandas"))
