@@ -101,6 +101,47 @@ def _cmd_store(args) -> int:
     return 0
 
 
+def _cmd_ops(args) -> int:
+    """Run any pipeline from the ops catalog (``__ray_entry__.queries()``
+    — the repo root must be importable, which ``ray job submit
+    --working-dir .`` guarantees) and sink the result as parquet.
+    Dataset results stream straight to partitioned parquet; bounded
+    DataFrame results write one file."""
+    import importlib
+    try:
+        entry = importlib.import_module("__ray_entry__")
+    except ModuleNotFoundError:
+        print("ops requires the repo root on PYTHONPATH "
+              "(ray job submit --working-dir .)", file=sys.stderr)
+        return 2
+    qs = entry.queries()
+    if args.action == "list":
+        print(json.dumps(sorted(qs)))
+        return 0
+    if args.name not in qs:
+        print(f"unknown op {args.name!r}; see `ops list`", file=sys.stderr)
+        return 2
+    _ray_init(args)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    res = qs[args.name](args.sf_dir)
+    out = Path(args.out)
+    if isinstance(res, ray.data.Dataset):
+        res.write_parquet(str(out))      # streams; never driver-collected
+        n = sum(pq.read_metadata(p).num_rows
+                for p in out.glob("*.parquet"))
+    else:
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        out.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(out / "part-0.parquet"))
+        n = len(df)
+    print(json.dumps({"op": args.name, "rows": int(n), "out": str(out)}))
+    return 0
+
+
 def _cmd_status(args) -> int:
     out = Path(args.out)
     manifests = sorted(out.glob("manifests/wave=*.json"),
@@ -153,6 +194,14 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--limit", type=int)
     st.add_argument("--n-buckets", type=int, default=64)
     st.set_defaults(fn=_cmd_store)
+
+    o = sub.add_parser("ops", help="run an ops-catalog pipeline → parquet")
+    o.add_argument("action", choices=["list", "run"])
+    o.add_argument("--name", help="ops-catalog entry (see `ops list`)")
+    o.add_argument("--sf-dir", help="input table directory")
+    o.add_argument("--out", help="output parquet directory")
+    o.add_argument("--num-cpus", type=int)
+    o.set_defaults(fn=_cmd_ops)
 
     s = sub.add_parser("status", help="manifest summary")
     s.add_argument("--out", required=True)

@@ -32,3 +32,22 @@ def test_inject_seeds_cli(tmp_path, capsys):
     files = list((tmp_path / "run" / "frontier" / "wave=2").glob("*.parquet"))
     assert len(files) == 1
     assert pq.read_table(files[0]).num_rows == 1
+
+
+def test_ops_cli_list_and_run(tmp_path, capsys, ray_session):
+    import json
+
+    from ghcrawler_ray.__main__ import main
+    assert main(["ops", "list"]) == 0
+    names = json.loads(capsys.readouterr().out)
+    assert "doc_exact_dedup" in names and "pmi_bigrams" in names
+    out = tmp_path / "op_out"
+    assert main(["ops", "run", "--name", "rollup_doc_stats",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", str(out)]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["rows"] > 0
+    import pyarrow.parquet as pq
+    files = list(out.glob("*.parquet"))
+    assert files and sum(pq.read_metadata(f).num_rows
+                         for f in files) == res["rows"]
