@@ -730,6 +730,15 @@ def q_length_percentile_ranks(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.length_percentile_ranks(_docs(sf_dir))
 
 
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype(np.int64)
+        return df
+    return ops_events.event_transitions(_events(sf_dir)).map_batches(
+        fix, batch_format="pandas")
+
+
 def q_zscore_anomalies(sf_dir: str) -> ray.data.Dataset:
     return ops_events.zscore_anomalies(_events(sf_dir))
 
@@ -2190,6 +2199,14 @@ def _ops_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                 percent_rank() OVER (ORDER BY n_chars) AS pct_rank
             FROM documents""",
+        "event_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev
+               FROM events)
+            SELECT prev AS prev_type, event_type AS next_type,
+                count(*)::BIGINT AS n
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""",
         # z = (cents·n − S)/sqrt(n·Q − S²): int64 moments, ONE fixed
         # IEEE expression over exactly-representable doubles — bit-exact
         # vs ops/events.zscore_anomalies with no rounding
@@ -2510,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q_rolling_active_users,
         "rollup_doc_stats": q_rollup_doc_stats,
         "length_percentile_ranks": q_length_percentile_ranks,
+        "event_transitions": q_event_transitions,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

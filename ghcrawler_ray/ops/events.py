@@ -549,3 +549,49 @@ def rolling_active_users(events: ray.data.Dataset,
 
     return (ud.groupby("part").map_groups(fold, batch_format="pandas")
             .groupby("dpart").map_groups(fold2, batch_format="pandas"))
+
+
+# ---- session transition matrix ----
+
+def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(prev_type, next_type, n): corpus-wide counts of consecutive
+    event-type transitions within each user's stream (ordered by ts,
+    event_id) — the Markov-chain statistic behind next-action models;
+    the ``lag() OVER (PARTITION BY user ORDER BY ts)`` window at scale.
+
+    Shape: slim (user, ts, id, type) projection → ONE user-hash
+    co-partition; within a partition the lag is one vectorized shift
+    across ALL users (adjacent-row compare on the sorted frame, user
+    boundaries masked) → only (type, type, count) partials move to the
+    final tiny groupby."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "event_type"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        if len(g) < 2:
+            return pd.DataFrame({"prev_type": np.empty(0, object),
+                                 "next_type": np.empty(0, object),
+                                 "n": np.empty(0, np.int64)})
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"prev_type": et[:-1][same],
+                            "next_type": et[1:][same]}) \
+            .groupby(["prev_type", "next_type"], sort=False,
+                     as_index=False).size()
+        out["n"] = out["size"].astype(np.int64)
+        return out[["prev_type", "next_type", "n"]]
+
+    from ray.data.aggregate import Sum
+    return (events.select_columns(["user_id", "ts", "event_id",
+                                   "event_type"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(transitions, batch_format="pandas")
+            .groupby(["prev_type", "next_type"])       # ≤ types² rows
+            .aggregate(Sum("n", alias_name="n")))
