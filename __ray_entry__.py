@@ -687,6 +687,10 @@ def q_bpe_train(sf_dir: str) -> pd.DataFrame:
     return ops_bpe.bpe_train(_docs(sf_dir))
 
 
+def q_bpe_compression(sf_dir: str) -> pd.DataFrame:
+    return ops_bpe.bpe_compression(_docs(sf_dir))
+
+
 def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
     return ops_text.pmi_bigrams(_docs(sf_dir))
 
@@ -1675,12 +1679,15 @@ def _repetition_sql() -> str:
 _HOP_US = ops_events.HOP_MINUTES * 60_000_000
 
 
-def _bpe_train_sql(k: int = ops_bpe.BPE_MERGES) -> str:
-    """Unrolled K-iteration BPE mirror. Tokenization state is the same
-    double-delimited string as ops/bpe.py ('||h||i||'); DuckDB's
-    ``replace`` is non-overlapping left-to-right like ``str.replace``,
-    and the '|l||r|' → '|lr|' pattern keeps the boundary guards, so the
-    greedy merge is bit-identical (see ops/bpe.py module doc)."""
+def _bpe_ctes(k: int) -> list[str]:
+    """Shared unrolled-iteration CTE chain for the BPE mirrors.
+    Tokenization state is the same double-delimited string as
+    ops/bpe.py ('||h||i||'); DuckDB's ``replace`` is non-overlapping
+    left-to-right like ``str.replace``, and the '|l||r|' → '|lr|'
+    pattern keeps the boundary guards, so the greedy merge is
+    bit-identical (see ops/bpe.py module doc). Emits w0..w{k} word
+    tables plus per-iteration pair-count (p{i}) and best-pair (b{i})
+    CTEs."""
     ctes = [r"""w0 AS (
         SELECT '||' || array_to_string(regexp_extract_all(token, '.'),
                                        '||') || '||' AS w,
@@ -1688,7 +1695,6 @@ def _bpe_train_sql(k: int = ops_bpe.BPE_MERGES) -> str:
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[^\s]+'))
                   AS token FROM documents)
         GROUP BY 1)"""]
-    sels = []
     for i in range(k):
         ctes.append(f"""p{i} AS (
             SELECT arr[CAST(u.i AS INT)] AS lhs,
@@ -1701,14 +1707,28 @@ def _bpe_train_sql(k: int = ops_bpe.BPE_MERGES) -> str:
         ctes.append(f"""b{i} AS (
             SELECT lhs, rhs, n FROM p{i}
             ORDER BY n DESC, lhs, rhs LIMIT 1)""")
-        if i + 1 < k:
-            ctes.append(f"""w{i + 1} AS (
+        ctes.append(f"""w{i + 1} AS (
             SELECT replace(t.w, '|' || b.lhs || '||' || b.rhs || '|',
                            '|' || b.lhs || b.rhs || '|') AS w, t.cnt
             FROM w{i} t, b{i} b)""")
-        sels.append(f"SELECT {i + 1}::BIGINT AS merge_rank, lhs, rhs, "
-                    f"lhs || rhs AS merged, n AS pair_count FROM b{i}")
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+    return ctes
+
+
+def _bpe_train_sql(k: int = ops_bpe.BPE_MERGES) -> str:
+    sels = [f"SELECT {i + 1}::BIGINT AS merge_rank, lhs, rhs, "
+            f"lhs || rhs AS merged, n AS pair_count FROM b{i}"
+            for i in range(k)]
+    return "WITH " + ",\n".join(_bpe_ctes(k)) + "\n" \
+        + "\nUNION ALL\n".join(sels)
+
+
+def _bpe_compression_sql(k: int = ops_bpe.BPE_MERGES) -> str:
+    sels = [f"SELECT {i}::BIGINT AS merge_rank, "
+            f"sum(len(string_split(trim(w, '|'), '||')) * cnt)::BIGINT "
+            f"AS total_tokens FROM w{i}"
+            for i in range(k + 1)]
+    return "WITH " + ",\n".join(_bpe_ctes(k)) + "\n" \
+        + "\nUNION ALL\n".join(sels)
 
 
 def _ops_sql() -> dict[str, str]:
@@ -1833,6 +1853,7 @@ def _ops_sql() -> dict[str, str]:
             SELECT pair, n FROM c ORDER BY n DESC, pair ASC
             LIMIT {ops_corpus.BPE_PAIR_TOPK}""",
         "bpe_train": _bpe_train_sql(),
+        "bpe_compression": _bpe_compression_sql(),
         # pmi_fp: three truncating BIGINT divisions in the exact order
         # ops/text.pmi_bigrams uses (a=(n·U)//c_l, b=(a·U)//c_r,
         # pmi_fp=(b·FP)//T) — integer-exact on both sides
@@ -2518,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caps": q_source_caps,
         "bpe_pair_counts": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_compression": q_bpe_compression,
         "pmi_bigrams": q_pmi_bigrams,
         "phrase_search": q_phrase_search,
         "window_topk_users": q_window_topk_users,

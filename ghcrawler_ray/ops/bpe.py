@@ -101,6 +101,33 @@ def bpe_train(docs: ray.data.Dataset,
     merged, pair_count), each rank picking the most frequent adjacent
     token pair (ties: lhs asc, rhs asc) and merging it greedily
     left-to-right across the word table."""
+    rows, _ = _train(docs, n_merges)
+    return pd.DataFrame(rows, columns=["merge_rank", "lhs", "rhs",
+                                       "merged", "pair_count"]) \
+        .astype({"merge_rank": np.int64, "pair_count": np.int64})
+
+
+def bpe_compression(docs: ray.data.Dataset,
+                    n_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """The train→apply loop closed: (merge_rank 0..K, total_tokens) —
+    corpus token count after applying the first ``merge_rank`` learned
+    rules (rank 0 = character baseline). The compression curve is THE
+    tokenizer-training acceptance metric; totals are exact int64
+    Σ len(word_tokens)·word_count over the same vocabulary-bounded
+    word table ``bpe_train`` learns from."""
+    _, totals = _train(docs, n_merges)
+    return pd.DataFrame({
+        "merge_rank": np.arange(len(totals), dtype=np.int64),
+        "total_tokens": np.array(totals, dtype=np.int64)})
+
+
+def _total_tokens(seqs: list[str], cnt: np.ndarray) -> int:
+    lens = np.fromiter((s.count("||") - 1 if len(s) > 2 else 0
+                        for s in seqs), dtype=np.int64, count=len(seqs))
+    return int((lens * cnt).sum())
+
+
+def _train(docs: ray.data.Dataset, n_merges: int):
     wc = (docs.select_columns(["text"])
           .map_batches(_word_count_partial, batch_format="pandas")
           .materialize()   # split scan from all-to-all (fusion pitfall)
@@ -110,7 +137,7 @@ def bpe_train(docs: ray.data.Dataset,
     seqs = [_delim(w) for w in wc["word"].astype(str)]
     cnt = wc["n"].to_numpy(dtype=np.int64)
 
-    rows = []
+    rows, totals = [], [_total_tokens(seqs, cnt)]
     for rank in range(1, n_merges + 1):
         pc = _pair_counts(seqs, cnt)
         if not len(pc):
@@ -122,7 +149,5 @@ def bpe_train(docs: ray.data.Dataset,
         rows.append((rank, lhs, rhs, lhs + rhs, n))
         pat, rep = f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|"
         seqs = [s.replace(pat, rep) for s in seqs]
-
-    return pd.DataFrame(rows, columns=["merge_rank", "lhs", "rhs",
-                                       "merged", "pair_count"]) \
-        .astype({"merge_rank": np.int64, "pair_count": np.int64})
+        totals.append(_total_tokens(seqs, cnt))
+    return rows, totals
