@@ -734,6 +734,10 @@ def q_length_percentile_ranks(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.length_percentile_ranks(_docs(sf_dir))
 
 
+def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    return ops_ann.embedding_covariance(_emb(sf_dir))
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -2046,6 +2050,32 @@ def _ops_sql() -> dict[str, str]:
                           AS BIGINT), {ops_ann.QUANT_LEVELS})
                      ELSE 0 END AS q
             FROM x JOIN s USING (dim)""",
+        # covariance NUMERATORS n·Σ(q_i q_j) − Σq_i·Σq_j over the same
+        # quantized grid as quantize_embeddings — exact BIGINT math
+        "embedding_covariance": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+            x AS (SELECT vec_id, CAST(u.i AS BIGINT) - 1 AS dim,
+                 v[CAST(u.i AS INT)] AS val
+               FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u),
+            st AS (SELECT dim, min(val) AS mn, max(val) AS mx
+               FROM x GROUP BY 1),
+            qt AS (SELECT x.vec_id, x.dim,
+                 CASE WHEN st.mx > st.mn
+                      THEN least(CAST(floor((x.val - st.mn)
+                           * {ops_ann.QUANT_LEVELS}e0 / (st.mx - st.mn))
+                           AS BIGINT), {ops_ann.QUANT_LEVELS})
+                      ELSE 0 END AS q
+               FROM x JOIN st USING (dim)),
+            n AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM qt),
+            sm AS (SELECT dim, sum(q)::BIGINT AS s FROM qt GROUP BY 1),
+            p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                 sum(a.q * b.q)::BIGINT AS sq
+               FROM qt a JOIN qt b USING (vec_id) GROUP BY 1, 2)
+            SELECT p.dim_i, p.dim_j,
+                (n.n * p.sq - si.s * sj.s)::BIGINT AS cov_num
+            FROM p JOIN sm si ON si.dim = p.dim_i
+                   JOIN sm sj ON sj.dim = p.dim_j, n""",
         "fixed_n_sample": rf"""
             WITH k AS (SELECT doc_id, lang,
                  CAST(('0x' || substr(md5('fixn-'
@@ -2517,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "shuffle_shards": q_shuffle_shards,
         "quantize_embeddings": q_quantize_embeddings,
+        "embedding_covariance": q_embedding_covariance,
         "project_embeddings": q_project_embeddings,
         "vocab_encode": q_vocab_encode,
         "mixture_resample": q_mixture_resample,

@@ -515,16 +515,10 @@ def semantic_dup_pairs(emb: ray.data.Dataset,
 QUANT_LEVELS = 255
 
 
-def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
-    """(vec_id, dim, q): q = floor((x - min_d) * 255 / (max_d - min_d))
-    capped at 255; constant dimensions quantize to 0. The float
-    expression tree matches the SQL mirror exactly (same IEEE-double
-    left-associated ops), so values are bit-exact.
-
-    Scale shape: pass 1 reduces to EMB_DIM rows per batch (per-batch
-    min/max combiner) and one EMB_DIM-group aggregate; the (min, max)
-    table is dims-bounded and broadcast in the closure; pass 2 is one
-    streaming vectorized map_batches — embeddings never shuffle."""
+def _dim_minmax(emb: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, span) via a per-batch combiner + one
+    EMB_DIM-group aggregate — the dims-bounded stats pass shared by the
+    quantizer-family ops."""
     from ray.data.aggregate import Max, Min
 
     def partial_minmax(df: pd.DataFrame) -> pd.DataFrame:
@@ -541,14 +535,34 @@ def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
              .to_pandas().sort_values("dim"))
     mn = stats["mn"].to_numpy(dtype=np.float64)
     mx = stats["mx"].to_numpy(dtype=np.float64)
-    span = mx - mn
+    return mn, mx - mn
+
+
+def _quantize_mat(m: np.ndarray, mn: np.ndarray,
+                  span: np.ndarray) -> np.ndarray:
+    """floor((x − min_d)·255 / span_d) capped at 255, constant dims → 0
+    — the exact IEEE expression tree of the SQL mirror."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((m - mn) * np.float64(QUANT_LEVELS) / span)
+    return np.where(span > 0,
+                    np.minimum(q, QUANT_LEVELS), 0.0).astype(np.int64)
+
+
+def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(vec_id, dim, q): q = floor((x - min_d) * 255 / (max_d - min_d))
+    capped at 255; constant dimensions quantize to 0. The float
+    expression tree matches the SQL mirror exactly (same IEEE-double
+    left-associated ops), so values are bit-exact.
+
+    Scale shape: pass 1 reduces to EMB_DIM rows per batch (per-batch
+    min/max combiner) and one EMB_DIM-group aggregate; the (min, max)
+    table is dims-bounded and broadcast in the closure; pass 2 is one
+    streaming vectorized map_batches — embeddings never shuffle."""
+    mn, span = _dim_minmax(emb)
 
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         m = _mat(df)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            q = np.floor((m - mn) * np.float64(QUANT_LEVELS) / span)
-        q = np.where(span > 0,
-                     np.minimum(q, QUANT_LEVELS), 0.0).astype(np.int64)
+        q = _quantize_mat(m, mn, span)
         n, d = m.shape
         return pd.DataFrame({
             "vec_id": np.repeat(df["vec_id"].to_numpy(dtype=np.int64), d),
@@ -557,6 +571,51 @@ def quantize_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
 
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(quant, batch_format="pandas"))
+
+
+def embedding_covariance(emb: ray.data.Dataset) -> pd.DataFrame:
+    """(dim_i, dim_j, cov_num): exact population-covariance NUMERATORS
+    ``n·Σ(q_i q_j) − Σq_i·Σq_j`` over the quantized grid — the
+    distributed Gram/covariance pass PCA and whitening start from
+    (divide by n² and eigendecompose the D×D result on the driver;
+    D = EMB_DIM so that step is trivially bounded).
+
+    Scale shape: each batch reduces to ONE D×D int64 matmul (QᵀQ) plus
+    per-dim sums — D²+D+1 slim partial rows per batch regardless of
+    batch size — and a single int-keyed Sum aggregate folds them; the
+    embeddings themselves never shuffle. All sums are exact int64
+    (q ≤ 255, so n·Σq_iq_j fits until n ≈ 3.7e8 vectors; carry hi/lo
+    pairs beyond that)."""
+    from ray.data.aggregate import Sum
+
+    mn, span = _dim_minmax(emb)
+    d = len(mn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize_mat(_mat(df), mn, span)
+        qq = (q.T @ q).reshape(-1)           # D×D exact int64
+        ij = np.arange(d * d, dtype=np.int64)
+        extra = np.concatenate([q.sum(axis=0),
+                                [np.int64(len(q))]])
+        return pd.DataFrame({
+            "ij": np.concatenate([ij, d * d + np.arange(d + 1,
+                                                        dtype=np.int64)]),
+            "s": np.concatenate([qq, extra])})
+
+    agg = (emb.select_columns(["vec_id", "embedding"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("ij").aggregate(Sum("s", alias_name="s"))
+           .to_pandas()                 # D²+D+1 rows — dims-bounded
+           .sort_values("ij"))
+    s = agg["s"].to_numpy(dtype=np.int64)
+    qq = s[:d * d].reshape(d, d)
+    colsum = s[d * d:d * d + d]
+    n = s[-1]
+    cov = n * qq - np.outer(colsum, colsum)
+    ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
+                         np.arange(d, dtype=np.int64), indexing="ij")
+    return pd.DataFrame({"dim_i": ii.reshape(-1), "dim_j": jj.reshape(-1),
+                         "cov_num": cov.reshape(-1)})
 
 
 # ---- seeded ±1 (JL) projection of quantized embeddings ----
