@@ -51,3 +51,12 @@ def test_ops_cli_list_and_run(tmp_path, capsys, ray_session):
     files = list(out.glob("*.parquet"))
     assert files and sum(pq.read_metadata(f).num_rows
                          for f in files) == res["rows"]
+    # bounded DataFrame results take the single-file path
+    out2 = tmp_path / "op_df"
+    assert main(["ops", "run", "--name", "bpe_train",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", str(out2)]) == 0
+    res2 = json.loads(capsys.readouterr().out)
+    t = pq.read_table(str(out2 / "part-0.parquet"))
+    assert t.num_rows == res2["rows"] > 0
+    assert "merged" in t.column_names
