@@ -699,6 +699,10 @@ def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
     return ops_search.phrase_search(_docs(sf_dir))
 
 
+def q_phrase_search_indexed(sf_dir: str) -> ray.data.Dataset:
+    return ops_search.phrase_search_indexed(_docs(sf_dir))
+
+
 def q_window_topk_users(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1896,6 +1900,21 @@ def _ops_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_occurrences,
                 (min(pos) - 1)::BIGINT AS first_pos
             FROM m GROUP BY 1""",
+        "phrase_search_indexed": rf"""
+            WITH ts AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token,
+                 generate_subscripts(tk, 1) AS pos FROM ts),
+            m AS (SELECT a.doc_id, a.pos FROM tok a
+               JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+               WHERE a.token = '{ops_search.PHRASE3[0]}'
+                 AND b.token = '{ops_search.PHRASE3[1]}'
+                 AND c.token = '{ops_search.PHRASE3[2]}')
+            SELECT doc_id, count(*)::BIGINT AS n_occurrences,
+                (min(pos) - 1)::BIGINT AS first_pos
+            FROM m GROUP BY 1""",
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
@@ -2573,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_compression": q_bpe_compression,
         "pmi_bigrams": q_pmi_bigrams,
         "phrase_search": q_phrase_search,
+        "phrase_search_indexed": q_phrase_search_indexed,
         "window_topk_users": q_window_topk_users,
         "cohort_retention": q_cohort_retention,
         "zscore_anomalies": q_zscore_anomalies,

@@ -264,3 +264,72 @@ def phrase_search(docs: ray.data.Dataset,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         match, batch_format="pandas")
+
+
+# ---- multi-term phrase search over the inverted index ----
+
+PHRASE3: tuple[str, ...] = ("big", "order", "scan")
+PHRASE_PARTS = 64
+
+
+def phrase_search_indexed(docs: ray.data.Dataset,
+                          phrase: tuple[str, ...] = PHRASE3
+                          ) -> ray.data.Dataset:
+    """N-term exact phrase match via POSITIONAL POSTINGS JOIN —
+    the retrieval shape when the text itself is not available to the
+    matcher (a pre-built sharded index): same output schema as
+    ``phrase_search`` (doc_id, n_occurrences, first_pos).
+
+    Scale shape: the postings builder prunes to the phrase's terms at
+    the combiner (the read-side term filter an index shard lookup
+    performs), so only (doc, term, pos) rows of matching terms ever
+    move; ONE doc-hash co-partition co-locates a document's postings
+    and the intersection is a chain of vectorized (doc, pos−offset)
+    merges across ALL the partition's docs — positions of term i must
+    sit exactly i after term 0."""
+    terms = {t: i for i, t in enumerate(phrase)}
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [_WS_RE.findall(t.lower()) for t in df["text"].tolist()]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        empty = pd.DataFrame({"part": np.empty(0, np.int32),
+                              "doc_id": np.empty(0, np.int64),
+                              "term": np.empty(0, np.int8),
+                              "pos": np.empty(0, np.int64)})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in tok_lists if len(t)])
+        doc = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens if n])
+        keep = np.isin(flat, list(terms))
+        if not keep.any():
+            return empty
+        term = np.fromiter((terms[t] for t in flat[keep]), dtype=np.int8,
+                           count=int(keep.sum()))
+        d = doc[keep]
+        return pd.DataFrame({"part": (d % PHRASE_PARTS).astype(np.int32),
+                             "doc_id": d, "term": term, "pos": pos[keep]})
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["term"] == 0][["doc_id", "pos"]]
+        for i in range(1, len(phrase)):
+            nxt = g[g["term"] == i][["doc_id", "pos"]].copy()
+            nxt["pos"] = nxt["pos"] - i
+            base = base.merge(nxt, on=["doc_id", "pos"], how="inner")
+        if not len(base):
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "n_occurrences": np.empty(0, np.int64),
+                                 "first_pos": np.empty(0, np.int64)})
+        m = base.groupby("doc_id", sort=False)["pos"] \
+            .agg(n_occurrences="size", first_pos="min").reset_index()
+        return m.astype({"doc_id": np.int64, "n_occurrences": np.int64,
+                         "first_pos": np.int64})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(post, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: intersect(g.drop(columns=["part"])),
+                        batch_format="pandas"))
