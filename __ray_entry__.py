@@ -842,6 +842,17 @@ def q_order_revenue_join(sf_dir: str) -> ray.data.Dataset:
                                       _table(sf_dir, "lineitem"))
 
 
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    return ops_rel.shipping_priority(cust, _table(sf_dir, "orders"),
+                                     _table(sf_dir, "lineitem"))
+
+
+def q_data_quality_audit(sf_dir: str) -> pd.DataFrame:
+    return ops_corpus.data_quality_audit(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # SQL mirrors
 
@@ -2317,6 +2328,36 @@ def _ops_sql() -> dict[str, str]:
                    ::BIGINT AS depth
             FROM v LEFT JOIN c USING (user_id)
                    LEFT JOIN p USING (user_id)""",
+        "shipping_priority": f"""
+            WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+               FROM orders JOIN customer ON c_custkey = o_custkey
+               WHERE c_mktsegment = '{ops_rel.Q3_SEGMENT}'
+                 AND o_orderdate < TIMESTAMP '{ops_rel.Q3_CUTOFF}'),
+            l AS (SELECT l_orderkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     ::BIGINT AS rev
+               FROM lineitem
+               WHERE l_shipdate > TIMESTAMP '{ops_rel.Q3_CUTOFF}'
+               GROUP BY 1)
+            SELECT o.o_orderkey, l.rev / 10000e0 AS revenue,
+                o.o_orderdate, o.o_orderpriority
+            FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+            ORDER BY l.rev DESC, o.o_orderdate, o.o_orderkey
+            LIMIT {ops_rel.Q3_TOPK}""",
+        "data_quality_audit": f"""
+            SELECT 'null_text' AS check_name, count(*) FILTER (
+                WHERE text IS NULL OR text = '')::BIGINT AS n_violations
+            FROM documents
+            UNION ALL SELECT 'n_chars_mismatch', count(*) FILTER (
+                WHERE n_chars != len(text))::BIGINT FROM documents
+            UNION ALL SELECT 'bad_lang', count(*) FILTER (
+                WHERE lang NOT IN ({", ".join(
+                    f"'{x}'" for x in ops_corpus.QA_ALLOWED_LANGS)}))
+                ::BIGINT FROM documents
+            UNION ALL SELECT 'dup_doc_id',
+                (count(*) - count(DISTINCT doc_id))::BIGINT
+            FROM documents""",
         "window_topk_users": f"""
             WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
                  user_id, count(*)::BIGINT AS n_events
@@ -2614,6 +2655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "order_revenue_join": q_order_revenue_join,
+        "shipping_priority": q_shipping_priority,
+        "data_quality_audit": q_data_quality_audit,
     }
 
 

@@ -642,3 +642,64 @@ def length_percentile_ranks(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return (docs.select_columns(["doc_id", "n_chars"])
             .map_batches(rank, batch_format="pandas"))
+
+
+# ---- data-quality audit (constraint validation) ----
+
+QA_ALLOWED_LANGS = ("en", "fr", "es", "de")
+
+
+def data_quality_audit(docs: ray.data.Dataset) -> pd.DataFrame:
+    """Deequ-style constraint audit over the corpus: one row per check
+    (check_name, n_violations) — empty/null text, n_chars↔len(text)
+    consistency, lang outside the allowed set (the synthetic corpus
+    ships 'zh' rows, so the drift detector has real signal), and
+    doc_id uniqueness.
+
+    Shape: the three row-local checks fold to ONE partial count row per
+    batch (a scalar Sum aggregate); uniqueness is exact distinct via a
+    doc_id-hash co-partition (per-partition distinct counts are
+    additive under hash partitioning) — nothing heavier than slim int
+    rows ever moves."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"]
+        null_text = int((txt.isna() | (txt == "")).sum())
+        mismatch = int((df["n_chars"].to_numpy(dtype=np.int64)
+                        != txt.fillna("").str.len()
+                        .to_numpy(dtype=np.int64)).sum())
+        bad_lang = int((~df["lang"].isin(QA_ALLOWED_LANGS)).sum())
+        return pd.DataFrame({"null_text": [null_text],
+                             "n_chars_mismatch": [mismatch],
+                             "bad_lang": [bad_lang],
+                             "n_rows": [len(df)]})
+
+    def id_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.Series(df["doc_id"].to_numpy(dtype=np.int64)) \
+            .drop_duplicates()
+        out = pd.DataFrame({"doc_id": ids.to_numpy(dtype=np.int64)})
+        out["part"] = (out["doc_id"] % 64).astype(np.int32)
+        return out
+
+    def id_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_distinct": [np.int64(g["doc_id"].nunique())]})
+
+    c = (docs.select_columns(["doc_id", "text", "lang", "n_chars"])
+         .map_batches(partial, batch_format="pandas")
+         .aggregate(Sum("null_text", alias_name="null_text"),
+                    Sum("n_chars_mismatch", alias_name="n_chars_mismatch"),
+                    Sum("bad_lang", alias_name="bad_lang"),
+                    Sum("n_rows", alias_name="n_rows")))
+    n_distinct = int(docs.select_columns(["doc_id"])
+                     .map_batches(id_partial, batch_format="pandas")
+                     .groupby("part").map_groups(id_fold,
+                                                 batch_format="pandas")
+                     .to_pandas()["n_distinct"].sum())
+    return pd.DataFrame({
+        "check_name": ["null_text", "n_chars_mismatch", "bad_lang",
+                       "dup_doc_id"],
+        "n_violations": np.array(
+            [c["null_text"], c["n_chars_mismatch"], c["bad_lang"],
+             c["n_rows"] - n_distinct], dtype=np.int64)})

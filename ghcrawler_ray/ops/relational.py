@@ -178,3 +178,88 @@ def order_revenue_join(orders: ray.data.Dataset,
                                       "l_discount"])
                      .map_batches(tag_lines, batch_format="pandas")))
     return tagged.groupby("part").map_groups(join, batch_format="pandas")
+
+
+# ---- TPC-H Q3-style composite join (broadcast + co-partition + top-k) ----
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = np.datetime64("1998-06-01", "us")
+Q3_TOPK = 10
+
+
+def shipping_priority(customer: pd.DataFrame, orders: ray.data.Dataset,
+                      lineitem: ray.data.Dataset,
+                      k: int = Q3_TOPK) -> pd.DataFrame:
+    """TPC-H Q3 analogue: top-``k`` open orders of one market segment by
+    outstanding revenue — (o_orderkey, revenue, o_orderdate,
+    o_orderpriority), revenue = Σ l_extendedprice·(1−l_discount) over
+    lines shipped after the cutoff, orders placed before it, ordered by
+    (revenue desc, o_orderdate asc, o_orderkey asc).
+
+    The composite shape: SMALL side (segment's custkeys) broadcast via
+    ``ray.put`` into the orders filter; the surviving slim order rows
+    and the date-filtered line revenues co-partition under ONE
+    ``orderkey % P`` shuffle (tagged-union big×big join); per-partition
+    local top-k means the driver reduce sees ≤ k × P rows."""
+    keys = np.sort(customer.loc[customer["c_mktsegment"] == Q3_SEGMENT,
+                                "c_custkey"].to_numpy(dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ck = ray.get(keys_ref)
+        df = df[df["o_orderdate"] < Q3_CUTOFF]
+        pos = np.searchsorted(ck, df["o_custkey"].to_numpy(dtype=np.int64))
+        pos[pos == len(ck)] = 0
+        df = df[ck[pos] == df["o_custkey"].to_numpy(dtype=np.int64)]
+        k_ = df["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k_, "part": (k_ % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "v": df["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "prio": df["o_orderpriority"].to_numpy(dtype=object)})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > Q3_CUTOFF]
+        k_ = df["l_orderkey"].to_numpy(dtype=np.int64)
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        return pd.DataFrame({
+            "k": k_, "part": (k_ % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(df), dtype=np.int8),
+            "v": p * (100 - d),          # 1e-4 units, exact int64
+            "prio": np.full(len(df), "", dtype=object)})
+
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        agg = l.groupby("k", sort=False)["v"].sum()
+        m = o.merge(agg.rename("rev"), left_on="k", right_index=True,
+                    how="inner").reset_index(drop=True)
+        m = m.sort_values(["rev", "v", "k"],
+                          ascending=[False, True, True]).head(k)
+        return pd.DataFrame({
+            "o_orderkey": m["k"].to_numpy(np.int64),
+            "revenue": m["rev"].to_numpy(np.int64),   # still 1e-4 units
+            "odate": m["v"].to_numpy(np.int64),
+            "o_orderpriority": m["prio"].to_numpy(dtype=object)})
+
+    tagged = (orders.select_columns(["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_orderpriority"])
+              .map_batches(tag_orders, batch_format="pandas")
+              .union(lineitem
+                     .select_columns(["l_orderkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+                     .map_batches(tag_lines, batch_format="pandas")))
+    top = (tagged.groupby("part").map_groups(join_topk,
+                                             batch_format="pandas")
+           .to_pandas())                 # ≤ k × P slim rows
+    top = top.sort_values(["revenue", "odate", "o_orderkey"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    return pd.DataFrame({
+        "o_orderkey": top["o_orderkey"].to_numpy(np.int64),
+        "revenue": top["revenue"].to_numpy(np.int64) / 10000.0,
+        "o_orderdate": top["odate"].to_numpy(np.int64)
+        .astype("datetime64[us]"),
+        "o_orderpriority": top["o_orderpriority"].astype(str)})
