@@ -508,6 +508,10 @@ def q_quality(sf_dir: str) -> ray.data.Dataset:
     return ops_text.quality_scores(_docs(sf_dir))
 
 
+def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.langid_confusion(_docs(sf_dir))
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return ops_text.lang_id(_docs(sf_dir))
 
@@ -1757,6 +1761,25 @@ def _ops_sql() -> dict[str, str]:
     es = _marker_sql(ops_text.LANG_MARKERS["es"])
     shingle = (r"list_distinct(list_transform(range(1, greatest(len(tk)-1,1)), "
                r"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))")
+    lang_id_sql = rf"""
+            WITH f AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk,
+                 len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]')) AS n_zh
+               FROM documents),
+            c AS (SELECT doc_id, n_zh,
+                 len(list_filter(tk, t -> list_contains({en}, t))) AS n_en,
+                 len(list_filter(tk, t -> list_contains({de}, t))) AS n_de,
+                 len(list_filter(tk, t -> list_contains({fr}, t))) AS n_fr,
+                 len(list_filter(tk, t -> list_contains({es}, t))) AS n_es
+               FROM f)
+            SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
+              CASE WHEN n_zh > 0 THEN 'zh'
+                   WHEN n_en=0 AND n_de=0 AND n_fr=0 AND n_es=0 THEN 'und'
+                   WHEN n_en>=n_de AND n_en>=n_fr AND n_en>=n_es THEN 'en'
+                   WHEN n_de>=n_fr AND n_de>=n_es THEN 'de'
+                   WHEN n_fr>=n_es THEN 'fr'
+                   ELSE 'es' END AS lang_guess
+            FROM c"""
     return {
         "doc_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
@@ -1785,25 +1808,12 @@ def _ops_sql() -> dict[str, str]:
                 + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE)
                 AS quality_score
             FROM f""",
-        "lang_id": rf"""
-            WITH f AS (SELECT doc_id,
-                 regexp_extract_all(lower(text), '[^\s]+') AS tk,
-                 len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]')) AS n_zh
-               FROM documents),
-            c AS (SELECT doc_id, n_zh,
-                 len(list_filter(tk, t -> list_contains({en}, t))) AS n_en,
-                 len(list_filter(tk, t -> list_contains({de}, t))) AS n_de,
-                 len(list_filter(tk, t -> list_contains({fr}, t))) AS n_fr,
-                 len(list_filter(tk, t -> list_contains({es}, t))) AS n_es
-               FROM f)
-            SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh,
-              CASE WHEN n_zh > 0 THEN 'zh'
-                   WHEN n_en=0 AND n_de=0 AND n_fr=0 AND n_es=0 THEN 'und'
-                   WHEN n_en>=n_de AND n_en>=n_fr AND n_en>=n_es THEN 'en'
-                   WHEN n_de>=n_fr AND n_de>=n_es THEN 'de'
-                   WHEN n_fr>=n_es THEN 'fr'
-                   ELSE 'es' END AS lang_guess
-            FROM c""",
+        "lang_id": lang_id_sql,
+        "langid_confusion": f"""
+            WITH p AS ({lang_id_sql})
+            SELECT d.lang AS true_lang, p.lang_guess AS pred_lang,
+                count(*)::BIGINT AS n
+            FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2""",
         "ngram_jaccard_pairs": rf"""
             WITH t AS (SELECT doc_id, lang,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk FROM documents),
@@ -2588,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
+        "langid_confusion": q_langid_confusion,
         "doc_fingerprints": q_fingerprints,
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

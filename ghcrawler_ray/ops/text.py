@@ -468,3 +468,35 @@ def pmi_bigrams(docs: ray.data.Dataset,
 
     return (parts.groupby("part").map_groups(fold_a, batch_format="pandas")
             .groupby("part").map_groups(fold_b, batch_format="pandas"))
+
+
+# ---- lang-ID confusion matrix (classifier evaluation) ----
+
+def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(true_lang, pred_lang, n): the confusion matrix of the marker-word
+    classifier against the corpus's ground-truth ``lang`` column — the
+    evaluation pass any heuristic filter needs before gating 100 TB on
+    its output. One map-only scoring pass (reusing ``lang_id_batch``)
+    collapses each batch to ≤ langs² partial count rows; one tiny
+    aggregate finishes."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id_batch(df)["lang_guess"].to_numpy(dtype=object)
+        out = pd.DataFrame({"true_lang": df["lang"].to_numpy(dtype=object),
+                            "pred_lang": pred}) \
+            .groupby(["true_lang", "pred_lang"], sort=False,
+                     as_index=False).size()
+        out["n"] = out["size"].astype(np.int64)
+        return out[["true_lang", "pred_lang", "n"]]
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return (docs.select_columns(["doc_id", "text", "lang"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["true_lang", "pred_lang"])     # ≤ langs² rows
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(fix, batch_format="pandas"))
