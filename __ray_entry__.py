@@ -190,6 +190,11 @@ def q_host_triangles(sf_dir: str) -> pd.DataFrame:
     return host_triangles(_links_ds(sf_dir))
 
 
+def q_host_clustering(sf_dir: str) -> pd.DataFrame:
+    from ghcrawler_ray.ops.graph import host_clustering
+    return host_clustering(_links_ds(sf_dir))
+
+
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Distributed PageRank over the synthesized web's link graph —
     exact int64 fixed-point power iteration (ops/graph.py), mirrored by
@@ -1179,6 +1184,39 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
         "crawl_pagerank": _pagerank_sql(pages),
+        "crawl_host_clustering": f"""
+            WITH l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+            h AS (SELECT
+                 lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                     AS a,
+                 lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                     AS b
+               FROM l
+               WHERE regexp_matches(src_url, '^https?://[^/?#]+')
+                 AND regexp_matches(dst_url, '^https?://[^/?#]+')),
+            e AS (SELECT DISTINCT least(a, b) AS s, greatest(a, b) AS d
+               FROM h WHERE a <> b),
+            deg AS (SELECT host, count(*)::BIGINT AS degree FROM (
+                 SELECT s AS host FROM e UNION ALL SELECT d FROM e)
+               GROUP BY 1),
+            tri AS (SELECT e1.s AS ha, e1.d AS hb, e2.d AS hc
+               FROM e e1 JOIN e e2 ON e2.s = e1.d
+                         JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+            tc AS (SELECT host, count(*)::BIGINT AS n_triangles FROM (
+                 SELECT ha AS host FROM tri
+                 UNION ALL SELECT hb FROM tri
+                 UNION ALL SELECT hc FROM tri)
+               GROUP BY 1)
+            SELECT deg.host, deg.degree,
+                coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+                CASE WHEN deg.degree >= 2
+                     THEN (2 * coalesce(tc.n_triangles, 0) * 1000000)
+                          // (deg.degree * (deg.degree - 1))
+                     ELSE 0 END::BIGINT AS coeff_fp
+            FROM deg LEFT JOIN tc USING (host)""",
         "crawl_host_triangles": f"""
             WITH l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -2579,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_host_components": q_host_components,
         "crawl_host_triangles": q_host_triangles,
+        "crawl_host_clustering": q_host_clustering,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
