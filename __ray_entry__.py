@@ -862,6 +862,10 @@ def q_data_quality_audit(sf_dir: str) -> pd.DataFrame:
     return ops_corpus.data_quality_audit(_docs(sf_dir))
 
 
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.weighted_sample(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # SQL mirrors
 
@@ -2393,6 +2397,21 @@ def _ops_sql() -> dict[str, str]:
             FROM o JOIN l ON l.l_orderkey = o.o_orderkey
             ORDER BY l.rev DESC, o.o_orderdate, o.o_orderkey
             LIMIT {ops_rel.Q3_TOPK}""",
+        "weighted_sample": f"""
+            WITH k AS (SELECT doc_id,
+                 len(regexp_extract_all(text, '[^\\s]+'))::BIGINT
+                     AS n_tokens,
+                 ('0x' || substr(md5('{ops_corpus._WSAMPLE_SALT}'
+                     || CAST(doc_id AS VARCHAR)),
+                   1, {ops_corpus._WSAMPLE_HEX}))::UBIGINT::BIGINT AS key
+               FROM documents),
+            p AS (SELECT doc_id, n_tokens,
+                 key // greatest(n_tokens, 1) AS priority FROM k)
+            SELECT doc_id, n_tokens, priority,
+                row_number() OVER (ORDER BY priority, doc_id)::BIGINT
+                    AS rank
+            FROM p ORDER BY priority, doc_id
+            LIMIT {ops_corpus.WSAMPLE_N}""",
         "data_quality_audit": f"""
             SELECT 'null_text' AS check_name, count(*) FILTER (
                 WHERE text IS NULL OR text = '')::BIGINT AS n_violations
@@ -2707,6 +2726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_join": q_order_revenue_join,
         "shipping_priority": q_shipping_priority,
         "data_quality_audit": q_data_quality_audit,
+        "weighted_sample": q_weighted_sample,
     }
 
 

@@ -703,3 +703,59 @@ def data_quality_audit(docs: ray.data.Dataset) -> pd.DataFrame:
         "n_violations": np.array(
             [c["null_text"], c["n_chars_mismatch"], c["bad_lang"],
              c["n_rows"] - n_distinct], dtype=np.int64)})
+
+
+# ---- weighted priority sample (deterministic A-Res surrogate) ----
+
+WSAMPLE_N = 50
+_WSAMPLE_SALT = "wsamp-"
+_WSAMPLE_HEX = 15
+
+
+def weighted_sample(docs: ray.data.Dataset,
+                    n: int = WSAMPLE_N) -> ray.data.Dataset:
+    """(doc_id, n_tokens, priority, rank): EXACTLY min(n, corpus)
+    documents sampled with probability increasing in token count —
+    the deterministic integer surrogate of A-Res weighted reservoir
+    sampling (Efraimidis & Spirakis 2006): priority =
+    md5(doc_id) // max(n_tokens, 1), keep the n SMALLEST priorities
+    (ties by doc_id). A doc with w× the tokens gets a key scaled by
+    1/w, so heavier docs win proportionally more often; integer
+    division keeps the DuckDB mirror bit-exact where the float
+    u^(1/w) form would drift. Reproducible and stable under corpus
+    appends/repartitioning, like the other md5-keyed draws.
+
+    Scale shape: the weight (token count) is computed in the same
+    combiner pass that keeps only the batch-local top-n — the global
+    top-n is a subset of the union of local top-n's, so the fold sees
+    ≤ n × #blocks slim rows, never the corpus."""
+    import hashlib
+    m = hashlib.md5
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        ntok = (df["text"].astype(str).str.count(r"[^\s]+")
+                .to_numpy(dtype=np.int64))
+        key = np.fromiter(
+            (int(m(f"{_WSAMPLE_SALT}{int(d)}".encode())
+                 .hexdigest()[:_WSAMPLE_HEX], 16) for d in ids),
+            dtype=np.int64, count=len(ids))
+        g = pd.DataFrame({"doc_id": ids, "n_tokens": ntok,
+                          "priority": key // np.maximum(ntok, 1)})
+        return g.sort_values(["priority", "doc_id"],
+                             kind="stable").head(n)
+
+    def final_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["priority", "doc_id"], kind="stable") \
+            .head(n).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "n_tokens", "priority", "rank"]]
+
+    # single-group fold: the combiner output is ≤ n×#blocks rows total
+    part = (docs.select_columns(["doc_id", "text"])
+            .map_batches(local_topn, batch_format="pandas")
+            .map_batches(lambda d: d.assign(g=np.int32(0)),
+                         batch_format="pandas"))
+    return part.groupby("g").map_groups(
+        lambda d: final_topn(d.drop(columns=["g"])),
+        batch_format="pandas")
