@@ -7,12 +7,14 @@ Stages (each is a library call — see COVERAGE.md for the full menu):
   1. crawl the synthesized web (frontier waves, politeness, seen-set,
      etag dedup, deadletters, checkpoint/resume),
   2. inspect the doc store (get/etag/count — storageDocStore analogue),
-  3. curate the documents corpus (quality gate → benchmark holdout →
-     decontamination → normalized-text exact dedup),
+  3. audit the raw corpus (Deequ-style constraint checks), then curate
+     it (quality gate → benchmark holdout → decontamination →
+     normalized-text exact dedup),
   4. near-dup clustering (MinHash-LSH → verified pairs → connected
      components, keep one doc per cluster),
-  5. label CCNet-style quality terciles + encode survivors to token ids
-     against the corpus's own top-V vocabulary,
+  5. label CCNet-style quality terciles, encode survivors to token ids
+     against the corpus's own top-V vocabulary, and learn a small BPE
+     merge table from the survivor corpus,
   6. pack the kept docs into fixed-length training sequences,
   7. write resumable md5-sharded corpus output.
 """
@@ -74,6 +76,13 @@ def main() -> None:
         raise SystemExit(f"no documents table at {docs_path}; pass --docs")
     docs = ray.data.read_parquet(docs_path)
 
+    # 3a. audit the raw corpus before gating anything on it
+    from ghcrawler_ray.ops.corpus import data_quality_audit
+    audit = data_quality_audit(docs)
+    print(json.dumps({"audit": dict(zip(audit["check_name"],
+                                        audit["n_violations"]
+                                        .astype(int)))}))
+
     kept = corpus_curate(docs).materialize()
     clusters = dup_clusters(docs).materialize()
     canonical = clusters.filter(expr="keep == 1")
@@ -98,9 +107,15 @@ def main() -> None:
     buckets = quality_buckets(survivors).to_pandas()
     n_ids = int(vocab_encode(survivors).count())
 
+    # 5b. learn a small BPE merge table from the survivor corpus (the
+    # tokenizer-training loop: distributed word count + bounded merges)
+    from ghcrawler_ray.ops.bpe import bpe_train
+    merges = bpe_train(survivors, n_merges=4)
+
     manifest = write_corpus_shards(survivors, f"{args.out}/shards",
                                    n_shards=8)
     print(json.dumps({
+        "bpe_merges": merges["merged"].tolist(),
         "curate_kept": kept.count(),
         "dup_clusters": int(clusters.count()),
         "canonical_docs": int(canonical.count()),
