@@ -866,6 +866,23 @@ def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.weighted_sample(_docs(sf_dir))
 
 
+def q_customer_running_totals(sf_dir: str) -> ray.data.Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+        return df
+    return ops_rel.customer_running_totals(
+        _table(sf_dir, "orders")).map_batches(fix, batch_format="pandas")
+
+
+def q_region_revenue(sf_dir: str) -> ray.data.Dataset:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    return ops_rel.region_revenue(_table(sf_dir, "orders"),
+                                  _table(sf_dir, "customer"),
+                                  nation, region)
+
+
 # --------------------------------------------------------------------------
 # SQL mirrors
 
@@ -2380,6 +2397,21 @@ def _ops_sql() -> dict[str, str]:
                    ::BIGINT AS depth
             FROM v LEFT JOIN c USING (user_id)
                    LEFT JOIN p USING (user_id)""",
+        "customer_running_totals": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) / 100e0
+                    AS running_total
+            FROM orders""",
+        "region_revenue": """
+            SELECT r_name, count(*)::BIGINT AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0
+                    AS total_revenue
+            FROM orders JOIN customer ON c_custkey = o_custkey
+                 JOIN nation ON n_nationkey = c_nationkey
+                 JOIN region ON r_regionkey = n_regionkey
+            GROUP BY 1""",
         "shipping_priority": f"""
             WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
                FROM orders JOIN customer ON c_custkey = o_custkey
@@ -2727,6 +2759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "data_quality_audit": q_data_quality_audit,
         "weighted_sample": q_weighted_sample,
+        "customer_running_totals": q_customer_running_totals,
+        "region_revenue": q_region_revenue,
     }
 
 

@@ -263,3 +263,110 @@ def shipping_priority(customer: pd.DataFrame, orders: ray.data.Dataset,
         "o_orderdate": top["odate"].to_numpy(np.int64)
         .astype("datetime64[us]"),
         "o_orderpriority": top["o_orderpriority"].astype(str)})
+
+
+# ---- windowed running total (cumulative sum per key) ----
+
+def customer_running_totals(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """``sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY
+    o_orderdate, o_orderkey)`` at scale: (o_custkey, o_orderkey,
+    o_orderdate, running_total) — the per-entity cumulative spend a
+    billing/LTV pipeline computes.
+
+    Shape: ONE custkey-hash co-partition; within a partition the
+    cumulative sum is one sort + grouped cumsum vectorized across ALL
+    its customers (never a task per key). Totals accumulate as exact
+    int64 cents and divide once on output, so the mirror is bit-exact
+    regardless of accumulation order."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "odate": df["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "cents": _cents(df["o_totalprice"])})
+        out["part"] = (out["o_custkey"] % N_JOIN_PARTS).astype(np.int32)
+        return out
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "odate", "o_orderkey"],
+                          kind="stable").reset_index(drop=True)
+        run = g.groupby("o_custkey", sort=False)["cents"].cumsum() \
+            .to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": g["odate"].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "running_total": run / 100.0})
+
+    return (orders.select_columns(["o_custkey", "o_orderkey",
+                                   "o_orderdate", "o_totalprice"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(cumsum, batch_format="pandas"))
+
+
+# ---- star-schema rollup (orders ⋈ customer ⋈ nation ⋈ region) ----
+
+def region_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
+                   nation: pd.DataFrame,
+                   region: pd.DataFrame) -> ray.data.Dataset:
+    """Star-schema rollup: (r_name, n_orders, total_revenue) — order
+    revenue through the customer → nation → region dimension chain.
+
+    Shape: the two FACT sides (orders, customer) co-partition under ONE
+    ``custkey % P`` tagged-union shuffle; the dimension chain
+    (nation ⋈ region, dozens of rows) is composed driver-side into one
+    nationkey → region-name array broadcast in the closure (``ray.put``
+    at fleet scale). Revenue sums are exact int64 cents."""
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    nk = dim["n_nationkey"].to_numpy(dtype=np.int64)
+    rname = dim["r_name"].to_numpy(dtype=object)
+    order_idx = np.argsort(nk, kind="stable")
+    nk, rname = nk[order_idx], rname[order_idx]
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "v": _cents(df["o_totalprice"])})
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(df), dtype=np.int8),
+            "v": df["c_nationkey"].to_numpy(dtype=np.int64)})
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        c = g[g["side"] == 1].drop_duplicates("k")
+        m = o.merge(c[["k", "v"]].rename(columns={"v": "nat"}),
+                    on="k", how="inner")
+        pos = np.searchsorted(nk, m["nat"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame({
+            "r_name": rname[pos],
+            "rev": m["v"].to_numpy(dtype=np.int64),
+            "n": np.ones(len(m), dtype=np.int64)})
+        return out.groupby("r_name", sort=False, as_index=False).sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "r_name": df["r_name"].astype(str),
+            "n_orders": df["n"].to_numpy(np.int64),
+            "total_revenue": df["rev"].to_numpy(np.int64) / 100.0})
+
+    from ray.data.aggregate import Sum
+    tagged = (orders.select_columns(["o_custkey", "o_totalprice"])
+              .map_batches(tag_orders, batch_format="pandas")
+              .union(customer.select_columns(["c_custkey", "c_nationkey"])
+                     .map_batches(tag_cust, batch_format="pandas")))
+    return (tagged.groupby("part").map_groups(join_fold,
+                                              batch_format="pandas")
+            .groupby("r_name")
+            .aggregate(Sum("rev", alias_name="rev"),
+                       Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pandas"))
