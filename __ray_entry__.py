@@ -866,6 +866,17 @@ def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.weighted_sample(_docs(sf_dir))
 
 
+def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    return ops_rel.promo_revenue(_table(sf_dir, "lineitem"), part)
+
+
+def q_supplier_balances(sf_dir: str) -> ray.data.Dataset:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    return ops_rel.supplier_balances(_table(sf_dir, "supplier"), nation)
+
+
 def q_customer_running_totals(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -2397,6 +2408,28 @@ def _ops_sql() -> dict[str, str]:
                    ::BIGINT AS depth
             FROM v LEFT JOIN c USING (user_id)
                    LEFT JOIN p USING (user_id)""",
+        "promo_revenue": """
+            WITH r AS (SELECT
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_e4,
+                 CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS isp
+               FROM lineitem JOIN part ON p_partkey = l_partkey),
+            s AS (SELECT sum(rev_e4 * isp)::BIGINT AS p_e4,
+                 sum(rev_e4)::BIGINT AS t_e4 FROM r)
+            SELECT p_e4 / 10000e0 AS promo_revenue,
+                t_e4 / 10000e0 AS total_revenue,
+                CAST(p_e4 AS DOUBLE) / CAST(t_e4 AS DOUBLE)
+                    AS promo_share
+            FROM s""",
+        "supplier_balances": """
+            SELECT n_name, count(*)::BIGINT AS n_suppliers,
+                sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100e0
+                    AS total_acctbal,
+                sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100e0
+                    / count(*) AS avg_acctbal
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1""",
         "customer_running_totals": """
             SELECT o_custkey, o_orderkey, o_orderdate,
                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
@@ -2761,6 +2794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "customer_running_totals": q_customer_running_totals,
         "region_revenue": q_region_revenue,
+        "promo_revenue": q_promo_revenue,
+        "supplier_balances": q_supplier_balances,
     }
 
 

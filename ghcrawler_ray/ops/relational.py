@@ -370,3 +370,83 @@ def region_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
             .aggregate(Sum("rev", alias_name="rev"),
                        Sum("n", alias_name="n"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- promo revenue share (TPC-H Q14 shape: fact ⋈ dimension CASE agg) ----
+
+def promo_revenue(lineitem: ray.data.Dataset,
+                  part: pd.DataFrame) -> pd.DataFrame:
+    """One-row Q14 analogue: the share of discounted revenue earned by
+    PROMO-type parts — (promo_revenue, total_revenue, promo_share).
+
+    Shape: the part dimension (p_partkey → is-promo bit) broadcasts
+    once via ``ray.put``; each lineitem batch probes it with one
+    searchsorted and folds to TWO int64 partials, so the reduce is a
+    2-scalar Sum. promo_share is one IEEE division of exact 1e-4-unit
+    ints — bit-exact vs the mirror."""
+    keys = part["p_partkey"].to_numpy(dtype=np.int64)
+    order_idx = np.argsort(keys, kind="stable")
+    promo = (part["p_type"].to_numpy(dtype=object)[order_idx] == "PROMO") \
+        .astype(np.int64)
+    ref = ray.put((keys[order_idx], promo))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk, pr = ray.get(ref)
+        k = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(pk, k)
+        pos[pos == len(pk)] = 0
+        ok = pk[pos] == k
+        rev = (_cents(df["l_extendedprice"])
+               * (100 - _cents(df["l_discount"])))[ok]   # 1e-4 units
+        isp = pr[pos[ok]]
+        return pd.DataFrame({"promo_e4": [int((rev * isp).sum())],
+                             "total_e4": [int(rev.sum())]})
+
+    c = (lineitem.select_columns(["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+         .map_batches(partial, batch_format="pandas")
+         .aggregate(Sum("promo_e4", alias_name="promo_e4"),
+                    Sum("total_e4", alias_name="total_e4")))
+    p_e4, t_e4 = int(c["promo_e4"]), int(c["total_e4"])
+    return pd.DataFrame({
+        "promo_revenue": [p_e4 / 10000.0],
+        "total_revenue": [t_e4 / 10000.0],
+        "promo_share": [np.float64(p_e4) / np.float64(t_e4)]})
+
+
+# ---- supplier balances by nation ----
+
+def supplier_balances(supplier: ray.data.Dataset,
+                      nation: pd.DataFrame) -> ray.data.Dataset:
+    """(n_name, n_suppliers, total_acctbal, avg_acctbal): account-balance
+    rollup of the supplier table through the nation dimension — the
+    small-dimension broadcast-join aggregate over the remaining base
+    table. Balances are exact int64 cents, divided once on output."""
+    nk = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    order_idx = np.argsort(nk, kind="stable")
+    nname = nation["n_name"].to_numpy(dtype=object)[order_idx]
+    nk = nk[order_idx]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = np.searchsorted(nk, df["s_nationkey"]
+                              .to_numpy(dtype=np.int64))
+        g = pd.DataFrame({"n_name": nname[pos],
+                          "bal": _cents(df["s_acctbal"]),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return g.groupby("n_name", sort=False, as_index=False).sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        bal = df["bal"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_name": df["n_name"].astype(str),
+            "n_suppliers": n,
+            "total_acctbal": bal / 100.0,
+            "avg_acctbal": bal / 100.0 / n})
+
+    return (supplier.select_columns(["s_nationkey", "s_acctbal"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(Sum("bal", alias_name="bal"),
+                       Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pandas"))
