@@ -104,7 +104,8 @@ class CuckooFilter:
         return out
 
     def to_state(self) -> dict:
-        return {"n_buckets": self.n_buckets, "n_items": self.n_items, "table": self.table}
+        return {"kind": "cuckoo", "n_buckets": self.n_buckets,
+                "n_items": self.n_items, "table": self.table}
 
     @classmethod
     def from_state(cls, st: dict) -> "CuckooFilter":

@@ -109,11 +109,11 @@ class _Exact64:
 
 
 def _make_filter(mode: str, capacity: int):
-    if mode == "exact64":
-        return _Exact64(capacity)
-    if mode == "cuckoo":
-        return CuckooFilter(capacity)
-    raise ValueError(f"unknown seen_mode {mode!r}")
+    # resolved through the plugin registry (ghcrawler_ray.plugins), the
+    # reference's dynamic provider loading analogue — third-party
+    # backends register_seen_filter() and pass their name as seen_mode
+    from ..plugins import make_seen_filter
+    return make_seen_filter(mode, capacity)
 
 
 class SeenShard:
@@ -222,10 +222,9 @@ class SeenShard:
     def restore(self, snap: dict) -> None:
         self.mode = snap["mode"]
         self.capacity = int(snap["capacity"])
-        cls = _Exact64 if snap["urls"].get("kind") == "exact64" else CuckooFilter
-        self.urls = cls.from_state(snap["urls"])
-        ecls = _Exact64 if snap["etags"].get("kind") == "exact64" else CuckooFilter
-        self.etags = ecls.from_state(snap["etags"])
+        from ..plugins import load_seen_filter
+        self.urls = load_seen_filter(snap["urls"])
+        self.etags = load_seen_filter(snap["etags"])
         self.n_claims = int(snap["n_claims"])
         self.n_bounces = int(snap["n_bounces"])
         self.bloom = BloomFilter(self.capacity)

@@ -84,3 +84,65 @@ def test_cuckoo_mode_pool(ray_session):
     snaps = p.snapshot_all()
     # compact: ~2.25 B/slot at this capacity, snapshot ≪ 64 KiB per shard
     assert all(s["urls"]["table"].nbytes <= 1 << 16 for s in snaps)
+
+
+# ---- plugin registry (ghcrawler_ray/plugins.py, SURVEY §2.9) ----
+
+def test_custom_seen_filter_plugin():
+    """A third-party seen-set backend registered by name works through
+    the whole shard surface (claim / snapshot / restore) — the
+    reference's dynamic provider loading analogue. Local shard: the
+    registry lives in this process."""
+    import numpy as np
+
+    from ghcrawler_ray import plugins
+    from ghcrawler_ray.state.seen import SeenShard, _Exact64
+
+    class TaggedExact(_Exact64):
+        def to_state(self):
+            st = super().to_state()
+            st["kind"] = "tagged-exact"
+            return st
+
+        @classmethod
+        def from_state(cls, st):
+            obj = cls(0)
+            obj._base = np.unique(np.asarray(st["hashes"],
+                                             dtype=np.int64))
+            return obj
+
+    plugins.register_seen_filter("tagged-exact", TaggedExact)
+    assert "tagged-exact" in plugins.seen_filter_names()
+
+    shard = SeenShard(0, mode="tagged-exact", capacity=1 << 10)
+    shard.begin_wave(0)
+    h = np.array([11, 22, 33], dtype=np.int64)
+    assert shard.claim(h).all()
+    snap = shard.snapshot()
+    assert snap["urls"]["kind"] == "tagged-exact"
+    shard.restore(snap)
+    shard.begin_wave(1)                  # new wave: no retry amnesty
+    assert not shard.claim(h).any()      # still seen after restore
+    assert shard.contains(h).all()
+
+
+def test_dotted_path_seen_filter_in_actor(ray_session):
+    """"module:Class" seen_mode resolves inside the ACTOR process — no
+    registry state ships; each worker imports the backend itself (the
+    require('ghcrawler-'+name) semantics)."""
+    import numpy as np
+    import ray as _ray
+
+    from ghcrawler_ray.state.seen import SeenShard
+
+    shard = _ray.remote(SeenShard).options(num_cpus=0).remote(
+        0, mode="ghcrawler_ray.state.cuckoo:CuckooFilter",
+        capacity=1 << 10)
+    _ray.get(shard.begin_wave.remote(0))
+    h = np.array([7, 8], dtype=np.int64)
+    assert _ray.get(shard.claim.remote(h)).all()
+    assert _ray.get(shard.contains.remote(h)).all()
+    snap = _ray.get(shard.snapshot.remote())
+    _ray.get(shard.restore.remote(snap))   # cuckoo kind restores
+    _ray.get(shard.begin_wave.remote(1))   # new wave: no retry amnesty
+    assert not _ray.get(shard.claim.remote(h)).any()
