@@ -1389,7 +1389,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                CASE WHEN lower(sch)='http' THEN regexp_replace(lower(hp), ':80$', '')
                     WHEN lower(sch)='https' THEN regexp_replace(lower(hp), ':443$', '')
                     ELSE lower(hp) END AS hp2,
-               regexp_replace(regexp_replace(rest, '#.*$', ''), '\\?$', '') AS rest2,
+               regexp_replace(regexp_replace(rest, '#.*$', ''), '^([^?]*)\\?$', '\\1') AS rest2,
                sch
               FROM p)
             SELECT url, CASE WHEN sch = '' THEN u

@@ -66,7 +66,10 @@ def normalize_series(urls: pd.Series) -> pd.Series:
     hostport = pc.if_else(pc.equal(scheme, "https"),
                           pc.replace_substring_regex(hostport, ":443$", ""),
                           hostport)
-    rest = pc.replace_substring_regex(rest, r"\?$", "")
+    # strip a trailing '?' only when it is the query DELIMITER itself
+    # (rest contains no other '?'): '/a?' → '/a' but '/??' (query '?',
+    # non-empty) is untouched, keeping normalization idempotent
+    rest = pc.replace_substring_regex(rest, r"^([^?]*)\?$", r"\1")
     rest = pc.if_else(pc.equal(rest, ""), "/", rest)
     out = pc.binary_join_element_wise(
         scheme, pc.binary_join_element_wise(hostport, rest, ""), "://")
