@@ -34,6 +34,7 @@ from ghcrawler_ray.config import (PRIORITY_RANK, CrawlConfig,
 from ghcrawler_ray.frontier import seeds_to_frontier
 from ghcrawler_ray.ops import ann as ops_ann
 from ghcrawler_ray.ops import bpe as ops_bpe
+from ghcrawler_ray.ops import cdx as ops_cdx
 from ghcrawler_ray.ops import corpus as ops_corpus
 from ghcrawler_ray.ops import curate as ops_curate
 from ghcrawler_ray.ops import contamination as ops_contam
@@ -302,6 +303,10 @@ def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
             .map_groups(fold, batch_format="pandas"))
 
 
+def q_cdx_index(sf_dir: str) -> ray.data.Dataset:
+    return ops_cdx.cdx_index(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return media_features(_pages_ds(sf_of_dir(sf_dir)))
 
@@ -505,6 +510,10 @@ def q_doc_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.exact_dedup(_docs(sf_dir))
 
 
+def q_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
+    return ops_dedup.incremental_dedup(_docs(sf_dir))
+
+
 def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     return ops_text.token_counts(_docs(sf_dir))
 
@@ -702,6 +711,10 @@ def q_bpe_compression(sf_dir: str) -> pd.DataFrame:
 
 def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
     return ops_text.pmi_bigrams(_docs(sf_dir))
+
+
+def q_bigram_lm_scores(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.bigram_lm_scores(_docs(sf_dir))
 
 
 def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
@@ -1215,6 +1228,20 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_extract_text": f"""
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
+        # ops/cdx.cdx_index: SURT key = reversed host labels + ')' + rest
+        "crawl_cdx_index": f"""
+            WITH p AS (SELECT url, warc_ts, html,
+                 lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+                 regexp_replace(regexp_replace(url, '^https?://[^/?#]+', ''),
+                                '#.*$', '') AS rest
+               FROM read_parquet('{pages}'))
+            SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                     || ')' || (CASE WHEN rest = '' THEN '/' ELSE rest END)
+                     AS surt_key,
+                 epoch_ms(warc_ts)::BIGINT AS ts_ms,
+                 md5(decode(html)) AS digest,
+                 octet_length(html)::BIGINT AS n_bytes, url
+            FROM p""",
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_clustering": f"""
             WITH l AS (SELECT url AS src_url,
@@ -1855,6 +1882,17 @@ def _ops_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1""",
+        # ops/dedup.incremental_dedup: incoming slice (doc_id % MOD = 0)
+        # anti-joined against the existing corpus on md5(text)
+        "incremental_dedup": f"""
+            WITH h AS (SELECT doc_id, md5(text) AS hh,
+                 (doc_id % {ops_dedup.INC_NEW_MOD} = 0) AS is_new
+               FROM documents),
+            ex AS (SELECT hh, min(doc_id)::BIGINT AS dup_of FROM h
+               WHERE NOT is_new GROUP BY 1)
+            SELECT n.doc_id, coalesce(ex.dup_of, -1)::BIGINT AS dup_of,
+                 (CASE WHEN ex.hh IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM h n LEFT JOIN ex ON ex.hh = n.hh WHERE n.is_new""",
         "token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
@@ -1978,6 +2016,46 @@ def _ops_sql() -> dict[str, str]:
                     * {ops_text.PMI_FP}) // tb.t AS pmi_fp
             FROM f JOIN uni ul ON ul.token = f.tok_l
                    JOIN uni ur ON ur.token = f.tok_r, tot, tb""",
+        # ops/text.bigram_lm_scores: add-one bigram-LM surprisal with the
+        # integer cost (LM_FP*(c1+v+1))//(c12+1); vocab = top-V unigrams
+        # by (count desc, token asc), bigram table limited to vocab².
+        "bigram_lm_scores": rf"""
+            WITH ts AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token,
+                 generate_subscripts(tk, 1) AS pos FROM ts),
+            uni AS (SELECT token, count(*)::BIGINT AS n FROM tok
+               GROUP BY 1),
+            voc AS (SELECT token, n FROM uni
+               ORDER BY n DESC, token LIMIT {ops_text.LM_VOCAB_V}),
+            bi0 AS (SELECT a.token AS lhs, b.token AS rhs,
+                 count(*)::BIGINT AS n
+               FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               GROUP BY 1, 2),
+            bi AS (SELECT bi0.lhs, bi0.rhs, bi0.n FROM bi0
+               JOIN voc vl ON vl.token = bi0.lhs
+               JOIN voc vr ON vr.token = bi0.rhs),
+            pairs AS (SELECT a.doc_id, a.token AS w1, b.token AS w2
+               FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            costs AS (SELECT p.doc_id,
+                 ({ops_text.LM_FP}::BIGINT
+                  * (coalesce(v1.n, 0) + {ops_text.LM_VOCAB_V} + 1))
+                 // (coalesce(bi.n, 0) + 1) AS cost
+               FROM pairs p
+               LEFT JOIN voc v1 ON v1.token = p.w1
+               LEFT JOIN bi ON bi.lhs = p.w1 AND bi.rhs = p.w2),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 sum(cost)::BIGINT AS nll_sum FROM costs GROUP BY 1)
+            SELECT d.doc_id,
+                 coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+                 coalesce(a.nll_sum, 0)::BIGINT AS nll_sum,
+                 (CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                       THEN a.nll_sum // a.n_bigrams ELSE 0 END)::BIGINT
+                     AS mean_nll_fp
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "phrase_search": rf"""
             WITH ts AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -2709,6 +2787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier_rank": q_frontier_rank,
         "crawl_pages_exact_dedup": q_pages_exact_dedup,
         "crawl_media_features": q_media_features,
+        "crawl_cdx_index": q_cdx_index,
         "media_resize": q_media_resize,
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,
@@ -2718,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": q_doc_stats_by_lang,
         # training-data ops (documents / embeddings / events views)
         "doc_exact_dedup": q_doc_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "lang_id": q_lang_id,
@@ -2766,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "bpe_compression": q_bpe_compression,
         "pmi_bigrams": q_pmi_bigrams,
+        "bigram_lm_scores": q_bigram_lm_scores,
         "phrase_search": q_phrase_search,
         "phrase_search_indexed": q_phrase_search_indexed,
         "window_topk_users": q_window_topk_users,

@@ -761,3 +761,54 @@ def dup_clusters(docs: ray.data.Dataset,
 
     return assigned.groupby("cpart") \
         .map_groups(attach, batch_format="pandas")
+
+
+# ---- incremental (cross-corpus) exact dedup ----
+
+INC_NEW_MOD = 5          # doc_id % INC_NEW_MOD == 0 ⇒ the "incoming" slice
+INC_PARTS = 64
+
+
+def incremental_dedup(docs: ray.data.Dataset,
+                      new_mod: int = INC_NEW_MOD) -> ray.data.Dataset:
+    """Dedup a fresh crawl increment against an existing corpus: for
+    every INCOMING document (``doc_id % new_mod == 0`` — the
+    deterministic stand-in for "this batch's new crawl"), report
+    ``dup_of`` = the smallest existing doc_id with byte-identical
+    md5(text) (−1 if none) and ``keep = 1`` iff no existing copy. The
+    production shape for continuous crawling: the existing corpus is
+    NEVER rewritten, only the increment is filtered.
+
+    Scale shape: both sides collapse to slim (doc_id, md5, is_new)
+    rows in one streaming pass; ONE int co-partition shuffle on
+    ``hash64(md5) % INC_PARTS`` co-locates every copy of a text, and
+    the membership check is a vectorized merge inside each coarse
+    partition. Text never shuffles; no broadcast of the (100 TB-scale)
+    existing side."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ch = pd.Series([hashlib.md5(t.encode()).hexdigest()
+                        for t in df["text"].astype(str)])
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part": (_hash64_str(ch.tolist()).view(np.int64) % INC_PARTS)
+            .astype(np.int32),
+            "content_hash": ch.to_numpy(),
+            "doc_id": ids,
+            "is_new": (ids % np.int64(new_mod) == 0).astype(np.int8)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ex = g[g["is_new"] == 0].groupby("content_hash", sort=False) \
+            ["doc_id"].min().rename("dup_of").reset_index()
+        new = g[g["is_new"] == 1]
+        m = new.merge(ex, on="content_hash", how="left")
+        dup = m["dup_of"].fillna(-1).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+            "dup_of": dup,
+            "keep": (dup < 0).to_numpy().astype(np.int64)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(add_hash, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))

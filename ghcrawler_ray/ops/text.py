@@ -241,7 +241,7 @@ def unigram_rank_table(docs: ray.data.Dataset,
     cand = cand.sort_values(["n", "token"], ascending=[False, True],
                             kind="stable").head(v).reset_index(drop=True)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
-    return cand[["token", "rank"]]
+    return cand[["token", "rank", "n"]]
 
 
 def unigram_rank_scores(docs: ray.data.Dataset,
@@ -468,6 +468,129 @@ def pmi_bigrams(docs: ray.data.Dataset,
 
     return (parts.groupby("part").map_groups(fold_a, batch_format="pandas")
             .groupby("part").map_groups(fold_b, batch_format="pandas"))
+
+
+# ---- bigram-LM perplexity-surrogate scoring (CCNet-style LM filter) ----
+
+LM_VOCAB_V = 64              # LM vocabulary size (top-V by count desc, token asc)
+LM_FP = 10 ** 6              # fixed-point scale for the per-bigram cost
+
+
+def bigram_lm_table(docs: ray.data.Dataset,
+                    v: int = LM_VOCAB_V) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Train the bounded bigram LM: (top-``v`` unigram counts, bigram
+    counts restricted to vocab×vocab). The unigram top-``v`` comes from
+    :func:`unigram_rank_table`'s distributed fold; the bigram table is
+    ≤ v² rows by construction — one combiner pass over the corpus
+    (vocab broadcast once) followed by a tiny ``Sum`` aggregate."""
+    from ray.data.aggregate import Sum
+
+    uni = unigram_rank_table(docs, v)[["token", "n"]]
+    order = np.argsort(uni["token"].to_numpy(dtype=object), kind="stable")
+    vocab = uni["token"].to_numpy(dtype=object)[order]
+    vref = ray.put(vocab)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        voc = ray.get(vref)
+        ws = re.compile(WS_TOKEN_RE)
+        ls, rs = [], []
+        for text in df["text"].astype(str):
+            ts = ws.findall(text.lower())
+            ls.extend(ts[:-1])
+            rs.extend(ts[1:])
+        if not ls or not len(voc):
+            return pd.DataFrame({"lhs": np.empty(0, object),
+                                 "rhs": np.empty(0, object),
+                                 "n": np.empty(0, np.int64)})
+        l = np.array(ls, dtype=object)
+        r = np.array(rs, dtype=object)
+        li = np.minimum(np.searchsorted(voc, l), len(voc) - 1)
+        ri = np.minimum(np.searchsorted(voc, r), len(voc) - 1)
+        keep = (voc[li] == l) & (voc[ri] == r)
+        g = pd.DataFrame({"lhs": l[keep], "rhs": r[keep]}) \
+            .groupby(["lhs", "rhs"], sort=False, as_index=False).size()
+        g["n"] = g["size"].astype(np.int64)
+        return g[["lhs", "rhs", "n"]]
+
+    bi = (docs.select_columns(["text"])
+          .map_batches(partial, batch_format="pandas")
+          .groupby(["lhs", "rhs"])                     # ≤ v² rows
+          .aggregate(Sum("n", alias_name="n")).to_pandas())
+    bi["n"] = bi["n"].astype(np.int64)
+    return uni, bi
+
+
+def bigram_lm_scores(docs: ray.data.Dataset,
+                     v: int = LM_VOCAB_V) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, nll_sum, mean_nll_fp): add-one-smoothed
+    bigram-LM surprisal per document — the CCNet/Gopher "KenLM
+    perplexity" filter re-expressed with an integer surrogate so the
+    DuckDB oracle reproduces every value bit-for-bit (IEEE log sums are
+    summation-order-dependent; an integer inverse-probability ratio is
+    not). Per adjacent token pair::
+
+        cost = (LM_FP * (c(w1) + v + 1)) // (c(w1,w2) + 1)
+
+    with c(·) = 0 outside the top-``v`` vocab; ``nll_sum`` is the doc's
+    cost total and ``mean_nll_fp = nll_sum // n_bigrams`` (0 when the
+    doc has < 2 tokens). High mean ⇒ improbable text under the corpus
+    LM (gibberish / boilerplate detector).
+
+    Scale shape: the model is bounded (v unigrams + ≤ v² bigrams),
+    broadcast once via ``ray.put``; training is one combiner pass +
+    vocab-bounded aggregates, scoring is ONE streaming map_batches pass
+    with vectorized searchsorted lookups. The corpus text never
+    shuffles."""
+    uni, bi = bigram_lm_table(docs, v)
+    order = np.argsort(uni["token"].to_numpy(dtype=object), kind="stable")
+    vocab = uni["token"].to_numpy(dtype=object)[order]
+    ucnt = uni["n"].to_numpy(dtype=np.int64)[order]
+    # bigram keys as "lhs\x00rhs" for one sorted lookup array
+    bkey = np.array([f"{a}\x00{b}" for a, b in zip(bi["lhs"], bi["rhs"])],
+                    dtype=object)
+    border = np.argsort(bkey, kind="stable")
+    bkey = bkey[border]
+    bcnt = bi["n"].to_numpy(dtype=np.int64)[border]
+    ref = ray.put((vocab, ucnt, bkey, bcnt))
+    fp, vv = np.int64(LM_FP), np.int64(v)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        voc, uc, bk, bc = ray.get(ref)
+        ws = re.compile(WS_TOKEN_RE)
+        toks, lens = [], []
+        for text in df["text"].astype(str):
+            ts = ws.findall(text.lower())
+            toks.append(ts)
+            lens.append(max(len(ts) - 1, 0))
+        lens = np.array(lens, dtype=np.int64)
+        l = np.array([t[i] for t in toks for i in range(len(t) - 1)],
+                     dtype=object)
+        r = np.array([t[i + 1] for t in toks for i in range(len(t) - 1)],
+                     dtype=object)
+        if len(l) and len(voc):
+            li = np.minimum(np.searchsorted(voc, l), len(voc) - 1)
+            c1 = np.where(voc[li] == l, uc[li], np.int64(0))
+            pk = np.array([f"{a}\x00{b}" for a, b in zip(l, r)], dtype=object)
+            if len(bk):
+                pi = np.minimum(np.searchsorted(bk, pk), len(bk) - 1)
+                c12 = np.where(bk[pi] == pk, bc[pi], np.int64(0))
+            else:
+                c12 = np.zeros(len(pk), dtype=np.int64)
+            cost = (fp * (c1 + vv + np.int64(1))) // (c12 + np.int64(1))
+        else:
+            cost = np.zeros(len(l), dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(cost, dtype=np.int64)])
+        ends = np.cumsum(lens)
+        nll = csum[ends] - csum[ends - lens]
+        mean = np.where(lens > 0, nll // np.maximum(lens, 1), np.int64(0))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "n_bigrams": lens,
+            "nll_sum": nll.astype(np.int64),
+            "mean_nll_fp": mean.astype(np.int64)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(score, batch_format="pandas"))
 
 
 # ---- lang-ID confusion matrix (classifier evaluation) ----

@@ -537,3 +537,69 @@ def test_bpe_pair_counts_overlapping_weighted():
     got = {(r.lhs, r.rhs): int(r.n) for r in pc.itertuples()}
     # positions-based (overlapping) counts, weighted by word frequency
     assert got == {("a", "a"): 4, ("a", "b"): 3}
+
+
+def test_bigram_lm_scores_surprisal(ray_session):
+    """Text made of the corpus's dominant bigrams must score a LOWER
+    mean surprisal than out-of-vocabulary gibberish; docs with < 2
+    tokens score 0 by definition."""
+    from ghcrawler_ray.ops.text import bigram_lm_scores
+    common = "the cat sat on the mat"
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [common + " " + common, common,
+                 "zq xv qj zx wq vk jq",      # OOV gibberish
+                 "one"],                       # single token
+    }))
+    out = bigram_lm_scores(docs).to_pandas().set_index("doc_id")
+    assert out.loc[4, "n_bigrams"] == 0
+    assert out.loc[4, "mean_nll_fp"] == 0
+    assert out.loc[1, "mean_nll_fp"] < out.loc[3, "mean_nll_fp"]
+    assert out.loc[2, "mean_nll_fp"] < out.loc[3, "mean_nll_fp"]
+    # nll_sum is additive over bigrams: all costs positive
+    assert (out.loc[[1, 2, 3], "nll_sum"] > 0).all()
+
+
+def test_incremental_dedup_against_existing(ray_session):
+    """Incoming docs (id % 5 == 0) are flagged iff an EXISTING doc has
+    identical text; duplicates only within the increment stay keep=1."""
+    from ghcrawler_ray.ops.dedup import incremental_dedup
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 5, 10, 15, 20],
+        "text": ["alpha beta", "gamma",       # existing (1, 2)
+                 "alpha beta",                # new, dup of existing 1
+                 "delta unique",              # new, no copy anywhere
+                 "echo twin", "echo twin"],   # new pair: dup only intra-increment
+    }))
+    out = incremental_dedup(docs).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert list(out.index) == [5, 10, 15, 20]
+    assert out.loc[5, "dup_of"] == 1 and out.loc[5, "keep"] == 0
+    assert out.loc[10, "dup_of"] == -1 and out.loc[10, "keep"] == 1
+    # intra-increment twins: existing side has no copy, both kept
+    assert out.loc[15, "keep"] == 1 and out.loc[20, "keep"] == 1
+
+
+def test_cdx_index_surt_and_order(ray_session):
+    """SURT keys reverse host labels; the index comes back globally
+    sorted by (surt_key, ts_ms) with per-capture md5 digests."""
+    import hashlib
+    from ghcrawler_ray.ops.cdx import cdx_index
+    pages = pd.DataFrame({
+        "url": ["http://news.a.example/x?q=1", "http://a.example/",
+                "http://b.example/p", "http://news.a.example/x?q=1"],
+        "warc_ts": pd.to_datetime([2_000_000, 1_000_000, 1_500_000,
+                                   1_000_000], unit="ms"),
+        "html": [b"<p>one</p>", b"<p>two</p>", b"<p>three</p>",
+                 b"<p>one-v2</p>"],
+    })
+    out = cdx_index(ray.data.from_pandas(pages)).to_pandas()
+    assert out["surt_key"].tolist() == sorted(out["surt_key"].tolist())
+    # same url's two captures adjacent and time-ordered
+    both = out[out["url"] == "http://news.a.example/x?q=1"]
+    assert both["surt_key"].iloc[0] == "example,a,news)/x?q=1"
+    assert both["ts_ms"].tolist() == [1_000_000, 2_000_000]
+    row = out[out["url"] == "http://a.example/"].iloc[0]
+    assert row["surt_key"] == "example,a)/"
+    assert row["digest"] == hashlib.md5(b"<p>two</p>").hexdigest()
+    assert row["n_bytes"] == len(b"<p>two</p>")
