@@ -48,7 +48,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "pack_sequences", "crawl_pagerank",
                "quality_percentile_gate", "vocab_encode",
                "project_embeddings", "bpe_train", "pmi_bigrams",
-               "funnel_conversion")
+               "funnel_conversion", "bigram_lm_scores",
+               "incremental_dedup", "crawl_cdx_index")
 SCALING_CPUS = (8, 32)
 
 
