@@ -773,6 +773,10 @@ def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
         fix, batch_format="pandas")
 
 
+def q_revisit_schedule(sf_dir: str) -> ray.data.Dataset:
+    return ops_events.revisit_schedule(_events(sf_dir))
+
+
 def q_zscore_anomalies(sf_dir: str) -> ray.data.Dataset:
     return ops_events.zscore_anomalies(_events(sf_dir))
 
@@ -2446,6 +2450,24 @@ def _ops_sql() -> dict[str, str]:
             SELECT prev AS prev_type, event_type AS next_type,
                 count(*)::BIGINT AS n
             FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        # ops/events.revisit_schedule: adaptive recrawl interval — span
+        # over (changes+1), all integer µs
+        "revisit_schedule": """
+            WITH o AS (SELECT user_id, ts, value,
+                 lag(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS pv
+               FROM events),
+            a AS (SELECT user_id, count(*)::BIGINT AS n_obs,
+                 sum(CASE WHEN pv IS NOT NULL AND value <> pv
+                          THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                 epoch_us(min(ts))::BIGINT AS first_us,
+                 epoch_us(max(ts))::BIGINT AS last_us
+               FROM o GROUP BY 1)
+            SELECT user_id, n_obs, n_changes,
+                 (last_us - first_us) // (n_changes + 1) AS interval_us,
+                 last_us + (last_us - first_us) // (n_changes + 1)
+                     AS next_ts_us
+            FROM a""",
         # z = (cents·n − S)/sqrt(n·Q − S²): int64 moments, ONE fixed
         # IEEE expression over exactly-representable doubles — bit-exact
         # vs ops/events.zscore_anomalies with no rounding
@@ -2857,6 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_doc_stats": q_rollup_doc_stats,
         "length_percentile_ranks": q_length_percentile_ranks,
         "event_transitions": q_event_transitions,
+        "revisit_schedule": q_revisit_schedule,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,

@@ -595,3 +595,58 @@ def event_transitions(events: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part").map_groups(transitions, batch_format="pandas")
             .groupby(["prev_type", "next_type"])       # ≤ types² rows
             .aggregate(Sum("n", alias_name="n")))
+
+
+def revisit_schedule(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_obs, n_changes, interval_us, next_ts_us): adaptive
+    re-visit scheduling from an observation log — the Cho/Garcia-Molina
+    recrawl-frequency estimator that turns the reference's static
+    freshness windows (`lib/traversalPolicy.js` N-days policies) into a
+    per-entity learned interval. Each entity's (here: user_id's) stream
+    ordered by (ts, event_id) yields n_changes = #(value <> previous
+    value); the estimated change spacing ``interval_us = span_us //
+    (n_changes + 1)`` schedules ``next_ts_us = last_obs + interval``
+    (entities that never change get the full span; single-observation
+    entities get interval 0 = revisit immediately to learn a rate).
+    All arithmetic is integer µs — bit-exact vs the SQL lag() mirror.
+
+    Shape: slim (user, ts, id, value) projection → ONE coarse user-hash
+    co-partition; within a partition the change flags are one vectorized
+    adjacent-row compare across ALL users (boundaries masked) and the
+    per-user reduce is a single groupby-agg — no per-user tasks."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "value"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        chg = np.zeros(len(g), dtype=np.int64)
+        if len(g) >= 2:
+            chg[1:] = ((uid[1:] == uid[:-1])
+                       & (val[1:] != val[:-1])).astype(np.int64)
+        agg = pd.DataFrame({"user_id": uid, "ts_us": ts, "chg": chg}) \
+            .groupby("user_id", sort=False).agg(
+                n_obs=("ts_us", "size"), n_changes=("chg", "sum"),
+                first_us=("ts_us", "min"), last_us=("ts_us", "max")) \
+            .reset_index()
+        span = (agg["last_us"] - agg["first_us"]).to_numpy(dtype=np.int64)
+        n_chg = agg["n_changes"].to_numpy(dtype=np.int64)
+        interval = span // (n_chg + 1)
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(dtype=np.int64),
+            "n_obs": agg["n_obs"].to_numpy(dtype=np.int64),
+            "n_changes": n_chg,
+            "interval_us": interval,
+            "next_ts_us": agg["last_us"].to_numpy(dtype=np.int64)
+            + interval})
+
+    return (events.select_columns(["user_id", "ts", "event_id", "value"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(schedule, batch_format="pandas"))

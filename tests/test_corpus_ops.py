@@ -603,3 +603,33 @@ def test_cdx_index_surt_and_order(ray_session):
     assert row["surt_key"] == "example,a)/"
     assert row["digest"] == hashlib.md5(b"<p>two</p>").hexdigest()
     assert row["n_bytes"] == len(b"<p>two</p>")
+
+
+def test_revisit_schedule_change_rate(ray_session):
+    """A frequently-changing entity gets a SHORTER revisit interval than
+    a static one over the same span; single-observation entities get
+    interval 0 (revisit immediately)."""
+    from ghcrawler_ray.ops.events import revisit_schedule
+    ms = 1000  # µs per ms
+    ev = pd.DataFrame({
+        "event_id": range(9),
+        "user_id": [1, 1, 1, 1,   2, 2, 2, 2,   3],
+        "ts": pd.to_datetime([0, 10, 20, 30,  0, 10, 20, 30,  5],
+                             unit="ms"),
+        "event_type": ["view"] * 9,
+        "value": [1.0, 2.0, 3.0, 4.0,   7.0, 7.0, 7.0, 7.0,   1.0],
+    })
+    out = revisit_schedule(ray.data.from_pandas(ev)).to_pandas() \
+        .set_index("user_id")
+    # user 1: 3 changes over 30ms span → interval 30//4 = 7.5ms floor
+    assert out.loc[1, "n_changes"] == 3
+    assert out.loc[1, "interval_us"] == 30 * ms // 4
+    # user 2: never changes → interval = full span
+    assert out.loc[2, "n_changes"] == 0
+    assert out.loc[2, "interval_us"] == 30 * ms
+    assert out.loc[1, "interval_us"] < out.loc[2, "interval_us"]
+    # user 3: one observation → interval 0, next = last obs
+    assert out.loc[3, "interval_us"] == 0
+    assert out.loc[3, "next_ts_us"] == 5 * ms
+    # schedule is anchored at the last observation
+    assert out.loc[1, "next_ts_us"] == 30 * ms + 30 * ms // 4
