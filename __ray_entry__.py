@@ -196,6 +196,13 @@ def q_host_clustering(sf_dir: str) -> pd.DataFrame:
     return host_clustering(_links_ds(sf_dir))
 
 
+def q_host_hits(sf_dir: str) -> pd.DataFrame:
+    """Integer fixed-point HITS hubs/authorities on the host graph —
+    mirrored by an unrolled-CTE DuckDB chain (_hits_sql)."""
+    from ghcrawler_ray.ops.graph import host_hits
+    return host_hits(_links_ds(sf_dir))
+
+
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Distributed PageRank over the synthesized web's link graph —
     exact int64 fixed-point power iteration (ops/graph.py), mirrored by
@@ -955,6 +962,46 @@ def _pagerank_sql(pages: str) -> str:
         FROM {prev}"""
 
 
+def _hits_sql(pages: str) -> str:
+    """Unrolled integer fixed-point HITS mirror (ops/graph.host_hits):
+    auth from hub then hub from the UPDATED auth, L1-normalized with
+    floor division each round — bit-exact vs the numpy loop."""
+    from ghcrawler_ray.ops.graph import HITS_FP, HITS_ITERS
+    hub_prev, blocks = "h0", []
+    for i in range(1, HITS_ITERS + 1):
+        blocks.append(f"""
+        ar{i} AS (SELECT e.d AS host, sum({hub_prev}.v)::BIGINT AS raw
+               FROM e JOIN {hub_prev} ON {hub_prev}.host = e.s GROUP BY 1),
+        a{i} AS (SELECT n.host,
+                 CAST(coalesce(ar{i}.raw, 0) * {HITS_FP}
+                      // (SELECT sum(raw) FROM ar{i}) AS BIGINT) AS v
+               FROM n LEFT JOIN ar{i} USING (host)),
+        hr{i} AS (SELECT e.s AS host, sum(a{i}.v)::BIGINT AS raw
+               FROM e JOIN a{i} ON a{i}.host = e.d GROUP BY 1),
+        h{i} AS (SELECT n.host,
+                 CAST(coalesce(hr{i}.raw, 0) * {HITS_FP}
+                      // (SELECT sum(raw) FROM hr{i}) AS BIGINT) AS v
+               FROM n LEFT JOIN hr{i} USING (host))""")
+        hub_prev = f"h{i}"
+    k = HITS_ITERS
+    return rf"""
+        WITH l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+        hp AS (SELECT DISTINCT
+                 lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1)) AS s,
+                 lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1)) AS d
+               FROM l
+               WHERE regexp_matches(src_url, '^https?://[^/?#]+')
+                 AND regexp_matches(dst_url, '^https?://[^/?#]+')),
+        e AS (SELECT s, d FROM hp WHERE s <> d),
+        n AS (SELECT s AS host FROM e UNION SELECT d FROM e),
+        h0 AS (SELECT host, CAST({HITS_FP} AS BIGINT) AS v FROM n),{",".join(blocks)}
+        SELECT n.host, h{k}.v AS hub_fp, a{k}.v AS auth_fp
+        FROM n JOIN h{k} USING (host) JOIN a{k} USING (host)"""
+
+
 def _hll_sql() -> str:
     """Bit-exact HyperLogLog mirror (ops/sketch.py): register/rank from
     the same md5-derived u64, harmonic mean in scaled-integer HUGEINT
@@ -1247,6 +1294,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                  octet_length(html)::BIGINT AS n_bytes, url
             FROM p""",
         "crawl_pagerank": _pagerank_sql(pages),
+        "crawl_host_hits": _hits_sql(pages),
         "crawl_host_clustering": f"""
             WITH l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -2802,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_components": q_host_components,
         "crawl_host_triangles": q_host_triangles,
         "crawl_host_clustering": q_host_clustering,
+        "crawl_host_hits": q_host_hits,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,

@@ -502,3 +502,61 @@ def host_clustering(links: ray.data.Dataset) -> pd.DataFrame:
     out = pd.DataFrame({"host": host, "degree": d_, "n_triangles": t_,
                         "coeff_fp": coeff})
     return out.sort_values("host", kind="stable").reset_index(drop=True)
+
+
+# ---- HITS hubs/authorities over the host graph ----
+
+HITS_ITERS = 2
+HITS_FP = 10 ** 6
+
+
+def host_hits(links: ray.data.Dataset,
+              iters: int = HITS_ITERS) -> pd.DataFrame:
+    """(host, hub_fp, auth_fp) after ``iters`` integer fixed-point HITS
+    iterations on the DIRECTED host graph (edge A→B wherever any page
+    of host A links any page of host B, self-loops dropped) — the
+    hub/authority complement to ``pagerank``'s single-score authority:
+    link farms score as hubs, heavily-cited content hosts as
+    authorities.
+
+    Per iteration (Kleinberg's update with L1 normalization, all
+    integer so the unrolled-CTE DuckDB mirror is bit-exact)::
+
+        auth_raw[d] = Σ_{(s,d)∈E} hub[s];  auth = auth_raw·FP // Σ auth_raw
+        hub_raw[s]  = Σ_{(s,d)∈E} auth[d]; hub  = hub_raw·FP // Σ hub_raw
+
+    Scale shape: page edges collapse to distinct host pairs per batch →
+    one global distinct groupby; iterations run on the #hosts-bounded
+    canonical edge list (the same budget as ``host_triangles`` /
+    ``host_components``), vectorized groupby-sums per round."""
+
+    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+
+    pairs = (links.select_columns(["src_url", "dst_url"])
+             .map_batches(host_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).count()
+             .select_columns(["a", "b"])
+             .to_pandas())                           # ≤ #hosts² ≪ #urls
+    e = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
+    hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
+    idx = {h: i for i, h in enumerate(hosts)}
+    src = e["a"].map(idx).to_numpy(dtype=np.int64)
+    dst = e["b"].map(idx).to_numpy(dtype=np.int64)
+    fp = np.int64(HITS_FP)
+    hub = np.full(len(hosts), fp, dtype=np.int64)
+    auth = np.full(len(hosts), fp, dtype=np.int64)
+    for _ in range(iters):
+        ar = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(ar, dst, hub[src])
+        s = ar.sum()
+        auth = (ar * fp) // s if s else ar
+        hr = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(hr, src, auth[dst])
+        s = hr.sum()
+        hub = (hr * fp) // s if s else hr
+    return pd.DataFrame({"host": hosts, "hub_fp": hub, "auth_fp": auth})

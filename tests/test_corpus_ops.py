@@ -633,3 +633,24 @@ def test_revisit_schedule_change_rate(ray_session):
     assert out.loc[3, "next_ts_us"] == 5 * ms
     # schedule is anchored at the last observation
     assert out.loc[1, "next_ts_us"] == 30 * ms + 30 * ms // 4
+
+
+def test_host_hits_hub_vs_authority(ray_session):
+    """A directory host linking everyone must dominate the hub score;
+    the host everyone links must dominate authority; scores are
+    L1-normalized fixed-point (sum ≈ HITS_FP up to floor loss)."""
+    from ghcrawler_ray.ops.graph import HITS_FP, host_hits
+    links = pd.DataFrame({
+        "src_url": ["http://dir.x/", "http://dir.x/", "http://dir.x/",
+                    "http://u1.x/", "http://u2.x/"],
+        "dst_url": ["http://star.x/a", "http://u1.x/b", "http://u2.x/c",
+                    "http://star.x/d", "http://star.x/e"],
+    })
+    out = host_hits(ray.data.from_pandas(links)).set_index("host")
+    assert out["hub_fp"].idxmax() == "dir.x"
+    assert out["auth_fp"].idxmax() == "star.x"
+    # star never links out → zero hub; dir is never linked → zero auth
+    assert out.loc["star.x", "hub_fp"] == 0
+    assert out.loc["dir.x", "auth_fp"] == 0
+    for col in ("hub_fp", "auth_fp"):
+        assert 0 < out[col].sum() <= HITS_FP
