@@ -79,7 +79,11 @@ class CrawlConfig:
     #     in one wave is split into salt_factor deterministic sub-groups whose
     #     budgets sum to the host budget (SURVEY.md §7.4) ---
     salt_threshold: int = 2_000
-    salt_factor: int = 4
+    salt_factor: int = 4    # floor of the adaptive split (politeness.n_salts_for)
+    # adaptive ceiling: the zipf-head host splits into up to this many
+    # groups (≈ count/salt_threshold), bounded by n_polite_parts/2 so one
+    # host never monopolizes the partition space
+    salt_cap: int = 32
 
     # --- partitioning ---
     n_shards: int = 8    # seen-set actor shards (hash(url) % n_shards)

@@ -40,7 +40,7 @@ from ..frontier import (FRONTIER_COLS, dedup_discovered,
                         links_to_frontier, seeds_to_frontier)
 from ..stages.extract import extract_links_df, extract_text
 from ..state.politeness import (ORDER_COLS, admit_first_n, group_budget,
-                                host_budget, polite_salt)
+                                host_budget, polite_salt, salt_map)
 from ..urls import (hash64_array, is_malformed_series, normalize_series,
                     split_host_path)
 
@@ -87,7 +87,7 @@ class SequentialOracle:
         seen: dict[str, int] = {}
         seen_etag: dict[str, str] = {}
         etag_first: set[str] = set()
-        hot_prev: set[str] = set()  # hosts hot in the previous wave
+        hot_prev: dict[str, int] = {}  # host → n_salts from the previous wave
         order_rows, dead_rows, link_frames, page_rows, metric_rows = [], [], [], [], []
 
         while wave < cfg.max_waves:
@@ -148,16 +148,17 @@ class SequentialOracle:
             if len(cand):
                 cand["salt"] = 0
                 for h, g in cand.groupby("host", sort=False):
+                    ns = hot_prev.get(h, 1)
                     cand.loc[g.index, "salt"] = polite_salt(
-                        g["url_hash"].to_numpy(), h in hot_prev, cfg.salt_factor)
+                        g["url_hash"].to_numpy(), ns > 1, ns)
                 for (h, s), g in cand.groupby(["host", "salt"], sort=False):
-                    b = group_budget(self._budget(h), h in hot_prev,
-                                     cfg.salt_factor, int(s))
+                    ns = hot_prev.get(h, 1)
+                    b = group_budget(self._budget(h), ns > 1, ns, int(s))
                     mask = admit_first_n(g, b)
                     deferred_idx.extend(g.index[~mask])
             cur.loc[deferred_idx, "outcome"] = "deferred"
-            hot_prev = {h for h, n in cand.groupby("host").size().items()
-                        if n > cfg.salt_threshold} if len(cand) else set()
+            hot_prev = salt_map(cand.groupby("host").size(), cfg) \
+                if len(cand) else {}
 
             # fetch probe against the pages table
             adm = cur[(cur["outcome"] == "") & cur["claimed"]]

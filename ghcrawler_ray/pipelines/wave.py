@@ -65,7 +65,7 @@ from ..stages.engine_stages import (FRONTIER_COLS, ORDER_META, PrepareBatch,
                                     make_extract_stage, make_partition_stage,
                                     make_resolve_stage, resolve_etag_frame,
                                     route_next_frontier)
-from ..state.politeness import ORDER_COLS
+from ..state.politeness import ORDER_COLS, salt_map
 from ..state.seen import SeenSetPool
 
 
@@ -166,26 +166,29 @@ class CrawlEngine:
 
     # ---------- lifecycle ----------
 
-    def _fresh_start(self) -> tuple[int, int, set]:
+    def _fresh_start(self) -> tuple[int, int, dict]:
         if self.out.exists():
             shutil.rmtree(self.out)
         self.out.mkdir(parents=True)
         seeds = pq.read_table(Path(self.web_root) / "seeds.parquet").to_pandas()
         self._write_frontier_df(seeds_to_frontier(seeds), 0)
-        return 0, 0, set()
+        return 0, 0, {}
 
-    def _resume_point(self) -> tuple[int, int, set]:
+    def _resume_point(self) -> tuple[int, int, dict]:
         """Latest complete wave k → resume at k+1 from its manifest."""
         waves = sorted(int(p.stem.split("=")[1])
                        for p in (self.out / "manifests").glob("wave=*.json"))
         if not waves:
-            return 0, 0, set()
+            return 0, 0, {}
         k = waves[-1]
         m = json.loads(self._manifest_path(k).read_text())
         snap = self.out / "seen_snapshots" / f"wave={k + 1}"
         if snap.exists():
             self.pool.load_snapshots(str(snap))
-        return k + 1, int(m["next_clock"]), set(m.get("hot_hosts", []))
+        hot = m.get("hot_hosts", {})
+        if isinstance(hot, list):      # legacy manifest: fixed salt factor
+            hot = {h: self.cfg.salt_factor for h in hot}
+        return k + 1, int(m["next_clock"]), {h: int(n) for h, n in hot.items()}
 
     def run(self, resume: bool = False) -> dict:
         cfg = self.cfg
@@ -254,7 +257,7 @@ class CrawlEngine:
                 ctx.min_parallelism = self.cfg.n_polite_parts
             self._write_manifest(k, {"wave": k, "next_clock": clock,
                                      "next_frontier_rows": n_next,
-                                     "hot_hosts": sorted(hot)})
+                                     "hot_hosts": dict(sorted(hot.items()))})
             k += 1
             if n_next == 0:
                 break
@@ -280,7 +283,7 @@ class CrawlEngine:
                         order_dir=str(order_dir) if order_dir else None)
 
     def _run_wave(self, k: int, clock: int, frontier, robots_ref,
-                  hot: set[str], min_nb: int | None) -> tuple[int, int, set]:
+                  hot: dict, min_nb: int | None) -> tuple[int, int, dict]:
         cfg = self.cfg
         if min_nb is not None and min_nb > clock:
             clock = min_nb  # fast-forward (polling-delay analogue)
@@ -362,14 +365,13 @@ class CrawlEngine:
 
     # ---------- sidecar merges (driver work O(#hosts / #buckets×#outcomes)) ----------
 
-    def _hot_from_sidecars(self, hot_dir: Path) -> set[str]:
+    def _hot_from_sidecars(self, hot_dir: Path) -> dict:
         host_counts: dict = {}
         for f in sorted(hot_dir.glob("*.parquet")) if hot_dir.exists() else []:
             t = pq.read_table(str(f))
             for h, n in zip(t["host"].to_pylist(), t["n"].to_pylist()):
                 host_counts[h] = host_counts.get(h, 0) + int(n)
-        return {h for h, n in host_counts.items()
-                if n > self.cfg.salt_threshold}
+        return salt_map(host_counts, self.cfg)
 
     def _stats_from_sidecars(self, stats_dir: Path, k: int) -> pd.Series:
         """Merge the stages' per-group (bucket, outcome) count side-outputs
@@ -419,7 +421,7 @@ class CrawlEngine:
     # ---------- one wave, small-frontier fast path ----------
 
     def _run_wave_local(self, k: int, clock: int, files: list[str], robots_ref,
-                        hot: set[str]) -> tuple[int, int, set]:
+                        hot: dict) -> tuple[int, int, dict]:
         """Driver-side execution of one wave through the IDENTICAL stage
         callables (PrepareBatch → partition → etag resolve → extract).
         Seen-set shard actors are still the authority, so local and
@@ -444,12 +446,11 @@ class CrawlEngine:
         self._log_wave(k, pdf)
         counts = pdf["outcome"].value_counts()
 
-        next_hot = set()
+        next_hot: dict = {}
         cand = pdf[pdf["outcome"].isin(["deferred", "fetch_error", "fetched",
                                         "not_modified"])]
         if len(cand):
-            by_host = cand.groupby("host").size()
-            next_hot = set(by_host.index[by_host > cfg.salt_threshold])
+            next_hot = salt_map(cand.groupby("host").size(), cfg)
 
         next_parts: list[pd.DataFrame] = [
             route_next_frontier(cur, cfg, clock).to_pandas()]

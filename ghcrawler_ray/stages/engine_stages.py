@@ -74,6 +74,15 @@ from ..urls import (hash64_array, is_malformed_series, normalize_series,
 from .extract import extract_links_df, extract_text_batch
 
 
+def _as_salt_map(hot_hosts, cfg: CrawlConfig) -> dict:
+    """Normalize a hotness argument to the host → n_salts dict (adaptive
+    salting, politeness.n_salts_for). Plain sets — legacy manifests and
+    direct test callers — mean the fixed cfg.salt_factor per host."""
+    if isinstance(hot_hosts, dict):
+        return {h: int(n) for h, n in hot_hosts.items() if int(n) > 1}
+    return {h: cfg.salt_factor for h in hot_hosts}
+
+
 def _pages_bucket(path: str) -> pd.DataFrame:
     """One immutable pages bucket (url, html, lang). NOT cached: html is
     the fat column — caching it per worker multiplies to cluster-crushing
@@ -165,12 +174,14 @@ class PrepareBatch:
     per-host politeness budgets, and the claim/probe rows."""
 
     def __init__(self, cfg: CrawlConfig, robots_ref, clock: int,
-                 n_buckets: int, hot_hosts: set[str] = frozenset()):
+                 n_buckets: int, hot_hosts=frozenset()):
         self.cfg = cfg
         self.robots_ref = robots_ref
         self.clock = clock
         self.n_buckets = n_buckets
-        self.hot_hosts = set(hot_hosts)
+        # host → n_salts (adaptive, politeness.n_salts_for); a plain set
+        # (legacy callers/tests) means the fixed cfg.salt_factor
+        self.salts = _as_salt_map(hot_hosts, cfg)
         self._robots = None
         self._rules = None          # (ruled-host set, exploded host→prefix df)
         self._deny = re.compile(cfg.deny_url_regex)
@@ -227,10 +238,12 @@ class PrepareBatch:
                             dtype=bool, count=len(m))
                         b.loc[m.loc[hit, "index"].unique(),
                               "outcome"] = "robots_denied"
-        hot = b["host"].isin(self.hot_hosts).to_numpy() if self.hot_hosts \
-            else np.zeros(len(b), dtype=bool)
-        salt = np.where(hot, b["url_hash"].to_numpy() % cfg.salt_factor,
-                        0).astype(np.int16)
+        if self.salts:
+            ns = b["host"].map(self.salts).fillna(1).to_numpy(dtype=np.int64)
+            salt = np.where(ns > 1, b["url_hash"].to_numpy() % ns,
+                            0).astype(np.int16)
+        else:
+            salt = np.zeros(len(b), dtype=np.int16)
         b["salt"] = salt
         # coarse co-group partition: all rows of one (host, salt) politeness
         # group — and hence all duplicates of one url — land in the same
@@ -243,7 +256,7 @@ class PrepareBatch:
 
 
 def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
-                         hot_hosts: set[str], side: WaveSide | None = None):
+                         hot_hosts, side: WaveSide | None = None):
     """groupby('polite_part') — the wave's only FULL-row shuffle, over a
     bounded number of int-keyed coarse partitions (cfg.n_polite_parts).
     One partition co-locates complete (host, salt) politeness groups and
@@ -273,6 +286,8 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
     ``side`` (the driver-local fast path) the full tagged frame is
     returned unchanged for the caller to route."""
     holder: dict = {}
+
+    salts = _as_salt_map(hot_hosts, cfg)
 
     def _budgets(robots: dict) -> dict:
         wave_ms = cfg.wave_ms
@@ -322,12 +337,12 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
                 .to_numpy()
             hb = order["host"].map(holder["budgets"]) \
                 .fillna(holder["default_budget"]).to_numpy(dtype=np.int64)
-            sf = cfg.salt_factor
-            if hot_hosts:
-                hot = order["host"].isin(hot_hosts).to_numpy()
+            if salts:
+                ns = order["host"].map(salts).fillna(1) \
+                    .to_numpy(dtype=np.int64)
                 salt = order["salt"].to_numpy(dtype=np.int64)
-                # salted_budgets(b, sf)[s] == b//sf + (s < b % sf)
-                b_vec = np.where(hot, hb // sf + (salt < hb % sf), hb)
+                # salted_budgets(b, ns)[s] == b//ns + (s < b % ns)
+                b_vec = np.where(ns > 1, hb // ns + (salt < hb % ns), hb)
             else:
                 b_vec = hb
             deferred = order.index[pos >= b_vec]

@@ -69,3 +69,24 @@ def test_admit_mask_hot_equals_per_salt_group_admission():
 def test_group_budget_consistency():
     assert group_budget(10, False, 4, 0) == 10
     assert [group_budget(10, True, 4, s) for s in range(4)] == salted_budgets(10, 4)
+
+
+def test_n_salts_adaptive():
+    from ghcrawler_ray.config import CrawlConfig
+    from ghcrawler_ray.state.politeness import n_salts_for, salt_map
+
+    # cold host (<= threshold) stays unsalted; just-hot gets the floor;
+    # zipf-head splits proportionally; cap bounds the split
+    assert n_salts_for(2000, 2000, 4, 32) == 1
+    assert n_salts_for(2001, 2000, 4, 32) == 4
+    assert n_salts_for(20_000, 2000, 4, 32) == 10
+    assert n_salts_for(1_000_000, 2000, 4, 32) == 32
+
+    cfg = CrawlConfig()          # threshold 2000, floor 4, cap 32, parts 64
+    m = salt_map({"a": 10, "b": 2001, "c": 30_000}, cfg)
+    assert m == {"b": 4, "c": 15}
+    # cap is additionally bounded by half the partition width
+    cfg2 = CrawlConfig(n_polite_parts=16)
+    assert salt_map({"c": 1_000_000}, cfg2) == {"c": 8}
+    # unsalted hosts are omitted (map stays O(#hot hosts))
+    assert salt_map(pd.Series({"a": 1}), cfg) == {}
