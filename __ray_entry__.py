@@ -43,6 +43,7 @@ from ghcrawler_ray.ops import events as ops_events
 from ghcrawler_ray.ops import packing as ops_packing
 from ghcrawler_ray.ops import relational as ops_rel
 from ghcrawler_ray.ops import search as ops_search
+from ghcrawler_ray.ops import urlstats as ops_urlstats
 from ghcrawler_ray.ops import text as ops_text
 from ghcrawler_ray.ops.multimodal import (frame_samples, media_features,
                                           media_resize)
@@ -312,6 +313,18 @@ def q_pages_exact_dedup(sf_dir: str) -> ray.data.Dataset:
 
 def q_cdx_index(sf_dir: str) -> ray.data.Dataset:
     return ops_cdx.cdx_index(_pages_ds(sf_of_dir(sf_dir)))
+
+
+def q_trap_patterns(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-trap URL pattern detector (digit-runs → N, count per
+    (host, pattern); Mercator §3.2 heuristic)."""
+    return ops_urlstats.trap_patterns(_pages_ds(sf_of_dir(sf_dir)))
+
+
+def q_anchor_text(sf_dir: str) -> ray.data.Dataset:
+    """Per-target anchor-text aggregation (n_refs / distinct anchors /
+    dominant anchor; Brin & Page §2.2 link-text signal)."""
+    return ops_urlstats.anchor_text_agg(_pages_ds(sf_of_dir(sf_dir)))
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
@@ -1293,6 +1306,33 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                  md5(decode(html)) AS digest,
                  octet_length(html)::BIGINT AS n_bytes, url
             FROM p""",
+        # ops/urlstats.trap_patterns: digit-runs in path+query → 'N'
+        "crawl_trap_patterns": f"""
+            WITH u AS (SELECT url, {ops_urlstats.HOST_SQL} AS host,
+                 {ops_urlstats.PATTERN_SQL} AS path_pattern
+               FROM read_parquet('{pages}'))
+            SELECT host, path_pattern, count(*)::BIGINT AS n_urls,
+                   count(*) >= {ops_urlstats.TRAP_THRESHOLD} AS is_trap
+            FROM u GROUP BY 1, 2""",
+        # ops/urlstats.anchor_text_agg: top anchor = max count, ties →
+        # lexicographically smallest anchor
+        "crawl_anchor_text": f"""
+            WITH l AS (SELECT
+                 list_zip(regexp_extract_all(decode(html),
+                          '{ops_urlstats.ANCHOR_TAG_RE}', 1),
+                          regexp_extract_all(decode(html),
+                          '{ops_urlstats.ANCHOR_TAG_RE}', 2)) AS z
+               FROM read_parquet('{pages}')),
+            p AS (SELECT unnest(z) AS x FROM l),
+            pairs AS (SELECT x[1] AS dst_url, x[2] AS anchor FROM p
+                      WHERE x[1] IS NOT NULL),
+            g AS (SELECT dst_url, anchor, count(*)::BIGINT AS cnt
+                  FROM pairs GROUP BY 1, 2)
+            SELECT dst_url, sum(cnt)::BIGINT AS n_refs,
+                   count(*)::BIGINT AS n_anchors,
+                   (array_agg(anchor ORDER BY cnt DESC, anchor ASC))[1]
+                       AS top_anchor
+            FROM g GROUP BY dst_url""",
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_host_clustering": f"""
@@ -2859,6 +2899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pages_exact_dedup": q_pages_exact_dedup,
         "crawl_media_features": q_media_features,
         "crawl_cdx_index": q_cdx_index,
+        "crawl_trap_patterns": q_trap_patterns,
+        "crawl_anchor_text": q_anchor_text,
         "media_resize": q_media_resize,
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,

@@ -1,0 +1,128 @@
+"""URL-space analyses over the crawled web: crawl-trap detection and
+anchor-text aggregation.
+
+Crawler-operations complements to the frontier (SURVEY.md §2.6 ordering
+/ §2.2 filters). The reference bounds runaway URL spaces only indirectly
+(attempt caps `lib/crawler.js:320-344`, queue weights
+`providers/queuing/queueSet.js:46-65`); a production crawl ALSO needs to
+*detect* the runaway spaces — calendar pages, session-id permutations,
+faceted search — before they eat the fetch budget. ``trap_patterns``
+is that detector: digit-runs in the path+query collapse to ``N`` and
+hosts whose single pattern explodes past a threshold get flagged, the
+standard crawler-trap heuristic (Heydon & Najork, "Mercator: A scalable,
+extensible Web crawler", WWW 1999, §3.2 — URL canonicalization and trap
+avoidance).
+
+``anchor_text_agg`` is the classic link-text signal (anchor text
+describes the *target* page better than the target itself — Brin & Page
+1998 §2.2): per destination URL, how many pages link to it, with how
+many distinct anchor texts, and which anchor dominates. Used for search
+indexing and as crawl-priority evidence.
+
+Scale shape (both ops): per-batch pandas/polars combiner emits partial
+count rows only (the html/url payload never shuffles), then ONE coarse
+int-keyed co-partition (`hash64 % N_URL_PARTS`) folds partials
+shard-locally — the same slim-combiner → small-shuffle shape as
+`ops/text.token_stats`. Driver holds nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..urls import hash64_array
+
+N_URL_PARTS = 64
+
+#: hosts whose collapsed URL pattern has at least this many distinct
+#: URLs are flagged as potential traps (tests/bench override it).
+TRAP_THRESHOLD = 100
+
+# SQL fragments mirrored by __ray_entry__._crawl_sql (kept adjacent to
+# the Python they must reproduce bit-for-bit).
+HOST_SQL = "lower(regexp_extract(url, '^https?://([^/?#]+)', 1))"
+PATTERN_SQL = ("regexp_replace(regexp_replace(regexp_replace(url, "
+               "'^https?://[^/?#]+', ''), '#.*$', ''), '[0-9]+', 'N', 'g')")
+ANCHOR_TAG_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def _host_pattern(urls: pd.Series) -> pd.DataFrame:
+    host = (urls.str.extract(r"^https?://([^/?#]+)", expand=False)
+            .fillna("").str.lower())
+    pat = (urls.str.replace(r"^https?://[^/?#]+", "", regex=True)
+           .str.replace(r"#.*$", "", regex=True)
+           .str.replace(r"[0-9]+", "N", regex=True))
+    return pd.DataFrame({"host": host, "path_pattern": pat})
+
+
+def trap_patterns(pages: ray.data.Dataset,
+                  threshold: int = TRAP_THRESHOLD) -> ray.data.Dataset:
+    """(host, path_pattern, n_urls, is_trap): distinct-URL count per
+    collapsed URL pattern; ``is_trap`` when the pattern's population
+    reaches ``threshold`` (input URLs are unique by contract — the
+    pages table is keyed by url — so count(*) == count distinct)."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        hp = _host_pattern(df["url"].astype(str))
+        g = (hp.groupby(["host", "path_pattern"], sort=False)
+             .size().rename("cnt").reset_index())
+        key = g["host"] + "\x00" + g["path_pattern"]
+        g["part"] = (hash64_array(key) % N_URL_PARTS).astype(np.int32)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["host", "path_pattern"], sort=False)["cnt"]
+               .sum().rename("n_urls").reset_index())
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        out["is_trap"] = out["n_urls"] >= threshold
+        return out[["host", "path_pattern", "n_urls", "is_trap"]]
+
+    return (pages.select_columns(["url"])
+            .map_batches(partials, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def anchor_text_agg(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(dst_url, n_refs, n_anchors, top_anchor): per link target, total
+    in-references, distinct anchor texts, and the most frequent anchor
+    (ties broken by lexicographically smallest anchor — deterministic)."""
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        from ..stages.extract import _html_arrow
+        h = pl.from_arrow(_html_arrow(df["html"]))
+        tags = (pl.DataFrame({"tag": h.str.extract_all(ANCHOR_TAG_RE)})
+                .explode("tag").drop_nulls("tag")
+                .with_columns(
+                    pl.col("tag").str.extract(r'<a href="([^"]+)"', 1)
+                    .alias("dst_url"),
+                    pl.col("tag").str.extract(r">([^<]*)</a>", 1)
+                    .alias("anchor"))
+                .group_by(["dst_url", "anchor"]).len(name="cnt")
+                .to_pandas())
+        tags["cnt"] = tags["cnt"].astype(np.int64)
+        tags["part"] = (hash64_array(tags["dst_url"].astype(str))
+                        % N_URL_PARTS).astype(np.int32)
+        return tags[["part", "dst_url", "anchor", "cnt"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials for a dst live in this partition: finish counts,
+        # then one vectorized per-dst argmax over (-cnt, anchor) order
+        c = (g.groupby(["dst_url", "anchor"], sort=False)["cnt"]
+             .sum().reset_index())
+        c = c.sort_values(["dst_url", "cnt", "anchor"],
+                          ascending=[True, False, True], kind="stable")
+        agg = c.groupby("dst_url", sort=False).agg(
+            n_refs=("cnt", "sum"), n_anchors=("anchor", "size"),
+            top_anchor=("anchor", "first")).reset_index()
+        agg["n_refs"] = agg["n_refs"].astype(np.int64)
+        agg["n_anchors"] = agg["n_anchors"].astype(np.int64)
+        return agg[["dst_url", "n_refs", "n_anchors", "top_anchor"]]
+
+    return (pages.select_columns(["html"])
+            .map_batches(pair_partials, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))

@@ -1,0 +1,55 @@
+"""Unit tests for the URL-space analyses (ghcrawler_ray/ops/urlstats.py):
+trap-pattern collapsing/thresholding and anchor-text aggregation on a
+hand-built page set. The value-vs-DuckDB gate runs via __ray_entry__'s
+crawl_trap_patterns / crawl_anchor_text oracle entries.
+"""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from ghcrawler_ray.ops.urlstats import anchor_text_agg, trap_patterns
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trap_patterns_collapse_and_threshold():
+    urls = (
+        [f"http://cal.example/day/2024/{i}?sid=99{i}" for i in range(5)]
+        + ["http://a.example/about", "http://a.example/contact"]
+        + ["http://a.example/p/7#frag3", "http://a.example/p/12#frag9"]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"url": urls, "html": [""] * len(urls)}))
+    out = trap_patterns(ds, threshold=5).to_pandas() \
+        .set_index(["host", "path_pattern"]).sort_index()
+    # digit runs in path AND query collapse; fragment is stripped
+    assert out.loc[("cal.example", "/day/N/N?sid=N"), "n_urls"] == 5
+    assert bool(out.loc[("cal.example", "/day/N/N?sid=N"), "is_trap"])
+    assert out.loc[("a.example", "/p/N"), "n_urls"] == 2
+    assert not bool(out.loc[("a.example", "/p/N"), "is_trap"])
+    assert out.loc[("a.example", "/about"), "n_urls"] == 1
+    assert len(out) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anchor_text_agg_counts_and_tiebreak():
+    pages = pd.DataFrame({
+        "url": ["http://s.example/1", "http://s.example/2",
+                "http://s.example/3"],
+        "html": [
+            '<a href="http://t.example/x">beta</a>'
+            '<a href="http://t.example/x">alpha</a>',
+            '<a href="http://t.example/x">alpha</a>'
+            '<a href="http://t.example/y">solo</a>',
+            '<a href="http://t.example/x">beta</a>',
+        ],
+    })
+    pages["html"] = pages["html"].str.encode("utf-8")
+    out = anchor_text_agg(ray.data.from_pandas(pages)).to_pandas() \
+        .set_index("dst_url")
+    x = out.loc["http://t.example/x"]
+    assert int(x["n_refs"]) == 4 and int(x["n_anchors"]) == 2
+    # alpha and beta tie at 2 refs each → lexicographically smallest wins
+    assert x["top_anchor"] == "alpha"
+    y = out.loc["http://t.example/y"]
+    assert int(y["n_refs"]) == 1 and y["top_anchor"] == "solo"
