@@ -566,6 +566,12 @@ def q_dup_clusters(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.dup_clusters(_docs(sf_dir))
 
 
+def q_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
+    """Quality-aware near-dedup resolution: keep the best-quality member
+    of each near-dup cluster (ties -> min doc_id)."""
+    return ops_dedup.dedup_keep_best(_docs(sf_dir))
+
+
 def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.pii_scrub(_docs(sf_dir))
 
@@ -863,6 +869,38 @@ def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
 
 def q_dedup_spans(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.dedup_spans(_docs(sf_dir))
+
+
+def _docs_lines(sf_dir: str) -> ray.data.Dataset:
+    """Line-dedup fixture: the synthetic documents are single-line token
+    bags, so wrap each in deterministic boilerplate — a per-lang NAV
+    header, a doc_id%97 FOOTER (both duplicated corpus-wide, the real
+    nav/cookie-banner shape) and a unique PROMO line on doc_id%11==0
+    (kept) — mirrored 1:1 by the SQL fixture CTE."""
+
+    docs = _docs(sf_dir)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        promo = pd.Series(
+            np.where(ids % 11 == 0, "PROMO " + ids.astype(str) + "\n", ""),
+            index=df.index)
+        text = ("NAV " + df["lang"].astype(str) + "\n"
+                + df["text"].astype(str) + "\n" + promo
+                + "FOOTER " + (ids % 97).astype(str))
+        return pd.DataFrame({"doc_id": ids, "text": text})
+
+    return docs.map_batches(fx, batch_format="pandas")
+
+
+def q_duplicate_lines(sf_dir: str) -> ray.data.Dataset:
+    return ops_contam.duplicate_lines(_docs_lines(sf_dir))
+
+
+def q_dedup_lines(sf_dir: str) -> ray.data.Dataset:
+    """RefinedWeb/CCNet-style line-level dedup: lines occurring >=
+    LINE_MIN_COUNT times corpus-wide removed from every doc."""
+    return ops_contam.dedup_lines(_docs_lines(sf_dir))
 
 
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
@@ -1793,6 +1831,46 @@ def _fingerprints_sql() -> str:
         FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id"""
 
 
+def _quality_sql() -> str:
+    """Quality-feature mirror of ops/text.quality_batch (shared by the
+    quality_scores query and the keep-best near-dedup resolution)."""
+    return rf"""
+        WITH f AS (SELECT doc_id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+               len(list_filter(regexp_extract_all(lower(text), '[^\s]+'),
+                   t -> list_contains({_STOP_SQL}, t))) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_chars, n_ws_tokens, n_punct, n_stop,
+          n_stop / greatest(n_ws_tokens,1)::DOUBLE AS stop_ratio,
+          n_punct / greatest(n_chars,1)::DOUBLE AS punct_ratio,
+          -- e0 literals: DuckDB parses bare 0.4 as DECIMAL (exact
+          -- arithmetic) which diverges from IEEE float64 by 1 ulp
+          0.4e0*least(n_ws_tokens,200)/200.0e0
+            + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)*5.0e0, 0.3e0)
+            + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE)
+            AS quality_score
+        FROM f"""
+
+
+def _keep_best_sql() -> str:
+    """Keep-best near-dedup mirror: dup_clusters components joined to the
+    quality mirror; winner = max quality_score, ties -> min doc_id."""
+    return f"""
+        WITH cl AS (FROM ({_dup_clusters_sql()})),
+        q AS (FROM ({_quality_sql()})),
+        j AS (SELECT cl.doc_id, cl.cluster_id, cl.cluster_size,
+                     q.quality_score
+              FROM cl JOIN q USING (doc_id)),
+        w AS (SELECT cluster_id,
+                (array_agg(doc_id ORDER BY quality_score DESC, doc_id ASC))[1]
+                    AS best
+              FROM j GROUP BY cluster_id)
+        SELECT j.doc_id, j.cluster_id, j.cluster_size, j.quality_score,
+               CAST(j.doc_id = w.best AS BIGINT) AS keep
+        FROM j JOIN w USING (cluster_id)"""
+
+
 def _dup_clusters_sql() -> str:
     """Connected components over the minhash pair graph as a recursive
     CTE (transitive-closure min label — the fixpoint the Ray op reaches
@@ -1991,23 +2069,7 @@ def _ops_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                      AS n_bpe_tokens
             FROM documents""",
-        "quality_scores": rf"""
-            WITH f AS (SELECT doc_id, length(text) AS n_chars,
-                   len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-                   len(list_filter(regexp_extract_all(lower(text), '[^\s]+'),
-                       t -> list_contains({_STOP_SQL}, t))) AS n_stop
-              FROM documents)
-            SELECT doc_id, n_chars, n_ws_tokens, n_punct, n_stop,
-              n_stop / greatest(n_ws_tokens,1)::DOUBLE AS stop_ratio,
-              n_punct / greatest(n_chars,1)::DOUBLE AS punct_ratio,
-              -- e0 literals: DuckDB parses bare 0.4 as DECIMAL (exact
-              -- arithmetic) which diverges from IEEE float64 by 1 ulp
-              0.4e0*least(n_ws_tokens,200)/200.0e0
-                + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)*5.0e0, 0.3e0)
-                + 0.3e0*(1.0e0 - n_punct/greatest(n_chars,1)::DOUBLE)
-                AS quality_score
-            FROM f""",
+        "quality_scores": _quality_sql(),
         "lang_id": lang_id_sql,
         "langid_confusion": f"""
             WITH p AS ({lang_id_sql})
@@ -2179,6 +2241,7 @@ def _ops_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "dedup_keep_best": _keep_best_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "token_stats": rf"""
@@ -2815,6 +2878,46 @@ def _ops_sql() -> dict[str, str]:
                    len(t.tk)::BIGINT AS n_tokens,
                    (len(t.tk) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
             FROM t LEFT JOIN agg a USING (doc_id)""",
+        # line-level dedup mirrors: key = line stripped of " \t\r",
+        # dup membership on the md5-u64 of the key (collisions identical
+        # on both sides); blank lines kept, n_lines counts non-blank
+        "duplicate_lines": rf"""
+            WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+               FROM (SELECT doc_id, 'NAV ' || lang || chr(10) || text || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'PROMO ' || CAST(doc_id AS VARCHAR) || chr(10) ELSE '' END || 'FOOTER ' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents) dlf),
+            l AS (SELECT trim(u.line, ' ' || chr(9) || chr(13)) AS key
+               FROM s, LATERAL (SELECT unnest(ls) AS line) u),
+            h AS (SELECT ('0x' || substr(md5(key), 1, 16))::UBIGINT::HUGEINT
+                    AS hu FROM l WHERE key <> '')
+            SELECT CAST(CASE WHEN hu >= 9223372036854775808
+                        THEN hu - {_U64} ELSE hu END AS BIGINT) AS line_hash,
+                   count(*)::BIGINT AS n_total
+            FROM h GROUP BY 1
+            HAVING count(*) >= {ops_contam.LINE_MIN_COUNT}""",
+        "dedup_lines": rf"""
+            WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+               FROM (SELECT doc_id, 'NAV ' || lang || chr(10) || text || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'PROMO ' || CAST(doc_id AS VARCHAR) || chr(10) ELSE '' END || 'FOOTER ' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents) dlf),
+            l AS (SELECT s.doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+                 ls[CAST(u.i AS INT)] AS line,
+                 CASE WHEN trim(ls[CAST(u.i AS INT)],
+                                ' ' || chr(9) || chr(13)) = '' THEN NULL
+                      ELSE ('0x' || substr(md5(trim(ls[CAST(u.i AS INT)],
+                           ' ' || chr(9) || chr(13))), 1, 16))::UBIGINT
+                 END AS hu
+               FROM s, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+            d AS (SELECT hu FROM l WHERE hu IS NOT NULL
+                  GROUP BY hu HAVING count(*) >= {ops_contam.LINE_MIN_COUNT}),
+            m AS (SELECT l.doc_id, l.pos, l.line, l.hu,
+                         d.hu IS NOT NULL AS rm
+                  FROM l LEFT JOIN d USING (hu)),
+            agg AS (SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT rm) AS clean_text,
+                    count(*) FILTER (WHERE hu IS NOT NULL)::BIGINT AS n_lines,
+                    count(*) FILTER (WHERE rm)::BIGINT AS n_removed
+                    FROM m GROUP BY doc_id)
+            SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+                   n_lines, n_removed
+            FROM agg""",
         "bm25_topk": _bm25_sql(),
         # relational mirrors: all money/qty columns are 2-dp fixed-point,
         # summed as exact integers (cents / 1e-4 / 1e-6 units) and divided
@@ -2919,6 +3022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "token_stats": q_token_stats,
@@ -2979,6 +3083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
+        "duplicate_lines": q_duplicate_lines,
+        "dedup_lines": q_dedup_lines,
         "bm25_topk": q_bm25_topk,
         # relational pipelines (TPC-H-style tables)
         "pricing_summary": q_pricing_summary,

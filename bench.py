@@ -49,7 +49,9 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "quality_percentile_gate", "vocab_encode",
                "project_embeddings", "bpe_train", "pmi_bigrams",
                "funnel_conversion", "bigram_lm_scores",
-               "incremental_dedup", "crawl_cdx_index")
+               "incremental_dedup", "crawl_cdx_index", "dedup_lines",
+               "dedup_keep_best", "crawl_trap_patterns",
+               "crawl_anchor_text")
 SCALING_CPUS = (8, 32)
 
 

@@ -315,3 +315,210 @@ def dedup_spans(docs: ray.data.Dataset, k: int = DUP_NGRAM_K,
             .union(hits.map_batches(tag_hits, batch_format="pandas"))
             .materialize()
             .groupby("upart").map_groups(rebuild, batch_format="pandas"))
+
+
+# ---- duplicated-LINE removal (RefinedWeb / CCNet line-level dedup) ----
+
+# Line-level dedup is the third granularity of the family: document
+# (exact_dedup), span (dedup_spans), LINE — the boilerplate cut
+# (RefinedWeb §G.2 "line-wise corrections"; CCNet's paragraph-hash
+# dedup): a line whose stripped form occurs >= LINE_MIN_COUNT times
+# ANYWHERE in the corpus (nav bars, cookie banners, footers) is removed
+# from every document.
+
+LINE_MIN_COUNT = 3       # total occurrences across the corpus
+LINE_STRIP = " \t\r"     # strip set for the line key (mirrored in SQL)
+LINE_PARTS = 64
+# Broadcast ceiling for the duplicated-line hash table (8M int64 = 64 MB
+# object); beyond it the distributed co-partition join path runs instead.
+LINE_BROADCAST_MAX = 8_000_000
+
+
+def _line_frame(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Explode a batch's docs into (doc_id, pos, line, line_hash) rows
+    plus the per-doc line counts. The key is the LINE_STRIP-stripped
+    line; empty keys hash to 0 (blank lines are document structure —
+    never counted, never removed)."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    split = [str(t).split("\n") for t in df["text"].tolist()]
+    lens = np.fromiter((len(s) for s in split), dtype=np.int64,
+                       count=len(split))
+    lines = [l for s in split for l in s]
+    keys = [l.strip(LINE_STRIP) for l in lines]
+    h = np.zeros(len(keys), dtype=np.int64)
+    nz = [i for i, k0 in enumerate(keys) if k0 != ""]
+    if nz:
+        h[nz] = _hash64_str([keys[i] for i in nz]).view(np.int64)
+    pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+        if len(lens) else np.empty(0, dtype=np.int64)
+    lf = pd.DataFrame({"doc_id": np.repeat(ids, lens), "pos": pos,
+                       "line": np.array(lines, dtype=object),
+                       "line_hash": h})
+    return lf, lens
+
+
+def duplicate_lines(docs: ray.data.Dataset,
+                    min_count: int = LINE_MIN_COUNT) -> ray.data.Dataset:
+    """(line_hash, n_total) for every non-empty stripped line occurring
+    at least ``min_count`` times corpus-wide. Per-batch combiner →
+    ONE coarse int co-partition fold; line text never shuffles."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lf, _ = _line_frame(df)
+        g = (lf.loc[lf["line_hash"] != 0]
+             .groupby("line_hash", sort=False).size()
+             .rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["part"] = (g["line_hash"].to_numpy(dtype=np.int64)
+                     % LINE_PARTS).astype(np.int32)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby("line_hash", sort=False)["cnt"].sum()
+             .rename("n_total").reset_index())
+        keep = s[s["n_total"] >= min_count].copy()
+        keep["n_total"] = keep["n_total"].astype(np.int64)
+        return keep[["line_hash", "n_total"]]
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def _clean_lines_frame(df: pd.DataFrame,
+                       dup_sorted: np.ndarray) -> pd.DataFrame:
+    """Rebuild each doc with its duplicated lines removed; one
+    vectorized membership probe for the whole batch, then per-doc
+    slicing for the string joins only."""
+    lf, lens = _line_frame(df)
+    h = lf["line_hash"].to_numpy(dtype=np.int64)
+    if len(h) and len(dup_sorted):
+        idx = np.searchsorted(dup_sorted, h)
+        idx[idx == len(dup_sorted)] = 0
+        rm = (dup_sorted[idx] == h) & (h != 0)
+    else:
+        rm = np.zeros(len(h), dtype=bool)
+    ne = h != 0
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    csum_ne = np.concatenate([[0], np.cumsum(ne)])
+    csum_rm = np.concatenate([[0], np.cumsum(rm)])
+    lines = lf["line"].tolist()
+    clean = ["\n".join(lines[i] for i in range(s, e) if not rm[i])
+             for s, e in zip(starts, ends)]
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+        "clean_text": np.array(clean, dtype=object),
+        "n_lines": (csum_ne[ends] - csum_ne[starts]).astype(np.int64),
+        "n_removed": (csum_rm[ends] - csum_rm[starts]).astype(np.int64)})
+
+
+def dedup_lines(docs: ray.data.Dataset,
+                min_count: int = LINE_MIN_COUNT) -> ray.data.Dataset:
+    """Line-level dedup: (doc_id, clean_text, n_lines, n_removed) for
+    EVERY document, where every line whose stripped form occurs >=
+    ``min_count`` times anywhere in the corpus is removed (blank lines
+    kept — they are structure, not content; n_lines counts non-blank
+    lines).
+
+    Scale shape mirrors ``dedup_spans``: the duplicated-line table is
+    output-sized (boilerplate, not the corpus) — broadcast once via
+    ``ray.put`` under LINE_BROADCAST_MAX, with a dormant distributed
+    co-partition path above it (pinned equal by test_scale_paths):
+    docs explode to slim (line_hash, doc_id, pos) rows that hash-join
+    the dup table inside LINE_PARTS co-partitions, and the (doc_id,
+    pos) hits co-partition with the docs for the rebuild — line text
+    crosses the wire exactly once."""
+    dup = (duplicate_lines(docs, min_count)
+           .select_columns(["line_hash"]).materialize())
+    slim = docs.select_columns(["doc_id", "text"])
+
+    if dup.count() <= LINE_BROADCAST_MAX:
+        arr = np.sort(dup.to_pandas()["line_hash"].to_numpy(dtype=np.int64))
+        ref = ray.put(arr)
+
+        def clean(df: pd.DataFrame) -> pd.DataFrame:
+            return _clean_lines_frame(df, ray.get(ref))
+
+        return slim.map_batches(clean, batch_format="pandas")
+
+    # -- distributed path: join on line_hash % LINE_PARTS, rebuild on
+    #    doc_id % LINE_PARTS; only (hash, doc, pos) ints shuffle twice --
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        lf, _ = _line_frame(df)
+        lf = lf[lf["line_hash"] != 0]
+        h = lf["line_hash"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part": (h % LINE_PARTS).astype(np.int32),
+            "line_hash": h,
+            "doc_id": lf["doc_id"].to_numpy(dtype=np.int64),
+            "pos": lf["pos"].to_numpy(dtype=np.int64)})
+
+    def tag_dup(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["line_hash"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part": (h % LINE_PARTS).astype(np.int32),
+            "line_hash": h,
+            "doc_id": np.full(len(h), -1, dtype=np.int64),
+            "pos": np.full(len(h), -1, dtype=np.int64)})
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        side_dup = g["doc_id"].to_numpy(dtype=np.int64) < 0
+        table = np.sort(np.unique(
+            g.loc[side_dup, "line_hash"].to_numpy(dtype=np.int64)))
+        probe = g.loc[~side_dup]
+        h = probe["line_hash"].to_numpy(dtype=np.int64)
+        if len(h) and len(table):
+            idx = np.searchsorted(table, h)
+            idx[idx == len(table)] = 0
+            hit = table[idx] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        out = probe.loc[hit, ["doc_id", "pos"]].copy()
+        out["upart"] = (out["doc_id"].to_numpy(dtype=np.int64)
+                        % LINE_PARTS).astype(np.int32)
+        return out
+
+    hits = (slim.map_batches(explode, batch_format="pandas").union(
+                dup.map_batches(tag_dup, batch_format="pandas"))
+            .materialize()
+            .groupby("part").map_groups(join_part, batch_format="pandas"))
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "upart": (ids % LINE_PARTS).astype(np.int32),
+            "doc_id": ids,
+            "pos": np.full(len(ids), -1, dtype=np.int64),
+            "text": df["text"].astype(str).to_numpy()})
+
+    def tag_hits(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "upart": df["upart"].to_numpy(dtype=np.int32),
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "pos": df["pos"].to_numpy(dtype=np.int64),
+            "text": np.full(len(df), "", dtype=object)})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["pos"].to_numpy(dtype=np.int64) < 0
+        docs_g = g.loc[is_doc, ["doc_id", "text"]]
+        hit_pos = {did: set(grp["pos"].tolist())
+                   for did, grp in g.loc[~is_doc].groupby("doc_id")}
+        rows = []
+        for did, text in zip(docs_g["doc_id"].to_numpy(dtype=np.int64),
+                             docs_g["text"].tolist()):
+            split = text.split("\n")
+            rmset = hit_pos.get(did, ())
+            kept = [l for i, l in enumerate(split) if i not in rmset]
+            n_lines = sum(1 for l in split if l.strip(LINE_STRIP) != "")
+            rows.append((did, "\n".join(kept), n_lines, len(rmset)))
+        return pd.DataFrame(rows, columns=["doc_id", "clean_text",
+                                           "n_lines", "n_removed"]) \
+            .astype({"doc_id": np.int64, "n_lines": np.int64,
+                     "n_removed": np.int64})
+
+    return (slim.map_batches(tag_docs, batch_format="pandas")
+            .union(hits.map_batches(tag_hits, batch_format="pandas"))
+            .materialize()
+            .groupby("upart").map_groups(rebuild, batch_format="pandas"))

@@ -812,3 +812,74 @@ def incremental_dedup(docs: ray.data.Dataset,
             .map_batches(add_hash, batch_format="pandas")
             .groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---- keep-BEST near-dedup resolution (quality-aware representative) ----
+
+KEEP_BEST_PARTS = 64
+
+
+def dedup_keep_best(docs: ray.data.Dataset,
+                    threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
+    """(doc_id, cluster_id, cluster_size, quality_score, keep): the
+    keep-best resolution of near-dedup — within each ``dup_clusters``
+    component keep the member with the HIGHEST composite quality score
+    (ties → smallest doc_id) instead of blindly keeping min doc_id.
+    This is how production corpus passes resolve near-dup clusters:
+    dropping the boilerplate-heavy mirror and keeping the clean copy.
+
+    Scale shape: cluster labels and quality scores are both slim
+    doc_id-keyed rows (the text never re-shuffles — quality is computed
+    in its own streaming pass). They co-partition ONCE by
+    doc_id % KEEP_BEST_PARTS for the score attach (tagged union +
+    vectorized merge, the ops/relational join shape), then re-key by
+    cluster_id % KEEP_BEST_PARTS so every component resolves its winner
+    inside one group pass, vectorized across a partition's clusters."""
+    from .text import quality_scores
+
+    cl = dup_clusters(docs, threshold) \
+        .select_columns(["doc_id", "cluster_id", "cluster_size"])
+    qs = quality_scores(docs).select_columns(["doc_id", "quality_score"])
+    P = KEEP_BEST_PARTS
+
+    def tag_cl(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part": (ids % P).astype(np.int32), "doc_id": ids,
+            "cluster_id": df["cluster_id"].to_numpy(dtype=np.int64),
+            "cluster_size": df["cluster_size"].to_numpy(dtype=np.int64),
+            "quality_score": np.full(len(ids), np.nan)})
+
+    def tag_qs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "part": (ids % P).astype(np.int32), "doc_id": ids,
+            "cluster_id": np.full(len(ids), -1, dtype=np.int64),
+            "cluster_size": np.zeros(len(ids), dtype=np.int64),
+            "quality_score": df["quality_score"].to_numpy(dtype=np.float64)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_cl = g["cluster_id"].to_numpy(dtype=np.int64) >= 0
+        left = g.loc[is_cl, ["doc_id", "cluster_id", "cluster_size"]]
+        right = g.loc[~is_cl, ["doc_id", "quality_score"]]
+        out = left.merge(right, on="doc_id", how="inner")
+        out["cpart"] = (out["cluster_id"].to_numpy(dtype=np.int64)
+                        % P).astype(np.int32)
+        return out
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "quality_score", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        g["keep"] = (~g["cluster_id"].duplicated(keep="first")) \
+            .to_numpy().astype(np.int64)
+        g["doc_id"] = g["doc_id"].astype(np.int64)
+        g["cluster_id"] = g["cluster_id"].astype(np.int64)
+        g["cluster_size"] = g["cluster_size"].astype(np.int64)
+        return g[["doc_id", "cluster_id", "cluster_size",
+                  "quality_score", "keep"]]
+
+    return (cl.map_batches(tag_cl, batch_format="pandas")
+            .union(qs.map_batches(tag_qs, batch_format="pandas"))
+            .materialize()
+            .groupby("part").map_groups(attach, batch_format="pandas")
+            .groupby("cpart").map_groups(resolve, batch_format="pandas"))

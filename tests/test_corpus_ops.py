@@ -654,3 +654,54 @@ def test_host_hits_hub_vs_authority(ray_session):
     assert out.loc["dir.x", "auth_fp"] == 0
     for col in ("hub_fp", "auth_fp"):
         assert 0 < out[col].sum() <= HITS_FP
+
+
+def test_dedup_lines_removes_boilerplate(ray_session):
+    from ghcrawler_ray.ops.contamination import dedup_lines, duplicate_lines
+    nav = "Home | About | Contact"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            f"{nav}\nunique body one\n\n  {nav}  ",   # nav twice (strip-eq)
+            f"{nav}\nunique body two",
+            "all original\ncontent here",
+            "",                                        # empty doc
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+    # nav occurs 3x corpus-wide (strip-equal) -> removed at min_count=3
+    out = dedup_lines(ds, min_count=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "clean_text"] == "unique body one\n"   # blank kept
+    assert int(out.loc[0, "n_removed"]) == 2
+    assert int(out.loc[0, "n_lines"]) == 3
+    assert out.loc[1, "clean_text"] == "unique body two"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == "all original\ncontent here"
+    assert out.loc[3, "clean_text"] == "" and int(out.loc[3, "n_lines"]) == 0
+    # stats op agrees: exactly one duplicated line, total 3
+    st = duplicate_lines(ds, min_count=3).to_pandas()
+    assert len(st) == 1 and int(st["n_total"].iloc[0]) == 3
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(ray_session):
+    from ghcrawler_ray.ops.dedup import dedup_keep_best
+
+    base = ("the data and for that with this from they have more "
+            "will about which when make like time just know") * 3
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "lang": ["en"] * 3,
+        # doc 0 = near-dup of doc 1 but punct-degraded (lower quality);
+        # doc 2 is a singleton
+        "text": [base + " !!! ??? %%% ### @@@ &&&", base,
+                 "completely different singleton body"],
+    })
+    out = dedup_keep_best(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert int(out.loc[0, "cluster_size"]) == 2
+    assert int(out.loc[1, "cluster_size"]) == 2
+    # min-doc_id resolution would keep doc 0; keep-BEST keeps doc 1
+    assert int(out.loc[0, "keep"]) == 0 and int(out.loc[1, "keep"]) == 1
+    assert out.loc[1, "quality_score"] > out.loc[0, "quality_score"]
+    assert int(out.loc[2, "keep"]) == 1 and int(out.loc[2, "cluster_size"]) == 1

@@ -78,3 +78,14 @@ def test_centroids_distributed_reduce_equals_driver_fold(ray_session,
     slow = _canon(_pd(ops_ann.embedding_centroids(emb)))
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
                                   rtol=0, atol=0)
+
+
+def test_dedup_lines_distributed_equals_broadcast(ray_session, monkeypatch):
+    # the boilerplated line view — plain sf docs have no duplicated lines
+    docs = entrymod._docs_lines(SF_DIR)
+    fast = _canon(_pd(ops_contam.dedup_lines(docs)))
+    # force the co-partition join + co-partition rebuild path
+    monkeypatch.setattr(ops_contam, "LINE_BROADCAST_MAX", -1)
+    slow = _canon(_pd(ops_contam.dedup_lines(docs)))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
+                                  rtol=0, atol=0)
