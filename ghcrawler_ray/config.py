@@ -98,6 +98,18 @@ class CrawlConfig:
     #     scale) or 'cuckoo' (compact, supports delete; ~1e-4 fp) ---
     seen_mode: str = "exact64"
 
+    # --- discovery-time seen filter: drop a discovered out-link whose
+    #     target was already claimed BEFORE the current wave began, at the
+    #     link sink — bloom pre-check (per-wave frozen broadcast, no RPC
+    #     for definitely-new urls) + exact contains confirm against the
+    #     shard's frozen wave-start view. At the 10^10 design point most
+    #     discovered links point at already-crawled pages; without this
+    #     they ride the frontier shuffle to next wave's claim stage just
+    #     to bounce (the reference dedups at enqueue the same way:
+    #     attenuatedQueue + tracker, `providers/queuing/attenuatedQueue.
+    #     js:24-52`). The sequential oracle mirrors the rule exactly. ---
+    discovery_seen_filter: bool = True
+
     # --- loop bounds / outputs ---
     max_waves: int = 10_000
     emit_order_log: bool = True   # write the golden crawl-order artifact

@@ -200,6 +200,16 @@ class SequentialOracle:
                         ["wave", "src_url", "dst_url", "link_index"]])
                     new_frontier = dedup_discovered(links_to_frontier(
                         links, links["depth"], clock, cfg))
+                    if cfg.discovery_seen_filter and len(new_frontier):
+                        # discovery-time seen filter (engine: bloom
+                        # pre-check + frozen-view exact confirm): drop
+                        # links whose target was claimed BEFORE this wave
+                        drop = np.fromiter(
+                            (seen.get(u, wave) < wave
+                             for u in new_frontier["url"]),
+                            dtype=bool, count=len(new_frontier))
+                        new_frontier = new_frontier[~drop] \
+                            .reset_index(drop=True)
 
             # retries / deadletters
             carries = [carry[FRONTIER_COLS]]

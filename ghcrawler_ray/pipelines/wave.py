@@ -69,13 +69,48 @@ from ..state.politeness import ORDER_COLS, salt_map
 from ..state.seen import SeenSetPool
 
 
-def _make_link_sink(nf_dir: str, cfg: CrawlConfig):
+def _discovery_filter(df: pd.DataFrame, pool, blooms,
+                      n_shards: int) -> pd.DataFrame:
+    """Drop discovered links whose target was claimed BEFORE this wave:
+    bloom pre-check against the wave-start broadcast (no RPC for
+    definitely-new urls — the overwhelming majority on a frontier
+    expansion), then ONE batched exact confirm per touched shard against
+    the frozen wave-start view (``contains_before_wave``). Exactness
+    comes from the confirm; the bloom only prunes RPC volume (a url seen
+    before the wave is guaranteed bloom-positive — no false negatives),
+    so a retried sink task re-decides identically."""
+    h = df["seq"].to_numpy(dtype=np.int64)   # seq = hash64(url) = claim key
+    maybe = np.zeros(len(h), dtype=bool)
+    shard_of = h % n_shards
+    for s, bl in enumerate(blooms):
+        m = shard_of == s
+        if m.any():
+            maybe[m] = bl.contains_many(h[m].astype(np.uint64))
+    drop = np.zeros(len(h), dtype=bool)
+    if maybe.any():
+        drop[maybe] = pool.contains_before_wave(h[maybe])
+    if drop.any():
+        df = df[~drop].reset_index(drop=True)
+    return df
+
+
+def _make_link_sink(nf_dir: str, cfg: CrawlConfig, pool=None,
+                    bloom_refs=None):
     """Terminal stage of the wave chain: global per-url dedup of one lpart
-    group of discovered links, side-written as that group's next-frontier
-    partition (deterministic name → task-retry idempotent)."""
+    group of discovered links (+ the discovery-time seen filter),
+    side-written as that group's next-frontier partition (deterministic
+    name → task-retry idempotent)."""
+    holder: dict = {}
 
     def link_sink(g: pd.DataFrame) -> pd.DataFrame:
-        t = frontier_table(dedup_discovered(g))
+        d0 = dedup_discovered(g)
+        if pool is not None and cfg.discovery_seen_filter and len(d0):
+            if "blooms" not in holder:
+                from ..state.bloom import BloomFilter
+                holder["blooms"] = [BloomFilter.from_state(st)
+                                    for st in ray.get(list(bloom_refs))]
+            d0 = _discovery_filter(d0, pool, holder["blooms"], cfg.n_shards)
+        t = frontier_table(d0)
         part = int(g["lpart"].iloc[0]) if len(g) else 0
         if t.num_rows:
             d = Path(nf_dir)
@@ -289,6 +324,14 @@ class CrawlEngine:
             clock = min_nb  # fast-forward (polling-delay analogue)
         side = self._wave_side(k, clock)
         self.pool.begin_wave(k)
+        bloom_refs = None
+        if cfg.discovery_seen_filter:
+            # freeze the wave-START bloom state in the object store before
+            # any of this wave's claims can run (wait for execution, don't
+            # pull the bytes — they broadcast worker-to-worker)
+            bloom_refs = self.pool.bloom_refs()
+            ray.wait(bloom_refs, num_returns=len(bloom_refs),
+                     fetch_local=False)
 
         # the whole wave as ONE lazy chain; write_parquet is the terminal
         # that drives it. Routing/deadletter/stats/order/pages/links are
@@ -322,7 +365,8 @@ class CrawlEngine:
             # directory it created when the write is empty, which would
             # take the routing side-files with it.
             .groupby("lpart").map_groups(
-                _make_link_sink(side.nf_dir, cfg), batch_format="pandas")
+                _make_link_sink(side.nf_dir, cfg, self.pool, bloom_refs),
+                batch_format="pandas")
         )
         import os
         import time as _time
@@ -462,8 +506,15 @@ class CrawlEngine:
                 [extract_fn(g) for _, g in fetched.groupby("bucket", sort=True)],
                 ignore_index=True)
             if len(links):
-                next_parts.append(dedup_discovered(
-                    links_to_frontier(links, links["depth"], clock, cfg)))
+                lf = dedup_discovered(
+                    links_to_frontier(links, links["depth"], clock, cfg))
+                if cfg.discovery_seen_filter and len(lf):
+                    # trickle waves: exact frozen-view confirm directly
+                    # (no bloom broadcast needed at driver scale)
+                    drop = self.pool.contains_before_wave(
+                        lf["seq"].to_numpy(dtype=np.int64))
+                    lf = lf[~drop].reset_index(drop=True)
+                next_parts.append(lf)
 
         nxt = pd.concat(
             [frontier_table(p).to_pandas() for p in next_parts if len(p)],

@@ -173,6 +173,16 @@ class SeenShard:
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self.urls.contains_many(hashes)
 
+    def contains_before_wave(self, hashes: np.ndarray) -> np.ndarray:
+        """Membership in the seen set AS OF THE START of the current wave
+        (claims made during this wave excluded) — the frozen view the
+        discovery-time link filter needs: stable while the wave's claim
+        RPCs race with its link sinks, so the drop decision is
+        deterministic and a retried sink task re-decides identically."""
+        seen = self.urls.contains_many(hashes)
+        this_wave = self._retry_mask(hashes, self._wave_urls)
+        return seen & ~this_wave
+
     def untrack(self, hashes: np.ndarray) -> np.ndarray:
         """Reference untrack (`redisRequestTracker.js:43-53`). Note: the
         bloom sidecar cannot delete; it over-approximates until next rebuild."""
@@ -217,6 +227,9 @@ class SeenShard:
             "shard_id": self.shard_id, "mode": self.mode, "capacity": self.capacity,
             "urls": self.urls.to_state(), "etags": self.etags.to_state(),
             "n_claims": self.n_claims, "n_bounces": self.n_bounces,
+            # the bloom sidecar is persisted so cuckoo-mode resumes keep a
+            # correct OVER-approximation (fingerprints can't rebuild it)
+            "bloom": self.bloom.to_state(),
         }
 
     def restore(self, snap: dict) -> None:
@@ -227,9 +240,12 @@ class SeenShard:
         self.etags = load_seen_filter(snap["etags"])
         self.n_claims = int(snap["n_claims"])
         self.n_bounces = int(snap["n_bounces"])
-        self.bloom = BloomFilter(self.capacity)
-        if isinstance(self.urls, _Exact64):
-            self.bloom.add_many(snap["urls"]["hashes"].astype(np.uint64))
+        if "bloom" in snap:
+            self.bloom = BloomFilter.from_state(snap["bloom"])
+        else:
+            self.bloom = BloomFilter(self.capacity)
+            if isinstance(self.urls, _Exact64):
+                self.bloom.add_many(snap["urls"]["hashes"].astype(np.uint64))
 
     def stats(self) -> dict:
         return {"shard_id": self.shard_id, "n_urls": self.urls.n_items,
@@ -283,6 +299,9 @@ class SeenSetPool:
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self._call("contains", hashes)
+
+    def contains_before_wave(self, hashes: np.ndarray) -> np.ndarray:
+        return self._call("contains_before_wave", hashes)
 
     def untrack(self, hashes: np.ndarray) -> np.ndarray:
         return self._call("untrack", hashes)

@@ -61,3 +61,25 @@ def test_cuckoo_snapshot_roundtrip():
     cf2 = CuckooFilter.from_state(cf.to_state())
     assert cf2.n_items == cf.n_items
     assert cf2.contains_many(h).all()
+
+
+def test_discovery_seen_filter_oracle_invariants():
+    """The discovery-time seen filter must shrink processed volume
+    (dropped links never ride to a bounce) while leaving the final
+    crawl — the seen set — EXACTLY unchanged."""
+    from ghcrawler_ray.config import CrawlConfig
+    from ghcrawler_ray.pipelines.oracle import SequentialOracle, load_web
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    web = load_web(ensure_testdata(0.0001))
+    on = SequentialOracle(web, CrawlConfig(max_waves=30)).run()
+    off = SequentialOracle(web, CrawlConfig(
+        max_waves=30, discovery_seen_filter=False)).run()
+    assert set(on["seen"]["url"]) == set(off["seen"]["url"])
+    b_on = (on["order"]["outcome"] == "bounced").sum()
+    b_off = (off["order"]["outcome"] == "bounced").sum()
+    assert b_on < b_off          # filter engaged: most bounces pre-dropped
+    assert len(on["order"]) < len(off["order"])
+    # remaining bounces = targets claimed DURING the discovery wave
+    # (the frozen wave-start view keeps them by design)
+    assert b_on > 0
