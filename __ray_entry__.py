@@ -43,6 +43,7 @@ from ghcrawler_ray.ops import events as ops_events
 from ghcrawler_ray.ops import packing as ops_packing
 from ghcrawler_ray.ops import relational as ops_rel
 from ghcrawler_ray.ops import search as ops_search
+from ghcrawler_ray.ops import similarity as ops_sim
 from ghcrawler_ray.ops import urlstats as ops_urlstats
 from ghcrawler_ray.ops import text as ops_text
 from ghcrawler_ray.ops.multimodal import (frame_samples, media_features,
@@ -635,6 +636,14 @@ def q_hll_distinct(sf_dir: str) -> ray.data.Dataset:
 
 def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.ngram_jaccard_pairs(_docs(sf_dir))
+
+
+def q_shingle_cosine(sf_dir: str) -> ray.data.Dataset:
+    return ops_sim.shingle_cosine_pairs(_docs(sf_dir))
+
+
+def q_containment(sf_dir: str) -> ray.data.Dataset:
+    return ops_sim.containment_pairs(_docs(sf_dir))
 
 
 def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
@@ -2086,6 +2095,64 @@ def _ops_sql() -> dict[str, str]:
                FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang)
             SELECT doc_a, doc_b, inter::DOUBLE/uni AS jaccard
             FROM p WHERE uni > 0 AND inter::DOUBLE/uni >= {ops_dedup.JACCARD_THRESHOLD}""",
+        # shingle-tf sparse cosine join — integer cos² fixed-point, df-pruned
+        # exactly as ops/similarity.py (dot over df∈[2,DF_MAX] shingles,
+        # TRUE norms over all shingles)
+        "shingle_cosine_pairs": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(tk)-1,1)),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   AS sh
+               FROM t),
+            tf AS (SELECT doc_id, sh, count(*)::BIGINT AS tf
+               FROM g GROUP BY 1, 2),
+            nrm AS (SELECT doc_id, sum(tf*tf)::BIGINT AS nrm
+               FROM tf GROUP BY 1),
+            keep AS (SELECT sh FROM tf GROUP BY sh
+               HAVING count(*) BETWEEN 2 AND {ops_sim.SIM_DF_MAX}),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 sum(a.tf * b.tf)::BIGINT AS dot
+               FROM (SELECT * FROM tf JOIN keep USING (sh)) a
+               JOIN (SELECT * FROM tf JOIN keep USING (sh)) b USING (sh)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                (dot * dot * {ops_sim.SIM_FP}) // (na.nrm * nb.nrm)
+                  AS cos2_fp
+            FROM p JOIN nrm na ON na.doc_id = p.doc_a
+                   JOIN nrm nb ON nb.doc_id = p.doc_b
+            WHERE (dot * dot * {ops_sim.SIM_FP}) // (na.nrm * nb.nrm)
+                  >= {ops_sim._COS2_FP_MIN}""",
+        # shingle-SET containment (quote/subset detector) — same pruning,
+        # denominators are the TRUE distinct-shingle set sizes
+        "containment_pairs": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            s AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(tk)-1,1)),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                   AS sh
+               FROM t),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz
+               FROM s GROUP BY 1),
+            keep AS (SELECT sh FROM s GROUP BY sh
+               HAVING count(*) BETWEEN 2 AND {ops_sim.SIM_DF_MAX}),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS inter
+               FROM (SELECT * FROM s JOIN keep USING (sh)) a
+               JOIN (SELECT * FROM s JOIN keep USING (sh)) b USING (sh)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                (inter * {ops_sim.SIM_FP}) // sa.sz AS cont_a_fp,
+                (inter * {ops_sim.SIM_FP}) // sb.sz AS cont_b_fp
+            FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+                   JOIN sz sb ON sb.doc_id = p.doc_b
+            WHERE greatest((inter * {ops_sim.SIM_FP}) // sa.sz,
+                           (inter * {ops_sim.SIM_FP}) // sb.sz)
+                  >= {ops_sim._CONT_FP_MIN}""",
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
@@ -3047,6 +3114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "shingle_cosine_pairs": q_shingle_cosine,
+        "containment_pairs": q_containment,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,
