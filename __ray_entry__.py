@@ -638,6 +638,10 @@ def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     return ops_dedup.ngram_jaccard_pairs(_docs(sf_dir))
 
 
+def q_dedup_eval(sf_dir: str) -> pd.DataFrame:
+    return ops_dedup.dedup_eval(_docs(sf_dir))
+
+
 def q_shingle_cosine(sf_dir: str) -> ray.data.Dataset:
     return ops_sim.shingle_cosine_pairs(_docs(sf_dir))
 
@@ -1880,6 +1884,44 @@ def _keep_best_sql() -> str:
         FROM j JOIN w USING (cluster_id)"""
 
 
+def _jaccard_sql() -> str:
+    """Exact all-pairs 3-shingle Jaccard within lang (the ground-truth
+    mirror ngram_jaccard_pairs checks against; also the `truth` side of
+    dedup_eval)."""
+    shingle = (r"list_distinct(list_transform(range(1, greatest(len(tk)-1,1)), "
+               r"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))")
+    return rf"""
+            WITH t AS (SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk FROM documents),
+            s AS (SELECT doc_id, lang, {shingle} AS sh FROM t),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+               FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+            SELECT doc_a, doc_b, inter::DOUBLE/uni AS jaccard
+            FROM p WHERE uni > 0 AND inter::DOUBLE/uni >= {ops_dedup.JACCARD_THRESHOLD}"""
+
+
+def _dedup_eval_sql() -> str:
+    """Candidate-recall evaluation of MinHash-LSH against the exact
+    lang-blocked Jaccard ground truth — composes BOTH full mirrors, so
+    the driver value-checks banding, verify AND the eval arithmetic."""
+    fp = ops_dedup.DEDUP_EVAL_FP
+    return f"""
+        WITH pred AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) mq),
+        truth AS (SELECT doc_a, doc_b FROM ({_jaccard_sql()}) jq),
+        h AS (SELECT count(*)::BIGINT AS n_hit
+              FROM pred JOIN truth USING (doc_a, doc_b)),
+        np AS (SELECT count(*)::BIGINT AS n_pred FROM pred),
+        nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+        SELECT n_pred, n_truth, n_hit,
+            CASE WHEN n_pred > 0 THEN (n_hit * {fp}) // n_pred
+                 ELSE 0 END AS precision_fp,
+            CASE WHEN n_truth > 0 THEN (n_hit * {fp}) // n_truth
+                 ELSE 0 END AS recall_fp
+        FROM h, np, nt"""
+
+
 def _dup_clusters_sql() -> str:
     """Connected components over the minhash pair graph as a recursive
     CTE (transitive-closure min label — the fixpoint the Ray op reaches
@@ -2035,8 +2077,6 @@ def _ops_sql() -> dict[str, str]:
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
     fr = _marker_sql(ops_text.LANG_MARKERS["fr"])
     es = _marker_sql(ops_text.LANG_MARKERS["es"])
-    shingle = (r"list_distinct(list_transform(range(1, greatest(len(tk)-1,1)), "
-               r"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))")
     lang_id_sql = rf"""
             WITH f AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk,
@@ -2085,16 +2125,8 @@ def _ops_sql() -> dict[str, str]:
             SELECT d.lang AS true_lang, p.lang_guess AS pred_lang,
                 count(*)::BIGINT AS n
             FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2""",
-        "ngram_jaccard_pairs": rf"""
-            WITH t AS (SELECT doc_id, lang,
-                 regexp_extract_all(lower(text), '[^\s]+') AS tk FROM documents),
-            s AS (SELECT doc_id, lang, {shingle} AS sh FROM t),
-            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.sh, b.sh)) AS inter,
-                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-               FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang)
-            SELECT doc_a, doc_b, inter::DOUBLE/uni AS jaccard
-            FROM p WHERE uni > 0 AND inter::DOUBLE/uni >= {ops_dedup.JACCARD_THRESHOLD}""",
+        "ngram_jaccard_pairs": _jaccard_sql(),
+        "dedup_eval": _dedup_eval_sql(),
         # shingle-tf sparse cosine join — integer cos² fixed-point, df-pruned
         # exactly as ops/similarity.py (dot over df∈[2,DF_MAX] shingles,
         # TRUE norms over all shingles)
@@ -3115,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_rank_scores": q_unigram_rank_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "shingle_cosine_pairs": q_shingle_cosine,
+        "dedup_eval": q_dedup_eval,
         "containment_pairs": q_containment,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,

@@ -883,3 +883,67 @@ def dedup_keep_best(docs: ray.data.Dataset,
             .materialize()
             .groupby("part").map_groups(attach, batch_format="pandas")
             .groupby("cpart").map_groups(resolve, batch_format="pandas"))
+
+
+# ---- dedup evaluation: LSH recall against exact ground truth ----
+
+DEDUP_EVAL_FP = 10 ** 6
+N_EVAL_PARTS = 16
+
+
+def dedup_eval(docs: ray.data.Dataset) -> pd.DataFrame:
+    """One-row scorecard for the MinHash-LSH detector against the exact
+    lang-blocked all-pairs Jaccard ground truth at the same threshold:
+    (n_pred, n_truth, n_hit, precision_fp, recall_fp), fixed-point 1e6.
+
+    recall < FP quantifies LSH banding loss (pairs the bucketing never
+    surfaced); precision < FP counts detector pairs outside the blocked
+    truth (e.g. cross-lang dups the lang blocking excludes by design).
+    The dedup-quality regression gate a corpus pipeline runs after any
+    change to shingling / banding parameters.
+
+    Scale shape: both inputs are verified pair lists (output-sized, far
+    smaller than the corpus). The sides are tagged and unioned as slim
+    int rows; ONE pair-hash co-partition counts hits where each pair
+    lands (a pair's two tags meet in exactly one partition), and the
+    driver folds #parts partial rows into the single scorecard row —
+    the pair lists never gather whole on any node."""
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["doc_a"].to_numpy(dtype=np.int64)
+            b = df["doc_b"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "ppart": ((a * 1_000_003 + b) % N_EVAL_PARTS)
+                .astype(np.int32),
+                "doc_a": a, "doc_b": b,
+                "pred": np.full(len(a), 1 - side, dtype=np.int64),
+                "truth": np.full(len(a), side, dtype=np.int64)})
+        return fn
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["doc_a", "doc_b"], sort=False).agg(
+            pred=("pred", "max"), truth=("truth", "max"))
+        return pd.DataFrame({
+            "n_pred": [int(per["pred"].sum())],
+            "n_truth": [int(per["truth"].sum())],
+            "n_hit": [int((per["pred"] & per["truth"]).sum())]})
+
+    pred = minhash_lsh_pairs(docs).select_columns(["doc_a", "doc_b"])
+    truth = ngram_jaccard_pairs(docs).select_columns(["doc_a", "doc_b"])
+    parts = (pred.map_batches(tag(0), batch_format="pandas")
+             .union(truth.map_batches(tag(1), batch_format="pandas"))
+             .groupby("ppart")
+             .map_groups(lambda g: count_part(g.drop(columns=["ppart"])),
+                         batch_format="pandas")
+             .aggregate(Sum("n_pred", alias_name="n_pred"),
+                        Sum("n_truth", alias_name="n_truth"),
+                        Sum("n_hit", alias_name="n_hit")))
+    n_pred = int(parts["n_pred"] or 0)
+    n_truth = int(parts["n_truth"] or 0)
+    n_hit = int(parts["n_hit"] or 0)
+    return pd.DataFrame({
+        "n_pred": [n_pred], "n_truth": [n_truth], "n_hit": [n_hit],
+        "precision_fp": [(n_hit * DEDUP_EVAL_FP) // n_pred
+                         if n_pred else 0],
+        "recall_fp": [(n_hit * DEDUP_EVAL_FP) // n_truth
+                      if n_truth else 0]}).astype(np.int64)

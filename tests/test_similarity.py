@@ -63,3 +63,17 @@ def test_containment_denominator_is_true_set_size():
     row = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
     assert row.cont_a_fp <= SIM_FP and row.cont_b_fp <= SIM_FP
     assert row.cont_a_fp >= SIM_FP * 8 // 10    # near-dup: >=80% contained
+
+
+def test_dedup_eval_perfect_on_exact_dups():
+    from ghcrawler_ray.ops.dedup import DEDUP_EVAL_FP, dedup_eval
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "lang": ["en", "en", "en"],
+        "text": [_BASE, _BASE, _OTHER]}))
+    out = dedup_eval(ds)
+    row = out.iloc[0]
+    # the exact-dup pair is both the whole truth and fully recalled
+    assert (row.n_truth, row.n_hit) == (1, 1)
+    assert row.recall_fp == DEDUP_EVAL_FP
+    assert row.n_pred >= 1 and row.precision_fp <= DEDUP_EVAL_FP
