@@ -642,6 +642,38 @@ def q_dedup_eval(sf_dir: str) -> pd.DataFrame:
     return ops_dedup.dedup_eval(_docs(sf_dir))
 
 
+def q_holdout_split(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.holdout_split(_docs(sf_dir))
+
+
+def _docs_v2(sf_dir: str) -> ray.data.Dataset:
+    """Recrawl-snapshot fixture: deterministic v2 of the corpus —
+    doc_id%17==0 removed, else doc_id%13==0 edited (' v2' suffix), and
+    doc_id%19==0 spawns a fresh doc at doc_id+1000000 — mirrored 1:1
+    by the SQL fixture CTE in the snapshot_diff oracle."""
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        text = df["text"].astype(str)
+        keep = ids % 17 != 0
+        kept = pd.DataFrame({
+            "doc_id": ids[keep],
+            "text": np.where(ids[keep] % 13 == 0,
+                             text.to_numpy(dtype=object)[keep] + " v2",
+                             text.to_numpy(dtype=object)[keep])})
+        fresh = ids % 19 == 0
+        added = pd.DataFrame({
+            "doc_id": ids[fresh] + 1_000_000,
+            "text": text.to_numpy(dtype=object)[fresh] + " fresh"})
+        return pd.concat([kept, added], ignore_index=True)
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        fx, batch_format="pandas")
+
+
+def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.snapshot_diff(_docs(sf_dir), _docs_v2(sf_dir))
+
+
 def q_shingle_cosine(sf_dir: str) -> ray.data.Dataset:
     return ops_sim.shingle_cosine_pairs(_docs(sf_dir))
 
@@ -2127,6 +2159,33 @@ def _ops_sql() -> dict[str, str]:
             FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2""",
         "ngram_jaccard_pairs": _jaccard_sql(),
         "dedup_eval": _dedup_eval_sql(),
+        "holdout_split": f"""
+            SELECT doc_id, source,
+                CASE WHEN b < {ops_corpus.SPLIT_TRAIN_LT} THEN 'train'
+                     WHEN b = {ops_corpus.SPLIT_VAL_EQ} THEN 'val'
+                     ELSE 'test' END AS fold
+            FROM (SELECT doc_id, source,
+                    ('0x' || substr(md5(source), 1, 16))::UBIGINT
+                        % {ops_corpus.SPLIT_BUCKETS} AS b
+                  FROM documents)""",
+        # v2-snapshot fixture CTE mirrors _docs_v2 1:1
+        "snapshot_diff": """
+            WITH newsnap AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                         ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' fresh'
+                FROM documents WHERE doc_id % 19 = 0),
+            o AS (SELECT doc_id, md5(text) AS h FROM documents),
+            n AS (SELECT doc_id, md5(text) AS h FROM newsnap)
+            SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.h = n.h THEN 'unchanged'
+                     ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
         # shingle-tf sparse cosine join — integer cos² fixed-point, df-pruned
         # exactly as ops/similarity.py (dot over df∈[2,DF_MAX] shingles,
         # TRUE norms over all shingles)
@@ -3148,6 +3207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "shingle_cosine_pairs": q_shingle_cosine,
         "dedup_eval": q_dedup_eval,
+        "holdout_split": q_holdout_split,
+        "snapshot_diff": q_snapshot_diff,
         "containment_pairs": q_containment,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_ivf,

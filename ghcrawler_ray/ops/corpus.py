@@ -759,3 +759,87 @@ def weighted_sample(docs: ray.data.Dataset,
     return part.groupby("g").map_groups(
         lambda d: final_topn(d.drop(columns=["g"])),
         batch_format="pandas")
+
+
+# ---- leakage-safe holdout split (group split by source) ----
+
+SPLIT_BUCKETS = 10        # md5(source) % 10 → 8/1/1 train/val/test
+SPLIT_TRAIN_LT = 8
+SPLIT_VAL_EQ = 8
+
+
+def holdout_split(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, source, fold): assign every document to
+    train/val/test with ALL documents of a source in the SAME fold —
+    the leakage-safe group split (near-dups cluster within a source;
+    a random row split would leak them across folds). Deterministic
+    md5(source) bucketing: stateless, reproducible after appends,
+    zero shuffles — one streaming pass."""
+    from .dedup import _hash64_str
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].astype(str)
+        # stay uint64: the DuckDB mirror buckets with UBIGINT % n
+        b = _hash64_str(src.tolist()) % np.uint64(SPLIT_BUCKETS)
+        fold = np.where(b < SPLIT_TRAIN_LT, "train",
+                        np.where(b == SPLIT_VAL_EQ, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "source": src.to_numpy(dtype=object),
+                             "fold": fold.astype(object)})
+
+    return docs.select_columns(["doc_id", "source"]).map_batches(
+        assign, batch_format="pandas")
+
+
+# ---- corpus snapshot diff (incremental-crawl delta) ----
+
+DIFF_PARTS = 32
+
+
+def snapshot_diff(old: ray.data.Dataset,
+                  new: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, status) for status ∈ added/removed/changed/unchanged —
+    the delta between two corpus snapshots keyed by doc_id (the url
+    analogue), content-compared by md5(text). The incremental-crawl
+    primitive: what a recrawl actually changed (the reference's delta
+    store answers the per-upsert form of the same question,
+    `providers/storage/deltaStore.js:26-31`).
+
+    Scale shape: each side folds to slim (doc_id, md5, side) rows in
+    its own streaming pass (text never shuffles); ONE doc-hash
+    co-partition meets a doc's two versions in the same partition and
+    the status is a vectorized two-side merge — no broadcast of either
+    (100 TB-scale) snapshot."""
+    def slim(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            ch = np.fromiter(
+                (hashlib.md5(t.encode()).hexdigest()
+                 for t in df["text"].astype(str)),
+                dtype=object, count=len(df))
+            return pd.DataFrame({
+                "part": (ids % DIFF_PARTS).astype(np.int32),
+                "doc_id": ids, "content_hash": ch,
+                "side": np.full(len(ids), side, dtype=np.int8)})
+        return fn
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["doc_id", "content_hash"]]
+        n = g[g["side"] == 1][["doc_id", "content_hash"]]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+        has_o = m["content_hash_o"].notna().to_numpy()
+        has_n = m["content_hash_n"].notna().to_numpy()
+        same = (m["content_hash_o"] == m["content_hash_n"]).to_numpy()
+        status = np.where(~has_o, "added",
+                          np.where(~has_n, "removed",
+                                   np.where(same, "unchanged", "changed")))
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                             "status": status.astype(object)})
+
+    return (old.select_columns(["doc_id", "text"])
+            .map_batches(slim(0), batch_format="pandas")
+            .union(new.select_columns(["doc_id", "text"])
+                   .map_batches(slim(1), batch_format="pandas"))
+            .groupby("part")
+            .map_groups(lambda g: diff(g.drop(columns=["part"])),
+                        batch_format="pandas"))

@@ -705,3 +705,33 @@ def test_dedup_keep_best_prefers_quality_over_min_id(ray_session):
     assert int(out.loc[0, "keep"]) == 0 and int(out.loc[1, "keep"]) == 1
     assert out.loc[1, "quality_score"] > out.loc[0, "quality_score"]
     assert int(out.loc[2, "keep"]) == 1 and int(out.loc[2, "cluster_size"]) == 1
+
+
+def test_holdout_split_is_group_safe():
+    import ray.data
+    from ghcrawler_ray.ops.corpus import holdout_split
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "source": [f"host{i % 7}" for i in range(60)]})
+    out = holdout_split(ray.data.from_pandas(df)).to_pandas()
+    assert set(out["fold"]) <= {"train", "val", "test"}
+    # every source maps to exactly one fold (leakage-safe group split)
+    assert (out.groupby("source")["fold"].nunique() == 1).all()
+    # deterministic: same input -> same assignment
+    again = holdout_split(ray.data.from_pandas(df)).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_snapshot_diff_statuses():
+    import ray.data
+    from ghcrawler_ray.ops.corpus import snapshot_diff
+    old = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1, 2, 3], dtype=np.int64),
+         "text": ["alpha", "beta", "gamma"]}))
+    new = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1, 3, 4], dtype=np.int64),
+         "text": ["alpha", "gamma EDITED", "delta"]}))
+    out = snapshot_diff(old, new).to_pandas()
+    status = dict(zip(out.doc_id, out.status))
+    assert status == {1: "unchanged", 2: "removed",
+                      3: "changed", 4: "added"}
