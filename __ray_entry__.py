@@ -322,6 +322,22 @@ def q_trap_patterns(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.trap_patterns(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_robots_eval(sf_dir: str) -> ray.data.Dataset:
+    """Full-REP longest-match robots verdicts (RFC 9309 §2.2.2): deny
+    rules = the synthesized disallow prefixes, allow rules = a '<prefix>0'
+    carve-out under each (so /p/130 is allowed under denied /p/13),
+    evaluated for every page URL."""
+    sf = sf_of_dir(sf_dir)
+    root = ensure_testdata(sf)
+    robots = pq.read_table(str(root / "robots.parquet")).to_pandas()
+    rows = [(r.host, pat, flag)
+            for r in robots.itertuples()
+            for p in r.disallow_prefixes
+            for pat, flag in ((p, 0), (p + "0", 1))]
+    rules = pd.DataFrame(rows, columns=["host", "pattern", "is_allow"])
+    return ops_urlstats.robots_eval(_pages_ds(sf), rules)
+
+
 def q_anchor_text(sf_dir: str) -> ray.data.Dataset:
     """Per-target anchor-text aggregation (n_refs / distinct anchors /
     dominant anchor; Brin & Page §2.2 link-text signal)."""
@@ -1416,6 +1432,28 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                    (array_agg(anchor ORDER BY cnt DESC, anchor ASC))[1]
                        AS top_anchor
             FROM g GROUP BY dst_url""",
+        # ops/urlstats.robots_eval: RFC 9309 longest-match, allow wins ties;
+        # rule fixture = disallow prefixes + '<prefix>0' allow carve-outs
+        "crawl_robots_eval": f"""
+            WITH r0 AS (SELECT host, unnest(disallow_prefixes) AS p
+               FROM read_parquet('{seeds_dir}/robots.parquet')),
+            rules AS (SELECT host, p AS pat, 0 AS is_allow FROM r0
+                      UNION ALL
+                      SELECT host, p || '0' AS pat, 1 AS is_allow FROM r0),
+            u AS (SELECT url, {ops_urlstats.HOST_SQL} AS host,
+                     {ops_urlstats.PATH_SQL} AS path
+               FROM read_parquet('{pages}')),
+            m AS (SELECT u.url,
+                     max(CASE WHEN r.is_allow = 1 THEN length(r.pat)
+                              ELSE -1 END) AS la,
+                     max(CASE WHEN r.is_allow = 0 THEN length(r.pat)
+                              ELSE -1 END) AS ld
+               FROM u JOIN rules r
+                 ON u.host = r.host AND starts_with(u.path, r.pat)
+               GROUP BY u.url)
+            SELECT u.url, coalesce(m.la >= m.ld, TRUE) AS allowed,
+                coalesce(greatest(m.la, m.ld), -1)::BIGINT AS match_len
+            FROM u LEFT JOIN m USING (url)""",
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_host_clustering": f"""
@@ -3162,6 +3200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_cdx_index": q_cdx_index,
         "crawl_trap_patterns": q_trap_patterns,
         "crawl_anchor_text": q_anchor_text,
+        "crawl_robots_eval": q_robots_eval,
         "media_resize": q_media_resize,
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,

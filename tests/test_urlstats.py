@@ -53,3 +53,30 @@ def test_anchor_text_agg_counts_and_tiebreak():
     assert x["top_anchor"] == "alpha"
     y = out.loc["http://t.example/y"]
     assert int(y["n_refs"]) == 1 and y["top_anchor"] == "solo"
+
+
+def test_robots_eval_longest_match_rfc9309():
+    import ray.data
+    from ghcrawler_ray.ops.urlstats import robots_eval
+    rules = pd.DataFrame({
+        "host": ["h.example"] * 3 + ["t.example"] * 2,
+        "pattern": ["/p/13", "/p/130", "/deny/",
+                    "/x/", "/x/"],          # t.example: exact tie
+        "is_allow": [0, 1, 0, 0, 1]})
+    pages = ray.data.from_pandas(pd.DataFrame({"url": [
+        "http://h.example/p/131",     # denied: /p/13 matches, /p/130 no
+        "http://h.example/p/1309",    # allowed: /p/130 (len 6) > /p/13
+        "http://h.example/deny/a",    # denied
+        "http://h.example/free",      # no rule -> allowed, match_len -1
+        "http://t.example/x/1",       # tie -> allow wins (RFC 9309)
+        "http://other.example/p/13",  # host without rules -> allowed
+    ]}))
+    out = robots_eval(pages, rules).to_pandas().set_index("url")
+    v = out["allowed"]
+    assert not v["http://h.example/p/131"]
+    assert v["http://h.example/p/1309"]
+    assert not v["http://h.example/deny/a"]
+    assert v["http://h.example/free"]
+    assert out.loc["http://h.example/free", "match_len"] == -1
+    assert v["http://t.example/x/1"]
+    assert v["http://other.example/p/13"]
