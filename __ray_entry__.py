@@ -662,6 +662,10 @@ def q_holdout_split(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.holdout_split(_docs(sf_dir))
 
 
+def q_dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    return ops_curate.dsir_weights(_docs(sf_dir))
+
+
 def _docs_v2(sf_dir: str) -> ray.data.Dataset:
     """Recrawl-snapshot fixture: deterministic v2 of the corpus —
     doc_id%17==0 removed, else doc_id%13==0 edited (' v2' suffix), and
@@ -2197,6 +2201,33 @@ def _ops_sql() -> dict[str, str]:
             FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2""",
         "ngram_jaccard_pairs": _jaccard_sql(),
         "dedup_eval": _dedup_eval_sql(),
+        # DSIR hashed uni+bigram importance weights — add-one count-ratio
+        # integer surrogate, buckets via the md5 hash primitive
+        "dsir_weights": rf"""
+            WITH t AS (SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            gu AS (SELECT doc_id, lang, unnest(tk) AS g FROM t),
+            gb AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, greatest(len(tk), 1)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS g
+               FROM t),
+            grams AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 16))::UBIGINT
+                     % {ops_curate.DSIR_BUCKETS} AS b
+               FROM (SELECT * FROM gu UNION ALL SELECT * FROM gb)),
+            cnt AS (SELECT b, count(*)::BIGINT AS raw_n,
+                 sum(CASE WHEN lang = '{ops_curate.DSIR_TARGET_LANG}'
+                          THEN 1 ELSE 0 END)::BIGINT AS tgt_n
+               FROM grams GROUP BY 1),
+            ratio AS (SELECT b,
+                 ((tgt_n + 1) * {ops_curate.DSIR_FP}) // (raw_n + 1) AS r
+               FROM cnt),
+            sc AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+                 sum(r)::BIGINT AS s
+               FROM grams JOIN ratio USING (b) GROUP BY 1)
+            SELECT doc_id, n_grams, (s // n_grams)::BIGINT AS dsir_score_fp
+            FROM sc""",
         "holdout_split": f"""
             SELECT doc_id, source,
                 CASE WHEN b < {ops_corpus.SPLIT_TRAIN_LT} THEN 'train'
@@ -3247,6 +3278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_cosine_pairs": q_shingle_cosine,
         "dedup_eval": q_dedup_eval,
         "holdout_split": q_holdout_split,
+        "dsir_weights": q_dsir_weights,
         "snapshot_diff": q_snapshot_diff,
         "containment_pairs": q_containment,
         "ann_topk": q_ann_topk,

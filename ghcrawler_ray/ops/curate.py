@@ -242,3 +242,88 @@ def quality_buckets(docs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return slim.map_batches(label, batch_format="pandas")
+
+
+# ---- DSIR-style importance weights (hashed n-gram data selection) ----
+
+DSIR_BUCKETS = 4096       # hashed feature space (B in the paper)
+DSIR_FP = 10 ** 6
+DSIR_TARGET_LANG = "en"   # the "target distribution" exemplar subset
+
+
+def dsir_weights(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_grams, dsir_score_fp): per-document importance weight
+    for target-distribution resampling, following the hashed n-gram
+    DSIR recipe (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): features are uni+bigrams hashed into
+    ``DSIR_BUCKETS`` buckets; a target model (docs whose lang is the
+    exemplar) and a raw model (all docs) are bag-of-buckets counts; a
+    document's weight is its grams' mean target/raw likelihood ratio.
+
+    Integer surrogate: the paper's Σ log(p_tgt/p_raw) is transcendental,
+    so the score is the add-one count ratio in fixed point —
+    ratio_fp[b] = ((tgt[b]+1)·FP) // (raw[b]+1), score = Σ ratio_fp //
+    n_grams — monotone per feature, bit-exact in the DuckDB mirror,
+    and order-independent (integer sums).
+
+    Scale shape: pass 1 folds each batch to ≤ B (bucket, raw_c, tgt_c)
+    partial rows (np.bincount — the text never shuffles) and a
+    B-bounded hash-agg finishes the two models; the B-row ratio table
+    broadcasts once via ``ray.put``; pass 2 is a stateless streaming
+    re-score (vectorized bucket lookup). Same two-scan shape as
+    ``ops/text.unigram_rank_scores``."""
+    from .dedup import _WS_RE, _hash64_str
+
+    B = DSIR_BUCKETS
+
+    def grams_of(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """flat bucket array + per-doc gram counts (uni + bigrams)."""
+        per_doc, lens = [], np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = _WS_RE.findall(t.lower())
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            lens[i] = len(grams)
+            if grams:
+                per_doc.append(
+                    (_hash64_str(grams) % np.uint64(B)).astype(np.int64))
+        flat = (np.concatenate(per_doc) if per_doc
+                else np.empty(0, np.int64))
+        return flat, lens
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = grams_of(df["text"].astype(str))
+        is_tgt = np.repeat(
+            (df["lang"].astype(str) == DSIR_TARGET_LANG).to_numpy(), lens)
+        raw_c = np.bincount(flat, minlength=B)
+        tgt_c = np.bincount(flat[is_tgt], minlength=B)
+        nz = (raw_c > 0).nonzero()[0]
+        return pd.DataFrame({"b": nz.astype(np.int64),
+                             "raw_c": raw_c[nz].astype(np.int64),
+                             "tgt_c": tgt_c[nz].astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    model = (docs.select_columns(["lang", "text"])
+             .map_batches(count_partial, batch_format="pandas")
+             .groupby("b")
+             .aggregate(Sum("raw_c", alias_name="raw_n"),
+                        Sum("tgt_c", alias_name="tgt_n"))
+             .to_pandas())           # ≤ B rows — bounded by design
+    ratio = np.full(B, DSIR_FP, dtype=np.int64)   # unseen bucket: 1/1
+    bb = model["b"].to_numpy(dtype=np.int64)
+    ratio[bb] = ((model["tgt_n"].to_numpy(dtype=np.int64) + 1) * DSIR_FP
+                 // (model["raw_n"].to_numpy(dtype=np.int64) + 1))
+    ratio_ref = ray.put(ratio)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ratio_ref)
+        flat, lens = grams_of(df["text"].astype(str))
+        keep = lens > 0
+        sums = np.zeros(len(df), dtype=np.int64)
+        np.add.at(sums, np.repeat(np.arange(len(df)), lens), r[flat])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "n_grams": lens[keep],
+            "dsir_score_fp": sums[keep] // lens[keep]})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")

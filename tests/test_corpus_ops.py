@@ -735,3 +735,21 @@ def test_snapshot_diff_statuses():
     status = dict(zip(out.doc_id, out.status))
     assert status == {1: "unchanged", 2: "removed",
                       3: "changed", 4: "added"}
+
+
+def test_dsir_weights_prefer_target_distribution():
+    import ray.data
+    from ghcrawler_ray.ops.curate import DSIR_FP, dsir_weights
+    en = "good clean prose with helpful words and steady structure"
+    fr = "texte bruite avec des mots differents et une autre forme"
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "lang": ["en"] * 4 + ["fr"] * 4,
+        "text": [en] * 4 + [fr] * 4})
+    out = dsir_weights(ray.data.from_pandas(df)).to_pandas()
+    s = out.set_index("doc_id")["dsir_score_fp"]
+    en_mean = s[:4].mean()
+    fr_mean = s[4:].mean()
+    # target(en)-distribution grams carry higher importance ratios
+    assert en_mean > fr_mean
+    assert (out["dsir_score_fp"] <= DSIR_FP).all()  # ratio <= 1 + eps
