@@ -726,6 +726,10 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return ops_ann.kmeans_fit(_emb(sf_dir))
 
 
+def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.pq_codes(_emb(sf_dir))
+
+
 def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk_kmeans(_emb(sf_dir))
 
@@ -1187,6 +1191,52 @@ def _kmeans_sql() -> str:
                  ON s.cluster = c.cluster AND s.dim = c.dim)""")
     parts.append(f"""
         SELECT cluster, dim, c AS c_fp, n AS n_vecs FROM c{KMEANS_ITERS}""")
+    return "".join(parts)
+
+
+def _pq_sql() -> str:
+    """Bit-exact product-quantization mirror (ops/ann.pq_codes): the
+    k-means CTE-chain technique run over ALL blocks at once — every
+    (vec, block) pair gets its own argmin via row_number partitioned by
+    (vec_id, blk); the per-block codebooks share one dim-keyed centroid
+    table since dim determines blk."""
+    from ghcrawler_ray.ops.ann import (EMB_DIM, KMEANS_FP, PQ_BLOCKS,
+                                       PQ_ITERS, PQ_K)
+    sub = EMB_DIM // PQ_BLOCKS
+    parts = [f"""
+        WITH v AS (SELECT vec_id, CAST(r.i AS BIGINT) AS dim,
+             CAST(r.i AS BIGINT) // {sub} AS blk,
+             CAST(floor((embedding[CAST(r.i AS INT) + 1]::DOUBLE + 1e0)
+                        * {KMEANS_FP}e0) AS BIGINT) AS q
+           FROM embeddings CROSS JOIN range({EMB_DIM}) r(i)),
+        c0 AS (SELECT vec_id AS cluster, dim, q AS c
+               FROM v WHERE vec_id < {PQ_K})"""]
+    for t in range(1, PQ_ITERS + 1):
+        p = t - 1
+        parts.append(f""",
+        d{t} AS (SELECT v.vec_id, v.blk, c.cluster,
+                 sum((v.q - c.c) * (v.q - c.c)) AS dist
+               FROM v JOIN c{p} c ON c.dim = v.dim GROUP BY 1, 2, 3),
+        a{t} AS (SELECT vec_id, blk, cluster FROM (
+                 SELECT vec_id, blk, cluster, row_number() OVER (
+                   PARTITION BY vec_id, blk ORDER BY dist, cluster) AS rn
+                 FROM d{t}) WHERE rn = 1),
+        s{t} AS (SELECT a.cluster, v.dim, sum(v.q)::BIGINT AS s,
+                 count(*)::BIGINT AS n
+               FROM a{t} a JOIN v ON v.vec_id = a.vec_id AND v.blk = a.blk
+               GROUP BY 1, 2),
+        c{t} AS (SELECT c.cluster, c.dim, COALESCE(s.s // s.n, c.c) AS c
+               FROM c{p} c LEFT JOIN s{t} s
+                 ON s.cluster = c.cluster AND s.dim = c.dim)""")
+    T = PQ_ITERS
+    parts.append(f""",
+        df_ AS (SELECT v.vec_id, v.blk, c.cluster,
+                sum((v.q - c.c) * (v.q - c.c)) AS dist
+              FROM v JOIN c{T} c ON c.dim = v.dim GROUP BY 1, 2, 3)
+        SELECT vec_id, blk AS block, cluster AS code FROM (
+            SELECT vec_id, blk, cluster, row_number() OVER (
+              PARTITION BY vec_id, blk ORDER BY dist, cluster) AS rn
+            FROM df_) WHERE rn = 1""")
     return "".join(parts)
 
 
@@ -2350,6 +2400,7 @@ def _ops_sql() -> dict[str, str]:
             FROM a""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
+        "pq_codes": _pq_sql(),
         "ann_topk_kmeans": _ann_kmeans_sql(),
         "semantic_dup_pairs": _semdup_sql(),
         "knn_graph": _knn_graph_sql(),
@@ -3287,6 +3338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_emb_centroids,
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
+        "pq_codes": q_pq_codes,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

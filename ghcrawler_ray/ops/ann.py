@@ -750,3 +750,97 @@ def knn_graph(emb: ray.data.Dataset, k: int = KNN_K) -> ray.data.Dataset:
     return (emb.select_columns(["vec_id", "embedding"])
             .map_batches(assign, batch_format="pandas")
             .groupby("cell").map_groups(cell_knn, batch_format="pandas"))
+
+
+# ---- product quantization: per-block codebooks + code assignment ----
+
+PQ_BLOCKS = 8             # M sub-vectors (64 dims -> 8 x 8)
+PQ_K = 8                  # codebook size per block
+PQ_ITERS = 2              # Lloyd rounds per block codebook
+
+
+def pq_codes(emb: ray.data.Dataset, m: int = PQ_BLOCKS, k: int = PQ_K,
+             iters: int = PQ_ITERS) -> ray.data.Dataset:
+    """(vec_id, block, code): product-quantization codes — each vector's
+    ``m`` sub-vectors assigned to per-block codebooks trained by ``iters``
+    integer Lloyd rounds (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") — the memory-bound compression step of a
+    10^10-vector ANN index (64 float dims → m 3-bit codes here).
+
+    Same exact-integer discipline as :func:`kmeans_fit` (shared
+    ``_quantize`` fixed-point grid, argmin ties → lowest code, centroid
+    update by non-negative integer division, empty code keeps its old
+    centroid), so the DuckDB mirror reproduces every code bit-for-bit
+    and training is bit-identical under any batch order.
+
+    Scale shape: codebooks are m×k×(dim/m) int64 (a few KB) broadcast
+    once per round via ``ray.put``; each round is ONE streaming pass
+    emitting ≤ m·k·dim partial-sum rows per batch, folded driver-side
+    below the same ``KMEANS_DRIVER_FOLD_MAX`` bound (distributed Sum
+    above it); the final code assignment is one stateless pass. The
+    input is materialized once so rounds re-scan object-store blocks,
+    not the parquet source."""
+    from ray.data.aggregate import Sum
+
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    init = sorted(src.filter(expr=f"vec_id < {k}").take_all(),
+                  key=lambda r: int(r["vec_id"]))
+    seed = _quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                               for r in init]))          # (k, dim)
+    dim = seed.shape[1]
+    sub = dim // m
+    cents = seed.reshape(k, m, sub).transpose(1, 0, 2).copy()  # (m, k, sub)
+    driver_fold = src.num_blocks() * m * k * sub <= KMEANS_DRIVER_FOLD_MAX
+
+    def dists(q3: np.ndarray, c: np.ndarray) -> np.ndarray:
+        diff = q3[:, :, None, :] - c[None, :, :, :]      # (B, m, k, sub)
+        return np.einsum("bmks,bmks->bmk", diff, diff)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)                            # (m, k, sub)
+            q3 = _quantize(_mat(df)).reshape(-1, m, sub)
+            assign = dists(q3, c).argmin(axis=2)         # (B, m)
+            out = []
+            for blk in range(m):
+                for cl in np.unique(assign[:, blk]):
+                    sel = q3[assign[:, blk] == cl, blk]  # (n, sub)
+                    out.append(pd.DataFrame({
+                        "blk": np.full(sub, blk, dtype=np.int64),
+                        "cluster": np.full(sub, cl, dtype=np.int64),
+                        "sdim": np.arange(sub, dtype=np.int64),
+                        "s_part": sel.sum(axis=0),
+                        "n_part": np.full(sub, len(sel), dtype=np.int64)}))
+            return pd.concat(out, ignore_index=True)
+
+        parts = src.map_batches(partials, batch_format="pandas",
+                                batch_size=2048)
+        if driver_fold:
+            agg = parts.to_pandas().groupby(
+                ["blk", "cluster", "sdim"], sort=False, as_index=False).agg(
+                    s=("s_part", "sum"), n=("n_part", "sum"))
+        else:
+            agg = (parts.groupby(["blk", "cluster", "sdim"])
+                   .aggregate(Sum("s_part", alias_name="s"),
+                              Sum("n_part", alias_name="n"))
+                   .to_pandas())                         # ≤ m·k·sub rows
+        for (blk, cl), g in agg.groupby(["blk", "cluster"]):
+            g = g.sort_values("sdim")
+            cents[int(blk), int(cl)] = \
+                g["s"].to_numpy(dtype=np.int64) // int(g["n"].iloc[0])
+
+    final_ref = ray.put(cents)
+
+    def assign_codes(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(final_ref)
+        q3 = _quantize(_mat(df)).reshape(-1, m, sub)
+        code = dists(q3, c).argmin(axis=2)               # (B, m)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, m),
+            "block": np.tile(np.arange(m, dtype=np.int64), len(ids)),
+            "code": code.reshape(-1).astype(np.int64)})
+
+    return src.map_batches(assign_codes, batch_format="pandas")

@@ -753,3 +753,26 @@ def test_dsir_weights_prefer_target_distribution():
     # target(en)-distribution grams carry higher importance ratios
     assert en_mean > fr_mean
     assert (out["dsir_score_fp"] <= DSIR_FP).all()  # ratio <= 1 + eps
+
+
+def test_pq_codes_determinism_and_duplicate_consistency(ray_session):
+    """Batch-layout independence (fixed-point guarantee) + identical
+    vectors always share all m codes; codes stay within the codebook."""
+    import ray.data
+    from ghcrawler_ray.ops.ann import pq_codes
+    rng = np.random.RandomState(11)
+    n, dim, m, k = 96, 16, 4, 4
+    vecs = [rng.randn(dim).astype(np.float32) * 0.4 for _ in range(n)]
+    vecs[50] = vecs[20].copy()          # planted exact duplicate
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": vecs})
+    a = pq_codes(ray.data.from_pandas(df), m=m, k=k).to_pandas() \
+        .sort_values(["vec_id", "block"]).reset_index(drop=True)
+    b = pq_codes(ray.data.from_pandas(df).repartition(7), m=m, k=k) \
+        .to_pandas().sort_values(["vec_id", "block"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n * m
+    assert a["code"].between(0, k - 1).all()
+    dup = a[a["vec_id"] == 50]["code"].to_numpy()
+    orig = a[a["vec_id"] == 20]["code"].to_numpy()
+    assert (dup == orig).all()
