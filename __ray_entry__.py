@@ -730,6 +730,10 @@ def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.pq_codes(_emb(sf_dir))
 
 
+def q_pq_topk(sf_dir: str) -> pd.DataFrame:
+    return ops_ann.pq_topk(_emb(sf_dir))
+
+
 def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk_kmeans(_emb(sf_dir))
 
@@ -1238,6 +1242,35 @@ def _pq_sql() -> str:
               PARTITION BY vec_id, blk ORDER BY dist, cluster) AS rn
             FROM df_) WHERE rn = 1""")
     return "".join(parts)
+
+
+def _pq_topk_sql() -> str:
+    """PQ-ADC search mirror (ops/ann.pq_topk): reuse the codebook CTE
+    chain, build each query's per-(block, centroid) LUT in the same
+    integer metric, and sum LUT lookups over every vector's codes."""
+    from ghcrawler_ray.ops.ann import N_QUERIES, PQ_ITERS, PQ_TOPK
+    base = _pq_sql().split(",\n        df_ AS")[0]
+    T = PQ_ITERS
+    return base + f""",
+        cd AS (SELECT v.vec_id, v.blk, c.cluster,
+               sum((v.q - c.c) * (v.q - c.c)) AS dist
+             FROM v JOIN c{T} c ON c.dim = v.dim GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, blk, cluster AS code FROM (
+               SELECT vec_id, blk, cluster, row_number() OVER (
+                 PARTITION BY vec_id, blk ORDER BY dist, cluster) AS rn
+               FROM cd) WHERE rn = 1),
+        lut AS (SELECT vec_id AS qid, blk, cluster, dist AS d
+             FROM cd WHERE vec_id < {N_QUERIES}),
+        adc AS (SELECT l.qid AS query_id, s.vec_id AS neighbor_id,
+               sum(l.d)::BIGINT AS adc_dist
+             FROM codes s JOIN lut l
+               ON l.blk = s.blk AND l.cluster = s.code
+             WHERE s.vec_id != l.qid GROUP BY 1, 2)
+        SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
+            adc_dist
+        FROM adc QUALIFY rank <= {PQ_TOPK}"""
 
 
 def _ann_kmeans_sql() -> str:
@@ -2401,6 +2434,7 @@ def _ops_sql() -> dict[str, str]:
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
         "pq_codes": _pq_sql(),
+        "pq_topk": _pq_topk_sql(),
         "ann_topk_kmeans": _ann_kmeans_sql(),
         "semantic_dup_pairs": _semdup_sql(),
         "knn_graph": _knn_graph_sql(),
@@ -3339,6 +3373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
         "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

@@ -780,9 +780,37 @@ def pq_codes(emb: ray.data.Dataset, m: int = PQ_BLOCKS, k: int = PQ_K,
     above it); the final code assignment is one stateless pass. The
     input is materialized once so rounds re-scan object-store blocks,
     not the parquet source."""
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    cents = _pq_train(src, m, k, iters)
+    sub = cents.shape[2]
+    final_ref = ray.put(cents)
+
+    def assign_codes(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(final_ref)
+        q3 = _quantize(_mat(df)).reshape(-1, m, sub)
+        code = _pq_dists(q3, c).argmin(axis=2)           # (B, m)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, m),
+            "block": np.tile(np.arange(m, dtype=np.int64), len(ids)),
+            "code": code.reshape(-1).astype(np.int64)})
+
+    return src.map_batches(assign_codes, batch_format="pandas")
+
+
+def _pq_dists(q3: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(B, m, k) integer squared distances of every sub-vector to every
+    per-block centroid."""
+    diff = q3[:, :, None, :] - c[None, :, :, :]          # (B, m, k, sub)
+    return np.einsum("bmks,bmks->bmk", diff, diff)
+
+
+def _pq_train(src: ray.data.Dataset, m: int, k: int,
+              iters: int) -> np.ndarray:
+    """Per-block integer Lloyd codebooks (m, k, dim/m) — the shared
+    trainer behind :func:`pq_codes` and :func:`pq_topk`."""
     from ray.data.aggregate import Sum
 
-    src = emb.select_columns(["vec_id", "embedding"]).materialize()
     init = sorted(src.filter(expr=f"vec_id < {k}").take_all(),
                   key=lambda r: int(r["vec_id"]))
     seed = _quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
@@ -792,17 +820,13 @@ def pq_codes(emb: ray.data.Dataset, m: int = PQ_BLOCKS, k: int = PQ_K,
     cents = seed.reshape(k, m, sub).transpose(1, 0, 2).copy()  # (m, k, sub)
     driver_fold = src.num_blocks() * m * k * sub <= KMEANS_DRIVER_FOLD_MAX
 
-    def dists(q3: np.ndarray, c: np.ndarray) -> np.ndarray:
-        diff = q3[:, :, None, :] - c[None, :, :, :]      # (B, m, k, sub)
-        return np.einsum("bmks,bmks->bmk", diff, diff)
-
     for _ in range(iters):
         ref = ray.put(cents)
 
         def partials(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
             c = ray.get(_ref)                            # (m, k, sub)
             q3 = _quantize(_mat(df)).reshape(-1, m, sub)
-            assign = dists(q3, c).argmin(axis=2)         # (B, m)
+            assign = _pq_dists(q3, c).argmin(axis=2)     # (B, m)
             out = []
             for blk in range(m):
                 for cl in np.unique(assign[:, blk]):
@@ -831,16 +855,69 @@ def pq_codes(emb: ray.data.Dataset, m: int = PQ_BLOCKS, k: int = PQ_K,
             cents[int(blk), int(cl)] = \
                 g["s"].to_numpy(dtype=np.int64) // int(g["n"].iloc[0])
 
-    final_ref = ray.put(cents)
+    return cents
 
-    def assign_codes(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(final_ref)
-        q3 = _quantize(_mat(df)).reshape(-1, m, sub)
-        code = dists(q3, c).argmin(axis=2)               # (B, m)
+
+PQ_TOPK = 5
+
+
+def pq_topk(emb: ray.data.Dataset, topk: int = PQ_TOPK,
+            n_queries: int = N_QUERIES) -> pd.DataFrame:
+    """(query_id, neighbor_id, rank, adc_dist): approximate top-k by
+    PQ Asymmetric Distance Computation — each query precomputes an
+    m×k lookup table of integer squared distances to every per-block
+    centroid, and a database vector's distance is the SUM of m table
+    lookups on its codes (Jégou et al. 2011 §III-B). The search never
+    touches the original vectors: it streams the (vec, code) rows —
+    the whole point of PQ at 10^10 vectors, where the float vectors
+    don't fit and the codes do.
+
+    Exact-integer end to end (training grid, LUT entries, sums), so
+    ranks are deterministic (ties → lowest neighbor_id) and the DuckDB
+    mirror reproduces the exact neighbor sets.
+
+    Scale shape: codebooks + Q×m×k LUTs broadcast once via ``ray.put``;
+    one streaming pass over the materialized source assigns codes and
+    emits each batch's LOCAL top-k per query (≤ k·Q rows per batch);
+    the driver folds ≤ k·Q·#blocks slim rows — the ann_topk reduce
+    shape."""
+    m, k = PQ_BLOCKS, PQ_K
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    cents = _pq_train(src, m, k, PQ_ITERS)
+    sub = cents.shape[2]
+
+    qrows = sorted(src.filter(expr=f"vec_id < {n_queries}").take_all(),
+                   key=lambda r: int(r["vec_id"]))
+    q_ids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    q3 = _quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                             for r in qrows])).reshape(-1, m, sub)
+    lut = _pq_dists(q3, cents)                           # (Q, m, k) int64
+    state = ray.put((cents, lut, q_ids))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c, tbl, qids = ray.get(state)
+        v3 = _quantize(_mat(df)).reshape(-1, m, sub)
+        code = _pq_dists(v3, c).argmin(axis=2)           # (B, m)
+        # gather: dist[b, q] = Σ_blk tbl[q, blk, code[b, blk]]
+        g = tbl[:, np.arange(m)[None, :], code]          # (Q, B, m)
+        dist = g.sum(axis=2).T                           # (B, Q)
         ids = df["vec_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids, m),
-            "block": np.tile(np.arange(m, dtype=np.int64), len(ids)),
-            "code": code.reshape(-1).astype(np.int64)})
+        out = []
+        for qi, qid in enumerate(qids):
+            d = dist[:, qi]
+            keep = ids != qid                            # exclude self
+            order = np.lexsort((ids[keep], d[keep]))[:topk]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(order), qid, dtype=np.int64),
+                "neighbor_id": ids[keep][order],
+                "adc_dist": d[keep][order]}))
+        return pd.concat(out, ignore_index=True)
 
-    return src.map_batches(assign_codes, batch_format="pandas")
+    cand = (src.map_batches(local_topk, batch_format="pandas")
+            .to_pandas())                                # ≤ k·Q·#blocks
+    cand = cand.sort_values(["query_id", "adc_dist", "neighbor_id"],
+                            kind="stable").groupby("query_id", sort=True) \
+        .head(topk).reset_index(drop=True)
+    cand["rank"] = cand.groupby("query_id", sort=False).cumcount() \
+        .to_numpy(dtype=np.int64) + 1
+    return cand[["query_id", "neighbor_id", "rank", "adc_dist"]]

@@ -776,3 +776,27 @@ def test_pq_codes_determinism_and_duplicate_consistency(ray_session):
     dup = a[a["vec_id"] == 50]["code"].to_numpy()
     orig = a[a["vec_id"] == 20]["code"].to_numpy()
     assert (dup == orig).all()
+
+
+def test_pq_topk_recovers_exact_duplicate(ray_session):
+    """ADC rank-1 for a planted exact duplicate (identical codes ->
+    adc_dist 0), and distances are non-decreasing in rank."""
+    import ray.data
+    from ghcrawler_ray.ops.ann import pq_topk
+    rng = np.random.RandomState(5)
+    n, dim = 80, 64
+    vecs = [rng.randn(dim).astype(np.float32) for _ in range(n)]
+    vecs[40] = vecs[2].copy()           # duplicate of query 2
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": vecs})
+    out = pq_topk(ray.data.from_pandas(df), topk=3, n_queries=4)
+    r1 = out[(out.query_id == 2) & (out["rank"] == 1)].iloc[0]
+    # ADC is asymmetric: even an exact duplicate scores the query's
+    # distance to its own QUANTIZED representation (> 0), but no other
+    # vector can beat it — the dup shares the query's argmin codes.
+    assert r1.neighbor_id == 40
+    q2 = out[out.query_id == 2].sort_values("rank")["adc_dist"].to_numpy()
+    assert (q2[0] <= q2).all()
+    for _, g in out.groupby("query_id"):
+        d = g.sort_values("rank")["adc_dist"].to_numpy()
+        assert (np.diff(d) >= 0).all()
