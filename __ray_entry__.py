@@ -338,6 +338,14 @@ def q_robots_eval(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.robots_eval(_pages_ds(sf), rules)
 
 
+def q_sitemap(sf_dir: str) -> ray.data.Dataset:
+    """Sitemap round-trip: build each host's deterministic <urlset>
+    document, parse it back to frontier entry rows; the oracle computes
+    the rows directly, so the parse inverse is value-pinned."""
+    from ghcrawler_ray.sources import parse_sitemaps, sitemap_xml
+    return parse_sitemaps(sitemap_xml(_pages_ds(sf_of_dir(sf_dir))))
+
+
 def q_anchor_text(sf_dir: str) -> ray.data.Dataset:
     """Per-target anchor-text aggregation (n_refs / distinct anchors /
     dominant anchor; Brin & Page §2.2 link-text signal)."""
@@ -732,6 +740,10 @@ def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
 
 def q_pq_topk(sf_dir: str) -> pd.DataFrame:
     return ops_ann.pq_topk(_emb(sf_dir))
+
+
+def q_mmr_select(sf_dir: str) -> pd.DataFrame:
+    return ops_ann.mmr_select(_emb(sf_dir))
 
 
 def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
@@ -1273,6 +1285,54 @@ def _pq_topk_sql() -> str:
         FROM adc QUALIFY rank <= {PQ_TOPK}"""
 
 
+def _mmr_sql() -> str:
+    """MMR mirror (ops/ann.mmr_select): k unrolled greedy argmax CTEs
+    over the integer-dot shortlist — each step's pick is a 1-row
+    ORDER BY score DESC, vec_id LIMIT 1 CTE, the selected set grows by
+    UNION ALL (the kmeans-chain technique applied to a greedy loop)."""
+    from ghcrawler_ray.ops.ann import (EMB_DIM, KMEANS_FP, MMR_CAND, MMR_K,
+                                       MMR_QUERY_ID)
+    qid = MMR_QUERY_ID
+    parts = [f"""
+        WITH v AS (SELECT vec_id, CAST(r.i AS BIGINT) AS dim,
+             CAST(floor((embedding[CAST(r.i AS INT) + 1]::DOUBLE + 1e0)
+                        * {KMEANS_FP}e0) AS BIGINT) AS q
+           FROM embeddings CROSS JOIN range({EMB_DIM}) r(i)),
+        relq AS (SELECT v.vec_id, sum(v.q * qv.q)::BIGINT AS rel
+               FROM v JOIN v qv ON qv.dim = v.dim AND qv.vec_id = {qid}
+               WHERE v.vec_id != {qid} GROUP BY 1),
+        cand AS (SELECT vec_id, rel FROM relq
+                 ORDER BY rel DESC, vec_id LIMIT {MMR_CAND}),
+        dots AS (SELECT va.vec_id AS a, vb.vec_id AS b,
+                 sum(va.q * vb.q)::BIGINT AS s
+               FROM v va JOIN v vb ON va.dim = vb.dim
+               JOIN cand ca ON ca.vec_id = va.vec_id
+               JOIN cand cb ON cb.vec_id = vb.vec_id
+               WHERE va.vec_id != vb.vec_id GROUP BY 1, 2),
+        sel1 AS (SELECT vec_id, rel AS score FROM cand
+                 ORDER BY rel DESC, vec_id LIMIT 1),
+        selset1 AS (SELECT vec_id FROM sel1)"""]
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        parts.append(f""",
+        st{t} AS (SELECT c.vec_id, c.rel - coalesce(mx.m, 0) AS score
+               FROM cand c LEFT JOIN (
+                 SELECT d.a AS vec_id, max(d.s) AS m FROM dots d
+                 WHERE d.b IN (SELECT vec_id FROM selset{p}) GROUP BY 1) mx
+                 USING (vec_id)
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM selset{p})),
+        sel{t} AS (SELECT vec_id, score FROM st{t}
+                 ORDER BY score DESC, vec_id LIMIT 1),
+        selset{t} AS (SELECT vec_id FROM selset{p}
+                      UNION ALL SELECT vec_id FROM sel{t})""")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS rank, vec_id, score::BIGINT AS mmr2 "
+        f"FROM sel{t}" for t in range(1, MMR_K + 1))
+    parts.append(f"""
+        {unions}""")
+    return "".join(parts)
+
+
 def _ann_kmeans_sql() -> str:
     """IVF-with-learned-cells mirror (ops/ann.ann_topk_kmeans): reuse
     the k-means CTE chain, assign EVERY vector to its final-centroid
@@ -1519,6 +1579,17 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                    (array_agg(anchor ORDER BY cnt DESC, anchor ASC))[1]
                        AS top_anchor
             FROM g GROUP BY dst_url""",
+        # sources.sitemap_xml/parse_sitemaps round-trip: the oracle computes
+        # the entry rows directly from pages with the same md5 hash rules
+        "crawl_sitemap": f"""
+            SELECT url,
+                '2025-01-' || lpad(CAST(
+                    ('0x' || substr(md5(url), 1, 16))::UBIGINT % 28 + 1
+                    AS VARCHAR), 2, '0') AS lastmod,
+                (('0x' || substr(md5(url), 1, 16))::UBIGINT % 10)::BIGINT
+                    AS priority_x10,
+                {ops_urlstats.HOST_SQL} AS host
+            FROM read_parquet('{pages}')""",
         # ops/urlstats.robots_eval: RFC 9309 longest-match, allow wins ties;
         # rule fixture = disallow prefixes + '<prefix>0' allow carve-outs
         "crawl_robots_eval": f"""
@@ -2435,6 +2506,7 @@ def _ops_sql() -> dict[str, str]:
         "kmeans_fit": _kmeans_sql(),
         "pq_codes": _pq_sql(),
         "pq_topk": _pq_topk_sql(),
+        "mmr_select": _mmr_sql(),
         "ann_topk_kmeans": _ann_kmeans_sql(),
         "semantic_dup_pairs": _semdup_sql(),
         "knn_graph": _knn_graph_sql(),
@@ -3317,6 +3389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trap_patterns": q_trap_patterns,
         "crawl_anchor_text": q_anchor_text,
         "crawl_robots_eval": q_robots_eval,
+        "crawl_sitemap": q_sitemap,
         "media_resize": q_media_resize,
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,
@@ -3374,6 +3447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
+        "mmr_select": q_mmr_select,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

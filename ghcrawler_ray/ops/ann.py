@@ -921,3 +921,80 @@ def pq_topk(emb: ray.data.Dataset, topk: int = PQ_TOPK,
     cand["rank"] = cand.groupby("query_id", sort=False).cumcount() \
         .to_numpy(dtype=np.int64) + 1
     return cand[["query_id", "neighbor_id", "rank", "adc_dist"]]
+
+
+# ---- MMR: maximal-marginal-relevance diversified selection ----
+
+MMR_K = 5                 # results to select
+MMR_CAND = 20             # relevance shortlist size
+MMR_QUERY_ID = 0          # fixed query vector
+
+
+def mmr_select(emb: ray.data.Dataset, k: int = MMR_K,
+               n_cand: int = MMR_CAND,
+               query_id: int = MMR_QUERY_ID) -> pd.DataFrame:
+    """(rank, vec_id, mmr2): k results for the query vector chosen by
+    Maximal Marginal Relevance (Carbonell & Goldstein 1998) with
+    λ = 1/2 — each step takes the candidate maximizing
+    2·MMR = rel(c) − max_{s∈selected} sim(c, s), ties → lowest vec_id.
+    The diversified-retrieval answer to "top-k, but not five copies of
+    the same page".
+
+    Exact-integer discipline: rel and sim are int64 dot products on the
+    shared ``_quantize`` grid, so selection is deterministic and the
+    DuckDB mirror (k unrolled argmax CTEs) reproduces every pick.
+
+    Scale shape: stage 1 is the ann_topk reduce — ONE streaming pass
+    emits each batch's local top-``n_cand`` by rel (slim int rows),
+    driver folds ≤ n_cand·#blocks of them; stage 2 gathers ONLY the
+    shortlist's vectors (n_cand rows) and runs the O(k·n_cand²) greedy
+    loop driver-side — bounded by construction, never corpus-sized."""
+    src = emb.select_columns(["vec_id", "embedding"]).materialize()
+    qrow = src.filter(expr=f"vec_id == {query_id}").take_all()
+    qv = _quantize(np.stack(
+        [np.asarray(qrow[0]["embedding"], dtype=np.float64)]))[0]
+    q_ref = ray.put(qv)
+
+    def local_cand(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        v = _quantize(_mat(df))
+        rel = v @ q                                  # int64 exact
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        keep = ids != query_id
+        order = np.lexsort((ids[keep], -rel[keep]))[:n_cand]
+        return pd.DataFrame({"vec_id": ids[keep][order],
+                             "rel": rel[keep][order]})
+
+    cand = (src.map_batches(local_cand, batch_format="pandas")
+            .to_pandas())                            # ≤ n_cand·#blocks
+    cand = cand.sort_values(["rel", "vec_id"], ascending=[False, True],
+                            kind="stable").head(n_cand)
+    cand_ids = np.sort(cand["vec_id"].to_numpy(dtype=np.int64))
+    ids_ref = ray.put(set(int(i) for i in cand_ids))
+
+    short = (src.map_batches(
+        lambda df, _r=ids_ref: df[df["vec_id"].isin(ray.get(_r))],
+        batch_format="pandas").take_all())           # n_cand rows only
+    short = sorted(short, key=lambda r: int(r["vec_id"]))
+    sids = np.array([int(r["vec_id"]) for r in short], dtype=np.int64)
+    sv = _quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                             for r in short]))
+    rel = sv @ qv                                    # (n_cand,)
+    sim = sv @ sv.T                                  # (n_cand, n_cand)
+
+    chosen: list[int] = []
+    remaining = list(range(len(sids)))
+    out_rows = []
+    for rank in range(1, min(k, len(sids)) + 1):
+        best_i, best_score = None, None
+        for i in remaining:
+            div = max((int(sim[i, j]) for j in chosen), default=0)
+            score = int(rel[i]) - div
+            if best_score is None or score > best_score or \
+                    (score == best_score and sids[i] < sids[best_i]):
+                best_i, best_score = i, score
+        chosen.append(best_i)
+        remaining.remove(best_i)
+        out_rows.append((rank, int(sids[best_i]), best_score))
+    return pd.DataFrame(out_rows, columns=["rank", "vec_id", "mmr2"]) \
+        .astype(np.int64)

@@ -61,3 +61,78 @@ def read_seeds_csv(path: str) -> pd.DataFrame:
     df["policy"] = df["policy"].astype(str)
     df["seq"] = df["seq"].astype(np.int64)
     return df[["url", "priority", "policy", "seq"]]
+
+
+# ---- sitemap XML source (generate -> parse round-trip) ----
+
+import re as _re
+
+#: sitemaps.org <urlset> entry — lastmod day-of-month and priority are
+#: deterministic url-hash functions so generation, parsing AND the SQL
+#: oracle agree bit-for-bit.
+_SITEMAP_URL_RE = _re.compile(
+    r"<url><loc>([^<]+)</loc><lastmod>([^<]+)</lastmod>"
+    r"<priority>([^<]+)</priority></url>")
+
+
+def sitemap_xml(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, xml): one sitemaps.org <urlset> document per host, urls in
+    lexicographic order — the deterministic sitemap fixture. lastmod =
+    2025-01-(1 + md5_64(url) % 28), priority = (md5_64(url) % 10) / 10
+    (the md5 hash primitive, so the SQL oracle reproduces both).
+
+    Scale shape: urls are slim rows; ONE host groupby assembles each
+    host's document (a host's sitemap must see all its urls — inherent
+    to the format), vectorized string concat per group."""
+    from .ops.dedup import _hash64_str
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url", kind="mergesort")
+        h = _hash64_str(g["url"].astype(str).tolist())
+        day = (h % np.uint64(28)).astype(np.int64) + 1
+        prio = (h % np.uint64(10)).astype(np.int64)
+        ent = ("<url><loc>" + g["url"].astype(str)
+               + "</loc><lastmod>2025-01-"
+               + pd.Series(day, index=g.index).astype(str).str.zfill(2)
+               + "</lastmod><priority>0."
+               + pd.Series(prio, index=g.index).astype(str)
+               + "</priority></url>")
+        return pd.DataFrame({
+            "host": [str(g["host"].iloc[0])],
+            "xml": ["<urlset>" + "".join(ent.tolist()) + "</urlset>"]})
+
+    def add_host(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)", expand=False)
+                .fillna("").str.lower())
+        return pd.DataFrame({"host": host, "url": df["url"].astype(str)})
+
+    return (pages.select_columns(["url"])
+            .map_batches(add_host, batch_format="pandas")
+            .groupby("host").map_groups(build, batch_format="pandas"))
+
+
+def parse_sitemaps(sitemaps: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, lastmod, priority_x10, host): parse <urlset> documents back
+    to frontier-ready entry rows — the sitemap ingestion path (the
+    reference seeds only via REST request lists, `routes/requests.js:
+    55-80`; real crawls bootstrap from sitemaps). priority is kept as
+    an exact int ×10 (sitemaps carry one decimal digit).
+
+    Stateless ``map_batches`` with a compiled regex per entry — the xml
+    payload never shuffles; output rows are slim."""
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        urls, mods, prios, hosts = [], [], [], []
+        for host, xml in zip(df["host"].astype(str), df["xml"].astype(str)):
+            ms = _SITEMAP_URL_RE.findall(xml)
+            urls.extend(m[0] for m in ms)
+            mods.extend(m[1] for m in ms)
+            prios.extend(int(m[2].split(".", 1)[1][:1]) for m in ms)
+            hosts.extend([host] * len(ms))
+        return pd.DataFrame({
+            "url": np.asarray(urls, dtype=object),
+            "lastmod": np.asarray(mods, dtype=object),
+            "priority_x10": np.asarray(prios, dtype=np.int64),
+            "host": np.asarray(hosts, dtype=object)})
+
+    return sitemaps.map_batches(parse, batch_format="pandas")

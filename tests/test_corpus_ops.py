@@ -800,3 +800,27 @@ def test_pq_topk_recovers_exact_duplicate(ray_session):
     for _, g in out.groupby("query_id"):
         d = g.sort_values("rank")["adc_dist"].to_numpy()
         assert (np.diff(d) >= 0).all()
+
+
+def test_mmr_select_diversifies(ray_session):
+    """Two tight clusters near the query: plain top-k would take all of
+    cluster A; MMR's second pick must defect to cluster B."""
+    import ray.data
+    from ghcrawler_ray.ops.ann import mmr_select
+    rng = np.random.RandomState(3)
+    dim = 16
+    q = np.zeros(dim); q[0] = 1.0
+    a = np.zeros(dim); a[0], a[1] = 0.9, 0.3   # cluster A: relevant
+    b = np.zeros(dim); b[0], b[1] = 0.9, -0.3  # cluster B: equally
+    # relevant but dissimilar to A — plain top-k takes all of A
+    vecs = [q] + [a + rng.randn(dim) * 0.002 for _ in range(5)] \
+        + [b + rng.randn(dim) * 0.002 for _ in range(5)]
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs]})
+    out = mmr_select(ray.data.from_pandas(df), k=3, n_cand=10)
+    assert list(out["rank"]) == [1, 2, 3]
+    first, second = int(out.iloc[0].vec_id), int(out.iloc[1].vec_id)
+    assert first in range(1, 6)          # rank 1: most relevant (A)
+    assert second in range(6, 11)        # rank 2: diversity forces B
+    assert out["vec_id"].is_unique

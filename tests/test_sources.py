@@ -42,3 +42,22 @@ def test_seeds_csv_defaults_and_frontier(ray_session, tmp_path):
                   "http://a.example/,events,default,7\n")
     s2 = read_seeds_csv(str(p2))
     assert s2.iloc[0]["priority"] == "events" and s2.iloc[0]["seq"] == 7
+
+
+def test_sitemap_roundtrip(ray_session):
+    import ray.data
+    from ghcrawler_ray.sources import parse_sitemaps, sitemap_xml
+    pages = ray.data.from_pandas(pd.DataFrame({"url": [
+        "http://a.example/p/2", "http://a.example/p/1",
+        "http://b.example/x", "http://b.example/y?page=2"]}))
+    sm = sitemap_xml(pages).to_pandas()
+    assert set(sm["host"]) == {"a.example", "b.example"}
+    # urls serialized in lexicographic order inside each document
+    a_xml = sm[sm.host == "a.example"]["xml"].iloc[0]
+    assert a_xml.index("/p/1<") < a_xml.index("/p/2<")
+    out = parse_sitemaps(sitemap_xml(pages)).to_pandas()
+    assert sorted(out["url"]) == sorted(
+        ["http://a.example/p/2", "http://a.example/p/1",
+         "http://b.example/x", "http://b.example/y?page=2"])
+    assert out["lastmod"].str.match(r"2025-01-\d\d").all()
+    assert out["priority_x10"].between(0, 9).all()
