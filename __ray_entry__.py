@@ -746,6 +746,10 @@ def q_mmr_select(sf_dir: str) -> pd.DataFrame:
     return ops_ann.mmr_select(_emb(sf_dir))
 
 
+def q_ann_recall_eval(sf_dir: str) -> pd.DataFrame:
+    return ops_ann.ann_recall_eval(_emb(sf_dir))
+
+
 def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk_kmeans(_emb(sf_dir))
 
@@ -1283,6 +1287,34 @@ def _pq_topk_sql() -> str:
                 ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
             adc_dist
         FROM adc QUALIFY rank <= {PQ_TOPK}"""
+
+
+def _ann_recall_sql() -> str:
+    """IVF recall mirror (ops/ann.ann_recall_eval): exact top-k CTE vs
+    the full learned-cell chain as a subquery, hit-counted per query."""
+    from ghcrawler_ray.ops.ann import ANN_EVAL_FP, ANN_EVAL_K, N_QUERIES
+    return f"""
+        WITH ex AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_cosine_similarity(q.qv, e.ev) DESC,
+                           e.vec_id) AS rank
+            FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev
+                        FROM embeddings) e
+            WHERE e.vec_id != q.qid) WHERE rank <= {ANN_EVAL_K}),
+        ap AS (SELECT query_id, neighbor_id
+               FROM ({_ann_kmeans_sql()}) a),
+        h AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+              FROM ex e JOIN ap USING (query_id, neighbor_id)
+              GROUP BY 1),
+        ne AS (SELECT query_id, count(*)::BIGINT AS n_exact
+               FROM ex GROUP BY 1)
+        SELECT ne.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+            (coalesce(h.n_hit, 0) * {ANN_EVAL_FP}) // ne.n_exact
+                AS recall_fp
+        FROM ne LEFT JOIN h USING (query_id)"""
 
 
 def _mmr_sql() -> str:
@@ -2507,6 +2539,7 @@ def _ops_sql() -> dict[str, str]:
         "pq_codes": _pq_sql(),
         "pq_topk": _pq_topk_sql(),
         "mmr_select": _mmr_sql(),
+        "ann_recall_eval": _ann_recall_sql(),
         "ann_topk_kmeans": _ann_kmeans_sql(),
         "semantic_dup_pairs": _semdup_sql(),
         "knn_graph": _knn_graph_sql(),
@@ -3448,6 +3481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "mmr_select": q_mmr_select,
+        "ann_recall_eval": q_ann_recall_eval,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

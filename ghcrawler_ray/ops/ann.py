@@ -998,3 +998,35 @@ def mmr_select(emb: ray.data.Dataset, k: int = MMR_K,
         out_rows.append((rank, int(sids[best_i]), best_score))
     return pd.DataFrame(out_rows, columns=["rank", "vec_id", "mmr2"]) \
         .astype(np.int64)
+
+
+# ---- ANN index-quality evaluation: IVF recall vs exact ground truth ----
+
+ANN_EVAL_FP = 10 ** 6
+ANN_EVAL_K = 5
+
+
+def ann_recall_eval(emb: ray.data.Dataset,
+                    k: int = ANN_EVAL_K) -> pd.DataFrame:
+    """(query_id, n_hit, recall_fp): per-query recall@k of the
+    learned-cell IVF index (:func:`ann_topk_kmeans`) against the exact
+    brute-force top-k (:func:`ann_topk`) — the regression gate an ANN
+    index runs after retraining the coarse quantizer (cell-boundary
+    neighbors are exactly what IVF loses; this measures how many).
+
+    Both sides are k·Q-row result sets (bounded), so the hit count is
+    a driver-side merge — the expensive work is inside the two ops
+    being compared, each already scale-shaped."""
+    exact = ann_topk(emb, k=k).to_pandas()[["query_id", "neighbor_id"]]
+    approx = ann_topk_kmeans(emb, k=k).to_pandas()[
+        ["query_id", "neighbor_id"]]
+    hit = exact.merge(approx, on=["query_id", "neighbor_id"])
+    per_q = (exact.groupby("query_id").size().rename("n_exact")
+             .to_frame()
+             .join(hit.groupby("query_id").size().rename("n_hit"))
+             .fillna(0).reset_index())
+    return pd.DataFrame({
+        "query_id": per_q["query_id"].to_numpy(np.int64),
+        "n_hit": per_q["n_hit"].to_numpy(np.int64),
+        "recall_fp": (per_q["n_hit"].to_numpy(np.int64) * ANN_EVAL_FP)
+        // per_q["n_exact"].to_numpy(np.int64)})

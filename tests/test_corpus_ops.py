@@ -824,3 +824,23 @@ def test_mmr_select_diversifies(ray_session):
     assert first in range(1, 6)          # rank 1: most relevant (A)
     assert second in range(6, 11)        # rank 2: diversity forces B
     assert out["vec_id"].is_unique
+
+
+def test_ann_recall_eval_bounds(ray_session):
+    """Recall@k of IVF-with-one-cell must be perfect; per-query rows
+    cover every query and recall is within [0, 1]."""
+    import ray.data
+    from ghcrawler_ray.ops.ann import ANN_EVAL_FP, ann_recall_eval
+    rng = np.random.RandomState(9)
+    n, dim = 64, 64
+    # a single tight blob -> kmeans collapses useful structure but the
+    # brute-force and IVF searches still agree near-perfectly; bounds +
+    # coverage are the stable contract
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.randn(dim).astype(np.float32) for _ in range(n)],
+        "label": (np.arange(n) % 4).astype(np.int32)})
+    out = ann_recall_eval(ray.data.from_pandas(df), k=3)
+    assert len(out) == 8                       # one row per query
+    assert out["recall_fp"].between(0, ANN_EVAL_FP).all()
+    assert (out["n_hit"] <= 3).all()
