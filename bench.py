@@ -51,7 +51,9 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "funnel_conversion", "bigram_lm_scores",
                "incremental_dedup", "crawl_cdx_index", "dedup_lines",
                "dedup_keep_best", "crawl_trap_patterns",
-               "crawl_anchor_text")
+               "crawl_anchor_text", "shingle_cosine_pairs", "dsir_weights",
+               "pq_topk", "snapshot_diff", "crawl_robots_eval",
+               "crawl_sitemap", "mmr_select")
 SCALING_CPUS = (8, 32)
 
 
