@@ -338,6 +338,20 @@ def q_robots_eval(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.robots_eval(_pages_ds(sf), rules)
 
 
+def q_drain_plan(sf_dir: str) -> ray.data.Dataset:
+    """Per-host polite-wave capacity plan (politeness budgets × URL
+    counts)."""
+    sf = sf_of_dir(sf_dir)
+    root = ensure_testdata(sf)
+    robots = pq.read_table(str(root / "robots.parquet")).to_pandas()
+    return ops_urlstats.drain_plan(_pages_ds(sf), robots)
+
+
+def q_host_content_dup(sf_dir: str) -> ray.data.Dataset:
+    """Per-host exact-content duplication profile (mirror detector)."""
+    return ops_urlstats.host_content_dup(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_sitemap(sf_dir: str) -> ray.data.Dataset:
     """Sitemap round-trip: build each host's deterministic <urlset>
     document, parse it back to frontier entry rows; the oracle computes
@@ -748,6 +762,14 @@ def q_mmr_select(sf_dir: str) -> pd.DataFrame:
 
 def q_ann_recall_eval(sf_dir: str) -> pd.DataFrame:
     return ops_ann.ann_recall_eval(_emb(sf_dir))
+
+
+def q_hard_negatives(sf_dir: str) -> ray.data.Dataset:
+    return ops_ann.hard_negatives(_emb(sf_dir))
+
+
+def q_props_key_stats(sf_dir: str) -> ray.data.Dataset:
+    return ops_events.props_key_stats(_events(sf_dir))
 
 
 def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
@@ -1611,6 +1633,32 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                    (array_agg(anchor ORDER BY cnt DESC, anchor ASC))[1]
                        AS top_anchor
             FROM g GROUP BY dst_url""",
+        # ops/urlstats.drain_plan: ceil(n_urls / budget) polite waves
+        "crawl_drain_plan": f"""
+            WITH u AS (SELECT {ops_urlstats.HOST_SQL} AS host
+               FROM read_parquet('{pages}')),
+            c AS (SELECT host, count(*)::BIGINT AS n_urls
+               FROM u GROUP BY 1),
+            b AS (SELECT host, max_per_window
+               FROM read_parquet('{seeds_dir}/robots.parquet'))
+            SELECT c.host, c.n_urls,
+                greatest(coalesce(b.max_per_window, 1), 1)::BIGINT
+                    AS per_wave_budget,
+                ((c.n_urls + greatest(coalesce(b.max_per_window, 1), 1) - 1)
+                 // greatest(coalesce(b.max_per_window, 1), 1))::BIGINT
+                    AS waves_needed
+            FROM c LEFT JOIN b USING (host)""",
+        # ops/urlstats.host_content_dup: per-host distinct-content ratio
+        "crawl_host_content_dup": f"""
+            WITH p AS (SELECT {ops_urlstats.HOST_SQL} AS host,
+                 md5(decode(html)) AS h FROM read_parquet('{pages}')),
+            a AS (SELECT host, count(*)::BIGINT AS n_pages,
+                 count(DISTINCT h)::BIGINT AS n_distinct
+               FROM p GROUP BY 1)
+            SELECT host, n_pages, n_distinct,
+                ((n_pages - n_distinct) * 1000000) // n_pages
+                    AS dup_frac_fp
+            FROM a""",
         # sources.sitemap_xml/parse_sitemaps round-trip: the oracle computes
         # the entry rows directly from pages with the same md5 hash rules
         "crawl_sitemap": f"""
@@ -2540,6 +2588,27 @@ def _ops_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_sql(),
         "mmr_select": _mmr_sql(),
         "ann_recall_eval": _ann_recall_sql(),
+        "props_key_stats": r"""
+            WITH x AS (SELECT event_type,
+                 coalesce(try_cast(regexp_extract(props, '"k":\s*(\d+)', 1)
+                          AS BIGINT), -1) AS k
+               FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                count(DISTINCT k)::BIGINT AS n_distinct_k,
+                sum(k)::BIGINT AS sum_k, max(k)::BIGINT AS max_k
+            FROM x GROUP BY 1""",
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                 label AS qlab
+                 FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+               FROM q JOIN embeddings e ON e.label != q.qlab)
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rank,
+                round(c, 6) AS cos
+            FROM s QUALIFY rank <= {ops_ann.HARDNEG_K}""",
         "ann_topk_kmeans": _ann_kmeans_sql(),
         "semantic_dup_pairs": _semdup_sql(),
         "knn_graph": _knn_graph_sql(),
@@ -3423,6 +3492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_text": q_anchor_text,
         "crawl_robots_eval": q_robots_eval,
         "crawl_sitemap": q_sitemap,
+        "crawl_drain_plan": q_drain_plan,
+        "crawl_host_content_dup": q_host_content_dup,
         "media_resize": q_media_resize,
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,
@@ -3482,6 +3553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": q_pq_topk,
         "mmr_select": q_mmr_select,
         "ann_recall_eval": q_ann_recall_eval,
+        "hard_negatives": q_hard_negatives,
+        "props_key_stats": q_props_key_stats,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

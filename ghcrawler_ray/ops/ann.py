@@ -1030,3 +1030,52 @@ def ann_recall_eval(emb: ray.data.Dataset,
         "n_hit": per_q["n_hit"].to_numpy(np.int64),
         "recall_fp": (per_q["n_hit"].to_numpy(np.int64) * ANN_EVAL_FP)
         // per_q["n_exact"].to_numpy(np.int64)})
+
+
+# ---- hard-negative mining (retrieval / embedding training) ----
+
+HARDNEG_K = 5
+
+
+def hard_negatives(emb: ray.data.Dataset, k: int = HARDNEG_K,
+                   n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, cos): for each query, the top-k
+    most-similar vectors with a DIFFERENT label — the hard negatives a
+    contrastive embedding trainer mines (high-similarity, wrong-class
+    examples are the gradient-rich ones; random negatives are too easy).
+
+    Same broadcast + local-topk + slim-reduce shape as :func:`ann_topk`
+    with the label-exclusion mask applied inside each batch, so the
+    corpus streams once and only k·Q rows per block move."""
+    q = (emb.filter(expr=f"vec_id < {n_queries}")
+         .select_columns(["vec_id", "embedding", "label"]).take_all())
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    order = np.argsort(qids)
+    qlab = np.array([int(q[i]["label"]) for i in order], dtype=np.int64)
+    qm = _normed(np.stack([np.asarray(q[i]["embedding"], dtype=np.float64)
+                           for i in order]))
+    ref = ray.put((qids[order], qlab, qm))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, lab_q, m_q = ray.get(ref)
+        m = _normed(_mat(df))
+        sims = m @ m_q.T                       # (batch, Q)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        lab = df["label"].to_numpy(dtype=np.int64)
+        out = []
+        for qi, qid in enumerate(ids_q):
+            s = sims[:, qi]
+            mask = lab != lab_q[qi]            # different class only
+            bi = np.flatnonzero(mask)
+            sel = bi[np.lexsort((ids[bi], -s[bi]))][:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(sel), qid, dtype=np.int64),
+                "neighbor_id": ids[sel],
+                "cos": s[sel]}))
+        return pd.concat(out, ignore_index=True)
+
+    return (emb.select_columns(["vec_id", "embedding", "label"])
+            .map_batches(local_topk, batch_format="pandas",
+                         batch_size=4096)
+            .groupby("query_id")
+            .map_groups(_topk_of_group(k), batch_format="pandas"))

@@ -650,3 +650,57 @@ def revisit_schedule(events: ray.data.Dataset) -> ray.data.Dataset:
     return (events.select_columns(["user_id", "ts", "event_id", "value"])
             .map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(schedule, batch_format="pandas"))
+
+
+# ---- semi-structured props parsing (JSON payload extraction) ----
+
+def props_key_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n_events, n_distinct_k, sum_k, max_k): parse the
+    JSON ``props`` payload ({"k": int}) and aggregate the extracted key
+    per event type — the semi-structured-ingestion staple (the
+    reference's queue messages and stored docs are JSON blobs whose
+    fields get promoted to columns exactly like this;
+    `providers/queuing/amqp10Queue.js:125-126`).
+
+    Scale shape: extraction is a vectorized regex per batch (the JSON
+    string never shuffles); each batch folds to ≤ #types partial rows
+    carrying a partial distinct SET surrogate — here distinct-k is
+    bounded (k < 1000 by fixture), so partials carry per-(type, k)
+    counts and ONE #types·#k-bounded hash-agg finishes; sums/maxes ride
+    the same rows."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df["props"].astype(str)
+             .str.extract(r'"k":\s*(\d+)', expand=False)
+             .fillna("-1").astype(np.int64))
+        g = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "k": k}).groupby(["event_type", "k"],
+                                           sort=False).size()
+        out = g.rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_k = (events.select_columns(["event_type", "props"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(["event_type", "k"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = pd.DataFrame({
+            "event_type": np.asarray(list(g.groups), dtype=object),
+            "n_events": g["n"].sum().to_numpy(np.int64),
+            "n_distinct_k": g["k"].nunique().to_numpy(np.int64),
+            "sum_k": g.apply(
+                lambda s: int((s["k"] * s["n"]).sum()),
+                include_groups=False).to_numpy(np.int64),
+            "max_k": g["k"].max().to_numpy(np.int64)})
+        return out
+
+    # ≤ #types × #k rows remain — one tiny final fold
+    return (per_k.map_batches(lambda d: d.assign(g=np.int32(0)),
+                              batch_format="pandas")
+            .groupby("g")
+            .map_groups(lambda d: finish(d.drop(columns=["g"])),
+                        batch_format="pandas"))

@@ -185,3 +185,91 @@ def robots_eval(pages: ray.data.Dataset,
 
     return pages.select_columns(["url"]).map_batches(
         verdicts, batch_format="pandas")
+
+
+# ---- crawl pacing: per-host drain plan under politeness budgets ----
+
+def drain_plan(pages: ray.data.Dataset,
+               robots: pd.DataFrame) -> ray.data.Dataset:
+    """(host, n_urls, per_wave_budget, waves_needed): how many polite
+    waves each host needs to drain its URL space —
+    waves_needed = ceil(n_urls / max_per_window). The capacity-planning
+    readout of the politeness ledger (`state/politeness.host_budget`):
+    the crawl's wall-clock is max(waves_needed) over hosts, so this is
+    where the long-tail host that will dominate the schedule shows up
+    BEFORE the crawl runs.
+
+    Scale shape: urls collapse to per-host partial counts per batch
+    (combiner), ONE #hosts-bounded hash-agg finishes the counts, and
+    the robots budget table (per-host scalars) is a driver-side merge
+    on that bounded result."""
+    from ray.data.aggregate import Sum
+
+    def host_counts(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)", expand=False)
+                .fillna("").str.lower())
+        g = host.groupby(host, sort=False).size()
+        return pd.DataFrame({"host": g.index.to_numpy(dtype=object),
+                             "n": g.to_numpy(dtype=np.int64)})
+
+    counts = (pages.select_columns(["url"])
+              .map_batches(host_counts, batch_format="pandas")
+              .groupby("host").aggregate(Sum("n", alias_name="n_urls"))
+              .to_pandas())                       # ≤ #hosts rows
+    bud = robots[["host", "max_per_window"]].copy()
+    out = counts.merge(bud, on="host", how="left")
+    out["per_wave_budget"] = out["max_per_window"] \
+        .fillna(1).astype(np.int64).clip(lower=1)
+    out["n_urls"] = out["n_urls"].astype(np.int64)
+    out["waves_needed"] = -(-out["n_urls"] // out["per_wave_budget"])
+    return ray.data.from_pandas(
+        out[["host", "n_urls", "per_wave_budget", "waves_needed"]])
+
+
+# ---- host content-duplication profile (mirror detection) ----
+
+def host_content_dup(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, n_pages, n_distinct, dup_frac_fp): per-host exact-content
+    duplication — n_distinct = distinct md5(html) among the host's
+    pages, dup_frac_fp = (n_pages − n_distinct)·FP // n_pages. Hosts
+    serving the same bytes under many URLs (mirrors, session-id traps)
+    jump out; the content-level complement to ``trap_patterns``'s
+    URL-shape heuristic.
+
+    Scale shape: each batch folds to slim (host, md5) rows — html never
+    shuffles — and ONE host-hash co-partition computes both counts
+    vectorized across all of a partition's hosts."""
+    import hashlib
+
+    FP = 10 ** 6
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)", expand=False)
+                .fillna("").str.lower())
+        html = df["html"]
+        if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+            ch = [hashlib.md5(b).hexdigest() for b in html]
+        else:
+            ch = [hashlib.md5(str(s).encode()).hexdigest() for s in html]
+        out = pd.DataFrame({"host": host.to_numpy(dtype=object),
+                            "h": np.asarray(ch, dtype=object)})
+        out["part"] = (hash64_array(out["host"]) % N_URL_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", sort=False)["h"] \
+            .agg(n_pages="size", n_distinct="nunique").reset_index()
+        n = agg["n_pages"].to_numpy(dtype=np.int64)
+        d = agg["n_distinct"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"host": agg["host"].to_numpy(dtype=object),
+                             "n_pages": n, "n_distinct": d,
+                             "dup_frac_fp": (n - d) * FP // n})
+
+    return (pages.select_columns(["url", "html"])
+            .map_batches(slim, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                        batch_format="pandas"))

@@ -844,3 +844,51 @@ def test_ann_recall_eval_bounds(ray_session):
     assert len(out) == 8                       # one row per query
     assert out["recall_fp"].between(0, ANN_EVAL_FP).all()
     assert (out["n_hit"] <= 3).all()
+
+
+def test_hard_negatives_excludes_own_class(ray_session):
+    import ray.data
+    from ghcrawler_ray.ops.ann import hard_negatives
+    rng = np.random.RandomState(13)
+    dim = 8
+    base = rng.randn(dim)
+    # class 0 = tight blob around base (incl. queries); class 1 = the
+    # same blob slightly shifted -> nearest DIFFERENT-class neighbors
+    # are the shifted twins, never the same-class near-identicals
+    vecs, labels = [], []
+    for i in range(10):
+        vecs.append(base + rng.randn(dim) * 0.01); labels.append(0)
+    for i in range(10):
+        vecs.append(base + 0.05 + rng.randn(dim) * 0.01); labels.append(1)
+    df = pd.DataFrame({
+        "vec_id": np.arange(20, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": np.array(labels, dtype=np.int32)})
+    out = hard_negatives(ray.data.from_pandas(df), k=3, n_queries=2) \
+        .to_pandas()
+    lab = dict(zip(df.vec_id, df.label))
+    assert len(out) == 6
+    # queries 0 and 1 are class 0: every mined negative must be class 1
+    assert all(lab[n] == 1 for n in out["neighbor_id"])
+    assert (out.groupby("query_id")["rank"].apply(
+        lambda r: sorted(r) == [1, 2, 3])).all()
+
+
+def test_props_key_stats_parses_json(ray_session):
+    from ghcrawler_ray.ops.events import props_key_stats
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01"] * 5).astype("datetime64[us]"),
+        "user_id": np.ones(5, dtype=np.int64),
+        "event_type": ["click", "click", "view", "view", "view"],
+        "value": np.zeros(5),
+        "props": ['{"k": 3}', '{"k": 3}', '{"k": 7}', '{"k": 1}',
+                  'not json at all']})
+    out = props_key_stats(ray.data.from_pandas(ev)).to_pandas() \
+        .set_index("event_type")
+    assert out.loc["click", "n_events"] == 2
+    assert out.loc["click", "n_distinct_k"] == 1
+    assert out.loc["click", "sum_k"] == 6
+    assert out.loc["view", "n_distinct_k"] == 3   # 7, 1 and -1 (unparsed)
+    assert out.loc["view", "sum_k"] == 7          # 7 + 1 + (-1)
+    assert out.loc["view", "max_k"] == 7

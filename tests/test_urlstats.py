@@ -80,3 +80,31 @@ def test_robots_eval_longest_match_rfc9309():
     assert out.loc["http://h.example/free", "match_len"] == -1
     assert v["http://t.example/x/1"]
     assert v["http://other.example/p/13"]
+
+
+def test_drain_plan_ceil_and_budget_floor():
+    import ray.data
+    from ghcrawler_ray.ops.urlstats import drain_plan
+    pages = ray.data.from_pandas(pd.DataFrame({"url":
+        [f"http://a.example/p/{i}" for i in range(7)]
+        + [f"http://b.example/p/{i}" for i in range(3)]}))
+    robots = pd.DataFrame({"host": ["a.example"], "max_per_window": [2]})
+    out = drain_plan(pages, robots).to_pandas().set_index("host")
+    assert out.loc["a.example", "waves_needed"] == 4      # ceil(7/2)
+    # host with no robots row -> budget floor of 1
+    assert out.loc["b.example", "per_wave_budget"] == 1
+    assert out.loc["b.example", "waves_needed"] == 3
+
+
+def test_host_content_dup_profile():
+    import ray.data
+    from ghcrawler_ray.ops.urlstats import host_content_dup
+    pages = ray.data.from_pandas(pd.DataFrame({
+        "url": ["http://m.example/1", "http://m.example/2",
+                "http://m.example/3", "http://u.example/1"],
+        "html": [b"<same/>", b"<same/>", b"<same/>", b"<unique/>"]}))
+    out = host_content_dup(pages).to_pandas().set_index("host")
+    assert out.loc["m.example", "n_pages"] == 3
+    assert out.loc["m.example", "n_distinct"] == 1
+    assert out.loc["m.example", "dup_frac_fp"] == 666666  # (3-1)e6//3
+    assert out.loc["u.example", "dup_frac_fp"] == 0
