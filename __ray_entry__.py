@@ -772,6 +772,11 @@ def q_props_key_stats(sf_dir: str) -> ray.data.Dataset:
     return ops_events.props_key_stats(_events(sf_dir))
 
 
+def q_cdc_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    from ghcrawler_ray.ops.cdc import cdc_dedup_stats
+    return cdc_dedup_stats(_docs(sf_dir))
+
+
 def q_ann_kmeans(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk_kmeans(_emb(sf_dir))
 
@@ -2152,6 +2157,51 @@ def _fingerprints_sql() -> str:
         FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id"""
 
 
+def _cdc_sql() -> str:
+    """CDC dedup-estimate mirror (ops/cdc.cdc_dedup_stats): the same
+    base-257 HUGEINT rolling hash as the winnowing mirror; boundaries
+    at hash % D == 0, chunks via lag/substr arithmetic."""
+    from ghcrawler_ray.ops.cdc import CDC_DIVISOR, CDC_FP, CDC_K
+    k = CDC_K
+    pows = ",".join(f"({j}, {pow(257, k - 1 - j, 1 << 64)}::HUGEINT)"
+                    for j in range(k))
+    return rf"""
+        WITH pw(j, p) AS (VALUES {pows}),
+        pos AS (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - {k - 2}, 1))) AS i
+               FROM documents),
+        g AS (SELECT pos.doc_id, pos.i,
+                 CAST(CAST(sum(ord(substr(pos.text, CAST(pos.i + pw.j AS INT),
+                                          1))::HUGEINT * pw.p)
+                      % {_U64}::HUGEINT AS UBIGINT) AS HUGEINT) AS hu
+               FROM pos CROSS JOIN pw GROUP BY 1, 2),
+        b AS (SELECT doc_id, i + {k - 1} AS p FROM g
+              WHERE hu % {CDC_DIVISOR} = 0),
+        st AS (SELECT doc_id, p,
+                 lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+               FROM b),
+        chunks1 AS (SELECT s.doc_id,
+                 substr(d.text, CAST(s.prev + 1 AS INT),
+                        CAST(s.p - s.prev AS INT)) AS chunk
+               FROM st s JOIN documents d USING (doc_id)),
+        tl AS (SELECT d.doc_id,
+                 substr(d.text, CAST(coalesce(mx.p, 0) + 1 AS INT)) AS chunk
+               FROM documents d LEFT JOIN
+                 (SELECT doc_id, max(p) AS p FROM b GROUP BY 1) mx
+                 USING (doc_id)
+               WHERE coalesce(mx.p, 0) < length(d.text)),
+        allc AS (SELECT chunk FROM chunks1 UNION ALL SELECT chunk FROM tl),
+        per AS (SELECT md5(chunk) AS h, count(*)::BIGINT AS cnt,
+                 max(octet_length(encode(chunk)))::BIGINT AS len
+               FROM allc GROUP BY 1)
+        SELECT sum(cnt)::BIGINT AS n_chunks,
+            count(*)::BIGINT AS n_distinct_chunks,
+            sum(cnt * len)::BIGINT AS total_bytes,
+            sum(len)::BIGINT AS distinct_bytes,
+            (sum(len) * {CDC_FP}) // sum(cnt * len) AS dedup_ratio_fp
+        FROM per"""
+
+
 def _quality_sql() -> str:
     """Quality-feature mirror of ops/text.quality_batch (shared by the
     quality_scores query and the keep-best near-dedup resolution)."""
@@ -3053,6 +3103,7 @@ def _ops_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END::BIGINT AS keep
             FROM documents d LEFT JOIN a USING (doc_id)""",
         "doc_fingerprints": _fingerprints_sql(),
+        "cdc_dedup_stats": _cdc_sql(),
         "embedding_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -3555,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": q_ann_recall_eval,
         "hard_negatives": q_hard_negatives,
         "props_key_stats": q_props_key_stats,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

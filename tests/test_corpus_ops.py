@@ -892,3 +892,30 @@ def test_props_key_stats_parses_json(ray_session):
     assert out.loc["view", "n_distinct_k"] == 3   # 7, 1 and -1 (unparsed)
     assert out.loc["view", "sum_k"] == 7          # 7 + 1 + (-1)
     assert out.loc["view", "max_k"] == 7
+
+
+def test_cdc_chunks_locality_and_stats(ray_session):
+    from ghcrawler_ray.ops.cdc import cdc_dedup_stats, doc_chunks
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "walks along the river bank counting stones for a while " * 4)
+    edited = base[:100] + "XYZ" + base[100:]   # one insertion
+    cb, ce = doc_chunks(base), doc_chunks(edited)
+    assert "".join(cb) == base and "".join(ce) == edited
+    # insertion perturbs only local chunks: most chunks are shared
+    shared = len(set(cb) & set(ce))
+    assert shared >= len(set(cb)) - 2    # only the edited region differs
+    # exact duplicate doc adds chunks but no distinct bytes
+    ds1 = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": [base]}))
+    ds2 = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": [base, base]}))
+    s1 = cdc_dedup_stats(ds1).iloc[0]
+    s2 = cdc_dedup_stats(ds2).iloc[0]
+    assert s2.n_chunks == 2 * s1.n_chunks
+    assert s2.distinct_bytes == s1.distinct_bytes
+    assert s2.total_bytes == 2 * s1.total_bytes
+    # the repeated base already dedups within one doc…
+    assert s1.dedup_ratio_fp < 10 ** 6
+    # …and the duplicate doc exactly halves the kept fraction
+    assert s2.dedup_ratio_fp == \
+        (s1.distinct_bytes * 10 ** 6) // (2 * s1.total_bytes)
