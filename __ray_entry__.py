@@ -851,6 +851,10 @@ def q_bpe_compression(sf_dir: str) -> pd.DataFrame:
     return ops_bpe.bpe_compression(_docs(sf_dir))
 
 
+def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    return ops_bpe.bpe_encode(_docs(sf_dir))
+
+
 def q_pmi_bigrams(sf_dir: str) -> ray.data.Dataset:
     return ops_text.pmi_bigrams(_docs(sf_dir))
 
@@ -2421,6 +2425,32 @@ def _bpe_train_sql(k: int = ops_bpe.BPE_MERGES) -> str:
         + "\nUNION ALL\n".join(sels)
 
 
+def _bpe_encode_sql(k: int = ops_bpe.BPE_MERGES) -> str:
+    """Doc-level BPE apply mirror (ops/bpe.bpe_encode): the final word
+    table w{k} IS the segmentation map (concatenated subtokens
+    reconstruct the word), joined back to each document's token stream;
+    pos = row_number over (token idx, subtoken idx)."""
+    return "WITH " + ",\n".join(_bpe_ctes(k)) + f""",
+        seg AS (SELECT replace(w, '|', '') AS word,
+                 string_split(trim(w, '|'), '||') AS toks
+               FROM w{k}),
+        tok AS (SELECT doc_id, tk, unnest(range(len(tk))) AS ti
+               FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[^\\s]+') AS tk
+                     FROM documents)),
+        wt AS (SELECT doc_id, ti, tk[CAST(ti AS INT) + 1] AS word
+               FROM tok),
+        sub AS (SELECT wt.doc_id, wt.ti, u.i AS si,
+                 seg.toks[CAST(u.i AS INT)] AS bpe_token
+               FROM wt JOIN seg USING (word),
+                 LATERAL (SELECT unnest(range(1, len(seg.toks) + 1)) AS i) u)
+        SELECT doc_id,
+            (row_number() OVER (PARTITION BY doc_id ORDER BY ti, si)
+             - 1)::BIGINT AS pos,
+            bpe_token
+        FROM sub"""
+
+
 def _bpe_compression_sql(k: int = ops_bpe.BPE_MERGES) -> str:
     sels = [f"SELECT {i}::BIGINT AS merge_rank, "
             f"sum(len(string_split(trim(w, '|'), '||')) * cnt)::BIGINT "
@@ -2681,6 +2711,7 @@ def _ops_sql() -> dict[str, str]:
             LIMIT {ops_corpus.BPE_PAIR_TOPK}""",
         "bpe_train": _bpe_train_sql(),
         "bpe_compression": _bpe_compression_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         # pmi_fp: three truncating BIGINT divisions in the exact order
         # ops/text.pmi_bigrams uses (a=(n·U)//c_l, b=(a·U)//c_r,
         # pmi_fp=(b·FP)//T) — integer-exact on both sides
@@ -3616,6 +3647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_compression": q_bpe_compression,
+        "bpe_encode": q_bpe_encode,
         "pmi_bigrams": q_pmi_bigrams,
         "bigram_lm_scores": q_bigram_lm_scores,
         "phrase_search": q_phrase_search,

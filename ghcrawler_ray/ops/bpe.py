@@ -101,7 +101,7 @@ def bpe_train(docs: ray.data.Dataset,
     merged, pair_count), each rank picking the most frequent adjacent
     token pair (ties: lhs asc, rhs asc) and merging it greedily
     left-to-right across the word table."""
-    rows, _ = _train(docs, n_merges)
+    rows, _, _, _ = _train(docs, n_merges)
     return pd.DataFrame(rows, columns=["merge_rank", "lhs", "rhs",
                                        "merged", "pair_count"]) \
         .astype({"merge_rank": np.int64, "pair_count": np.int64})
@@ -115,7 +115,7 @@ def bpe_compression(docs: ray.data.Dataset,
     tokenizer-training acceptance metric; totals are exact int64
     Σ len(word_tokens)·word_count over the same vocabulary-bounded
     word table ``bpe_train`` learns from."""
-    _, totals = _train(docs, n_merges)
+    _, totals, _, _ = _train(docs, n_merges)
     return pd.DataFrame({
         "merge_rank": np.arange(len(totals), dtype=np.int64),
         "total_tokens": np.array(totals, dtype=np.int64)})
@@ -150,4 +150,58 @@ def _train(docs: ray.data.Dataset, n_merges: int):
         pat, rep = f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|"
         seqs = [s.replace(pat, rep) for s in seqs]
         totals.append(_total_tokens(seqs, cnt))
-    return rows, totals
+    return rows, totals, wc["word"].astype(str).tolist(), seqs
+
+
+def bpe_encode(docs: ray.data.Dataset,
+               n_merges: int = BPE_MERGES) -> ray.data.Dataset:
+    """(doc_id, pos, bpe_token): the corpus tokenized with its own
+    learned BPE — the tokenizer APPLY step that closes the train →
+    encode loop (``vocab_encode`` is the unigram-id analogue; this one
+    emits subword strings so downstream id-mapping stays a trivial
+    dictionary join). pos is the document-global subtoken position.
+
+    Scale shape: the segmentation of every DISTINCT word falls out of
+    the trainer's vocabulary-bounded word table (no extra pass) and
+    broadcasts once via ``ray.put`` — the standard tokenizer-vocab
+    broadcast; encoding is ONE stateless streaming pass with per-word
+    lookups. A word unseen at train time (new text) is segmented on the
+    fly by replaying the learned merge rules — the published BPE apply
+    path."""
+    rules, _, words, seqs = _train(docs, n_merges)
+    seg = {w: s.strip("|").split("||") for w, s in zip(words, seqs)}
+    state = ray.put((seg, [(r[1], r[2]) for r in rules]))
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        sg, merges = ray.get(state)
+
+        def of(word: str) -> list[str]:
+            hit = sg.get(word)
+            if hit is not None:
+                return hit
+            s = _delim(word)                      # replay learned rules
+            for lhs, rhs in merges:
+                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+            return s.strip("|").split("||")
+
+        ids_out, pos_out, tok_out = [], [], []
+        toks = df["text"].astype(str).str.lower().str.findall(WS_TOKEN_RE)
+        for doc_id, ts in zip(df["doc_id"].to_numpy(dtype=np.int64), toks):
+            subs = [s for w in ts for s in of(w)]
+            n = len(subs)
+            if not n:
+                continue
+            ids_out.append(np.full(n, doc_id, dtype=np.int64))
+            pos_out.append(np.arange(n, dtype=np.int64))
+            tok_out.extend(subs)
+        if not ids_out:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "pos": np.empty(0, np.int64),
+                                 "bpe_token": np.empty(0, object)})
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids_out),
+            "pos": np.concatenate(pos_out),
+            "bpe_token": np.asarray(tok_out, dtype=object)})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        enc, batch_format="pandas")

@@ -919,3 +919,40 @@ def test_cdc_chunks_locality_and_stats(ray_session):
     # …and the duplicate doc exactly halves the kept fraction
     assert s2.dedup_ratio_fp == \
         (s1.distinct_bytes * 10 ** 6) // (2 * s1.total_bytes)
+
+
+def test_bpe_encode_roundtrip_and_oov(ray_session):
+    from ghcrawler_ray.ops.bpe import bpe_encode
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["low lower lowest low low", "new newer lowest"]})
+    out = bpe_encode(ray.data.from_pandas(docs), n_merges=4).to_pandas()
+    # concatenating a doc's subtokens in pos order reconstructs its
+    # lowercased token stream exactly (lossless segmentation)
+    for did, g in out.groupby("doc_id"):
+        joined = "".join(g.sort_values("pos")["bpe_token"])
+        orig = "".join(docs.set_index("doc_id").loc[did, "text"]
+                       .lower().split())
+        assert joined == orig
+    # frequent word 'low' must have merged below character granularity
+    n_low_subtokens = len(out[(out.doc_id == 1)]) / 5
+    assert n_low_subtokens < 3                   # chars would be 3+
+
+
+def test_bpe_encode_replays_rules_for_unseen_words(ray_session):
+    from ghcrawler_ray.ops.bpe import _train, bpe_encode
+    train = pd.DataFrame({
+        "doc_id": np.array([1], dtype=np.int64),
+        "text": ["abab abab abab cd"]})
+    rules, _, words, seqs = _train(ray.data.from_pandas(train), 2)
+    seg = {w: s.strip("|").split("||") for w, s in zip(words, seqs)}
+    assert "ababab" not in seg           # unseen at train time
+    # replay the learned merges on the unseen word (the of() fallback):
+    # merge1 = (a,b), merge2 = (ab,ab) -> greedy left-to-right
+    s = "||" + "||".join("ababab") + "||"
+    for _, lhs, rhs, _, _ in rules:
+        s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+    assert s.strip("|").split("||") == ["abab", "ab"]
+    got = bpe_encode(ray.data.from_pandas(train), n_merges=2).to_pandas()
+    assert "".join(got[got.doc_id == 1].sort_values("pos")["bpe_token"]) \
+        == "ababababababcd"
