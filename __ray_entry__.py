@@ -338,6 +338,11 @@ def q_robots_eval(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.robots_eval(_pages_ds(sf), rules)
 
 
+def q_url_compression(sf_dir: str) -> ray.data.Dataset:
+    """Front-coding storage estimate over the page URL space."""
+    return ops_urlstats.url_prefix_compression(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_drain_plan(sf_dir: str) -> ray.data.Dataset:
     """Per-host polite-wave capacity plan (politeness budgets × URL
     counts)."""
@@ -1642,6 +1647,31 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                    (array_agg(anchor ORDER BY cnt DESC, anchor ASC))[1]
                        AS top_anchor
             FROM g GROUP BY dst_url""",
+        # ops/urlstats.url_prefix_compression: front-coding estimate;
+        # shared-prefix length = count of j with equal length-j prefixes
+        # (downward-closed, so count == max)
+        "crawl_url_compression": f"""
+            WITH u AS (SELECT {ops_urlstats.HOST_SQL} AS host, url
+               FROM read_parquet('{pages}')),
+            l AS (SELECT host, url,
+                 lag(url) OVER (PARTITION BY host ORDER BY url) AS lu
+               FROM u),
+            s AS (SELECT host, length(url)::BIGINT AS n_bytes,
+                 (CASE WHEN lu IS NULL THEN 0 ELSE
+                   len(list_filter(
+                     range(1, least(length(url), length(lu)) + 1),
+                     j -> substr(url, 1, CAST(j AS INT))
+                          = substr(lu, 1, CAST(j AS INT))))
+                  END)::BIGINT AS shared
+               FROM l)
+            SELECT host, count(*)::BIGINT AS n_urls,
+                sum(n_bytes)::BIGINT AS raw_bytes,
+                (sum(n_bytes - shared) + 2 * count(*))::BIGINT
+                    AS coded_bytes,
+                (greatest(sum(n_bytes)
+                          - (sum(n_bytes - shared) + 2 * count(*)), 0)
+                 * {ops_urlstats.FC_FP}) // sum(n_bytes) AS savings_fp
+            FROM s GROUP BY 1""",
         # ops/urlstats.drain_plan: ceil(n_urls / budget) polite waves
         "crawl_drain_plan": f"""
             WITH u AS (SELECT {ops_urlstats.HOST_SQL} AS host
@@ -3575,6 +3605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots_eval": q_robots_eval,
         "crawl_sitemap": q_sitemap,
         "crawl_drain_plan": q_drain_plan,
+        "crawl_url_compression": q_url_compression,
         "crawl_host_content_dup": q_host_content_dup,
         "media_resize": q_media_resize,
         "frame_samples": q_frame_samples,

@@ -273,3 +273,70 @@ def host_content_dup(pages: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part")
             .map_groups(lambda g: fold(g.drop(columns=["part"])),
                         batch_format="pandas"))
+
+
+# ---- URL front-coding: frontier/index storage estimate ----
+
+FC_FP = 10 ** 6
+
+
+def url_prefix_compression(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, n_urls, raw_bytes, coded_bytes, savings_fp): per-host
+    front-coding estimate — URLs sorted within their host, each stored
+    as (shared-prefix length with its predecessor, suffix). The storage
+    planner for the frontier / CDX / seen-set spill files: crawl URL
+    spaces are massively prefix-shared, and this measures exactly how
+    much (savings_fp = (raw − coded)·FP // raw; coded charges 2 bytes
+    per URL for the prefix-length varint).
+
+    Scale shape: slim (host, url) rows, ONE host-hash co-partition;
+    the within-host sort is partition-local (a host's URLs co-locate)
+    and prefix lengths are one vectorized zip-compare per partition —
+    the op never global-sorts."""
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)", expand=False)
+                .fillna("").str.lower())
+        out = pd.DataFrame({"host": host.to_numpy(dtype=object),
+                            "url": df["url"].astype(str)
+                            .to_numpy(dtype=object)})
+        out["part"] = (hash64_array(out["host"]) % N_URL_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, sub in g.groupby("host", sort=False):
+            urls = np.sort(sub["url"].to_numpy(dtype=object))
+            lens = np.fromiter((len(u.encode()) for u in urls),
+                               dtype=np.int64, count=len(urls))
+            raw = int(lens.sum())
+            shared = np.zeros(len(urls), dtype=np.int64)
+            if len(urls) > 1:
+                # vectorized adjacent common-prefix: pad to a byte
+                # matrix, leading-equal run via cumprod; NUL padding can
+                # only extend a run when one url prefixes the other, so
+                # clamping by min(len, len_pred) restores exactness
+                L = int(lens.max())
+                buf = b"".join(u.encode().ljust(L, b"\0") for u in urls)
+                m = np.frombuffer(buf, dtype=np.uint8).reshape(-1, L)
+                lead = np.cumprod(m[1:] == m[:-1], axis=1) \
+                    .sum(axis=1).astype(np.int64)
+                shared[1:] = np.minimum(lead,
+                                        np.minimum(lens[1:], lens[:-1]))
+            coded = int((lens - shared).sum()) + 2 * len(urls)
+            # clamp at 0: tiny hosts can "save" negative bytes, and
+            # floor-vs-truncate division diverges below zero
+            rows.append((host, len(urls), raw, coded,
+                         max(raw - coded, 0) * FC_FP // raw
+                         if raw else 0))
+        return pd.DataFrame(rows, columns=[
+            "host", "n_urls", "raw_bytes", "coded_bytes", "savings_fp"]) \
+            .astype({"n_urls": np.int64, "raw_bytes": np.int64,
+                     "coded_bytes": np.int64, "savings_fp": np.int64})
+
+    return (pages.select_columns(["url"])
+            .map_batches(slim, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                        batch_format="pandas"))

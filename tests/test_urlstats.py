@@ -108,3 +108,23 @@ def test_host_content_dup_profile():
     assert out.loc["m.example", "n_distinct"] == 1
     assert out.loc["m.example", "dup_frac_fp"] == 666666  # (3-1)e6//3
     assert out.loc["u.example", "dup_frac_fp"] == 0
+
+
+def test_url_prefix_compression_exact():
+    import ray.data
+    from ghcrawler_ray.ops.urlstats import FC_FP, url_prefix_compression
+    urls = ["http://h.example/p/1", "http://h.example/p/10",
+            "http://h.example/p/2", "http://h.example/q",
+            "http://solo.example/x"]
+    out = url_prefix_compression(
+        ray.data.from_pandas(pd.DataFrame({"url": urls}))) \
+        .to_pandas().set_index("host")
+    h = out.loc["h.example"]
+    # sorted: /p/1, /p/10, /p/2, /q -> shared 0, 20, 19, 17
+    assert h.n_urls == 4
+    assert h.raw_bytes == 20 + 21 + 20 + 18
+    assert h.coded_bytes == h.raw_bytes - (20 + 19 + 17) + 2 * 4
+    assert h.savings_fp == (h.raw_bytes - h.coded_bytes) * FC_FP \
+        // h.raw_bytes
+    # single-url host: negative "savings" clamp to 0
+    assert out.loc["solo.example", "savings_fp"] == 0
