@@ -1860,17 +1860,28 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                         ELSE 'relation' END AS rel
             FROM e""",
         "crawl_doc_kinds": f"""
-            WITH t AS (SELECT url, decode(html) AS h
-                       FROM read_parquet('{pages}')),
-            c AS (SELECT url, h,
+            WITH t AS (SELECT url, decode(html) AS h,
+                 lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+                     AS phost
+               FROM read_parquet('{pages}')),
+            x AS (SELECT url, h,
+                 CAST(len(regexp_extract_all(h,
+                     '<a href="https?://([^/"]+)', 1)) AS BIGINT)
+                     AS n_abs,
+                 CAST(len(list_filter(regexp_extract_all(h,
+                     '<a href="https?://([^/"]+)', 1),
+                     v -> lower(v) != phost)) AS BIGINT) AS n_ext
+               FROM t),
+            c AS (SELECT url, h, n_ext,
                 CASE WHEN regexp_matches(url, '\\?page=') THEN 'paginated'
                      WHEN regexp_matches(url, '^https?://[^/]+/dup/')
                           THEN 'alias'
                      WHEN regexp_matches(h, '<a href="[^"]*\\?page=')
                           THEN 'hub'
+                     WHEN 2 * n_ext > n_abs THEN 'portal'
                      WHEN NOT contains(h, '<a href="') THEN 'leaf'
                      ELSE 'article' END AS kind
-                FROM t)
+                FROM x)
             SELECT url, kind,
                 regexp_extract(h, '<title>(.*?)</title>', 1) AS title,
                 CAST(len(regexp_extract_all(h, '<a href="')) AS BIGINT)
@@ -1886,7 +1897,9 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                      ELSE '' END AS base_url,
                 CASE WHEN kind = 'hub' THEN CAST(len(regexp_extract_all(
                         h, '<a href="[^"]*\\?page=')) AS BIGINT)
-                     ELSE -1 END AS n_page_links
+                     ELSE -1 END AS n_page_links,
+                CASE WHEN kind = 'portal' THEN n_ext
+                     ELSE -1 END AS n_ext_links
             FROM c""",
         "crawl_scope_filter": f"""
             WITH h AS (SELECT url,

@@ -45,6 +45,22 @@ TITLE_SQL = "regexp_extract(decode(html), '<title>(.*?)</title>', 1)"
 PAGE_NO_SQL = "regexp_extract(url, '\\?page=(\\d+)', 1)"
 
 
+def _ext_link_counts(url: pd.Series, html: pd.Series
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(n_ext, n_links): cross-host out-link count and total out-link
+    count per page (absolute hrefs only, matching the oracle)."""
+    page_host = (url.str.extract(r"^https?://([^/?#]+)", expand=False)
+                 .fillna("").str.lower())
+    link_hosts = html.str.findall(r'<a href="https?://([^/"]+)')
+    n_links = np.fromiter((len(hs) for hs in link_hosts),
+                          dtype=np.int64, count=len(html))
+    n_ext = np.fromiter(
+        (sum(1 for h in hs if h.lower() != ph)
+         for hs, ph in zip(link_hosts, page_host)),
+        dtype=np.int64, count=len(html))
+    return n_ext, n_links
+
+
 def classify_kind(url: pd.Series, html: pd.Series) -> np.ndarray:
     """Vectorized document-kind classification (dispatch key)."""
     paginated = url.str.contains(r"\?page=", regex=True).to_numpy(dtype=bool)
@@ -52,9 +68,11 @@ def classify_kind(url: pd.Series, html: pd.Series) -> np.ndarray:
         .to_numpy(dtype=bool)
     hub = html.str.contains(r'<a href="[^"]*\?page=', regex=True) \
         .to_numpy(dtype=bool)
+    n_ext, n_links = _ext_link_counts(url, html)
+    portal = 2 * n_ext > n_links          # majority of links cross-host
     leaf = ~html.str.contains('<a href="', regex=False).to_numpy(dtype=bool)
-    return np.select([paginated, alias, hub, leaf],
-                     ["paginated", "alias", "hub", "leaf"],
+    return np.select([paginated, alias, hub, portal, leaf],
+                     ["paginated", "alias", "hub", "portal", "leaf"],
                      default="article").astype(object)
 
 
@@ -88,6 +106,14 @@ def _h_hub(sub: pd.DataFrame) -> pd.DataFrame:
                         index=sub.index)
 
 
+def _h_portal(sub: pd.DataFrame) -> pd.DataFrame:
+    """portals (majority cross-host links): how far off-site they fan
+    out — the outbound-gateway signal a scheduler treats differently
+    (new-host discovery source)."""
+    n_ext, _ = _ext_link_counts(sub["url"], sub["html"])
+    return pd.DataFrame({"n_ext_links": n_ext}, index=sub.index)
+
+
 def _h_leaf(sub: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(index=sub.index)      # envelope only
 
@@ -101,13 +127,15 @@ PROCESSORS: dict[str, callable] = {
     "paginated": _h_paginated,
     "alias": _h_alias,
     "hub": _h_hub,
+    "portal": _h_portal,
     "leaf": _h_leaf,
     "article": _h_article,
 }
 
 #: full output schema (envelope + union of handler features, defaulted)
 FEATURE_DEFAULTS = {"page_no": np.int64(-1), "base_url": "",
-                    "n_page_links": np.int64(-1)}
+                    "n_page_links": np.int64(-1),
+                    "n_ext_links": np.int64(-1)}
 
 
 def process_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -136,4 +164,5 @@ def process_batch(df: pd.DataFrame) -> pd.DataFrame:
             out.loc[mask, c] = feats[c]
     out["page_no"] = out["page_no"].astype(np.int64)
     out["n_page_links"] = out["n_page_links"].astype(np.int64)
+    out["n_ext_links"] = out["n_ext_links"].astype(np.int64)
     return out
