@@ -777,6 +777,10 @@ def q_props_key_stats(sf_dir: str) -> ray.data.Dataset:
     return ops_events.props_key_stats(_events(sf_dir))
 
 
+def q_proportional_sample(sf_dir: str) -> ray.data.Dataset:
+    return ops_corpus.proportional_sample(_docs(sf_dir))
+
+
 def q_cdc_dedup_stats(sf_dir: str) -> pd.DataFrame:
     from ghcrawler_ray.ops.cdc import cdc_dedup_stats
     return cdc_dedup_stats(_docs(sf_dir))
@@ -3040,6 +3044,34 @@ def _ops_sql() -> dict[str, str]:
                     ORDER BY sample_key, doc_id) - 1)::BIGINT
                     AS rank_in_lang
             FROM k QUALIFY rank_in_lang < {ops_corpus.FIXED_SAMPLE_N}""",
+        # Hamilton largest-remainder apportionment: exact TOTAL sample
+        # size with per-lang quotas base+1 for the largest remainders
+        "proportional_sample": rf"""
+            WITH c AS (SELECT lang, count(*)::BIGINT AS nl
+               FROM documents GROUP BY 1),
+            t AS (SELECT sum(nl)::BIGINT AS tot FROM c),
+            q0 AS (SELECT lang, nl,
+                 ({ops_corpus.PROP_SAMPLE_N} * nl) // tot AS base,
+                 ({ops_corpus.PROP_SAMPLE_N} * nl) % tot AS rem
+               FROM c, t),
+            r AS (SELECT ({ops_corpus.PROP_SAMPLE_N} - sum(base))::BIGINT
+                   AS extra FROM q0),
+            q AS (SELECT lang, (base + CASE WHEN row_number()
+                     OVER (ORDER BY rem DESC, lang) <= extra
+                     THEN 1 ELSE 0 END)::BIGINT AS quota
+               FROM q0, r),
+            k AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('fixn-'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                      AS BIGINT) AS sample_key
+               FROM documents),
+            s AS (SELECT k.doc_id, k.lang, k.sample_key, q.quota,
+                 row_number() OVER (PARTITION BY k.lang
+                     ORDER BY k.sample_key, k.doc_id) AS rn
+               FROM k JOIN q USING (lang))
+            SELECT doc_id, lang, sample_key,
+                (rn - 1)::BIGINT AS rank_in_lang, quota
+            FROM s WHERE rn <= quota""",
         "quality_buckets": rf"""
             WITH f AS (SELECT doc_id, lang, length(text) AS n_chars,
                    len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
@@ -3682,6 +3714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "props_key_stats": q_props_key_stats,
         "cdc_dedup_stats": q_cdc_dedup_stats,
+        "proportional_sample": q_proportional_sample,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

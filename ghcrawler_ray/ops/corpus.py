@@ -843,3 +843,67 @@ def snapshot_diff(old: ray.data.Dataset,
             .groupby("part")
             .map_groups(lambda g: diff(g.drop(columns=["part"])),
                         batch_format="pandas"))
+
+
+# ---- exact proportional sample (Hamilton largest-remainder) ----
+
+PROP_SAMPLE_N = 100
+
+
+def proportional_sample(docs: ray.data.Dataset,
+                        total_n: int = PROP_SAMPLE_N) -> ray.data.Dataset:
+    """(doc_id, lang, sample_key, rank_in_lang, quota): EXACTLY
+    ``total_n`` documents overall, apportioned across languages by the
+    Hamilton largest-remainder method — quota_l = ⌊N·n_l/total⌋ plus one
+    for the langs with the largest remainders (ties → lang asc) until
+    the quotas sum to N. ``fixed_n_sample`` draws a fixed count per
+    stratum; this draws a fixed TOTAL with exact proportional
+    representation — the eval-set builder that cannot over- or
+    under-sample any language by more than one document.
+
+    Scale shape: lang counts are a bounded hash-agg; apportionment is
+    integer driver math on #langs rows; selection reuses the
+    local-top-n combiner (each batch keeps its smallest max-quota keys
+    per lang) so the fold sees ≤ max_quota × #langs × #blocks rows."""
+    from ray.data.aggregate import Sum
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = (docs.select_columns(["lang"])
+              .map_batches(cnt, batch_format="pandas")
+              .groupby("lang").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())                    # ≤ #langs rows
+    nl = counts["n"].to_numpy(dtype=np.int64)
+    tot = int(nl.sum())
+    base = np.int64(total_n) * nl // tot
+    rem = (np.int64(total_n) * nl) % tot
+    extra = int(total_n - base.sum())
+    order = np.lexsort((counts["lang"].to_numpy(dtype=object), -rem))
+    quota = base.copy()
+    quota[order[:extra]] += 1
+    qmap = dict(zip(counts["lang"].astype(str), quota.astype(int)))
+    max_q = int(quota.max()) if len(quota) else 0
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "lang": df["lang"].to_numpy(dtype=object),
+            "sample_key": _fixn_keys(df["doc_id"])})
+        g = g.sort_values(["lang", "sample_key", "doc_id"], kind="stable")
+        return g.groupby("lang", sort=False).head(max_q)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        q = int(qmap.get(str(g["lang"].iloc[0]), 0))
+        g = g.sort_values(["sample_key", "doc_id"], kind="stable") \
+            .head(q).reset_index(drop=True)
+        g["rank_in_lang"] = np.arange(len(g), dtype=np.int64)
+        g["quota"] = np.int64(q)
+        return g[["doc_id", "lang", "sample_key", "rank_in_lang", "quota"]]
+
+    return (docs.select_columns(["doc_id", "lang"])
+            .map_batches(local_topn, batch_format="pandas")
+            .groupby("lang")
+            .map_groups(final, batch_format="pandas"))

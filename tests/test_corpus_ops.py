@@ -956,3 +956,29 @@ def test_bpe_encode_replays_rules_for_unseen_words(ray_session):
     got = bpe_encode(ray.data.from_pandas(train), n_merges=2).to_pandas()
     assert "".join(got[got.doc_id == 1].sort_values("pos")["bpe_token"]) \
         == "ababababababcd"
+
+
+def test_proportional_sample_hamilton_exact(ray_session):
+    from ghcrawler_ray.ops.corpus import proportional_sample
+    # 70/20/10 split over langs a/b/c with N=10 -> quotas 7/2/1
+    df = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "lang": ["a"] * 70 + ["b"] * 20 + ["c"] * 10})
+    out = proportional_sample(ray.data.from_pandas(df), total_n=10) \
+        .to_pandas()
+    assert len(out) == 10                      # exact total
+    q = out.groupby("lang").size().to_dict()
+    assert q == {"a": 7, "b": 2, "c": 1}
+    # largest-remainder case: 55/30/15 with N=7 -> 3.85/2.1/1.05 ->
+    # bases 3/2/1 (sum 6), biggest remainder .85 -> a gets the extra
+    df2 = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "lang": ["a"] * 55 + ["b"] * 30 + ["c"] * 15})
+    out2 = proportional_sample(ray.data.from_pandas(df2), total_n=7) \
+        .to_pandas()
+    assert len(out2) == 7
+    assert out2.groupby("lang").size().to_dict() == {"a": 4, "b": 2, "c": 1}
+    # partition-stability: same picks under a different block layout
+    out3 = proportional_sample(
+        ray.data.from_pandas(df2).repartition(7), total_n=7).to_pandas()
+    assert sorted(out3["doc_id"]) == sorted(out2["doc_id"])
