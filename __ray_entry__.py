@@ -781,6 +781,10 @@ def q_proportional_sample(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.proportional_sample(_docs(sf_dir))
 
 
+def q_postings_compression(sf_dir: str) -> ray.data.Dataset:
+    return ops_search.postings_compression(_docs(sf_dir))
+
+
 def q_cdc_dedup_stats(sf_dir: str) -> pd.DataFrame:
     from ghcrawler_ray.ops.cdc import cdc_dedup_stats
     return cdc_dedup_stats(_docs(sf_dir))
@@ -3044,6 +3048,27 @@ def _ops_sql() -> dict[str, str]:
                     ORDER BY sample_key, doc_id) - 1)::BIGINT
                     AS rank_in_lang
             FROM k QUALIFY rank_in_lang < {ops_corpus.FIXED_SAMPLE_N}""",
+        # delta-gap varint coding over sorted per-token postings
+        "postings_compression": rf"""
+            WITH tok AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS token
+               FROM documents),
+            tf AS (SELECT DISTINCT token, doc_id FROM tok),
+            l AS (SELECT token, doc_id, coalesce(lag(doc_id)
+                   OVER (PARTITION BY token ORDER BY doc_id), 0) AS prev
+               FROM tf),
+            v AS (SELECT token, doc_id - prev AS gap FROM l),
+            b AS (SELECT token, count(*)::BIGINT AS df,
+                 sum(1 + CASE WHEN gap >= 128 THEN 1 ELSE 0 END
+                       + CASE WHEN gap >= 16384 THEN 1 ELSE 0 END
+                       + CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END
+                       + CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END
+                     )::BIGINT AS coded_bytes
+               FROM v GROUP BY 1)
+            SELECT token, df, (df * 8)::BIGINT AS raw_bytes, coded_bytes,
+                (greatest(df * 8 - coded_bytes, 0) * {ops_search.PC_FP})
+                    // (df * 8) AS savings_fp
+            FROM b""",
         # Hamilton largest-remainder apportionment: exact TOTAL sample
         # size with per-lang quotas base+1 for the largest remainders
         "proportional_sample": rf"""
@@ -3715,6 +3740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": q_props_key_stats,
         "cdc_dedup_stats": q_cdc_dedup_stats,
         "proportional_sample": q_proportional_sample,
+        "postings_compression": q_postings_compression,
         "ann_topk_kmeans": q_ann_kmeans,
         "semantic_dup_pairs": q_semantic_dup,
         "knn_graph": q_knn_graph,

@@ -982,3 +982,22 @@ def test_proportional_sample_hamilton_exact(ray_session):
     out3 = proportional_sample(
         ray.data.from_pandas(df2).repartition(7), total_n=7).to_pandas()
     assert sorted(out3["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_postings_compression_varint_exact(ray_session):
+    from ghcrawler_ray.ops.search import PC_FP, postings_compression
+    # token 'x' in docs 1, 2, 200 -> gaps 1, 1, 198 -> varint 1+1+2 bytes
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 200], dtype=np.int64),
+        "text": ["x a", "x b", "x c"]})
+    out = postings_compression(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("token")
+    x = out.loc["x"]
+    assert (x.df, x.raw_bytes, x.coded_bytes) == (3, 24, 4)
+    assert x.savings_fp == (24 - 4) * PC_FP // 24
+    # gap >= 128 needs the second varint byte
+    df2 = pd.DataFrame({"doc_id": np.array([0, 300], dtype=np.int64),
+                        "text": ["y", "y"]})
+    y = postings_compression(ray.data.from_pandas(df2)).to_pandas() \
+        .set_index("token").loc["y"]
+    assert y.coded_bytes == 1 + 2
