@@ -186,6 +186,14 @@ def q_host_components(sf_dir: str) -> ray.data.Dataset:
     return host_components(_links_ds(sf_dir))
 
 
+def q_host_closeness(sf_dir: str) -> pd.DataFrame:
+    """Harmonic closeness centrality per host (Boldi & Vigna form,
+    integer fixed-point) — all-sources BFS over the bounded host
+    graph."""
+    from ghcrawler_ray.ops.graph import host_closeness
+    return host_closeness(_links_ds(sf_dir))
+
+
 def q_host_triangles(sf_dir: str) -> pd.DataFrame:
     """Per-host triangle participation in the host graph — mirrored by
     a canonicalized (s<d) three-way self-join."""
@@ -1797,6 +1805,40 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                UNION ALL SELECT hc FROM tri)
             SELECT host, count(*)::BIGINT AS n_triangles
             FROM u GROUP BY 1""",
+        # ops/graph.host_closeness: harmonic centrality, min-dist via a
+        # dist-bounded recursive walk (UNION dedups (src,node,dist))
+        "crawl_host_closeness": f"""
+            WITH RECURSIVE l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+            h AS (SELECT
+                 lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                     AS a,
+                 lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                     AS b
+               FROM l
+               WHERE regexp_matches(src_url, '^https?://[^/?#]+')
+                 AND regexp_matches(dst_url, '^https?://[^/?#]+')),
+            e AS (SELECT DISTINCT a, b FROM h WHERE a <> b),
+            und AS (SELECT DISTINCT s, d FROM (
+                 SELECT a AS s, b AS d FROM e
+                 UNION ALL SELECT b, a FROM e)),
+            n AS (SELECT DISTINCT s AS host FROM und),
+            cnt AS (SELECT count(*)::BIGINT AS nn FROM n),
+            walk(src, node, dist) AS (
+                SELECT host, host, 0 FROM n
+                UNION
+                SELECT w.src, u.d, w.dist + 1
+                FROM walk w JOIN und u ON u.s = w.node
+                WHERE w.dist + 1 < (SELECT nn FROM cnt)),
+            dmin AS (SELECT src, node, min(dist) AS d
+               FROM walk GROUP BY 1, 2)
+            SELECT src AS host,
+                (count(*) - 1)::BIGINT AS n_reachable,
+                sum(CASE WHEN d > 0 THEN {10 ** 6} // d
+                     ELSE 0 END)::BIGINT AS harmonic_fp
+            FROM dmin GROUP BY 1""",
         "crawl_host_components": f"""
             WITH RECURSIVE l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -3659,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage": q_crawl_lineage,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_host_components": q_host_components,
+        "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,
         "crawl_host_clustering": q_host_clustering,
         "crawl_host_hits": q_host_hits,

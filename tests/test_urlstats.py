@@ -128,3 +128,18 @@ def test_url_prefix_compression_exact():
         // h.raw_bytes
     # single-url host: negative "savings" clamp to 0
     assert out.loc["solo.example", "savings_fp"] == 0
+
+
+def test_host_closeness_harmonic_exact():
+    import ray.data
+    from ghcrawler_ray.ops.graph import HC_FP, host_closeness
+    # path a-b-c plus a disconnected pair d-e
+    links = ray.data.from_pandas(pd.DataFrame({
+        "src_url": ["http://a.x/1", "http://b.x/1", "http://d.x/1"],
+        "dst_url": ["http://b.x/2", "http://c.x/2", "http://e.x/2"]}))
+    out = host_closeness(links).set_index("host")
+    assert out.loc["a.x", "n_reachable"] == 2
+    assert out.loc["a.x", "harmonic_fp"] == HC_FP + HC_FP // 2
+    assert out.loc["b.x", "harmonic_fp"] == 2 * HC_FP   # two at dist 1
+    assert out.loc["d.x", "n_reachable"] == 1           # only its pair
+    assert out.loc["d.x", "harmonic_fp"] == HC_FP
