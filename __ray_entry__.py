@@ -20,6 +20,7 @@ Two input families:
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from pathlib import Path
 from typing import Any
@@ -40,6 +41,7 @@ from ghcrawler_ray.ops import curate as ops_curate
 from ghcrawler_ray.ops import contamination as ops_contam
 from ghcrawler_ray.ops import dedup as ops_dedup
 from ghcrawler_ray.ops import events as ops_events
+from ghcrawler_ray.ops import graph as ops_graph
 from ghcrawler_ray.ops import packing as ops_packing
 from ghcrawler_ray.ops import relational as ops_rel
 from ghcrawler_ray.ops import search as ops_search
@@ -211,6 +213,36 @@ def q_host_hits(sf_dir: str) -> pd.DataFrame:
     mirrored by an unrolled-CTE DuckDB chain (_hits_sql)."""
     from ghcrawler_ray.ops.graph import host_hits
     return host_hits(_links_ds(sf_dir))
+
+
+def q_host_trustrank(sf_dir: str) -> pd.DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the host graph,
+    seeded by the hosts of the `priority='events'` seed rows — the
+    operator-injected channel (`routes/webhook.js:14-60`); mirrored by
+    an unrolled integer CTE chain (_trustrank_sql)."""
+    from ghcrawler_ray.ops.graph import host_trustrank
+    seeds = pq.read_table(_seeds_path(sf_of_dir(sf_dir))).to_pandas()
+    hosts = []
+    for u in seeds.loc[seeds["priority"] == "events", "url"]:
+        m = re.match(r"^https?://([^/?#]+)", str(u))
+        if m:
+            hosts.append(m.group(1).lower())
+    return host_trustrank(_links_ds(sf_dir), hosts)
+
+
+def q_host_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-link profile per host (link-exchange / spam signal):
+    mirrored by a self-join of the distinct host-pair edge list."""
+    from ghcrawler_ray.ops.graph import host_reciprocity
+    return host_reciprocity(_links_ds(sf_dir))
+
+
+def q_host_scc(sf_dir: str) -> pd.DataFrame:
+    """Strongly connected components of the directed host graph
+    (mutual-reachability communities vs host_components' weak CCs) —
+    mirrored by a recursive-CTE transitive closure both ways."""
+    from ghcrawler_ray.ops.graph import host_scc
+    return host_scc(_links_ds(sf_dir))
 
 
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
@@ -741,6 +773,12 @@ def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk(_emb(sf_dir))
 
 
+def q_hamming_topk(sf_dir: str) -> ray.data.Dataset:
+    """Sign-binarized Hamming top-k (binary-code ANN) — integer
+    distances, (hamming, neighbor_id) rank mirrored by row_number()."""
+    return ops_ann.hamming_topk(_emb(sf_dir))
+
+
 def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.ann_topk_ivf(_emb(sf_dir))
 
@@ -1192,6 +1230,55 @@ def _hits_sql(pages: str) -> str:
         h0 AS (SELECT host, CAST({HITS_FP} AS BIGINT) AS v FROM n),{",".join(blocks)}
         SELECT n.host, h{k}.v AS hub_fp, a{k}.v AS auth_fp
         FROM n JOIN h{k} USING (host) JOIN a{k} USING (host)"""
+
+
+_HOST_EDGES_CTES = """l AS (SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst_url
+               FROM read_parquet('{pages}')),
+        hp AS (SELECT DISTINCT
+                 lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1)) AS s,
+                 lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1)) AS d
+               FROM l
+               WHERE regexp_matches(src_url, '^https?://[^/?#]+')
+                 AND regexp_matches(dst_url, '^https?://[^/?#]+')),
+        e AS (SELECT s, d FROM hp WHERE s <> d)"""
+
+
+def _trustrank_sql(pages: str, seeds: str) -> str:
+    """Unrolled integer fixed-point TrustRank mirror
+    (ops/graph.host_trustrank): teleport mass concentrated on the
+    events-priority seed hosts, every step floor division — bit-exact."""
+    from ghcrawler_ray.ops.graph import TR_FP, TR_ITERS
+    prev, blocks = "t0", []
+    for i in range(1, TR_ITERS + 1):
+        blocks.append(f"""
+        t{i} AS (SELECT n.host,
+                 CAST((85 * coalesce(s.c, 0)) // 100
+                      + (15 * t0.v) // 100 AS BIGINT) AS v
+               FROM n JOIN t0 USING (host) LEFT JOIN (
+                 SELECT e.d AS host, sum({prev}.v // deg.od) AS c
+                 FROM e JOIN deg ON deg.s = e.s
+                 JOIN {prev} ON {prev}.host = e.s
+                 GROUP BY 1) s USING (host))""")
+        prev = f"t{i}"
+    return rf"""
+        WITH {_HOST_EDGES_CTES.format(pages=pages)},
+        n AS (SELECT s AS host FROM e UNION SELECT d FROM e),
+        deg AS (SELECT s, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        sh AS (SELECT DISTINCT
+                 lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host
+               FROM read_parquet('{seeds}')
+               WHERE priority = 'events'
+                 AND regexp_matches(url, '^https?://[^/?#]+')),
+        sg AS (SELECT host FROM sh JOIN n USING (host)),
+        t0 AS (SELECT n.host,
+                 CAST(CASE WHEN sg.host IS NOT NULL
+                      THEN {TR_FP} // (SELECT count(*) FROM sg)
+                      ELSE 0 END AS BIGINT) AS v
+               FROM n LEFT JOIN sg ON sg.host = n.host),{",".join(blocks)}
+        SELECT n.host, {prev}.v AS trust_fp, t0.v > 0 AS is_seed
+        FROM n JOIN {prev} USING (host) JOIN t0 USING (host)"""
 
 
 def _hll_sql() -> str:
@@ -1749,6 +1836,39 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             FROM u LEFT JOIN m USING (url)""",
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
+        "crawl_trustrank": _trustrank_sql(pages, seeds),
+        # ops/graph.host_reciprocity: edge list self-joined on its swap
+        "crawl_host_reciprocity": f"""
+            WITH {_HOST_EDGES_CTES.format(pages=pages)},
+            g AS (SELECT e1.s AS host, count(*)::BIGINT AS n_out_hosts,
+                     sum(CASE WHEN e2.s IS NOT NULL THEN 1
+                              ELSE 0 END)::BIGINT AS n_recip
+               FROM e e1 LEFT JOIN e e2
+                 ON e2.s = e1.d AND e2.d = e1.s
+               GROUP BY 1)
+            SELECT host, n_out_hosts, n_recip,
+                CAST(({ops_graph.RECIP_FP} * n_recip)
+                     // n_out_hosts AS BIGINT) AS recip_fp
+            FROM g""",
+        # ops/graph.host_scc: mutual reachability via recursive closure
+        "crawl_host_scc": f"""
+            WITH RECURSIVE {_HOST_EDGES_CTES.format(pages=pages)},
+            n AS (SELECT s AS host FROM e UNION SELECT d FROM e),
+            reach(s, d) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+            mutual AS (
+                SELECT r1.s AS host, r1.d AS other
+                FROM reach r1 JOIN reach r2
+                  ON r2.s = r1.d AND r2.d = r1.s
+                UNION
+                SELECT host, host FROM n),
+            comp AS (SELECT host, min(other) AS component
+                FROM mutual GROUP BY 1)
+            SELECT c.host, c.component, cnt.n::BIGINT AS scc_size
+            FROM comp c JOIN (SELECT component, count(*) AS n
+                FROM comp GROUP BY 1) cnt USING (component)""",
         "crawl_host_clustering": f"""
             WITH l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -2744,6 +2864,21 @@ def _ops_sql() -> dict[str, str]:
                                    ORDER BY c DESC, neighbor_id) AS rank,
                 round(c, 6) AS cos
             FROM s QUALIFY rank <= 5""",
+        # ops/ann.hamming_topk: sign-binarized Hamming top-k
+        "hamming_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                 FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 length(list_filter(range(1, {ops_ann.EMB_DIM} + 1),
+                        i -> (q.qv[i] >= 0) <> (e.ev[i] >= 0)))::BIGINT
+                     AS hamming
+               FROM q CROSS JOIN e WHERE e.vec_id != q.qid)
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id)::BIGINT AS rank,
+                hamming
+            FROM s QUALIFY rank <= {ops_ann.TOPK}""",
         "embedding_centroids": f"""
             WITH x AS (SELECT label, CAST(r.i AS BIGINT) AS dim,
                  CAST(floor(embedding[CAST(r.i AS INT) + 1]::DOUBLE
@@ -3705,6 +3840,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_triangles": q_host_triangles,
         "crawl_host_clustering": q_host_clustering,
         "crawl_host_hits": q_host_hits,
+        "crawl_trustrank": q_host_trustrank,
+        "crawl_host_reciprocity": q_host_reciprocity,
+        "crawl_host_scc": q_host_scc,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
@@ -3770,6 +3908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "containment_pairs": q_containment,
         "ann_topk": q_ann_topk,
+        "hamming_topk": q_hamming_topk,
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,
         "embedding_centroids": q_emb_centroids,

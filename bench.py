@@ -53,7 +53,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "dedup_keep_best", "crawl_trap_patterns",
                "crawl_anchor_text", "shingle_cosine_pairs", "dsir_weights",
                "pq_topk", "snapshot_diff", "crawl_robots_eval",
-               "crawl_sitemap", "mmr_select")
+               "crawl_sitemap", "mmr_select", "crawl_trustrank",
+               "hamming_topk")
 SCALING_CPUS = (8, 32)
 
 

@@ -1079,3 +1079,63 @@ def hard_negatives(emb: ray.data.Dataset, k: int = HARDNEG_K,
                          batch_size=4096)
             .groupby("query_id")
             .map_groups(_topk_of_group(k), batch_format="pandas"))
+
+
+# ---- sign-binarized Hamming ANN (binary embedding search) ----
+
+def hamming_topk(emb: ray.data.Dataset, k: int = TOPK,
+                 n_queries: int = N_QUERIES) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, hamming): top-k nearest neighbors
+    under the HAMMING distance between sign-binarized embeddings (bit i
+    = x_i >= 0) — Charikar-style binary codes: 64-dim floats collapse
+    to a 64-bit signature (32× smaller than float32), and at serving
+    scale the XOR+popcount scan replaces the float matmul. This is the
+    1-bit-quantization endpoint of the quantize_embeddings (int8) /
+    pq_codes (PQ) storage ladder.
+
+    Exactness: distances are small INTEGERS, so ties at the k-th rank
+    are common and ordering matters — ranked by (hamming asc,
+    neighbor_id asc), reproduced exactly by the SQL mirror's
+    row_number(). Self-matches excluded.
+
+    Scale shape: queries' sign matrix broadcast once (``ray.put``);
+    each batch compares vectorized bool matrices ((batch×1×D) !=
+    (1×Q×D) summed over D — no packing needed at bench scale; pack to
+    uint64 words + popcount when D grows); per-batch local top-k then a
+    k·Q·#blocks-row reduce — the corpus never leaves its blocks."""
+    q = (emb.filter(expr=f"vec_id < {n_queries}")
+         .select_columns(["vec_id", "embedding"]).take_all())
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    order = np.argsort(qids)
+    qbits = np.stack([np.asarray(q[i]["embedding"], dtype=np.float64) >= 0
+                      for i in order])
+    q_ref = ray.put((qids[order], qbits))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qb = ray.get(q_ref)
+        bits = _mat(df) >= 0                        # (batch, D) bool
+        ham = (bits[:, None, :] != qb[None, :, :]).sum(axis=2,
+                                                       dtype=np.int64)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        out = []
+        for qi, qid in enumerate(qids):
+            h = ham[:, qi]
+            bi = np.flatnonzero(ids != qid)         # exclude self
+            sel = bi[np.lexsort((ids[bi], h[bi]))][:k]
+            out.append(pd.DataFrame({
+                "query_id": np.full(len(sel), qid, dtype=np.int64),
+                "neighbor_id": ids[sel],
+                "hamming": h[sel]}))
+        return pd.concat(out, ignore_index=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hamming", "neighbor_id"],
+                          ascending=[True, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "hamming"]]
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+            .groupby("query_id")
+            .map_groups(final_topk, batch_format="pandas"))

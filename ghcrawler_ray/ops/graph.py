@@ -621,3 +621,142 @@ def host_closeness(links: ray.data.Dataset) -> pd.DataFrame:
         "host": hosts.astype(object),
         "n_reachable": reached.sum(axis=1, dtype=np.int64) - 1,
         "harmonic_fp": harmonic})
+
+
+# ---- shared bounded host-edge collapse ----
+
+def host_edges(links: ray.data.Dataset) -> pd.DataFrame:
+    """DIRECTED distinct host-pair edge list (a → b wherever any page of
+    host a links any page of host b; self-loops dropped) — the
+    #hosts-bounded table the host-graph family shares: page edges
+    collapse to distinct pairs inside each batch, one global distinct
+    groupby finishes, and everything after runs on ≤ #hosts² rows
+    (#hosts is a bounded job parameter, ≈10⁵ even web-scale)."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
+             .str.lower())
+        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+
+    e = (links.select_columns(["src_url", "dst_url"])
+         .map_batches(pairs, batch_format="pandas")
+         .groupby(["a", "b"]).count()
+         .select_columns(["a", "b"])
+         .to_pandas())                               # ≤ #hosts² ≪ #urls
+    return e[e["a"] != e["b"]].reset_index(drop=True)
+
+
+# ---- TrustRank: seed-biased PageRank over the host graph ----
+
+TR_ITERS = 3
+TR_FP = 10 ** 12
+
+
+def host_trustrank(links: ray.data.Dataset, seed_hosts,
+                   iters: int = TR_ITERS) -> pd.DataFrame:
+    """(host, trust_fp, is_seed): TrustRank (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004) over the directed host graph — PageRank whose
+    teleport vector is concentrated on a vetted seed set instead of
+    uniform, so trust decays with link distance from the seeds and
+    link-farm islands score ~0. The crawl analogue of the reference's
+    operator-vetted seed list: `seed_hosts` defaults (at the query
+    layer) to the hosts of the `priority='events'` seeds — the
+    human-injected channel (`routes/webhook.js:14-60`).
+
+    Integer fixed-point (1e-12 mass units), every step floor division,
+    so the unrolled-CTE DuckDB mirror is bit-exact::
+
+        t0[v]   = TR_FP // |seeds|  if v ∈ seeds else 0
+        t_{i+1} = (85 · Σ_{(u,v)∈E} t_i[u] // outdeg[u]) // 100
+                  + (15 · t0[v]) // 100
+
+    Scale shape: ONE streaming host-pair collapse (``host_edges``);
+    iterations are vectorized np.add.at over the #hosts-bounded edge
+    list. Floor remainders + dangling mass leak (documented for
+    ``pagerank`` too); mirrored exactly."""
+    e = host_edges(links)
+    hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
+    idx = {h: i for i, h in enumerate(hosts)}
+    src = e["a"].map(idx).to_numpy(dtype=np.int64)
+    dst = e["b"].map(idx).to_numpy(dtype=np.int64)
+    outdeg = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(outdeg, src, 1)
+    seeds = sorted(set(seed_hosts) & set(hosts.tolist()))
+    if not seeds:
+        raise ValueError("no seed host appears in the link graph")
+    t0 = np.zeros(len(hosts), dtype=np.int64)
+    t0[[idx[s] for s in seeds]] = np.int64(TR_FP) // np.int64(len(seeds))
+    t = t0.copy()
+    for _ in range(iters):
+        contrib = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(contrib, dst, t[src] // outdeg[src])
+        t = (85 * contrib) // 100 + (15 * t0) // 100
+    return pd.DataFrame({"host": hosts, "trust_fp": t,
+                         "is_seed": np.isin(hosts, np.array(seeds,
+                                                            dtype=object))})
+
+
+# ---- reciprocal-link profile (link-exchange / spam signal) ----
+
+RECIP_FP = 10 ** 6
+
+
+def host_reciprocity(links: ray.data.Dataset) -> pd.DataFrame:
+    """(host, n_out_hosts, n_recip, recip_fp): per host, how many
+    distinct hosts it links out to and what fraction of those edges are
+    reciprocated (b also links a) — the classic link-exchange / spam
+    signal (high reciprocity + high clustering = link ring; organic
+    hubs link far more than they are linked back by). recip_fp =
+    RECIP_FP·n_recip // n_out_hosts, exact integer.
+
+    Scale shape: one ``host_edges`` collapse; reciprocity is a
+    vectorized merge of the bounded edge list against its own swap."""
+    e = host_edges(links)
+    swapped = e.rename(columns={"a": "b", "b": "a"})
+    m = e.merge(swapped.assign(r=1), on=["a", "b"], how="left")
+    m["r"] = m["r"].fillna(0).astype(np.int64)
+    g = m.groupby("a", sort=True).agg(
+        n_out_hosts=("b", "size"), n_recip=("r", "sum")).reset_index()
+    return pd.DataFrame({
+        "host": g["a"].astype(object),
+        "n_out_hosts": g["n_out_hosts"].astype(np.int64),
+        "n_recip": g["n_recip"].astype(np.int64),
+        "recip_fp": (np.int64(RECIP_FP) * g["n_recip"].to_numpy(np.int64)
+                     // g["n_out_hosts"].to_numpy(np.int64))})
+
+
+# ---- strongly connected components over the directed host graph ----
+
+def host_scc(links: ray.data.Dataset) -> pd.DataFrame:
+    """(host, component, scc_size): strongly connected components of
+    the DIRECTED host graph — component label = lexicographically
+    smallest member host. Separates true mutual-link communities from
+    the weak components ``host_components`` reports (a one-way feeder
+    host is weakly but not strongly connected to its target).
+
+    Scale shape: one ``host_edges`` collapse, then boolean-matrix BFS
+    closure over the n×n adjacency (directed ``host_closeness``
+    machinery); u,v share an SCC iff reach(u,v) ∧ reach(v,u). n =
+    #hosts is a bounded job parameter; past it the same closure runs as
+    delta-BSP label rounds (``host_components``' shape) on fwd+rev
+    graphs."""
+    e = host_edges(links)
+    hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
+    pos = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[e["a"].map(pos).to_numpy(np.int64),
+        e["b"].map(pos).to_numpy(np.int64)] = True
+    reach = np.eye(n, dtype=bool)
+    frontier = reach.copy()
+    while frontier.any():
+        frontier = (frontier @ adj) & ~reach
+        reach |= frontier
+    same = reach & reach.T                    # mutual reachability
+    comp = np.array([hosts[np.flatnonzero(same[i])[0]] for i in range(n)],
+                    dtype=object)             # min index = min host (sorted)
+    sizes = pd.Series(comp).map(pd.Series(comp).value_counts())
+    return pd.DataFrame({"host": hosts, "component": comp,
+                         "scc_size": sizes.to_numpy(np.int64)})
