@@ -46,6 +46,7 @@ from ghcrawler_ray.ops import packing as ops_packing
 from ghcrawler_ray.ops import relational as ops_rel
 from ghcrawler_ray.ops import search as ops_search
 from ghcrawler_ray.ops import similarity as ops_sim
+from ghcrawler_ray.ops import sketch as ops_sketch
 from ghcrawler_ray.ops import urlstats as ops_urlstats
 from ghcrawler_ray.ops import text as ops_text
 from ghcrawler_ray.ops.multimodal import (frame_samples, media_features,
@@ -715,6 +716,27 @@ def q_unigram_rank_scores(sf_dir: str) -> ray.data.Dataset:
 def q_hll_distinct(sf_dir: str) -> ray.data.Dataset:
     from ghcrawler_ray.ops.sketch import hll_distinct_tokens
     return hll_distinct_tokens(_docs(sf_dir))
+
+
+def q_kmv_distinct(sf_dir: str) -> pd.DataFrame:
+    """K-minimum-values distinct-token sketch per lang — bottom-k md5
+    hashes; the estimate itself is mirrored bit-exactly in SQL."""
+    from ghcrawler_ray.ops.sketch import kmv_distinct_tokens
+    return kmv_distinct_tokens(_docs(sf_dir))
+
+
+def q_corpus_ngram_overlap(sf_dir: str) -> pd.DataFrame:
+    """Corpus-vs-corpus distinct k-gram overlap (v1 documents vs the
+    deterministic _docs_v2 recrawl fixture) — memorization-risk
+    scorecard, mirrored by a distinct-gram-hash LEFT JOIN."""
+    return ops_contam.corpus_ngram_overlap(_docs(sf_dir), _docs_v2(sf_dir))
+
+
+def q_orders_with_returns(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: orders with >=1 returned line
+    item, counted per priority — mirrored by a literal EXISTS."""
+    return ops_rel.orders_with_returns(_table(sf_dir, "orders"),
+                                       _table(sf_dir, "lineitem"))
 
 
 def q_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
@@ -3082,6 +3104,66 @@ def _ops_sql() -> dict[str, str]:
                      // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
+        # ops/sketch.kmv_distinct_tokens: bottom-k md5 u64 hashes
+        "kmv_distinct_tokens": rf"""
+            WITH tok AS (SELECT lang,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS t
+               FROM documents),
+            d AS (SELECT DISTINCT lang, t FROM tok),
+            h AS (SELECT lang, ('0x'||substr(md5(t),1,16))::UBIGINT AS hv
+               FROM d),
+            rk AS (SELECT lang, hv, row_number() OVER (
+                 PARTITION BY lang ORDER BY hv) AS rn FROM h),
+            s AS (SELECT lang, count(*)::BIGINT AS n_kept, max(hv) AS kth
+               FROM rk WHERE rn <= {ops_sketch.KMV_K} GROUP BY 1)
+            SELECT lang, n_kept,
+                CASE WHEN n_kept < {ops_sketch.KMV_K} THEN n_kept
+                     ELSE CAST(({ops_sketch.KMV_K} - 1)
+                               * '18446744073709551616'::HUGEINT
+                               // kth::HUGEINT AS BIGINT)
+                END AS est_distinct
+            FROM s""",
+        # ops/contamination.corpus_ngram_overlap: distinct-gram-hash
+        # membership of the v2 snapshot's vocabulary in v1's
+        "corpus_ngram_overlap": rf"""
+            WITH newsnap AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                         ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' fresh'
+                FROM documents WHERE doc_id % 19 = 0),
+            t1 AS (SELECT regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            g1 AS (SELECT DISTINCT
+                 ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT AS h
+               FROM t1, LATERAL (SELECT unnest(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DUP_NGRAM_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DUP_NGRAM_K)})) AS gr) u),
+            t2 AS (SELECT regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM newsnap),
+            g2 AS (SELECT DISTINCT
+                 ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT AS h
+               FROM t2, LATERAL (SELECT unnest(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DUP_NGRAM_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DUP_NGRAM_K)})) AS gr) u),
+            j AS (SELECT g1.h IS NOT NULL AS hit
+               FROM g2 LEFT JOIN g1 USING (h))
+            SELECT count(*)::BIGINT AS n_new_grams,
+                sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+                CAST(({ops_contam.OVERLAP_FP}
+                      * sum(CASE WHEN hit THEN 1 ELSE 0 END))
+                     // greatest(count(*), 1) AS BIGINT) AS overlap_fp
+            FROM j""",
+        # ops/relational.orders_with_returns: literal EXISTS semi-join
+        "orders_with_returns": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY 1""",
         "hll_distinct_users": _hll_users_sql(),
         "quality_percentile_gate": rf"""
             WITH f AS (SELECT doc_id, lang, length(text) AS n_chars,
@@ -3884,6 +3966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": q_doc_length_stats,
         "text_normalize": q_text_normalize,
         "hll_distinct_tokens": q_hll_distinct,
+        "kmv_distinct_tokens": q_kmv_distinct,
+        "corpus_ngram_overlap": q_corpus_ngram_overlap,
+        "orders_with_returns": q_orders_with_returns,
         "hll_distinct_users": q_hll_users,
         "hist_length_quantiles": q_hist_quantiles,
         "quality_percentile_gate": q_quality_gate,

@@ -522,3 +522,62 @@ def dedup_lines(docs: ray.data.Dataset,
             .union(hits.map_batches(tag_hits, batch_format="pandas"))
             .materialize()
             .groupby("upart").map_groups(rebuild, batch_format="pandas"))
+
+
+# ---- corpus-vs-corpus n-gram overlap (memorization-risk scorecard) ----
+
+OVERLAP_PARTS = 64
+OVERLAP_FP = 10 ** 6
+
+
+def corpus_ngram_overlap(old: ray.data.Dataset, new: ray.data.Dataset,
+                         k: int = DUP_NGRAM_K) -> pd.DataFrame:
+    """One-row scorecard (n_new_grams, n_overlap, overlap_fp): what
+    fraction of the NEW corpus's distinct k-gram vocabulary already
+    appears anywhere in the OLD corpus — the corpus-level memorization
+    / contamination readout (train-vs-eval overlap, recrawl-vs-v1
+    novelty) that ``decontaminate`` applies per-document and this op
+    aggregates per-corpus. overlap_fp = OVERLAP_FP·n_overlap //
+    n_new_grams, exact integer.
+
+    Scale shape: each side scans its text ONCE, folding to per-batch
+    DISTINCT gram-hash rows tagged by side (combiner); ONE gram-hash
+    co-partition (``% OVERLAP_PARTS`` coarse int key, the
+    duplicate_ngrams shuffle shape) dedups each side within the
+    partition and counts (n_new, n_both) locally; ≤ OVERLAP_PARTS
+    partial rows fold to the single output row on the driver. Neither
+    corpus is broadcast or materialized."""
+
+    def side(tag: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            cat, _ = _batch_grams(df["text"].tolist(), k, distinct=True)
+            g = np.unique(cat).view(np.int64)
+            return pd.DataFrame({
+                "gram_hash": g,
+                "side": np.full(len(g), tag, dtype=np.int8),
+                "part": (g % OVERLAP_PARTS).astype(np.int32)})
+        return f
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["gram_hash"].to_numpy(np.int64)
+        s = g["side"].to_numpy(np.int8)
+        new_h = np.unique(h[s == 1])
+        old_h = np.unique(h[s == 0])
+        both = np.intersect1d(new_h, old_h, assume_unique=True)
+        return pd.DataFrame({"n_new": [np.int64(len(new_h))],
+                             "n_both": [np.int64(len(both))]})
+
+    parts = (old.select_columns(["text"]).map_batches(
+                 side(0), batch_format="pandas")
+             .union(new.select_columns(["text"]).map_batches(
+                 side(1), batch_format="pandas"))
+             .groupby("part")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())                        # ≤ OVERLAP_PARTS rows
+    n_new = int(parts["n_new"].sum())
+    n_both = int(parts["n_both"].sum())
+    return pd.DataFrame({
+        "n_new_grams": np.array([n_new], dtype=np.int64),
+        "n_overlap": np.array([n_both], dtype=np.int64),
+        "overlap_fp": np.array([OVERLAP_FP * n_both // max(n_new, 1)],
+                               dtype=np.int64)})

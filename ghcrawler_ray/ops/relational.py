@@ -450,3 +450,55 @@ def supplier_balances(supplier: ray.data.Dataset,
             .aggregate(Sum("bal", alias_name="bal"),
                        Sum("n", alias_name="n"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- TPC-H Q4-shaped EXISTS semi-join ----
+
+def orders_with_returns(orders: ray.data.Dataset,
+                        lineitem: ray.data.Dataset) -> pd.DataFrame:
+    """(o_orderpriority, n_orders): how many orders have AT LEAST ONE
+    returned line item (l_returnflag = 'R'), counted per priority — the
+    TPC-H Q4 EXISTS-semi-join shape (the predicate adapted to this
+    schema's columns). The semi-join primitive the catalog's inner /
+    broadcast / anti flavors don't cover: existence, not payload.
+
+    Scale shape: lineitem folds to per-batch DISTINCT returned
+    orderkeys (slim int rows — the combiner kills within-batch repeat
+    lines); orders fold to (orderkey, priority) slim rows; ONE
+    orderkey-hash co-partition; inside each coarse partition the
+    semi-join is one vectorized ``isin``; output partials are ≤ #parts
+    × #priorities count rows folded on the driver."""
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "prio": df["o_orderpriority"].astype(str)})
+
+    def tag_returns(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(df.loc[df["l_returnflag"].astype(str) == "R",
+                             "l_orderkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "prio": np.full(len(k), "", dtype=object)})
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        ret = g.loc[g["side"] == 1, "k"].to_numpy(np.int64)
+        hit = o[o["k"].isin(ret)]
+        c = hit.groupby("prio", sort=False).size().reset_index(name="n")
+        c["n"] = c["n"].astype(np.int64)
+        return c[["prio", "n"]]
+
+    parts = (orders.select_columns(["o_orderkey", "o_orderpriority"])
+             .map_batches(tag_orders, batch_format="pandas")
+             .union(lineitem.select_columns(["l_orderkey", "l_returnflag"])
+                    .map_batches(tag_returns, batch_format="pandas"))
+             .groupby("part")
+             .map_groups(semi, batch_format="pandas")
+             .to_pandas())                  # ≤ #parts × #priorities rows
+    out = parts.groupby("prio", sort=True)["n"].sum().reset_index()
+    return pd.DataFrame({"o_orderpriority": out["prio"].astype(object),
+                         "n_orders": out["n"].astype(np.int64)})

@@ -299,3 +299,65 @@ def hll_distinct_users(events: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Max("rank", alias_name="rank"))
             .groupby("ws")
             .map_groups(fin, batch_format="pandas"))
+
+
+# ---- KMV (k-minimum-values) distinct sketch ----
+
+KMV_K = 256                      # std err ~ 1/sqrt(k) ≈ 6%
+_U64_SPAN = 1 << 64
+
+
+def kmv_distinct_tokens(docs: ray.data.Dataset,
+                        k: int = KMV_K) -> pd.DataFrame:
+    """(lang, n_kept, est_distinct): K-minimum-values distinct-token
+    estimate per language (Bar-Yossef et al. 2002) — the mergeable
+    bottom-k sketch next to ``hll_distinct_tokens``: keep the k
+    smallest distinct 64-bit hashes; D ≈ (k−1)·2⁶⁴ / h_(k). Below k
+    distinct values the sketch IS the exact count (n_kept < k ⇒
+    est = n_kept). Unlike HLL it also yields a uniform distinct-value
+    SAMPLE (the kept hashes) for free.
+
+    Exactness of the MIRROR: md5-derived u64 hashes, estimate = one
+    integer floor division — DuckDB reproduces the estimate
+    bit-for-bit; accuracy vs truth is pinned in pytest.
+
+    Scale shape: per-batch combiner keeps each lang's k smallest
+    distinct hashes (≤ #langs × k rows per batch); the fold pulls
+    ≤ #langs × k × #blocks slim rows — never tokens."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = df["text"].astype(str).str.lower().str.findall(
+            WS_TOKEN_RE)
+        rows_l, rows_h = [], []
+        for lang, g in pd.DataFrame({"lang": df["lang"].astype(str),
+                                     "toks": tok_lists}).groupby(
+                                         "lang", sort=False):
+            toks = set()
+            for tl in g["toks"]:
+                toks.update(tl)
+            h = np.unique(_hash_u64(sorted(toks)))[:k]
+            rows_l.append(np.full(len(h), lang, dtype=object))
+            rows_h.append(h)
+        if not rows_h:
+            return pd.DataFrame({"lang": np.empty(0, object),
+                                 "hv": np.empty(0, np.int64)})
+        return pd.DataFrame({
+            "lang": np.concatenate(rows_l),
+            "hv": np.concatenate(rows_h).view(np.int64)})  # signed reinterp
+
+    rows = (docs.select_columns(["lang", "text"])
+            .map_batches(partials, batch_format="pandas")
+            .to_pandas())                  # ≤ langs × k × #blocks rows
+    out = []
+    for lang, g in rows.groupby("lang", sort=True):
+        h = np.unique(g["hv"].to_numpy(np.int64).view(np.uint64))[:k]
+        n_kept = len(h)
+        if n_kept < k:
+            est = n_kept
+        else:
+            est = (k - 1) * _U64_SPAN // int(h[-1])
+        out.append((lang, n_kept, est))
+    return pd.DataFrame({
+        "lang": np.array([o[0] for o in out], dtype=object),
+        "n_kept": np.array([o[1] for o in out], dtype=np.int64),
+        "est_distinct": np.array([o[2] for o in out], dtype=np.int64)})

@@ -154,6 +154,26 @@ def test_hll_estimate_within_tolerance(ray_session):
         assert abs(est - n) / n < 0.05, (lang, est, n)
 
 
+def test_kmv_estimate_within_tolerance(ray_session):
+    """KMV (k=256, σ≈6%) must land within 15% of the true distinct
+    count above k, and be EXACT below k (linear regime), independent of
+    partitioning."""
+    from ghcrawler_ray.ops.sketch import kmv_distinct_tokens
+    rows = []
+    for lang, n in (("en", 3000), ("de", 40)):
+        words = [f"{lang}w{i}" for i in range(n)]
+        for d in range(20):
+            rows.append({"lang": lang,
+                         "text": " ".join(words[d::20] + words[:5])})
+    ds = ray.data.from_pandas(pd.DataFrame(rows).assign(
+        doc_id=np.arange(len(rows), dtype=np.int64))).repartition(7)
+    out = kmv_distinct_tokens(ds).set_index("lang")
+    est = int(out.loc["en", "est_distinct"])
+    assert abs(est - 3000) / 3000 < 0.15, est
+    assert int(out.loc["de", "est_distinct"]) == 40    # exact below k
+    assert int(out.loc["de", "n_kept"]) == 40
+
+
 def test_pack_sequences_invariants(ray_session):
     """Packing offsets are a per-lang exact prefix sum in doc_id order:
     contiguous, gap-free, independent of input partitioning."""
