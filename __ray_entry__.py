@@ -246,6 +246,23 @@ def q_host_scc(sf_dir: str) -> pd.DataFrame:
     return host_scc(_links_ds(sf_dir))
 
 
+def q_url_mix(sf_dir: str) -> pd.DataFrame:
+    """Per-host URL-structure mix (query share, path depth, top-level
+    sections) — crawl-planner diagnostics, mirrored by string SQL."""
+    from ghcrawler_ray.ops.urlstats import url_mix_profile
+    return url_mix_profile(_pages_ds(sf_of_dir(sf_dir)))
+
+
+def q_indegree_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration of in-link counts across each host's pages
+    (popularity-skew / doorway-page signal) — exact fixed-point,
+    mirrored by a window-function SQL."""
+    from ghcrawler_ray.ops.graph import host_indegree_gini
+    sf = sf_of_dir(sf_dir)
+    return host_indegree_gini(_links_ds(sf_dir),
+                              _pages_ds(sf).select_columns(["url"]))
+
+
 def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Distributed PageRank over the synthesized web's link graph —
     exact int64 fixed-point power iteration (ops/graph.py), mirrored by
@@ -1859,6 +1876,55 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
+        # ops/urlstats.url_mix_profile
+        "crawl_url_mix": f"""
+            WITH u AS (SELECT url, {ops_urlstats.HOST_SQL} AS host,
+                 regexp_replace(regexp_replace(url,
+                     '^https?://[^/?#]+', ''), '[?#].*$', '') AS path,
+                 CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS has_q
+               FROM read_parquet('{pages}')),
+            s AS (SELECT host, has_q,
+                 list_filter(string_split(path, '/'), x -> x <> '') AS segs
+               FROM u),
+            d AS (SELECT host, has_q, len(segs)::BIGINT AS depth,
+                 CASE WHEN len(segs) > 0 THEN segs[1] ELSE '' END AS top_dir
+               FROM s)
+            SELECT host, count(*)::BIGINT AS n_urls,
+                sum(has_q)::BIGINT AS n_query,
+                sum(depth)::BIGINT AS sum_path_depth,
+                max(depth)::BIGINT AS max_path_depth,
+                count(DISTINCT top_dir)::BIGINT AS n_top_dirs
+            FROM d GROUP BY 1""",
+        # ops/graph.host_indegree_gini: window-function mirror; the
+        # Σ(2i−n−1)x coefficient sum is tie-order invariant
+        "crawl_indegree_gini": f"""
+            WITH nodes AS (SELECT url FROM read_parquet('{pages}')),
+            l AS (SELECT unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+            d0 AS (SELECT l.dst AS url, count(*)::BIGINT AS deg
+               FROM l JOIN nodes n ON l.dst = n.url GROUP BY 1),
+            d AS (SELECT n.url,
+                 lower(regexp_extract(n.url,
+                       '^https?://([^/?#]+)', 1)) AS host,
+                 coalesce(d0.deg, 0)::BIGINT AS deg
+               FROM nodes n LEFT JOIN d0 USING (url)),
+            r AS (SELECT host, deg,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY deg, url) AS i,
+                 count(*) OVER (PARTITION BY host) AS n,
+                 sum(deg) OVER (PARTITION BY host) AS s
+               FROM d),
+            g AS (SELECT host, max(n)::BIGINT AS n_pages,
+                 max(s)::BIGINT AS total_inlinks,
+                 sum((2*i - n - 1) * deg)::HUGEINT AS num
+               FROM r GROUP BY 1)
+            SELECT host, n_pages, total_inlinks,
+                CASE WHEN n_pages * total_inlinks > 0
+                     THEN CAST({ops_graph.GINI_FP} * num
+                               // (n_pages * total_inlinks) AS BIGINT)
+                     ELSE 0 END AS gini_fp
+            FROM g""",
         # ops/graph.host_reciprocity: edge list self-joined on its swap
         "crawl_host_reciprocity": f"""
             WITH {_HOST_EDGES_CTES.format(pages=pages)},
@@ -3925,6 +3991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trustrank": q_host_trustrank,
         "crawl_host_reciprocity": q_host_reciprocity,
         "crawl_host_scc": q_host_scc,
+        "crawl_url_mix": q_url_mix,
+        "crawl_indegree_gini": q_indegree_gini,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,

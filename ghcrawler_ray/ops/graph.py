@@ -760,3 +760,95 @@ def host_scc(links: ray.data.Dataset) -> pd.DataFrame:
     sizes = pd.Series(comp).map(pd.Series(comp).value_counts())
     return pd.DataFrame({"host": hosts, "component": comp,
                          "scc_size": sizes.to_numpy(np.int64)})
+
+
+# ---- in-link concentration (Gini) per host ----
+
+GINI_FP = 10 ** 6
+N_GINI_PARTS = 64
+
+
+def host_indegree_gini(links: ray.data.Dataset,
+                       pages: ray.data.Dataset) -> pd.DataFrame:
+    """(host, n_pages, total_inlinks, gini_fp): Gini coefficient of the
+    in-link counts across each host's crawled pages — the
+    popularity-skew readout (gini→0: links spread evenly over the
+    site; gini→1: one landing page absorbs everything, the shape of
+    both healthy hub sites and artificially-boosted doorway pages;
+    read next to host_reciprocity/host_clustering for the spam
+    triage). Pages never linked count as in-degree 0; link targets
+    outside the crawled page set are ignored.
+
+    Exact fixed-point: with a host's in-degrees x sorted ascending,
+    gini_fp = GINI_FP · Σᵢ(2i−n−1)·xᵢ // (n·Σx) (1-based i; the
+    coefficient sum is tie-order invariant), one integer division —
+    bit-exact vs the window-function SQL mirror.
+
+    Scale shape: per-batch combiner counts link targets; page rows ride
+    as deg-0 markers; ONE url-hash co-partition folds counts and drops
+    uncrawled targets; the (host, deg) survivors co-partition by host
+    hash where the rank sum is vectorized across a partition's hosts —
+    output is ≤ #hosts rows."""
+
+    def link_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["dst_url"].astype(str).value_counts())
+        u = c.index.to_numpy(dtype=object)
+        out = pd.DataFrame({"url": u,
+                            "deg": c.to_numpy(np.int64),
+                            "side": np.ones(len(u), dtype=np.int8)})
+        out["part"] = (hash64_array(out["url"]).view(np.int64)
+                       % N_GINI_PARTS).astype(np.int32)
+        return out
+
+    def page_rows(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["url"].astype(str).to_numpy(dtype=object)
+        out = pd.DataFrame({"url": u,
+                            "deg": np.zeros(len(u), dtype=np.int64),
+                            "side": np.zeros(len(u), dtype=np.int8)})
+        out["part"] = (hash64_array(out["url"]).view(np.int64)
+                       % N_GINI_PARTS).astype(np.int32)
+        return out
+
+    def fold_urls(g: pd.DataFrame) -> pd.DataFrame:
+        crawled = g.loc[g["side"] == 0, "url"]
+        s = g.groupby("url", sort=False)["deg"].sum()
+        s = s[s.index.isin(set(crawled))]
+        u = s.index.to_series().astype(str)
+        host = u.str.extract(_HOST_RE)[0].str.lower()
+        out = pd.DataFrame({"host": host.to_numpy(dtype=object),
+                            "deg": s.to_numpy(np.int64)}).dropna()
+        out["hpart"] = (hash64_array(out["host"]).view(np.int64)
+                        % N_GINI_PARTS).astype(np.int32)
+        return out
+
+    def gini_of_hosts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "deg"], kind="stable")
+        i = g.groupby("host", sort=False).cumcount().to_numpy(np.int64) + 1
+        deg = g["deg"].to_numpy(np.int64)
+        agg = pd.DataFrame({
+            "host": g["host"].to_numpy(dtype=object),
+            "num": (2 * i - 1) * deg, "deg": deg}).groupby(
+                "host", sort=False).agg(
+                    n_pages=("deg", "size"), total_inlinks=("deg", "sum"),
+                    raw=("num", "sum")).reset_index()
+        n = agg["n_pages"].to_numpy(np.int64)
+        tot = agg["total_inlinks"].to_numpy(np.int64)
+        # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx
+        num = agg["raw"].to_numpy(np.int64) - n * tot
+        denom = n * tot
+        agg["gini_fp"] = np.where(denom > 0,
+                                  GINI_FP * num // np.maximum(denom, 1), 0)
+        for c in ("n_pages", "total_inlinks", "gini_fp"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg[["host", "n_pages", "total_inlinks", "gini_fp"]]
+
+    tagged = (links.select_columns(["dst_url"])
+              .map_batches(link_partial, batch_format="pandas")
+              .union(pages.select_columns(["url"])
+                     .map_batches(page_rows, batch_format="pandas")))
+    return (tagged.groupby("part")
+            .map_groups(fold_urls, batch_format="pandas")
+            .groupby("hpart")
+            .map_groups(gini_of_hosts, batch_format="pandas")
+            .to_pandas()
+            .sort_values("host", kind="stable").reset_index(drop=True))

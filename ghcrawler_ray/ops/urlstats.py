@@ -340,3 +340,55 @@ def url_prefix_compression(pages: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part")
             .map_groups(lambda g: fold(g.drop(columns=["part"])),
                         batch_format="pandas"))
+
+
+# ---- URL structure mix per host (frontier-shape diagnostics) ----
+
+def url_mix_profile(pages: ray.data.Dataset) -> pd.DataFrame:
+    """(host, n_urls, n_query, sum_path_depth, max_path_depth,
+    n_top_dirs): per-host URL-structure profile — how much of a site is
+    parameterized (query strings ⇒ likely dynamic / paginated), how
+    deep its path tree runs, and how many distinct top-level sections
+    it exposes. The dashboard readout crawl planners use next to
+    ``trap_patterns`` (Mercator's URL-space diagnostics): a host with
+    exploding depth or query share gets a budget cap before it eats the
+    frontier.
+
+    All-integer columns, so the SQL mirror is exact. Scale shape:
+    per-batch combiner groups by (host, top_dir) — bounded by
+    #hosts × #sections — then one tiny fold; URLs never shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["url"].astype(str)
+        host = u.str.extract(r"^https?://([^/?#]+)")[0].str.lower()
+        path = (u.str.replace(r"^https?://[^/?#]+", "", regex=True)
+                .str.replace(r"[?#].*$", "", regex=True))
+        segs = path.str.split("/").map(
+            lambda xs: [s for s in xs if s] if isinstance(xs, list) else [])
+        depth = segs.map(len).astype(np.int64)
+        top = segs.map(lambda xs: xs[0] if xs else "")
+        q = u.str.contains(r"\?", regex=True).astype(np.int64)
+        f = pd.DataFrame({"host": host, "top_dir": top, "n_urls": 1,
+                          "n_query": q, "sum_depth": depth,
+                          "max_depth": depth}).dropna(subset=["host"])
+        return f.groupby(["host", "top_dir"], sort=False).agg(
+            n_urls=("n_urls", "sum"), n_query=("n_query", "sum"),
+            sum_depth=("sum_depth", "sum"),
+            max_depth=("max_depth", "max")).reset_index()
+
+    parts = (pages.select_columns(["url"])
+             .map_batches(partial, batch_format="pandas")
+             .to_pandas())              # ≤ #hosts × #sections × #blocks
+    bysec = parts.groupby(["host", "top_dir"], sort=True).agg(
+        n_urls=("n_urls", "sum"), n_query=("n_query", "sum"),
+        sum_depth=("sum_depth", "sum"),
+        max_depth=("max_depth", "max")).reset_index()
+    g = bysec.groupby("host", sort=True).agg(
+        n_urls=("n_urls", "sum"), n_query=("n_query", "sum"),
+        sum_path_depth=("sum_depth", "sum"),
+        max_path_depth=("max_depth", "max"),
+        n_top_dirs=("top_dir", "size")).reset_index()
+    for c in ("n_urls", "n_query", "sum_path_depth", "max_path_depth",
+              "n_top_dirs"):
+        g[c] = g[c].astype(np.int64)
+    return g
