@@ -253,6 +253,20 @@ def q_url_mix(sf_dir: str) -> pd.DataFrame:
     return url_mix_profile(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_host_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected host graph
+    — exact integer moments, one IEEE division mirrored verbatim."""
+    from ghcrawler_ray.ops.graph import host_assortativity
+    return host_assortativity(_links_ds(sf_dir))
+
+
+def q_index_shard_plan(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index shard balance plan (md5-hash term sharding) —
+    distinct-term and posting counts per shard, mirrored directly."""
+    from ghcrawler_ray.ops.search import index_shard_plan
+    return index_shard_plan(_docs(sf_dir))
+
+
 def q_indegree_gini(sf_dir: str) -> pd.DataFrame:
     """Gini concentration of in-link counts across each host's pages
     (popularity-skew / doorway-page signal) — exact fixed-point,
@@ -816,6 +830,13 @@ def q_hamming_topk(sf_dir: str) -> ray.data.Dataset:
     """Sign-binarized Hamming top-k (binary-code ANN) — integer
     distances, (hamming, neighbor_id) rank mirrored by row_number()."""
     return ops_ann.hamming_topk(_emb(sf_dir))
+
+
+def q_rrf_fuse(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the exact-cosine
+    and binary-Hamming rankers — exact integer RRF_FP//(60+rank) sums,
+    mirrored by composing both ranker CTEs."""
+    return ops_ann.rrf_fuse(_emb(sf_dir))
 
 
 def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
@@ -1938,6 +1959,27 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 CAST(({ops_graph.RECIP_FP} * n_recip)
                      // n_out_hosts AS BIGINT) AS recip_fp
             FROM g""",
+        # ops/graph.host_assortativity: exact integer moments, one IEEE
+        # division evaluated identically on both sides
+        "crawl_host_assortativity": f"""
+            WITH {_HOST_EDGES_CTES.format(pages=pages)},
+            und AS (SELECT s AS a, d AS b FROM e
+                    UNION SELECT d, s FROM e),
+            deg AS (SELECT a AS host, count(*)::BIGINT AS dg
+               FROM und GROUP BY 1),
+            ed AS (SELECT da.dg AS x, db.dg AS y
+               FROM und JOIN deg da ON da.host = und.a
+                        JOIN deg db ON db.host = und.b),
+            m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+               FROM ed)
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS n_hosts,
+                n // 2 AS n_edges,
+                CASE WHEN (n*sxx - sx*sx) > 0
+                     THEN CAST(n*sxy - sx*sx AS DOUBLE)
+                          / CAST(n*sxx - sx*sx AS DOUBLE)
+                     ELSE 0.0e0 END AS r
+            FROM m""",
         # ops/graph.host_scc: mutual reachability via recursive closure
         "crawl_host_scc": f"""
             WITH RECURSIVE {_HOST_EDGES_CTES.format(pages=pages)},
@@ -3222,6 +3264,54 @@ def _ops_sql() -> dict[str, str]:
                       * sum(CASE WHEN hit THEN 1 ELSE 0 END))
                      // greatest(count(*), 1) AS BIGINT) AS overlap_fp
             FROM j""",
+        # ops/search.index_shard_plan: md5-u64 term sharding rollup
+        "index_shard_plan": rf"""
+            WITH tok AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[^\s]+')) AS t
+               FROM documents),
+            d AS (SELECT DISTINCT doc_id, t FROM tok),
+            df AS (SELECT t, count(*)::BIGINT AS df FROM d GROUP BY 1),
+            sh AS (SELECT CAST(('0x'||substr(md5(t),1,16))::UBIGINT
+                 % {ops_search.N_INDEX_SHARDS} AS BIGINT) AS shard, df
+               FROM df)
+            SELECT shard, count(*)::BIGINT AS n_terms,
+                sum(df)::BIGINT AS n_postings
+            FROM sh GROUP BY 1""",
+        # ops/ann.rrf_fuse: both ranker CTEs composed, integer RRF
+        "rrf_fuse": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+               FROM embeddings),
+            sa AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.ev) AS c
+               FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+            ra AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY c DESC, neighbor_id)::BIGINT AS rank
+               FROM sa QUALIFY rank <= {ops_ann.TOPK}),
+            sb AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 length(list_filter(range(1, {ops_ann.EMB_DIM} + 1),
+                        i -> (q.qv[i] >= 0) <> (e.ev[i] >= 0)))::BIGINT
+                     AS hamming
+               FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+            rb AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY hamming, neighbor_id)::BIGINT AS rank
+               FROM sb QUALIFY rank <= {ops_ann.TOPK}),
+            u AS (SELECT query_id, neighbor_id FROM ra
+                  UNION SELECT query_id, neighbor_id FROM rb),
+            f AS (SELECT u.query_id, u.neighbor_id,
+                 coalesce({ops_ann.RRF_FP} // ({ops_ann.RRF_K} + ra.rank),
+                          0)
+                 + coalesce({ops_ann.RRF_FP} // ({ops_ann.RRF_K} + rb.rank),
+                            0) AS rrf_fp
+               FROM u LEFT JOIN ra USING (query_id, neighbor_id)
+                      LEFT JOIN rb USING (query_id, neighbor_id))
+            SELECT query_id, neighbor_id, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+                row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_fp DESC, neighbor_id)::BIGINT AS rank
+            FROM f QUALIFY rank <= {ops_ann.TOPK}""",
         # ops/relational.orders_with_returns: literal EXISTS semi-join
         "orders_with_returns": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders
@@ -3993,6 +4083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_scc": q_host_scc,
         "crawl_url_mix": q_url_mix,
         "crawl_indegree_gini": q_indegree_gini,
+        "crawl_host_assortativity": q_host_assortativity,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
@@ -4062,6 +4153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment,
         "ann_topk": q_ann_topk,
         "hamming_topk": q_hamming_topk,
+        "rrf_fuse": q_rrf_fuse,
+        "index_shard_plan": q_index_shard_plan,
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,
         "embedding_centroids": q_emb_centroids,

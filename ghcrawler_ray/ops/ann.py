@@ -1139,3 +1139,42 @@ def hamming_topk(emb: ray.data.Dataset, k: int = TOPK,
             .map_batches(local_topk, batch_format="pandas", batch_size=4096)
             .groupby("query_id")
             .map_groups(final_topk, batch_format="pandas"))
+
+
+# ---- reciprocal-rank fusion of two retrievers ----
+
+RRF_K = 60                       # Cormack et al. 2009 constant
+RRF_FP = 10 ** 6
+
+
+def rrf_fuse(emb: ray.data.Dataset, k: int = TOPK,
+             n_queries: int = N_QUERIES) -> pd.DataFrame:
+    """(query_id, neighbor_id, rrf_fp, rank): reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009) of the full-precision cosine
+    ranker (``ann_topk``) and the 1-bit Hamming ranker
+    (``hamming_topk``) — the standard way a serving stack combines a
+    cheap binary first-pass with an exact scorer without calibrating
+    their incomparable scores: score = Σ_lists 1/(60+rank), here as the
+    exact integer RRF_FP // (60 + rank). Fused rank breaks ties by
+    neighbor_id.
+
+    Scale shape: both input rankers already reduce to k·Q rows; the
+    fusion is a driver-side fold of two bounded lists (never a corpus
+    operation). The corpus is scanned twice (once per ranker) — at
+    scale the two local-topk passes share one scan trivially."""
+    a = ann_topk(emb, k=k, n_queries=n_queries).to_pandas()
+    b = hamming_topk(emb, k=k, n_queries=n_queries).to_pandas()
+    fp = np.int64(RRF_FP)
+    a = a[["query_id", "neighbor_id"]].assign(
+        s_a=fp // (RRF_K + a["rank"].to_numpy(np.int64)))
+    b = b[["query_id", "neighbor_id"]].assign(
+        s_b=fp // (RRF_K + b["rank"].to_numpy(np.int64)))
+    m = a.merge(b, on=["query_id", "neighbor_id"], how="outer")
+    m["rrf_fp"] = (m["s_a"].fillna(0).astype(np.int64)
+                   + m["s_b"].fillna(0).astype(np.int64))
+    m = m.sort_values(["query_id", "rrf_fp", "neighbor_id"],
+                      ascending=[True, False, True], kind="stable")
+    m["rank"] = m.groupby("query_id", sort=False).cumcount() + 1
+    out = m[m["rank"] <= k].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "neighbor_id", "rrf_fp", "rank"]]

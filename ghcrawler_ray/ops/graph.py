@@ -852,3 +852,32 @@ def host_indegree_gini(links: ray.data.Dataset,
             .map_groups(gini_of_hosts, batch_format="pandas")
             .to_pandas()
             .sort_values("host", kind="stable").reset_index(drop=True))
+
+
+# ---- degree assortativity over the host graph ----
+
+def host_assortativity(links: ray.data.Dataset) -> pd.DataFrame:
+    """One-row (n_hosts, n_edges, r): Pearson degree-degree correlation
+    across the undirected host graph's edges (Newman 2002) — r>0: big
+    sites link big sites (core/periphery web), r<0: hubs link leaves
+    (star-shaped link farms / directory sites). Endpoint degrees are
+    undirected-distinct; each edge contributes both orientations so the
+    moments are symmetric.
+
+    Exactness: all five moments (Σx, Σxy, Σx², n and the y-mirrors they
+    equal) are exact int64 sums over the bounded edge list; r is ONE
+    fixed IEEE-double expression evaluated identically in the SQL
+    mirror (the zscore_anomalies convention) — bit-exact, unrounded."""
+    e = host_edges(links)
+    und = pd.concat([e, e.rename(columns={"a": "b", "b": "a"})],
+                    ignore_index=True).drop_duplicates()
+    deg = und.groupby("a", sort=False).size()
+    x = und["a"].map(deg).to_numpy(np.int64)
+    y = und["b"].map(deg).to_numpy(np.int64)
+    n = np.int64(len(und))                  # 2 × undirected edge count
+    sx, sxy, sxx = map(np.int64, (x.sum(), (x * y).sum(), (x * x).sum()))
+    num = float(n * sxy - sx * sx)
+    den = float(n * sxx - sx * sx)
+    r = num / den if den > 0 else 0.0
+    return pd.DataFrame({"n_hosts": [np.int64(len(deg))],
+                         "n_edges": [n // 2], "r": [r]})

@@ -33,7 +33,7 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from .dedup import _WS_RE
+from .dedup import _WS_RE, _hash64_str
 
 #: fixed query — terms drawn from the synthetic corpus vocabulary
 QUERY_TERMS: tuple[str, ...] = ("spark", "window", "hash", "scan")
@@ -386,3 +386,66 @@ def postings_compression(docs: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part")
             .map_groups(lambda g: fold(g.drop(columns=["part"])),
                         batch_format="pandas"))
+
+
+# ---- inverted-index shard plan (index-build balance planner) ----
+
+N_INDEX_SHARDS = 16
+
+
+def index_shard_plan(docs: ray.data.Dataset,
+                     n_shards: int = N_INDEX_SHARDS) -> pd.DataFrame:
+    """(shard, n_terms, n_postings): how an md5-hash term-sharded
+    inverted index would balance across ``n_shards`` index servers —
+    the capacity-planning readout an index build runs BEFORE the
+    expensive posting construction (`postings` / `postings_compression`
+    are the per-term views; this is the per-shard rollup a serving
+    fleet is provisioned from).
+
+    Scale shape: per-batch combiner emits distinct (term-hash, df)
+    partial rows (docs are batch-unique, so per-batch df partials sum
+    exactly); ONE token-hash co-partition dedups terms and folds df;
+    each partition emits ≤ n_shards partial rows; driver folds
+    ≤ n_shards × parts rows. Tokens never re-shuffle."""
+
+    n_parts = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(_WS_RE)
+        rows = []
+        for tl in toks:
+            rows.append(pd.unique(np.asarray(tl, dtype=object)))
+        if not rows:
+            return pd.DataFrame({"h": np.empty(0, np.int64),
+                                 "df": np.empty(0, np.int64),
+                                 "part": np.empty(0, np.int32)})
+        flat = np.concatenate(rows)
+        c = pd.Series(flat).value_counts()
+        h = _hash64_str(list(c.index)).view(np.int64)
+        return pd.DataFrame({
+            "h": h, "df": c.to_numpy(np.int64),
+            "part": (h % n_parts).astype(np.int32)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", sort=False)["df"].sum()
+        hv = s.index.to_numpy(np.int64).view(np.uint64)
+        shard = (hv % np.uint64(n_shards)).astype(np.int64)
+        out = pd.DataFrame({"shard": shard,
+                            "df": s.to_numpy(np.int64)}).groupby(
+            "shard", sort=False).agg(n_terms=("df", "size"),
+                                     n_postings=("df", "sum")).reset_index()
+        for c2 in ("shard", "n_terms", "n_postings"):
+            out[c2] = out[c2].astype(np.int64)
+        return out
+
+    parts = (docs.select_columns(["text"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby("part")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())                  # ≤ n_shards × n_parts rows
+    out = parts.groupby("shard", sort=True).agg(
+        n_terms=("n_terms", "sum"), n_postings=("n_postings", "sum")) \
+        .reset_index()
+    for c in ("shard", "n_terms", "n_postings"):
+        out[c] = out[c].astype(np.int64)
+    return out
