@@ -1029,6 +1029,35 @@ def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
     return ops_ann.embedding_covariance(_emb(sf_dir))
 
 
+def q_event_stationary(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point Markov stationary distribution over event-type
+    transitions — unrolled HUGEINT CTE mirror of the power iteration."""
+    from ghcrawler_ray.ops.events import event_stationary
+    return event_stationary(_events(sf_dir))
+
+
+def q_kmv_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """KMV bottom-k estimate of the vocabulary Jaccard between v1 docs
+    and the _docs_v2 recrawl fixture (Beyer et al. 2007)."""
+    from ghcrawler_ray.ops.sketch import kmv_vocab_jaccard
+    return kmv_vocab_jaccard(_docs(sf_dir), _docs_v2(sf_dir))
+
+
+def q_proximity_search(sf_dir: str) -> ray.data.Dataset:
+    """Two-term proximity search (min token distance + pairs within the
+    window) — map-only positional op between phrase_search and BM25."""
+    from ghcrawler_ray.ops.search import proximity_search
+    return proximity_search(_docs(sf_dir))
+
+
+def q_host_fairness(sf_dir: str) -> pd.DataFrame:
+    """Jain's fairness index of per-host page counts — the crawl-budget
+    evenness scalar; exact moments + one mirrored IEEE division."""
+    from ghcrawler_ray.ops.urlstats import host_fairness
+    return host_fairness(_pages_ds(sf_of_dir(sf_dir))
+                         .select_columns(["url"]))
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1339,6 +1368,37 @@ def _trustrank_sql(pages: str, seeds: str) -> str:
                FROM n LEFT JOIN sg ON sg.host = n.host),{",".join(blocks)}
         SELECT n.host, {prev}.v AS trust_fp, t0.v > 0 AS is_seed
         FROM n JOIN {prev} USING (host) JOIN t0 USING (host)"""
+
+
+def _markov_sql() -> str:
+    """Unrolled HUGEINT power-iteration mirror of
+    ops/events.event_stationary — each term (p·n)//rowsum, floor."""
+    from ghcrawler_ray.ops.events import MARKOV_FP, MARKOV_ITERS
+    prev, blocks = "p0", []
+    for i in range(1, MARKOV_ITERS + 1):
+        blocks.append(f"""
+        p{i} AS (SELECT ty.et, CAST(coalesce(s.c, 0) AS BIGINT) AS v
+               FROM ty LEFT JOIN (
+                 SELECT tr.next_type AS et,
+                     sum(({prev}.v::HUGEINT * tr.n) // rs.s) AS c
+                 FROM tr JOIN rs ON rs.prev_type = tr.prev_type
+                      JOIN {prev} ON {prev}.et = tr.prev_type
+                 GROUP BY 1) s ON s.et = ty.et)""")
+        prev = f"p{i}"
+    return f"""
+        WITH s0 AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+           FROM events),
+        tr AS (SELECT prev AS prev_type, event_type AS next_type,
+             count(*)::BIGINT AS n
+           FROM s0 WHERE prev IS NOT NULL GROUP BY 1, 2),
+        ty AS (SELECT prev_type AS et FROM tr
+               UNION SELECT next_type FROM tr),
+        rs AS (SELECT prev_type, sum(n)::BIGINT AS s FROM tr GROUP BY 1),
+        p0 AS (SELECT et, CAST({MARKOV_FP} // (SELECT count(*) FROM ty)
+                 AS BIGINT) AS v FROM ty),{",".join(blocks)}
+        SELECT et AS event_type, v AS p_fp FROM {prev}"""
 
 
 def _hll_sql() -> str:
@@ -1897,6 +1957,18 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
+        # ops/urlstats.host_fairness: Jain index, one IEEE division
+        "crawl_host_fairness": f"""
+            WITH h AS (SELECT {ops_urlstats.HOST_SQL} AS host
+               FROM read_parquet('{pages}')),
+            c AS (SELECT host, count(*)::BIGINT AS n FROM h GROUP BY 1),
+            m AS (SELECT count(*)::BIGINT AS nh, sum(n)::BIGINT AS sx,
+                 sum(n*n)::BIGINT AS sxx FROM c)
+            SELECT nh AS n_hosts, sx AS n_pages,
+                CASE WHEN nh > 0
+                     THEN CAST(sx*sx AS DOUBLE) / CAST(nh*sxx AS DOUBLE)
+                     ELSE 0.0e0 END AS jain
+            FROM m""",
         # ops/urlstats.url_mix_profile
         "crawl_url_mix": f"""
             WITH u AS (SELECT url, {ops_urlstats.HOST_SQL} AS host,
@@ -3212,6 +3284,57 @@ def _ops_sql() -> dict[str, str]:
                      // (SELECT sum(n_tokens) FROM s) AS BIGINT) AS weight_fp
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
+        "event_stationary": _markov_sql(),
+        # ops/sketch.kmv_vocab_jaccard: bottom-k of the UNION, exact
+        # membership flags against each side's distinct hash set
+        "kmv_vocab_jaccard": rf"""
+            WITH newsnap AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                         ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' fresh'
+                FROM documents WHERE doc_id % 19 = 0),
+            ta AS (SELECT unnest(regexp_extract_all(lower(text),
+                 '[^\s]+')) AS t FROM documents),
+            ha AS (SELECT DISTINCT
+                 ('0x'||substr(md5(t),1,16))::UBIGINT AS hv
+               FROM (SELECT DISTINCT t FROM ta)),
+            tb AS (SELECT unnest(regexp_extract_all(lower(text),
+                 '[^\s]+')) AS t FROM newsnap),
+            hb AS (SELECT DISTINCT
+                 ('0x'||substr(md5(t),1,16))::UBIGINT AS hv
+               FROM (SELECT DISTINCT t FROM tb)),
+            u AS (SELECT hv FROM ha UNION SELECT hv FROM hb),
+            bk AS (SELECT hv FROM u ORDER BY hv LIMIT {ops_sketch.KMV_K}),
+            j AS (SELECT bk.hv, ha.hv IS NOT NULL AS in_a,
+                 hb.hv IS NOT NULL AS in_b
+               FROM bk LEFT JOIN ha USING (hv) LEFT JOIN hb USING (hv))
+            SELECT count(*)::BIGINT AS n_kept,
+                sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT
+                    AS n_both,
+                CAST({ops_sketch.KMV_J_FP}
+                     * sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                     // greatest(count(*), 1) AS BIGINT) AS jaccard_fp
+            FROM j""",
+        # ops/search.proximity_search: positional pair distances
+        "proximity_search": rf"""
+            WITH ts AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token,
+                 generate_subscripts(tk, 1) AS pos FROM ts),
+            pa AS (SELECT doc_id, pos FROM tok
+               WHERE token = '{ops_search.PROX_TERMS[0]}'),
+            pb AS (SELECT doc_id, pos FROM tok
+               WHERE token = '{ops_search.PROX_TERMS[1]}'),
+            p AS (SELECT pa.doc_id, abs(pa.pos - pb.pos)::BIGINT AS d
+               FROM pa JOIN pb USING (doc_id))
+            SELECT doc_id, min(d)::BIGINT AS min_dist,
+                sum(CASE WHEN d <= {ops_search.PROX_WINDOW}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_within
+            FROM p GROUP BY 1""",
         # ops/sketch.kmv_distinct_tokens: bottom-k md5 u64 hashes
         "kmv_distinct_tokens": rf"""
             WITH tok AS (SELECT lang,
@@ -4084,6 +4207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_mix": q_url_mix,
         "crawl_indegree_gini": q_indegree_gini,
         "crawl_host_assortativity": q_host_assortativity,
+        "crawl_host_fairness": q_host_fairness,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
@@ -4126,6 +4250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "hll_distinct_tokens": q_hll_distinct,
         "kmv_distinct_tokens": q_kmv_distinct,
+        "kmv_vocab_jaccard": q_kmv_vocab_jaccard,
+        "event_stationary": q_event_stationary,
+        "proximity_search": q_proximity_search,
         "corpus_ngram_overlap": q_corpus_ngram_overlap,
         "orders_with_returns": q_orders_with_returns,
         "hll_distinct_users": q_hll_users,

@@ -704,3 +704,43 @@ def props_key_stats(events: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("g")
             .map_groups(lambda d: finish(d.drop(columns=["g"])),
                         batch_format="pandas"))
+
+
+# ---- Markov stationary distribution over event-type transitions ----
+
+MARKOV_ITERS = 4
+MARKOV_FP = 10 ** 12
+
+
+def event_stationary(events: ray.data.Dataset,
+                     iters: int = MARKOV_ITERS) -> pd.DataFrame:
+    """(event_type, p_fp): fixed-point stationary distribution of the
+    event-type Markov chain — where user sessions SETTLE, the
+    next-action-model readout on top of ``event_transitions``' counts
+    (row-normalized transition matrix, ``iters`` power-iteration rounds
+    from uniform). Types with no outgoing transitions leak their mass
+    (documented, same convention as pagerank's dangling nodes).
+
+    Exactness: probabilities are 1e-12 fixed-point ints; each term is
+    (p·n) // rowsum in arbitrary-precision Python int (the matrix is
+    ≤ #types² — a bounded driver fold), mirrored by an unrolled CTE
+    chain in HUGEINT. Scale shape: all the heavy lifting is
+    ``event_transitions``' ONE user-hash co-partition; this op's own
+    work is O(#types²) per round."""
+    tr = event_transitions(events).to_pandas()
+    types = sorted(set(tr["prev_type"]) | set(tr["next_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    src = [idx[t] for t in tr["prev_type"]]
+    dst = [idx[t] for t in tr["next_type"]]
+    cnt = [int(x) for x in tr["n"]]
+    rowsum = [0] * len(types)
+    for s, c in zip(src, cnt):
+        rowsum[s] += c
+    p = [MARKOV_FP // len(types)] * len(types)
+    for _ in range(iters):
+        nxt = [0] * len(types)
+        for s, d, c in zip(src, dst, cnt):
+            nxt[d] += (p[s] * c) // rowsum[s]
+        p = nxt
+    return pd.DataFrame({"event_type": np.array(types, dtype=object),
+                         "p_fp": np.array(p, dtype=np.int64)})

@@ -449,3 +449,47 @@ def index_shard_plan(docs: ray.data.Dataset,
     for c in ("shard", "n_terms", "n_postings"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---- proximity search (two terms within a token window) ----
+
+PROX_TERMS: tuple[str, str] = ("hash", "scan")
+PROX_WINDOW = 6
+
+
+def proximity_search(docs: ray.data.Dataset,
+                     terms: tuple[str, str] = PROX_TERMS,
+                     window: int = PROX_WINDOW) -> ray.data.Dataset:
+    """(doc_id, min_dist, n_within): documents where BOTH terms occur,
+    with the minimum token distance between any occurrence pair and the
+    number of pairs within ``window`` tokens — the proximity operator
+    ranking engines run between exact ``phrase_search`` (distance 1,
+    ordered) and bag-of-words BM25 (no positions). Unordered distance.
+
+    Scale shape: map-only (zero shuffles) — positions come from the
+    batch's token arrays, the pair-distance fold is numpy per doc
+    (occurrence counts are tiny); only matching (doc_id, 2 ints) rows
+    leave the task."""
+    a_term, b_term = terms
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(_WS_RE)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        out_id, out_min, out_n = [], [], []
+        for did, tl in zip(ids, toks):
+            t = np.asarray(tl, dtype=object)
+            pa = np.flatnonzero(t == a_term)
+            pb = np.flatnonzero(t == b_term)
+            if len(pa) == 0 or len(pb) == 0:
+                continue
+            d = np.abs(pa[:, None] - pb[None, :])
+            out_id.append(did)
+            out_min.append(int(d.min()))
+            out_n.append(int((d <= window).sum()))
+        return pd.DataFrame({
+            "doc_id": np.array(out_id, dtype=np.int64),
+            "min_dist": np.array(out_min, dtype=np.int64),
+            "n_within": np.array(out_n, dtype=np.int64)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(match, batch_format="pandas"))

@@ -361,3 +361,55 @@ def kmv_distinct_tokens(docs: ray.data.Dataset,
         "lang": np.array([o[0] for o in out], dtype=object),
         "n_kept": np.array([o[1] for o in out], dtype=np.int64),
         "est_distinct": np.array([o[2] for o in out], dtype=np.int64)})
+
+
+# ---- KMV-sketch vocabulary Jaccard between two corpora ----
+
+KMV_J_FP = 10 ** 6
+
+
+def kmv_vocab_jaccard(old: ray.data.Dataset, new: ray.data.Dataset,
+                      k: int = KMV_K) -> pd.DataFrame:
+    """One-row (n_kept, n_both, jaccard_fp): KMV-sketch estimate of the
+    token-vocabulary Jaccard between two corpora — the k smallest
+    distinct hashes of the UNION form an (exactly) uniform sample of
+    the union, so |sample ∩ (A∩B)| / |sample| estimates |A∩B|/|A∪B|
+    (Beyer et al. 2007). Below k union-distinct values the answer is
+    EXACT. The corpus-level drift scalar next to ``snapshot_diff``'s
+    per-doc statuses and ``corpus_ngram_overlap``'s containment.
+
+    Exactness of the MIRROR: md5-u64 hashes, bottom-k by window
+    row_number, one integer division — bit-exact. Scale shape: each
+    side's per-batch combiner keeps its k smallest distinct hashes
+    tagged by side; the fold is ≤ 2k × #blocks slim rows."""
+
+    def side(tag: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            tok_lists = df["text"].astype(str).str.lower().str.findall(
+                WS_TOKEN_RE)
+            toks = set()
+            for tl in tok_lists:
+                toks.update(tl)
+            h = np.unique(_hash_u64(sorted(toks)))[:k]
+            return pd.DataFrame({
+                "hv": h.view(np.int64),
+                "side": np.full(len(h), tag, dtype=np.int8)})
+        return f
+
+    rows = (old.select_columns(["text"]).map_batches(
+                side(0), batch_format="pandas")
+            .union(new.select_columns(["text"]).map_batches(
+                side(1), batch_format="pandas"))
+            .to_pandas())                       # ≤ 2k × #blocks rows
+    hv = rows["hv"].to_numpy(np.int64).view(np.uint64)
+    sd = rows["side"].to_numpy(np.int8)
+    union = np.unique(hv)[:k]                   # bottom-k of the union
+    in_a = np.isin(union, np.unique(hv[sd == 0]), assume_unique=False)
+    in_b = np.isin(union, np.unique(hv[sd == 1]), assume_unique=False)
+    n_kept = len(union)
+    n_both = int((in_a & in_b).sum())
+    return pd.DataFrame({
+        "n_kept": np.array([n_kept], dtype=np.int64),
+        "n_both": np.array([n_both], dtype=np.int64),
+        "jaccard_fp": np.array([KMV_J_FP * n_both // max(n_kept, 1)],
+                               dtype=np.int64)})

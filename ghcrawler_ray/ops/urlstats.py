@@ -392,3 +392,33 @@ def url_mix_profile(pages: ray.data.Dataset) -> pd.DataFrame:
               "n_top_dirs"):
         g[c] = g[c].astype(np.int64)
     return g
+
+
+# ---- Jain fairness of per-host page counts ----
+
+def host_fairness(pages: ray.data.Dataset) -> pd.DataFrame:
+    """One-row (n_hosts, n_pages, jain): Jain's fairness index
+    (Σx)²/(n·Σx²) of per-host page counts — 1.0 when the crawl budget
+    spread evenly across hosts, →1/n when one host ate the frontier
+    (the scalar the drain_plan table rolls up to; Jain, Chiu & Hawe
+    1984). Exact integer moments; the single IEEE division is the same
+    expression in the SQL mirror — bit-exact, unrounded.
+
+    Scale shape: per-batch host-count combiner → #hosts-bounded fold →
+    three scalars."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["url"].astype(str).str.extract(r"^https?://([^/?#]+)")[0]
+             .str.lower())
+        c = h.dropna().value_counts()
+        return pd.DataFrame({"host": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy(np.int64)})
+
+    parts = (pages.select_columns(["url"])
+             .map_batches(partial, batch_format="pandas")
+             .to_pandas())                    # ≤ #hosts × #blocks rows
+    x = parts.groupby("host", sort=False)["n"].sum().to_numpy(np.int64)
+    n = np.int64(len(x))
+    sx, sxx = np.int64(x.sum()), np.int64((x * x).sum())
+    jain = float(sx * sx) / float(n * sxx) if n > 0 else 0.0
+    return pd.DataFrame({"n_hosts": [n], "n_pages": [sx], "jain": [jain]})
