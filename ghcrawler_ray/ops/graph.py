@@ -364,19 +364,7 @@ def host_components(links: ray.data.Dataset) -> ray.data.Dataset:
     components generalize it to the discovered link structure."""
     from .dedup import _cc_labels
 
-    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        out = pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
-        return out
-
-    pairs = (links.select_columns(["src_url", "dst_url"])
-             .map_batches(host_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count()           # global distinct pairs
-             .select_columns(["a", "b"])
-             .to_pandas())                           # ≤ #hosts² ≪ #urls
+    pairs = _host_pairs_raw(links)
     hosts = sorted(set(pairs["a"]) | set(pairs["b"]))
     ids = _host_ids(hosts)
     id_of = dict(zip(hosts, ids))
@@ -419,18 +407,7 @@ def host_triangles(links: ray.data.Dataset) -> pd.DataFrame:
     where host pairs outgrow one task, the same two joins run as
     hash64(key) co-partition stages (the order_revenue_join shape)."""
 
-    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
-
-    pairs = (links.select_columns(["src_url", "dst_url"])
-             .map_batches(host_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count()           # global distinct pairs
-             .select_columns(["a", "b"])
-             .to_pandas())                           # ≤ #hosts² ≪ #urls
+    pairs = _host_pairs_raw(links)
     a = pairs["a"].to_numpy(dtype=object)
     b = pairs["b"].to_numpy(dtype=object)
     keep = a != b
@@ -465,18 +442,7 @@ def host_clustering(links: ray.data.Dataset) -> pd.DataFrame:
     neighbors) + triangle participation both come from that canonical
     edge list with vectorized merges."""
 
-    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
-
-    pairs = (links.select_columns(["src_url", "dst_url"])
-             .map_batches(host_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count()
-             .select_columns(["a", "b"])
-             .to_pandas())
+    pairs = _host_pairs_raw(links)
     a = pairs["a"].to_numpy(dtype=object)
     b = pairs["b"].to_numpy(dtype=object)
     keep = a != b
@@ -530,18 +496,7 @@ def host_hits(links: ray.data.Dataset,
     canonical edge list (the same budget as ``host_triangles`` /
     ``host_components``), vectorized groupby-sums per round."""
 
-    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
-
-    pairs = (links.select_columns(["src_url", "dst_url"])
-             .map_batches(host_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count()
-             .select_columns(["a", "b"])
-             .to_pandas())                           # ≤ #hosts² ≪ #urls
+    pairs = _host_pairs_raw(links)
     e = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
     hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
     idx = {h: i for i, h in enumerate(hosts)}
@@ -583,18 +538,7 @@ def host_closeness(links: ray.data.Dataset) -> pd.DataFrame:
     BOUNDED job parameter (≈10⁵ even web-scale), and past that the
     same expansion runs as the delta-BSP rounds of
     ``host_components``."""
-    def host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
-             .str.lower())
-        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
-
-    pairs = (links.select_columns(["src_url", "dst_url"])
-             .map_batches(host_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count()
-             .select_columns(["a", "b"])
-             .to_pandas())                            # ≤ #hosts² ≪ #urls
+    pairs = _host_pairs_raw(links)
     a = pairs["a"].to_numpy(dtype=object)
     b = pairs["b"].to_numpy(dtype=object)
     keep = a != b
@@ -625,26 +569,48 @@ def host_closeness(links: ray.data.Dataset) -> pd.DataFrame:
 
 # ---- shared bounded host-edge collapse ----
 
-def host_edges(links: ray.data.Dataset) -> pd.DataFrame:
-    """DIRECTED distinct host-pair edge list (a → b wherever any page of
-    host a links any page of host b; self-loops dropped) — the
-    #hosts-bounded table the host-graph family shares: page edges
-    collapse to distinct pairs inside each batch, one global distinct
-    groupby finishes, and everything after runs on ≤ #hosts² rows
-    (#hosts is a bounded job parameter, ≈10⁵ even web-scale)."""
+_PAIR_PARTS = 32
+_PAIR_BATCH = 65536
+
+
+def _host_pairs_raw(links: ray.data.Dataset) -> pd.DataFrame:
+    """Distinct directed host pairs (self-loops INCLUDED) — the
+    #hosts-bounded table the whole host-graph family starts from.
+
+    Perf shape (measured): the naive ``groupby(["a","b"]).count()``
+    sort-shuffled ~1M string-pair partial rows at sf0.1 (77 s) because
+    the default ~1k batch size made the per-batch dedup useless. Fix:
+    LARGE batches (per-batch dedup collapses 64k url rows to ≤ the
+    distinct-pair count) + an int-hash coarse co-partition fold instead
+    of a global string sort — same exact result, seconds not minutes,
+    and the driver pull stays ≤ #hosts² rows."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         a = (df["src_url"].astype(str).str.extract(_HOST_RE)[0]
              .str.lower())
         b = (df["dst_url"].astype(str).str.extract(_HOST_RE)[0]
              .str.lower())
-        return pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+        out = pd.DataFrame({"a": a, "b": b}).dropna().drop_duplicates()
+        out["part"] = (hash64_array(out["a"] + "\x00" + out["b"])
+                       % _PAIR_PARTS).astype(np.int32)
+        return out
 
-    e = (links.select_columns(["src_url", "dst_url"])
-         .map_batches(pairs, batch_format="pandas")
-         .groupby(["a", "b"]).count()
-         .select_columns(["a", "b"])
-         .to_pandas())                               # ≤ #hosts² ≪ #urls
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    return (links.select_columns(["src_url", "dst_url"])
+            .map_batches(pairs, batch_format="pandas",
+                         batch_size=_PAIR_BATCH)
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas())                            # ≤ #hosts² ≪ #urls
+
+
+def host_edges(links: ray.data.Dataset) -> pd.DataFrame:
+    """DIRECTED distinct host-pair edge list (a → b wherever any page of
+    host a links any page of host b; self-loops dropped) — see
+    ``_host_pairs_raw`` for the collapse's scale/perf shape."""
+    e = _host_pairs_raw(links)
     return e[e["a"] != e["b"]].reset_index(drop=True)
 
 
