@@ -763,6 +763,19 @@ def q_corpus_ngram_overlap(sf_dir: str) -> pd.DataFrame:
     return ops_contam.corpus_ngram_overlap(_docs(sf_dir), _docs_v2(sf_dir))
 
 
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-shaped ANTI join: customers with no orders per market
+    segment — mirrored by a literal NOT EXISTS."""
+    return ops_rel.customers_without_orders(_table(sf_dir, "customer"),
+                                            _table(sf_dir, "orders"))
+
+
+def q_source_lang_pivot(sf_dir: str) -> pd.DataFrame:
+    """source × lang crosstab of document counts — the wide pivot only
+    materializes on the driver; slim count rows move."""
+    return ops_corpus.source_lang_pivot(_docs(sf_dir))
+
+
 def q_orders_with_returns(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q4-shaped EXISTS semi-join: orders with >=1 returned line
     item, counted per priority — mirrored by a literal EXISTS."""
@@ -3435,6 +3448,25 @@ def _ops_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY query_id
                     ORDER BY rrf_fp DESC, neighbor_id)::BIGINT AS rank
             FROM f QUALIFY rank <= {ops_ann.TOPK}""",
+        # ops/relational.customers_without_orders: literal NOT EXISTS
+        "customers_without_orders": f"""
+            SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+                sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+                    AS total_acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority =
+                                    '{ops_rel.ANTI_PRIORITY}')
+            GROUP BY 1""",
+        # ops/corpus.source_lang_pivot: conditional-agg crosstab over
+        # the pinned PIVOT_LANGS domain
+        "source_lang_pivot": ("""
+            SELECT source, """ + ", ".join(
+            f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_{lg}" for lg in ops_corpus.PIVOT_LANGS) + """,
+                count(*)::BIGINT AS n_total
+            FROM documents GROUP BY 1"""),
         # ops/relational.orders_with_returns: literal EXISTS semi-join
         "orders_with_returns": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders
@@ -4255,6 +4287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": q_proximity_search,
         "corpus_ngram_overlap": q_corpus_ngram_overlap,
         "orders_with_returns": q_orders_with_returns,
+        "customers_without_orders": q_customers_without_orders,
+        "source_lang_pivot": q_source_lang_pivot,
         "hll_distinct_users": q_hll_users,
         "hist_length_quantiles": q_hist_quantiles,
         "quality_percentile_gate": q_quality_gate,

@@ -907,3 +907,44 @@ def proportional_sample(docs: ray.data.Dataset,
             .map_batches(local_topn, batch_format="pandas")
             .groupby("lang")
             .map_groups(final, batch_format="pandas"))
+
+
+# ---- pivot / crosstab: source × lang document counts ----
+
+#: the documents table's lang domain (stable across scale factors); the
+#: op derives its columns from the data — the SQL mirror pins this set
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_pivot(docs: ray.data.Dataset) -> pd.DataFrame:
+    """(source, n_<lang>..., n_total): document counts crosstabbed
+    source × lang — the wide pivot shape every corpus report ends in
+    (one row per source, one column per language). Column set is the
+    LANG domain observed in the corpus, sorted, so the output schema is
+    deterministic for a given corpus.
+
+    Scale shape: per-batch (source, lang) count combiner (bounded by
+    #sources × #langs per batch) → tiny driver fold → one pivot of a
+    #sources × #langs frame. The wide format never exists distributed —
+    only the slim count rows move."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "lang"], sort=False,
+                         as_index=False).size()
+        out["n"] = out["size"].astype(np.int64)
+        return out[["source", "lang", "n"]]
+
+    rows = (docs.select_columns(["source", "lang"])
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas())              # ≤ #sources × #langs × #blocks
+    agg = rows.groupby(["source", "lang"], sort=True)["n"].sum() \
+        .reset_index()
+    langs = sorted(agg["lang"].unique())
+    wide = agg.pivot(index="source", columns="lang", values="n") \
+        .fillna(0).astype(np.int64)
+    wide = wide.reindex(columns=langs).reset_index()
+    wide.columns = ["source"] + [f"n_{lg}" for lg in langs]
+    wide["n_total"] = wide[[f"n_{lg}" for lg in langs]].sum(axis=1) \
+        .astype(np.int64)
+    wide["source"] = wide["source"].astype(object)
+    return wide.sort_values("source", kind="stable").reset_index(drop=True)

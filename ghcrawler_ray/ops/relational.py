@@ -502,3 +502,76 @@ def orders_with_returns(orders: ray.data.Dataset,
     out = parts.groupby("prio", sort=True)["n"].sum().reset_index()
     return pd.DataFrame({"o_orderpriority": out["prio"].astype(object),
                          "n_orders": out["n"].astype(np.int64)})
+
+
+# ---- TPC-H Q22-shaped big×big ANTI join ----
+
+ANTI_PRIORITY = "1-URGENT"
+
+
+def customers_without_orders(customer: ray.data.Dataset,
+                             orders: ray.data.Dataset,
+                             priority: str = ANTI_PRIORITY) -> pd.DataFrame:
+    """(c_mktsegment, n_customers, total_acctbal_cents): customers who
+    never placed a ``priority`` order, rolled up per market segment —
+    the TPC-H Q22 anti-join shape completing the join family: inner
+    (order_revenue_join), broadcast (segment_revenue), semi
+    (orders_with_returns), and now anti. (Every customer in this
+    generator has SOME order, so the anti predicate filters on order
+    priority to stay selective.) Balances carried as exact integer
+    cents.
+
+    Scale shape: orders fold to per-batch DISTINCT matching custkeys
+    (slim int combiner); customers ride as (custkey, segment, cents)
+    rows; ONE custkey-hash co-partition; inside each coarse partition
+    the anti-join is one vectorized ``~isin``; ≤ #parts × #segments
+    partial rows fold on the driver."""
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "seg": df["c_mktsegment"].astype(str),
+            "bal": _cents(df["c_acctbal"])})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["o_orderpriority"].astype(str) == priority
+        k = np.unique(df.loc[sel, "o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "seg": np.full(len(k), "", dtype=object),
+            "bal": np.zeros(len(k), dtype=np.int64)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        has = g.loc[g["side"] == 1, "k"].to_numpy(np.int64)
+        miss = c[~c["k"].isin(has)]
+        out = miss.groupby("seg", sort=False).agg(
+            n=("k", "size"), bal=("bal", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["bal"] = out["bal"].astype(np.int64)
+        return out[["seg", "n", "bal"]]
+
+    parts = (customer.select_columns(["c_custkey", "c_mktsegment",
+                                      "c_acctbal"])
+             .map_batches(tag_cust, batch_format="pandas")
+             .union(orders.select_columns(["o_custkey",
+                                           "o_orderpriority"])
+                    .map_batches(tag_orders, batch_format="pandas"))
+             .groupby("part")
+             .map_groups(anti, batch_format="pandas")
+             .to_pandas())                 # ≤ #parts × #segments rows
+    if not len(parts):
+        parts = pd.DataFrame({"seg": np.empty(0, object),
+                              "n": np.empty(0, np.int64),
+                              "bal": np.empty(0, np.int64)})
+    out = parts.groupby("seg", sort=True).agg(
+        n_customers=("n", "sum"),
+        total_acctbal_cents=("bal", "sum")).reset_index()
+    return pd.DataFrame({
+        "c_mktsegment": out["seg"].astype(object),
+        "n_customers": out["n_customers"].astype(np.int64),
+        "total_acctbal_cents": out["total_acctbal_cents"]
+        .astype(np.int64)})
