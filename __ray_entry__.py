@@ -845,6 +845,18 @@ def q_hamming_topk(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.hamming_topk(_emb(sf_dir))
 
 
+def q_dim_truncation_recall(sf_dir: str) -> pd.DataFrame:
+    """Matryoshka-truncation recall@k: first-16-dims cosine search vs
+    full-dim exact — both rankers mirrored with sliced-list cosine."""
+    return ops_ann.dim_truncation_recall(_emb(sf_dir))
+
+
+def q_c4_filter_flags(sf_dir: str) -> ray.data.Dataset:
+    """C4/Gopher boolean rule battery (integer-exact thresholds),
+    map-only — mirrored by direct column expressions."""
+    return ops_text.c4_filter_flags(_docs(sf_dir))
+
+
 def q_rrf_fuse(sf_dir: str) -> pd.DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) of the exact-cosine
     and binary-Hamming rankers — exact integer RRF_FP//(60+rank) sums,
@@ -3413,6 +3425,64 @@ def _ops_sql() -> dict[str, str]:
             SELECT shard, count(*)::BIGINT AS n_terms,
                 sum(df)::BIGINT AS n_postings
             FROM sh GROUP BY 1""",
+        # ops/text.c4_filter_flags: direct integer column expressions
+        "c4_filter_flags": rf"""
+            WITH t AS (SELECT doc_id, text,
+                 regexp_extract_all(text, '[^\s]+') AS tk
+               FROM documents),
+            d AS (SELECT doc_id, len(tk)::BIGINT AS n_words,
+                 coalesce(list_max(list_transform(tk,
+                     x -> length(x))), 0)::BIGINT AS max_wlen,
+                 coalesce(list_sum(list_transform(tk,
+                     x -> length(x))), 0)::BIGINT AS tot_wchars,
+                 length(text)::BIGINT AS n_chars,
+                 length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+                     AS n_digits
+               FROM t),
+            fl AS (SELECT doc_id, n_words,
+                 n_words < {ops_text.C4_MIN_WORDS} AS too_short,
+                 max_wlen > {ops_text.C4_MAX_WORD_LEN} AS long_word,
+                 (CASE WHEN n_words > 0 THEN 10 * tot_wchars // n_words
+                       ELSE 0 END)
+                     < {ops_text.C4_MIN_AVG_WORD_LEN_X10} AS bad_avg_len,
+                 (CASE WHEN n_chars > 0 THEN 100 * n_digits // n_chars
+                       ELSE 0 END)
+                     > {ops_text.C4_MAX_DIGIT_PCT} AS digit_heavy
+               FROM d)
+            SELECT doc_id, n_words, too_short, long_word, bad_avg_len,
+                digit_heavy,
+                NOT (too_short OR long_word OR bad_avg_len
+                     OR digit_heavy) AS keep
+            FROM fl""",
+        # ops/ann.dim_truncation_recall: both rankers, sliced-list cosine
+        "dim_truncation_recall": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+               FROM embeddings),
+            sf_ AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, e.ev) AS c
+               FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+            rf AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY c DESC, neighbor_id) AS rank
+               FROM sf_ QUALIFY rank <= {ops_ann.TOPK}),
+            st AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv[1:{ops_ann.TRUNC_DIM}],
+                                        e.ev[1:{ops_ann.TRUNC_DIM}]) AS c
+               FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+            rt AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY c DESC, neighbor_id) AS rank
+               FROM st QUALIFY rank <= {ops_ann.TOPK}),
+            j AS (SELECT rf.query_id,
+                 count(rt.neighbor_id)::BIGINT AS n_hits
+               FROM rf LEFT JOIN rt USING (query_id, neighbor_id)
+               GROUP BY 1)
+            SELECT query_id, n_hits,
+                CAST({ops_ann.TRUNC_FP} * n_hits
+                     // {ops_ann.TOPK} AS BIGINT) AS recall_fp
+            FROM j""",
         # ops/ann.rrf_fuse: both ranker CTEs composed, integer RRF
         "rrf_fuse": f"""
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -4315,6 +4385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "hamming_topk": q_hamming_topk,
         "rrf_fuse": q_rrf_fuse,
+        "dim_truncation_recall": q_dim_truncation_recall,
+        "c4_filter_flags": q_c4_filter_flags,
         "index_shard_plan": q_index_shard_plan,
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,

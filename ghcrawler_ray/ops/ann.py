@@ -1178,3 +1178,46 @@ def rrf_fuse(emb: ray.data.Dataset, k: int = TOPK,
     out = m[m["rank"] <= k].reset_index(drop=True)
     out["rank"] = out["rank"].astype(np.int64)
     return out[["query_id", "neighbor_id", "rrf_fp", "rank"]]
+
+
+# ---- Matryoshka-style dimension-truncation recall eval ----
+
+TRUNC_DIM = 16
+TRUNC_FP = 10 ** 6
+
+
+def dim_truncation_recall(emb: ray.data.Dataset, k: int = TOPK,
+                          n_queries: int = N_QUERIES,
+                          dim: int = TRUNC_DIM) -> pd.DataFrame:
+    """(query_id, n_hits, recall_fp): recall@k of cosine search over the
+    FIRST ``dim`` embedding dimensions against full-dimension exact
+    search — the Matryoshka-truncation evaluation (Kusupati et al.
+    2022) a serving stack runs before shipping shortened vectors (4×
+    fewer floats at what recall?). Companion to ``ann_recall_eval``
+    (IVF error) and ``quantize_embeddings``/``pq_codes`` (precision
+    error): this one isolates DIMENSION error.
+
+    Scale shape: two ``ann_topk``-shaped passes (broadcast queries,
+    per-batch local top-k, k·Q-row reduce) — the truncated pass slices
+    inside the batch, so the corpus never rewrites; the recall join is
+    a driver fold of two k·Q lists."""
+    full = ann_topk(emb, k=k, n_queries=n_queries).to_pandas()
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "embedding": [np.asarray(v, dtype=np.float64)[:dim]
+                          for v in df["embedding"]]})
+
+    trunc = ann_topk(emb.select_columns(["vec_id", "embedding"])
+                     .map_batches(cut, batch_format="pandas"),
+                     k=k, n_queries=n_queries).to_pandas()
+    f = full.groupby("query_id")["neighbor_id"].apply(set)
+    t = trunc.groupby("query_id")["neighbor_id"].apply(set)
+    qids = sorted(f.index)
+    hits = np.array([len(f[q] & t.get(q, set())) for q in qids],
+                    dtype=np.int64)
+    return pd.DataFrame({
+        "query_id": np.array(qids, dtype=np.int64),
+        "n_hits": hits,
+        "recall_fp": np.int64(TRUNC_FP) * hits // np.int64(k)})

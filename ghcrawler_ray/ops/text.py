@@ -623,3 +623,54 @@ def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
             .groupby(["true_lang", "pred_lang"])     # ≤ langs² rows
             .aggregate(Sum("n", alias_name="n"))
             .map_batches(fix, batch_format="pandas"))
+
+
+# ---- C4/Gopher-style boolean filter rules ----
+
+C4_MIN_WORDS = 5
+C4_MAX_WORD_LEN = 20
+C4_MIN_AVG_WORD_LEN_X10 = 20      # avg word length ≥ 2.0 (×10 fixed)
+C4_MAX_DIGIT_PCT = 20             # >20% digit chars → flagged
+
+
+def c4_filter_flags(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_words, too_short, long_word, bad_avg_len, digit_heavy,
+    keep): the C4/Gopher-style boolean rule battery (Raffel et al. 2020
+    §2.2 / Rae et al. 2021 A1.1, adapted to integer-exact forms) — each
+    rule a vectorized column test, ``keep`` their conjunction. All
+    thresholds integer (avg word length as 10·total_chars//words; digit
+    share as 100·digits//chars) so the SQL mirror is bit-exact.
+
+    Scale shape: map-only, zero shuffles — the cheapest curation pass
+    in the catalog, run BEFORE the expensive dedup/LSH stages to shed
+    junk early (filter-then-dedup ordering)."""
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype(str)
+        toks = t.str.findall(WS_TOKEN_RE)
+        n_words = toks.map(len).to_numpy(np.int64)
+        max_wlen = toks.map(
+            lambda xs: max((len(x) for x in xs), default=0)) \
+            .to_numpy(np.int64)
+        tot_wchars = toks.map(
+            lambda xs: sum(len(x) for x in xs)).to_numpy(np.int64)
+        n_chars = t.str.len().to_numpy(np.int64)
+        n_digits = t.str.count(r"[0-9]").to_numpy(np.int64)
+        too_short = n_words < C4_MIN_WORDS
+        long_word = max_wlen > C4_MAX_WORD_LEN
+        avg_x10 = np.where(n_words > 0, 10 * tot_wchars
+                           // np.maximum(n_words, 1), 0)
+        bad_avg_len = avg_x10 < C4_MIN_AVG_WORD_LEN_X10
+        digit_heavy = np.where(n_chars > 0, 100 * n_digits
+                               // np.maximum(n_chars, 1),
+                               0) > C4_MAX_DIGIT_PCT
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_words": n_words,
+            "too_short": too_short, "long_word": long_word,
+            "bad_avg_len": bad_avg_len, "digit_heavy": digit_heavy,
+            "keep": ~(too_short | long_word | bad_avg_len
+                      | digit_heavy)})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        flags, batch_format="pandas")
