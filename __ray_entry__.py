@@ -410,6 +410,27 @@ def q_robots_eval(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.robots_eval(_pages_ds(sf), rules)
 
 
+def q_robots_coverage(sf_dir: str) -> pd.DataFrame:
+    """Per-host rollup of the full-REP verdicts: how much of the host's
+    sitemap-advertised URL space robots actually permits."""
+    sf = sf_of_dir(sf_dir)
+    root = ensure_testdata(sf)
+    robots = pq.read_table(str(root / "robots.parquet")).to_pandas()
+    rows = [(r.host, pat, flag)
+            for r in robots.itertuples()
+            for p in r.disallow_prefixes
+            for pat, flag in ((p, 0), (p + "0", 1))]
+    rules = pd.DataFrame(rows, columns=["host", "pattern", "is_allow"])
+    return ops_urlstats.robots_coverage(_pages_ds(sf), rules)
+
+
+def q_conversion_latency(sf_dir: str) -> ray.data.Dataset:
+    """Per-user first-view→first-subsequent-purchase latency in exact
+    integer µs — the funnel's lost latency table."""
+    from ghcrawler_ray.ops.events import conversion_latency
+    return conversion_latency(_events(sf_dir))
+
+
 def q_url_compression(sf_dir: str) -> ray.data.Dataset:
     """Front-coding storage estimate over the page URL space."""
     return ops_urlstats.url_prefix_compression(_pages_ds(sf_of_dir(sf_dir)))
@@ -1979,6 +2000,32 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT u.url, coalesce(m.la >= m.ld, TRUE) AS allowed,
                 coalesce(greatest(m.la, m.ld), -1)::BIGINT AS match_len
             FROM u LEFT JOIN m USING (url)""",
+        # ops/urlstats.robots_coverage: the verdict CTE rolled up by host
+        "crawl_robots_coverage": f"""
+            WITH r0 AS (SELECT host, unnest(disallow_prefixes) AS p
+               FROM read_parquet('{seeds_dir}/robots.parquet')),
+            rules AS (SELECT host, p AS pat, 0 AS is_allow FROM r0
+                      UNION ALL
+                      SELECT host, p || '0' AS pat, 1 AS is_allow FROM r0),
+            u AS (SELECT url, {ops_urlstats.HOST_SQL} AS host,
+                     {ops_urlstats.PATH_SQL} AS path
+               FROM read_parquet('{pages}')),
+            m AS (SELECT u.url,
+                     max(CASE WHEN r.is_allow = 1 THEN length(r.pat)
+                              ELSE -1 END) AS la,
+                     max(CASE WHEN r.is_allow = 0 THEN length(r.pat)
+                              ELSE -1 END) AS ld
+               FROM u JOIN rules r
+                 ON u.host = r.host AND starts_with(u.path, r.pat)
+               GROUP BY u.url),
+            v AS (SELECT u.host, coalesce(m.la >= m.ld, TRUE) AS allowed
+               FROM u LEFT JOIN m USING (url))
+            SELECT host, count(*)::BIGINT AS n_urls,
+                sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT
+                    AS n_allowed,
+                sum(CASE WHEN allowed THEN 0 ELSE 1 END)::BIGINT
+                    AS n_blocked
+            FROM v GROUP BY 1""",
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
@@ -3310,6 +3357,18 @@ def _ops_sql() -> dict[str, str]:
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
         "event_stationary": _markov_sql(),
+        # ops/events.conversion_latency: exact µs first-view→purchase
+        "conversion_latency": """
+            WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS pt
+               FROM events e JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= v.vt
+               GROUP BY 1)
+            SELECT p.user_id,
+                date_diff('microsecond', v.vt, p.pt)::BIGINT
+                    AS latency_us
+            FROM p JOIN v USING (user_id)""",
         # ops/sketch.kmv_vocab_jaccard: bottom-k of the UNION, exact
         # membership flags against each side's distinct hash set
         "kmv_vocab_jaccard": rf"""
@@ -4310,6 +4369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_indegree_gini": q_indegree_gini,
         "crawl_host_assortativity": q_host_assortativity,
         "crawl_host_fairness": q_host_fairness,
+        "crawl_robots_coverage": q_robots_coverage,
         "crawl_degree_stats": q_degree_stats,
         "crawl_doc_kinds": q_doc_kinds,
         "crawl_scope_filter": q_scope_filter,
@@ -4354,6 +4414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_tokens": q_kmv_distinct,
         "kmv_vocab_jaccard": q_kmv_vocab_jaccard,
         "event_stationary": q_event_stationary,
+        "conversion_latency": q_conversion_latency,
         "proximity_search": q_proximity_search,
         "corpus_ngram_overlap": q_corpus_ngram_overlap,
         "orders_with_returns": q_orders_with_returns,

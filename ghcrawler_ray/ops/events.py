@@ -744,3 +744,50 @@ def event_stationary(events: ray.data.Dataset,
         p = nxt
     return pd.DataFrame({"event_type": np.array(types, dtype=object),
                          "p_fp": np.array(p, dtype=np.int64)})
+
+
+# ---- view→purchase conversion latency per user ----
+
+def conversion_latency(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, latency_us): for every user who purchased AT OR AFTER
+    their first view, the exact µs gap between first view and first
+    subsequent purchase — the per-user latency table the funnel rollup
+    (``funnel_conversion``) loses; feed it to the quantile ops
+    (``hist_length_quantiles`` machinery) for the p50/p90
+    time-to-convert readout.
+
+    Scale shape: ONE user-hash co-partition (the funnel shape); inside
+    a partition both "first view" and "first purchase ≥ view" are
+    vectorized groupby-mins across ALL the partition's users. Integer
+    µs timestamps — bit-exact vs the SQL mirror."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_type"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def latency(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        v = pd.DataFrame({"u": uid[et == "view"],
+                          "t": ts[et == "view"]}).groupby("u")["t"].min()
+        pu = pd.DataFrame({"u": uid[et == "purchase"],
+                           "t": ts[et == "purchase"]})
+        pu = pu.merge(v.rename("vt"), left_on="u", right_index=True)
+        pu = pu[pu["t"] >= pu["vt"]]
+        if not len(pu):
+            return pd.DataFrame({"user_id": np.empty(0, np.int64),
+                                 "latency_us": np.empty(0, np.int64)})
+        first = pu.groupby("u").agg(t=("t", "min"),
+                                    vt=("vt", "first")).reset_index()
+        return pd.DataFrame({
+            "user_id": first["u"].to_numpy(np.int64),
+            "latency_us": (first["t"] - first["vt"])
+            .to_numpy(np.int64)})
+
+    return (events.select_columns(["user_id", "ts", "event_type"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(latency, batch_format="pandas"))

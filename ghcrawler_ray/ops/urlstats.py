@@ -422,3 +422,46 @@ def host_fairness(pages: ray.data.Dataset) -> pd.DataFrame:
     sx, sxx = np.int64(x.sum()), np.int64((x * x).sum())
     jain = float(sx * sx) / float(n * sxx) if n > 0 else 0.0
     return pd.DataFrame({"n_hosts": [n], "n_pages": [sx], "jain": [jain]})
+
+
+# ---- per-host robots coverage rollup (sitemap-vs-robots hygiene) ----
+
+def robots_coverage(pages: ray.data.Dataset,
+                    rules: pd.DataFrame) -> pd.DataFrame:
+    """(host, n_urls, n_allowed, n_blocked): how much of each host's
+    advertised URL space (its sitemap lists every crawled page —
+    ``sources.sitemap_xml``) the full-REP robots verdict actually
+    permits — the crawl-hygiene audit that catches "sitemap advertises
+    what robots blocks". Rolls ``robots_eval``'s per-URL verdicts up to
+    the host readout.
+
+    Scale shape: robots_eval's broadcast-rules stateless pass, then a
+    per-batch (host, allowed) count combiner → #hosts-bounded driver
+    fold; URLs never shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["url"].astype(str).str.extract(r"^https?://([^/?#]+)")[0]
+             .str.lower())
+        out = pd.DataFrame({"host": h,
+                            "allowed": df["allowed"].astype(bool)})
+        g = out.groupby(["host", "allowed"], sort=False,
+                        as_index=False).size()
+        g["n"] = g["size"].astype(np.int64)
+        return g[["host", "allowed", "n"]]
+
+    rows = (robots_eval(pages, rules)
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas())                 # ≤ #hosts × 2 × #blocks rows
+    agg = rows.groupby(["host", "allowed"], sort=True)["n"].sum() \
+        .reset_index()
+    hosts = sorted(agg["host"].unique())
+    al = agg[agg["allowed"]].set_index("host")["n"]
+    bl = agg[~agg["allowed"]].set_index("host")["n"]
+    n_allowed = np.array([int(al.get(h, 0)) for h in hosts],
+                         dtype=np.int64)
+    n_blocked = np.array([int(bl.get(h, 0)) for h in hosts],
+                         dtype=np.int64)
+    return pd.DataFrame({"host": np.array(hosts, dtype=object),
+                         "n_urls": n_allowed + n_blocked,
+                         "n_allowed": n_allowed,
+                         "n_blocked": n_blocked})
