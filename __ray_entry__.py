@@ -866,6 +866,13 @@ def q_hamming_topk(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.hamming_topk(_emb(sf_dir))
 
 
+def q_kmeans_purity(sf_dir: str) -> pd.DataFrame:
+    """External clustering eval: learned k-means cells vs ground-truth
+    labels (majority share per cell) — mirrored by reusing the k-means
+    CTE chain + assignment."""
+    return ops_ann.kmeans_purity(_emb(sf_dir))
+
+
 def q_dim_truncation_recall(sf_dir: str) -> pd.DataFrame:
     """Matryoshka-truncation recall@k: first-16-dims cosine search vs
     full-dim exact — both rankers mirrored with sliced-list cosine."""
@@ -1700,6 +1707,39 @@ def _ann_kmeans_sql() -> str:
                                ORDER BY c DESC, neighbor_id) AS rank,
             round(c, 6) AS cos
         FROM sims QUALIFY rank <= 5"""
+
+
+def _kmeans_purity_sql() -> str:
+    """Cluster-purity mirror (ops/ann.kmeans_purity): reuse the k-means
+    CTE chain + the every-vector cell assignment, then majority label
+    per cell via row_number (ties → smallest label)."""
+    from ghcrawler_ray.ops.ann import KMEANS_ITERS, PURITY_FP
+    base = _kmeans_sql().rsplit("SELECT cluster, dim", 1)[0].rstrip()
+    assert base.endswith(")"), "kmeans CTE chain changed shape"
+    T = KMEANS_ITERS
+    return base + f""",
+        dq AS (SELECT v.vec_id, c.cluster,
+               sum((v.q - c.c) * (v.q - c.c)) AS dist
+             FROM v JOIN c{T} c USING (dim) GROUP BY 1, 2),
+        aq AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+               FROM dq) WHERE rn = 1),
+        cl AS (SELECT a.cluster AS cell, e.label,
+               count(*)::BIGINT AS n
+             FROM aq a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        mj AS (SELECT cell, label AS majority_label, n AS n_majority
+             FROM (SELECT cell, label, n, row_number() OVER (
+                 PARTITION BY cell ORDER BY n DESC, label) AS rn
+               FROM cl) WHERE rn = 1),
+        tot AS (SELECT cell, sum(n)::BIGINT AS n_vectors
+             FROM cl GROUP BY 1)
+        SELECT t.cell::BIGINT AS cell, t.n_vectors,
+            CAST(m.majority_label AS BIGINT) AS majority_label,
+            m.n_majority,
+            CAST({PURITY_FP} * m.n_majority // t.n_vectors AS BIGINT)
+                AS purity_fp
+        FROM tot t JOIN mj m USING (cell)"""
 
 
 def _hll_users_sql() -> str:
@@ -3192,6 +3232,7 @@ def _ops_sql() -> dict[str, str]:
                 round(c, 6) AS cos
             FROM s QUALIFY rank <= {ops_ann.HARDNEG_K}""",
         "ann_topk_kmeans": _ann_kmeans_sql(),
+        "kmeans_purity": _kmeans_purity_sql(),
         "semantic_dup_pairs": _semdup_sql(),
         "knn_graph": _knn_graph_sql(),
         "corpus_curate": _curate_sql(),
@@ -4454,6 +4495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_emb_centroids,
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
+        "kmeans_purity": q_kmeans_purity,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "mmr_select": q_mmr_select,

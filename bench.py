@@ -54,7 +54,9 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "crawl_anchor_text", "shingle_cosine_pairs", "dsir_weights",
                "pq_topk", "snapshot_diff", "crawl_robots_eval",
                "crawl_sitemap", "mmr_select", "crawl_trustrank",
-               "hamming_topk")
+               "hamming_topk", "crawl_indegree_gini",
+               "kmv_distinct_tokens", "c4_filter_flags",
+               "orders_with_returns", "event_stationary")
 SCALING_CPUS = (8, 32)
 
 

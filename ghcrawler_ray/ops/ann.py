@@ -1221,3 +1221,59 @@ def dim_truncation_recall(emb: ray.data.Dataset, k: int = TOPK,
         "query_id": np.array(qids, dtype=np.int64),
         "n_hits": hits,
         "recall_fp": np.int64(TRUNC_FP) * hits // np.int64(k)})
+
+
+# ---- k-means cluster purity vs ground-truth labels ----
+
+PURITY_FP = 10 ** 6
+
+
+def kmeans_purity(emb: ray.data.Dataset) -> pd.DataFrame:
+    """(cell, n_vectors, majority_label, n_majority, purity_fp): purity
+    of each learned k-means cell against the embeddings' ground-truth
+    ``label`` column — the standard external clustering evaluation
+    (majority-label share per cluster; overall purity = Σ n_majority /
+    Σ n_vectors falls out of the rows). The quality gate a re-trained
+    coarse quantizer passes before it replaces the serving one, next to
+    ``ann_recall_eval``'s retrieval-recall gate. Ties → smallest label.
+
+    Scale shape: one broadcast-centroid assign pass (kmeans_fit's
+    trainer already streamed the corpus); per-batch (cell, label) count
+    combiner → ≤ k × #labels × #blocks slim rows folded on the
+    driver."""
+    cf = kmeans_fit(emb)
+    kk = int(cf["cluster"].max()) + 1
+    dim = int(cf["dim"].max()) + 1
+    cents = np.zeros((kk, dim), dtype=np.int64)
+    cents[cf["cluster"].to_numpy(), cf["dim"].to_numpy()] = \
+        cf["c_fp"].to_numpy()
+    c_ref = ray.put(cents)
+
+    def counts(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+        cell = kmeans_cells(_mat(df), ray.get(_c)).astype(np.int64)
+        out = pd.DataFrame({"cell": cell,
+                            "label": df["label"].to_numpy(np.int64)})
+        g = out.groupby(["cell", "label"], sort=False,
+                        as_index=False).size()
+        g["n"] = g["size"].astype(np.int64)
+        return g[["cell", "label", "n"]]
+
+    rows = (emb.select_columns(["vec_id", "embedding", "label"])
+            .map_batches(counts, batch_format="pandas")
+            .to_pandas())                # ≤ k × #labels × #blocks rows
+    agg = rows.groupby(["cell", "label"], sort=True)["n"].sum() \
+        .reset_index()
+    out = []
+    for cell, g in agg.groupby("cell", sort=True):
+        g = g.sort_values(["n", "label"], ascending=[False, True],
+                          kind="stable")
+        n_vec = int(g["n"].sum())
+        maj_l, maj_n = int(g["label"].iloc[0]), int(g["n"].iloc[0])
+        out.append((int(cell), n_vec, maj_l, maj_n,
+                    PURITY_FP * maj_n // n_vec))
+    return pd.DataFrame({
+        "cell": np.array([o[0] for o in out], dtype=np.int64),
+        "n_vectors": np.array([o[1] for o in out], dtype=np.int64),
+        "majority_label": np.array([o[2] for o in out], dtype=np.int64),
+        "n_majority": np.array([o[3] for o in out], dtype=np.int64),
+        "purity_fp": np.array([o[4] for o in out], dtype=np.int64)})
