@@ -482,14 +482,16 @@ def bigram_lm_table(docs: ray.data.Dataset,
     counts restricted to vocab×vocab). The unigram top-``v`` comes from
     :func:`unigram_rank_table`'s distributed fold; the bigram table is
     ≤ v² rows by construction — one combiner pass over the corpus
-    (vocab broadcast once) followed by a tiny ``Sum`` aggregate."""
-    from ray.data.aggregate import Sum
-
+    (vocab broadcast once) followed by a tiny int-keyed fold."""
     uni = unigram_rank_table(docs, v)[["token", "n"]]
     order = np.argsort(uni["token"].to_numpy(dtype=object), kind="stable")
     vocab = uni["token"].to_numpy(dtype=object)[order]
     vref = ray.put(vocab)
 
+    # perf shape: bigram keys ride as ONE int64 composite (li·V + ri) —
+    # a string-pair sort-groupby here cost ~10 s at sf0.1 because tiny
+    # default batches neutered the combiner (the _host_pairs_raw
+    # lesson); large batches + an int coarse co-partition fold instead
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         voc = ray.get(vref)
         ws = re.compile(WS_TOKEN_RE)
@@ -499,23 +501,34 @@ def bigram_lm_table(docs: ray.data.Dataset,
             ls.extend(ts[:-1])
             rs.extend(ts[1:])
         if not ls or not len(voc):
-            return pd.DataFrame({"lhs": np.empty(0, object),
-                                 "rhs": np.empty(0, object),
-                                 "n": np.empty(0, np.int64)})
+            return pd.DataFrame({"k": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64),
+                                 "part": np.empty(0, np.int32)})
         l = np.array(ls, dtype=object)
         r = np.array(rs, dtype=object)
         li = np.minimum(np.searchsorted(voc, l), len(voc) - 1)
         ri = np.minimum(np.searchsorted(voc, r), len(voc) - 1)
         keep = (voc[li] == l) & (voc[ri] == r)
-        g = pd.DataFrame({"lhs": l[keep], "rhs": r[keep]}) \
-            .groupby(["lhs", "rhs"], sort=False, as_index=False).size()
-        g["n"] = g["size"].astype(np.int64)
-        return g[["lhs", "rhs", "n"]]
+        key = li[keep].astype(np.int64) * len(voc) + ri[keep]
+        c = pd.Series(key).value_counts()
+        out = pd.DataFrame({"k": c.index.to_numpy(np.int64),
+                            "n": c.to_numpy(np.int64)})
+        out["part"] = (out["k"] % 64).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        voc = ray.get(vref)
+        s = g.groupby("k", sort=False)["n"].sum()
+        k = s.index.to_numpy(np.int64)
+        return pd.DataFrame({"lhs": voc[k // len(voc)],
+                             "rhs": voc[k % len(voc)],
+                             "n": s.to_numpy(np.int64)})
 
     bi = (docs.select_columns(["text"])
-          .map_batches(partial, batch_format="pandas")
-          .groupby(["lhs", "rhs"])                     # ≤ v² rows
-          .aggregate(Sum("n", alias_name="n")).to_pandas())
+          .map_batches(partial, batch_format="pandas", batch_size=32768)
+          .groupby("part")                             # ≤ v² rows total
+          .map_groups(fold, batch_format="pandas")
+          .to_pandas())
     bi["n"] = bi["n"].astype(np.int64)
     return uni, bi
 
