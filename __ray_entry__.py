@@ -253,6 +253,20 @@ def q_url_mix(sf_dir: str) -> pd.DataFrame:
     return url_mix_profile(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_host_eccentricity(sf_dir: str) -> pd.DataFrame:
+    """Per-host eccentricity (diameter/radius readout) over the host
+    graph — dist-bounded recursive-walk mirror like closeness's."""
+    from ghcrawler_ray.ops.graph import host_eccentricity
+    return host_eccentricity(_links_ds(sf_dir))
+
+
+def q_search_snippets(sf_dir: str) -> ray.data.Dataset:
+    """Token-window snippets around the first exact-phrase hit —
+    map-only; mirrored with list slicing."""
+    from ghcrawler_ray.ops.search import search_snippets
+    return search_snippets(_docs(sf_dir))
+
+
 def q_host_assortativity(sf_dir: str) -> pd.DataFrame:
     """Degree assortativity (Newman 2002) of the undirected host graph
     — exact integer moments, one IEEE division mirrored verbatim."""
@@ -2143,6 +2157,26 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 CAST(({ops_graph.RECIP_FP} * n_recip)
                      // n_out_hosts AS BIGINT) AS recip_fp
             FROM g""",
+        # ops/graph.host_eccentricity: closeness's walk CTE, max(dist)
+        "crawl_host_eccentricity": f"""
+            WITH RECURSIVE {_HOST_EDGES_CTES.format(pages=pages)},
+            und AS (SELECT DISTINCT s2, d2 FROM (
+                 SELECT s AS s2, d AS d2 FROM e
+                 UNION ALL SELECT d, s FROM e)),
+            n AS (SELECT DISTINCT s2 AS host FROM und),
+            cnt AS (SELECT count(*)::BIGINT AS nn FROM n),
+            walk(src, node, dist) AS (
+                SELECT host, host, 0 FROM n
+                UNION
+                SELECT w.src, u.d2, w.dist + 1
+                FROM walk w JOIN und u ON u.s2 = w.node
+                WHERE w.dist + 1 < (SELECT nn FROM cnt)),
+            dmin AS (SELECT src, node, min(dist) AS d
+               FROM walk GROUP BY 1, 2)
+            SELECT src AS host,
+                (count(*) - 1)::BIGINT AS n_reachable,
+                max(d)::BIGINT AS eccentricity
+            FROM dmin GROUP BY 1""",
         # ops/graph.host_assortativity: exact integer moments, one IEEE
         # division evaluated identically on both sides
         "crawl_host_assortativity": f"""
@@ -3512,6 +3546,26 @@ def _ops_sql() -> dict[str, str]:
                       * sum(CASE WHEN hit THEN 1 ELSE 0 END))
                      // greatest(count(*), 1) AS BIGINT) AS overlap_fp
             FROM j""",
+        # ops/search.search_snippets: phrase-hit token window
+        "search_snippets": rf"""
+            WITH ts AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS token,
+                 generate_subscripts(tk, 1) AS pos FROM ts),
+            m AS (SELECT a.doc_id, min(a.pos) AS pos1
+               FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               WHERE a.token = '{ops_search.PHRASE[0]}'
+                 AND b.token = '{ops_search.PHRASE[1]}'
+               GROUP BY 1)
+            SELECT m.doc_id, (m.pos1 - 1)::BIGINT AS first_pos,
+                array_to_string(
+                    ts.tk[greatest(m.pos1 - {ops_search.SNIPPET_CONTEXT},
+                                   1)
+                          : m.pos1 + 1 + {ops_search.SNIPPET_CONTEXT}],
+                    ' ') AS snippet
+            FROM m JOIN ts USING (doc_id)""",
         # ops/search.index_shard_plan: md5-u64 term sharding rollup
         "index_shard_plan": rf"""
             WITH tok AS (SELECT doc_id,
@@ -4409,6 +4463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_mix": q_url_mix,
         "crawl_indegree_gini": q_indegree_gini,
         "crawl_host_assortativity": q_host_assortativity,
+        "crawl_host_eccentricity": q_host_eccentricity,
         "crawl_host_fairness": q_host_fairness,
         "crawl_robots_coverage": q_robots_coverage,
         "crawl_degree_stats": q_degree_stats,
@@ -4490,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_truncation_recall": q_dim_truncation_recall,
         "c4_filter_flags": q_c4_filter_flags,
         "index_shard_plan": q_index_shard_plan,
+        "search_snippets": q_search_snippets,
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,
         "embedding_centroids": q_emb_centroids,

@@ -847,3 +847,41 @@ def host_assortativity(links: ray.data.Dataset) -> pd.DataFrame:
     r = num / den if den > 0 else 0.0
     return pd.DataFrame({"n_hosts": [np.int64(len(deg))],
                          "n_edges": [n // 2], "r": [r]})
+
+
+# ---- eccentricity / diameter over the host graph ----
+
+def host_eccentricity(links: ray.data.Dataset) -> pd.DataFrame:
+    """(host, n_reachable, eccentricity): per-host eccentricity (max
+    shortest-path distance to any reachable host) over the undirected
+    host graph — max(eccentricity) = the crawl web's DIAMETER,
+    min = its RADIUS (center hosts): how many link hops a BFS crawl
+    needs from each start to exhaust its component. Unreachable pairs
+    are simply not counted (same convention as ``host_closeness``).
+
+    Scale shape: the shared bounded host-pair collapse, then the same
+    all-sources boolean-frontier BFS as ``host_closeness`` — one more
+    integer readout from the machinery already priced in."""
+    e = host_edges(links)
+    hosts = np.unique(np.concatenate([e["a"].to_numpy(dtype=object),
+                                      e["b"].to_numpy(dtype=object)]))
+    pos = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    adj = np.zeros((n, n), dtype=bool)
+    ai = e["a"].map(pos).to_numpy(np.int64)
+    bi = e["b"].map(pos).to_numpy(np.int64)
+    adj[ai, bi] = True
+    adj[bi, ai] = True
+    reached = np.eye(n, dtype=bool)
+    frontier = reached.copy()
+    ecc = np.zeros(n, dtype=np.int64)
+    d = 0
+    while frontier.any() and d < n:
+        d += 1
+        frontier = (frontier @ adj) & ~reached
+        ecc = np.where(frontier.any(axis=1), d, ecc)
+        reached |= frontier
+    return pd.DataFrame({
+        "host": hosts.astype(object),
+        "n_reachable": reached.sum(axis=1, dtype=np.int64) - 1,
+        "eccentricity": ecc})

@@ -493,3 +493,46 @@ def proximity_search(docs: ray.data.Dataset,
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(match, batch_format="pandas"))
+
+
+# ---- snippet extraction around the first phrase hit ----
+
+SNIPPET_CONTEXT = 3              # tokens of context each side
+
+
+def search_snippets(docs: ray.data.Dataset,
+                    phrase: tuple[str, str] = PHRASE,
+                    context: int = SNIPPET_CONTEXT) -> ray.data.Dataset:
+    """(doc_id, first_pos, snippet): for documents containing the exact
+    phrase, a deterministic token-window snippet around the FIRST
+    occurrence (``context`` tokens each side) — the result-page
+    presentation step after ``phrase_search`` decides the hit list.
+    first_pos is 0-based like phrase_search's.
+
+    Scale shape: map-only (zero shuffles); only matching (doc_id, int,
+    short string) rows leave the task — never full text."""
+    a_term, b_term = phrase
+
+    def snip(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(_WS_RE)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        out_id, out_pos, out_sn = [], [], []
+        for did, tl in zip(ids, toks):
+            t = np.asarray(tl, dtype=object)
+            if len(t) < 2:
+                continue
+            hit = np.flatnonzero((t[:-1] == a_term) & (t[1:] == b_term))
+            if not len(hit):
+                continue
+            p = int(hit[0])
+            out_id.append(did)
+            out_pos.append(p)
+            out_sn.append(" ".join(
+                t[max(p - context, 0):p + 2 + context]))
+        return pd.DataFrame({
+            "doc_id": np.array(out_id, dtype=np.int64),
+            "first_pos": np.array(out_pos, dtype=np.int64),
+            "snippet": np.array(out_sn, dtype=object)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(snip, batch_format="pandas"))
