@@ -1096,6 +1096,27 @@ def q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
     return ops_ann.embedding_covariance(_emb(sf_dir))
 
 
+def q_hourly_seasonality(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day traffic profile per event type — count combiner."""
+    from ghcrawler_ray.ops.events import hourly_seasonality
+    return hourly_seasonality(_events(sf_dir))
+
+
+def q_truncation_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-lang cost of a hard per-doc token budget (context length)."""
+    from ghcrawler_ray.ops.packing import truncation_stats
+    return truncation_stats(_docs(sf_dir))
+
+
+def q_lineage_depth_profile(sf_dir: str) -> pd.DataFrame:
+    """Discovery volume per BFS depth (urls + distinct hosts) from the
+    lineage table — the frontier-expansion curve."""
+    from ghcrawler_ray.lineage import depth_profile, discovery_lineage
+    seeds = pq.read_table(_seeds_path(sf_of_dir(sf_dir)),
+                          columns=["url"])["url"].to_pylist()
+    return depth_profile(discovery_lineage(_links_ds(sf_dir), seeds))
+
+
 def q_event_stationary(sf_dir: str) -> pd.DataFrame:
     """Fixed-point Markov stationary distribution over event-type
     transitions — unrolled HUGEINT CTE mirror of the power iteration."""
@@ -2507,6 +2528,13 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             FROM t GROUP BY host""",
         "crawl_policy": _policy_sql(),
         "crawl_lineage": _lineage_sql(pages, seeds),
+        # lineage.depth_profile: the lineage query rolled up by depth
+        "crawl_lineage_depth": f"""
+            SELECT depth, count(*)::BIGINT AS n_urls,
+                count(DISTINCT lower(regexp_extract(url,
+                    '^https?://([^/?#]+)', 1)))::BIGINT AS n_hosts
+            FROM ({_lineage_sql(pages, seeds)}) lin
+            GROUP BY 1""",
     }
 
 
@@ -3432,6 +3460,24 @@ def _ops_sql() -> dict[str, str]:
             FROM s""",
         "hll_distinct_tokens": _hll_sql(),
         "event_stationary": _markov_sql(),
+        # ops/events.hourly_seasonality
+        "hourly_seasonality": """
+            SELECT event_type, hour(ts)::BIGINT AS hour_of_day,
+                count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2""",
+        # ops/packing.truncation_stats
+        "truncation_stats": rf"""
+            WITH d AS (SELECT lang,
+                 len(regexp_extract_all(text, '[^\s]+'))::BIGINT AS n
+               FROM documents)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN n > {ops_packing.TRUNC_BUDGET}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+                sum(least(n, {ops_packing.TRUNC_BUDGET}))::BIGINT
+                    AS tokens_kept,
+                sum(n - least(n, {ops_packing.TRUNC_BUDGET}))::BIGINT
+                    AS tokens_lost
+            FROM d GROUP BY 1""",
         # ops/events.conversion_latency: exact µs first-view→purchase
         "conversion_latency": """
             WITH v AS (SELECT user_id, min(ts) AS vt FROM events
@@ -4511,6 +4557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_vocab_jaccard": q_kmv_vocab_jaccard,
         "event_stationary": q_event_stationary,
         "conversion_latency": q_conversion_latency,
+        "hourly_seasonality": q_hourly_seasonality,
+        "truncation_stats": q_truncation_stats,
+        "crawl_lineage_depth": q_lineage_depth_profile,
         "proximity_search": q_proximity_search,
         "corpus_ngram_overlap": q_corpus_ngram_overlap,
         "orders_with_returns": q_orders_with_returns,

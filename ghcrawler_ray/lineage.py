@@ -207,3 +207,34 @@ def discovery_lineage(links: ray.data.Dataset, seeds: list[str],
     for s in shards:        # deterministic teardown: scatter closures
         ray.kill(s)         # hold handles, so GC alone is late
     return out
+
+
+def depth_profile(lin: ray.data.Dataset) -> pd.DataFrame:
+    """(depth, n_urls, n_hosts): discovery volume per BFS depth from the
+    lineage table — the frontier-expansion curve (how fast the crawl
+    exhausts its seed neighborhoods, where new hosts stop appearing).
+
+    Scale shape: per-batch (depth, host) combiner with in-batch url
+    counts; the fold is ≤ depths × #hosts × #blocks slim rows (depth is
+    capped at MAX_LINEAGE_DEPTH)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)")[0].str.lower())
+        out = pd.DataFrame({"depth": df["depth"].astype(np.int64),
+                            "host": host}).dropna()
+        g = out.groupby(["depth", "host"], sort=False,
+                        as_index=False).size()
+        g["n_urls"] = g["size"].astype(np.int64)
+        return g[["depth", "host", "n_urls"]]
+
+    rows = (lin.select_columns(["url", "depth"])
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas())
+    agg = rows.groupby(["depth", "host"], sort=True)["n_urls"].sum() \
+        .reset_index()
+    out = agg.groupby("depth", sort=True).agg(
+        n_urls=("n_urls", "sum"), n_hosts=("host", "size")).reset_index()
+    for c in ("depth", "n_urls", "n_hosts"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -791,3 +791,33 @@ def conversion_latency(events: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(add_part, batch_format="pandas")
             .groupby("part")
             .map_groups(latency, batch_format="pandas"))
+
+
+# ---- hourly seasonality profile ----
+
+def hourly_seasonality(events: ray.data.Dataset) -> pd.DataFrame:
+    """(event_type, hour_of_day, n): traffic counts by hour-of-day per
+    event type — the seasonality profile capacity planning and anomaly
+    baselines start from (read next to ``zscore_anomalies``: that op
+    flags deviations, this one shows the curve they deviate from).
+
+    Scale shape: per-batch (type, hour) count combiner — ≤ #types × 24
+    rows per batch — folded on the driver; events never shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = pd.to_datetime(df["ts"]).dt.hour.astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                            "hour_of_day": hr})
+        g = out.groupby(["event_type", "hour_of_day"], sort=False,
+                        as_index=False).size()
+        g["n"] = g["size"].astype(np.int64)
+        return g[["event_type", "hour_of_day", "n"]]
+
+    rows = (events.select_columns(["event_type", "ts"])
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas())                # ≤ #types × 24 × #blocks rows
+    out = rows.groupby(["event_type", "hour_of_day"], sort=True)["n"] \
+        .sum().reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    out["event_type"] = out["event_type"].astype(object)
+    return out

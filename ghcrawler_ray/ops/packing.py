@@ -208,3 +208,40 @@ def shuffle_shards(docs: ray.data.Dataset,
     return parts.groupby("part").map_groups(
         lambda g: rank_part(g.drop(columns=["part"])),
         batch_format="pandas")
+
+
+# ---- context-budget truncation stats ----
+
+TRUNC_BUDGET = 48                # tokens per document
+
+
+def truncation_stats(docs: ray.data.Dataset,
+                     budget: int = TRUNC_BUDGET) -> pd.DataFrame:
+    """(lang, n_docs, n_truncated, tokens_kept, tokens_lost): what a
+    hard per-document token budget (context length / max_seq_len) costs
+    per language — the "how much text do we throw away at L tokens"
+    readout that decides between truncation and the ``pack_sequences``
+    concat-and-chunk path. All integer.
+
+    Scale shape: per-batch per-lang sum combiner (≤ #langs rows per
+    batch) → driver fold; text never shuffles."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].astype(str).str.count(r"[^\s]+")
+             .to_numpy(np.int64))
+        kept = np.minimum(n, budget)
+        out = pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "n_docs": 1,
+            "n_truncated": (n > budget).astype(np.int64),
+            "tokens_kept": kept, "tokens_lost": n - kept})
+        return out.groupby("lang", sort=False, as_index=False).sum()
+
+    rows = (docs.select_columns(["lang", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas())                    # ≤ #langs × #blocks rows
+    out = rows.groupby("lang", sort=True).sum().reset_index()
+    for c in ("n_docs", "n_truncated", "tokens_kept", "tokens_lost"):
+        out[c] = out[c].astype(np.int64)
+    out["lang"] = out["lang"].astype(object)
+    return out
