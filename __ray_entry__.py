@@ -1219,6 +1219,18 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_contamination_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source contamination-rate triage rollup of decontaminate's
+    verdicts (which feed is leaking benchmark text)."""
+    return ops_contam.contamination_by_source(_docs(sf_dir))
+
+
+def q_vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-size planning curve: fraction of corpus token
+    occurrences covered by a top-V unigram vocabulary, per V."""
+    return ops_text.vocab_coverage_curve(_docs(sf_dir))
+
+
 def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
 
@@ -3049,6 +3061,28 @@ def _bpe_compression_sql(k: int = ops_bpe.BPE_MERGES) -> str:
         + "\nUNION ALL\n".join(sels)
 
 
+def _decon_sql() -> str:
+    """Decontamination mirror (benchmark = doc_id % BENCH_MOD == 0);
+    reused verbatim by the contamination_by_source rollup."""
+    return rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DECON_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DECON_K)})) AS sh FROM t),
+            b AS (SELECT DISTINCT unnest(sh) AS g FROM s
+                  WHERE doc_id % {ops_contam.BENCH_MOD} = 0),
+            e AS (SELECT doc_id, unnest(sh) AS g FROM s
+                  WHERE doc_id % {ops_contam.BENCH_MOD} != 0),
+            h AS (SELECT e.doc_id, count(*) AS n_hits
+                  FROM e JOIN b USING (g) GROUP BY 1)
+            SELECT s.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM s LEFT JOIN h USING (doc_id)
+            WHERE s.doc_id % {ops_contam.BENCH_MOD} != 0"""
+
+
 def _ops_sql() -> dict[str, str]:
     en = _marker_sql(ops_text.LANG_MARKERS["en"])
     de = _marker_sql(ops_text.LANG_MARKERS["de"])
@@ -4324,23 +4358,35 @@ def _ops_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, session_id""",
-        "decontaminate": rf"""
-            WITH t AS (SELECT doc_id,
-                 regexp_extract_all(lower(text), '[^\s]+') AS tk
-               FROM documents),
-            s AS (SELECT doc_id, list_distinct(list_transform(
-                 range(1, greatest(len(tk)-{ops_contam.DECON_K - 2}, 1)),
-                 i -> {_gram_concat_sql(ops_contam.DECON_K)})) AS sh FROM t),
-            b AS (SELECT DISTINCT unnest(sh) AS g FROM s
-                  WHERE doc_id % {ops_contam.BENCH_MOD} = 0),
-            e AS (SELECT doc_id, unnest(sh) AS g FROM s
-                  WHERE doc_id % {ops_contam.BENCH_MOD} != 0),
-            h AS (SELECT e.doc_id, count(*) AS n_hits
-                  FROM e JOIN b USING (g) GROUP BY 1)
-            SELECT s.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-                   coalesce(h.n_hits, 0) > 0 AS contaminated
-            FROM s LEFT JOIN h USING (doc_id)
-            WHERE s.doc_id % {ops_contam.BENCH_MOD} != 0""",
+        "decontaminate": _decon_sql(),
+        "contamination_by_source": f"""
+            SELECT d.source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN dec.contaminated THEN 1 ELSE 0 END)::BIGINT
+                     AS n_contaminated,
+                   ({ops_contam.CONTAM_FP}
+                    * sum(CASE WHEN dec.contaminated THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1))::BIGINT AS rate_fp
+            FROM ({_decon_sql()}) dec
+            JOIN documents d USING (doc_id)
+            GROUP BY 1""",
+        "vocab_coverage_curve": f"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(
+                 lower(text), '[^\\s]+')) AS token FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            r AS (SELECT n, row_number()
+                    OVER (ORDER BY n DESC, token) AS rank FROM c),
+            tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM c),
+            sizes(vocab_size) AS (VALUES {", ".join(
+                f"({v})" for v in ops_text.COVERAGE_SIZES)}),
+            cov AS (SELECT s.vocab_size, coalesce(
+                 (SELECT sum(n) FROM r WHERE r.rank <= s.vocab_size),
+                 0)::BIGINT AS covered FROM sizes s)
+            SELECT cov.vocab_size::BIGINT AS vocab_size,
+                   cov.covered AS tokens_covered,
+                   tot.t AS tokens_total,
+                   ({ops_text.COVERAGE_FP} * cov.covered
+                    // greatest(tot.t, 1))::BIGINT AS coverage_fp
+            FROM cov, tot""",
         "duplicate_ngrams": rf"""
             WITH t AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -4639,6 +4685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "user_sessions": q_sessions,
         "decontaminate": q_decontaminate,
+        "contamination_by_source": q_contamination_by_source,
+        "vocab_coverage_curve": q_vocab_coverage_curve,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

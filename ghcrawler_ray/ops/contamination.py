@@ -581,3 +581,65 @@ def corpus_ngram_overlap(old: ray.data.Dataset, new: ray.data.Dataset,
         "n_overlap": np.array([n_both], dtype=np.int64),
         "overlap_fp": np.array([OVERLAP_FP * n_both // max(n_new, 1)],
                                dtype=np.int64)})
+
+
+# ---- contamination rate by source ----
+
+CONTAM_FP = 10 ** 6
+
+
+def contamination_by_source(docs: ray.data.Dataset) -> pd.DataFrame:
+    """(source, n_docs, n_contaminated, rate_fp): ``decontaminate``'s
+    per-document verdicts rolled up by corpus source — the "which feed
+    is leaking benchmark text" triage readout that decides whether to
+    drop a source or just its flagged documents. rate_fp =
+    CONTAM_FP·n_contaminated // n_docs, exact.
+
+    Scale shape: the decontaminate verdicts (slim rows) and a
+    (doc_id, source) projection co-partition on ONE doc-hash key; the
+    per-partition join is a vectorized merge and only ≤ #sources × 2
+    count partials leave each partition."""
+    flags = decontaminate(docs)
+    n_parts = 64
+
+    def tag_flags(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": d, "part": (d % n_parts).astype(np.int32),
+            "side": np.ones(len(d), dtype=np.int8),
+            "source": np.full(len(d), "", dtype=object),
+            "c": df["contaminated"].astype(bool).astype(np.int64)})
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": d, "part": (d % n_parts).astype(np.int32),
+            "side": np.zeros(len(d), dtype=np.int8),
+            "source": df["source"].astype(str),
+            "c": np.zeros(len(d), dtype=np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["side"] == 0][["doc_id", "source"]]
+        fl = g[g["side"] == 1][["doc_id", "c"]]
+        m = doc.merge(fl, on="doc_id", how="inner")
+        out = m.groupby("source", sort=False).agg(
+            n=("doc_id", "size"), nc=("c", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["nc"] = out["nc"].astype(np.int64)
+        return out[["source", "n", "nc"]]
+
+    parts = (docs.select_columns(["doc_id", "source"])
+             .map_batches(tag_docs, batch_format="pandas")
+             .union(flags.map_batches(tag_flags, batch_format="pandas"))
+             .groupby("part")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())               # ≤ #sources × #parts rows
+    out = parts.groupby("source", sort=True).agg(
+        n_docs=("n", "sum"), n_contaminated=("nc", "sum")).reset_index()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
+    out["rate_fp"] = (np.int64(CONTAM_FP)
+                      * out["n_contaminated"].to_numpy(np.int64)
+                      // np.maximum(out["n_docs"].to_numpy(np.int64), 1))
+    out["source"] = out["source"].astype(object)
+    return out

@@ -687,3 +687,46 @@ def c4_filter_flags(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         flags, batch_format="pandas")
+
+
+# ---- vocabulary coverage curve (tokenizer-size planner) ----
+
+COVERAGE_SIZES = (64, 256, 1024)
+COVERAGE_FP = 10 ** 6
+
+
+def vocab_coverage_curve(docs: ray.data.Dataset,
+                         sizes: tuple[int, ...] = COVERAGE_SIZES
+                         ) -> pd.DataFrame:
+    """(vocab_size, tokens_covered, tokens_total, coverage_fp): what
+    fraction of all corpus token OCCURRENCES a top-V unigram vocabulary
+    covers, for each candidate V — the tokenizer-size planning curve
+    (diminishing-returns readout before committing to a BPE vocab
+    budget; OOV rate = 1 − coverage). Ranking by (count desc, token
+    asc), the ``unigram_rank_table`` order.
+
+    Scale shape: one distributed top-max(V) fold (the unigram table's
+    combiner + vocab co-partition) plus a scalar total-count combiner;
+    the curve itself is a ≤ max(V)-row driver fold."""
+    v_max = max(sizes)
+    uni = unigram_rank_table(docs, v_max).sort_values("rank")
+    cnt = uni["n"].to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+
+    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["text"].astype(str).str.count(WS_TOKEN_RE).sum())
+        return pd.DataFrame({"t": np.array([n], dtype=np.int64)})
+
+    total = int((docs.select_columns(["text"])
+                 .map_batches(total_partial, batch_format="pandas")
+                 .to_pandas())["t"].sum())
+    rows = []
+    for v in sizes:
+        covered = int(csum[min(v, len(cnt))])
+        rows.append((v, covered, total,
+                     COVERAGE_FP * covered // max(total, 1)))
+    return pd.DataFrame({
+        "vocab_size": np.array([r[0] for r in rows], dtype=np.int64),
+        "tokens_covered": np.array([r[1] for r in rows], dtype=np.int64),
+        "tokens_total": np.array([r[2] for r in rows], dtype=np.int64),
+        "coverage_fp": np.array([r[3] for r in rows], dtype=np.int64)})
