@@ -56,7 +56,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "crawl_sitemap", "mmr_select", "crawl_trustrank",
                "hamming_topk", "crawl_indegree_gini",
                "kmv_distinct_tokens", "c4_filter_flags",
-               "orders_with_returns", "event_stationary")
+               "orders_with_returns", "event_stationary",
+               "contamination_by_source", "vocab_coverage_curve")
 SCALING_CPUS = (8, 32)
 
 
