@@ -1219,6 +1219,18 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_inter_event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Log2-bucket histogram of per-user inter-event arrival gaps —
+    session-timeout / revisit-window sizing profile."""
+    return ops_events.inter_event_gaps(_events(sf_dir))
+
+
+def q_token_frequency_spectrum(sf_dir: str) -> ray.data.Dataset:
+    """Zipf count-of-counts: #distinct tokens at each corpus
+    frequency (Good-Turing / hapax-rate QC input)."""
+    return ops_text.token_frequency_spectrum(_docs(sf_dir))
+
+
 def q_contamination_by_source(sf_dir: str) -> pd.DataFrame:
     """Per-source contamination-rate triage rollup of decontaminate's
     verdicts (which feed is leaking benchmark text)."""
@@ -4369,6 +4381,30 @@ def _ops_sql() -> dict[str, str]:
             FROM ({_decon_sql()}) dec
             JOIN documents d USING (doc_id)
             GROUP BY 1""",
+        "inter_event_gaps": """
+            WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+               FROM events),
+            b AS (SELECT CASE WHEN gap = 0 THEN -1
+                       ELSE length(format('{:b}', gap)) - 1 END AS gap_bucket
+                  FROM g WHERE gap IS NOT NULL)
+            , h AS (SELECT gap_bucket::BIGINT AS gap_bucket,
+                        count(*)::BIGINT AS n
+                    FROM b GROUP BY 1)
+            SELECT gap_bucket,
+                   CASE WHEN gap_bucket = -1 THEN 0
+                        ELSE 1::BIGINT << gap_bucket END AS lo_us,
+                   CASE WHEN gap_bucket = -1 THEN 0
+                        ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
+                   n
+            FROM h""",
+        "token_frequency_spectrum": r"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(
+                 lower(text), '[^\s]+')) AS token FROM documents),
+            c AS (SELECT token, count(*)::BIGINT AS freq
+                  FROM tok GROUP BY 1)
+            SELECT freq, count(*)::BIGINT AS n_tokens
+            FROM c GROUP BY 1""",
         "vocab_coverage_curve": f"""
             WITH tok AS (SELECT unnest(regexp_extract_all(
                  lower(text), '[^\\s]+')) AS token FROM documents),
@@ -4687,6 +4723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "contamination_by_source": q_contamination_by_source,
         "vocab_coverage_curve": q_vocab_coverage_curve,
+        "inter_event_gaps": q_inter_event_gaps,
+        "token_frequency_spectrum": q_token_frequency_spectrum,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

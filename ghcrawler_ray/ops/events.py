@@ -821,3 +821,69 @@ def hourly_seasonality(events: ray.data.Dataset) -> pd.DataFrame:
     out["n"] = out["n"].astype(np.int64)
     out["event_type"] = out["event_type"].astype(object)
     return out
+
+
+# ---- inter-event gap histogram (log2 buckets) ----
+
+def inter_event_gaps(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(gap_bucket, lo_us, hi_us, n): corpus-wide histogram of the time
+    between consecutive events within each user's stream (ordered by
+    ts, event_id), in power-of-two microsecond buckets — the
+    inter-arrival profile that sizes session timeouts, revisit windows
+    and queue-depth planning (the distributional companion to the
+    reference's fixed N-day freshness windows,
+    `lib/traversalPolicy.js`). Bucket b covers [2^b, 2^(b+1)) µs;
+    zero-µs gaps (same-timestamp bursts) land in bucket -1 with
+    lo=hi=0. Bucketing is exact integer (searchsorted over powers of
+    two, no float log2), so the DuckDB mirror (binary bit-length) is
+    bit-exact.
+
+    Shape: slim (user, ts, id) projection → ONE user-hash co-partition;
+    within a partition the gap is one vectorized adjacent-row diff
+    across ALL users (boundaries masked) folded to ≤ 64 bucket partials
+    → tiny final Sum groupby. Nothing user-sized leaves a partition."""
+    _POW2 = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        empty = pd.DataFrame({"gap_bucket": np.empty(0, np.int64),
+                              "n": np.empty(0, np.int64)})
+        if len(g) < 2:
+            return empty
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        same = uid[1:] == uid[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        if not len(gap):
+            return empty
+        bucket = np.searchsorted(_POW2, gap, side="right").astype(
+            np.int64) - 1                      # gap==0 → -1
+        b, n = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"gap_bucket": b.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["gap_bucket"].to_numpy(np.int64)
+        nz = b >= 0
+        lo = np.zeros(len(b), dtype=np.int64)
+        hi = np.zeros(len(b), dtype=np.int64)
+        lo[nz] = np.int64(1) << b[nz]
+        hi[nz] = (np.int64(1) << (b[nz] + 1)) - 1
+        return pd.DataFrame({"gap_bucket": b, "lo_us": lo, "hi_us": hi,
+                             "n": df["n"].astype(np.int64)})
+
+    return (events.select_columns(["user_id", "ts", "event_id"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("gap_bucket")                   # ≤ 64 rows
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(widen, batch_format="pandas"))

@@ -730,3 +730,47 @@ def vocab_coverage_curve(docs: ray.data.Dataset,
         "tokens_covered": np.array([r[1] for r in rows], dtype=np.int64),
         "tokens_total": np.array([r[2] for r in rows], dtype=np.int64),
         "coverage_fp": np.array([r[3] for r in rows], dtype=np.int64)})
+
+
+# ---- token frequency spectrum (Zipf count-of-counts) ----
+
+def token_frequency_spectrum(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(freq, n_tokens): how many distinct corpus tokens occur exactly
+    ``freq`` times — the Zipf/Heaps count-of-counts spectrum behind
+    Good-Turing smoothing, hapax-rate QC (a spammy crawl slice shows up
+    as a hapax bulge) and vocabulary-growth forecasts.
+
+    Scale shape: per-batch token-count combiner → ONE token-hash
+    co-partition completes each token's global count entirely inside
+    its partition → the partition folds to (freq, n_tokens) partials
+    (≤ #distinct-frequencies ≈ O(√corpus) rows) → tiny final Sum
+    groupby. The full vocabulary is never broadcast and never sits on
+    the driver."""
+    from ..urls import hash64_array
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ws = re.compile(WS_TOKEN_RE)
+        toks = []
+        for text in df["text"].astype(str):
+            toks.append(np.array(ws.findall(text.lower()), dtype=object))
+        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        out = pd.DataFrame({"token": flat}).groupby(
+            "token", as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        out["part"] = (hash64_array(out["token"]) % UNI_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        freq = g.groupby("token", sort=False)["n"].sum() \
+            .to_numpy(dtype=np.int64)
+        f, n = np.unique(freq, return_counts=True)
+        return pd.DataFrame({"freq": f.astype(np.int64),
+                             "n_tokens": n.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    return (docs.select_columns(["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=8192)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("freq")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens")))
