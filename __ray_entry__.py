@@ -1219,6 +1219,18 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_burst_profile(sf_dir: str) -> ray.data.Dataset:
+    """Per-user peak 60s-window event rate + bot flag (offline
+    rate-limit / crawler-trap audit)."""
+    return ops_events.burst_profile(_events(sf_dir))
+
+
+def q_langid_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa of the lang-ID heuristic vs the gold lang column
+    (chance-corrected gate-safety scalar)."""
+    return ops_text.langid_kappa(_docs(sf_dir))
+
+
 def q_inter_event_gaps(sf_dir: str) -> ray.data.Dataset:
     """Log2-bucket histogram of per-user inter-event arrival gaps —
     session-timeout / revisit-window sizing profile."""
@@ -3148,6 +3160,37 @@ def _ops_sql() -> dict[str, str]:
             SELECT d.lang AS true_lang, p.lang_guess AS pred_lang,
                 count(*)::BIGINT AS n
             FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2""",
+        "langid_kappa": f"""
+            WITH p AS ({lang_id_sql}),
+            cm AS (SELECT d.lang AS t, p.lang_guess AS g,
+                       count(*)::HUGEINT AS n
+                   FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS nn FROM cm),
+            dg AS (SELECT coalesce(sum(n), 0) AS agree FROM cm
+                   WHERE t = g),
+            mg AS (SELECT coalesce(sum(r.rm * c.cm2), 0) AS s
+                   FROM (SELECT t AS k, sum(n) AS rm FROM cm GROUP BY 1) r
+                   JOIN (SELECT g AS k, sum(n) AS cm2 FROM cm GROUP BY 1) c
+                     USING (k))
+            SELECT tot.nn::BIGINT AS n_docs, dg.agree::BIGINT AS n_agree,
+                   ({ops_text.KAPPA_FP} * dg.agree
+                    // greatest(tot.nn, 1))::BIGINT AS po_fp,
+                   ({ops_text.KAPPA_FP} * mg.s
+                    // greatest(tot.nn * tot.nn, 1))::BIGINT AS pe_fp,
+                   ({ops_text.KAPPA_FP} * (tot.nn * dg.agree - mg.s)
+                    // greatest(tot.nn * tot.nn - mg.s, 1))::BIGINT
+                     AS kappa_fp
+            FROM tot, dg, mg""",
+        "burst_profile": f"""
+            WITH w AS (SELECT user_id, count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 60 SECONDS PRECEDING
+                       AND CURRENT ROW) AS burst
+               FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(burst)::BIGINT AS max_burst,
+                   max(burst) >= {ops_events.BURST_BOT_MIN} AS is_bot
+            FROM w GROUP BY 1""",
         "ngram_jaccard_pairs": _jaccard_sql(),
         "dedup_eval": _dedup_eval_sql(),
         # DSIR hashed uni+bigram importance weights — add-one count-ratio
@@ -4725,6 +4768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": q_vocab_coverage_curve,
         "inter_event_gaps": q_inter_event_gaps,
         "token_frequency_spectrum": q_token_frequency_spectrum,
+        "burst_profile": q_burst_profile,
+        "langid_kappa": q_langid_kappa,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

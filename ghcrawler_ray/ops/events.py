@@ -887,3 +887,92 @@ def inter_event_gaps(events: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("gap_bucket")                   # ≤ 64 rows
             .aggregate(Sum("n", alias_name="n"))
             .map_batches(widen, batch_format="pandas"))
+
+
+# ---- burst profile / bot-rate detection ----
+
+BURST_WINDOW_US = 60 * 1_000_000       # 60 s sliding window
+BURST_BOT_MIN = 8                      # max-burst ≥ this → bot flag
+
+
+def burst_profile(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, max_burst, is_bot): per-user peak request
+    rate — the maximum number of events inside ANY 60-second sliding
+    window of that user's stream — plus a bot flag when the peak
+    exceeds ``BURST_BOT_MIN``. This is the crawler-trap / abusive-agent
+    detector the reference rate-limits against (token caps,
+    `lib/crawlerFactory.js:74-76`) expressed as an offline audit.
+
+    Window semantics match SQL ``RANGE BETWEEN 60s PRECEDING AND
+    CURRENT ROW``: for each event at time t the count is #{ts_j ∈
+    [t−60s, t]} over the SAME user (tie rows all count, position-
+    independent), and max_burst is the max over the user's events.
+
+    Shape: slim (user, ts) projection → ONE user-hash co-partition.
+    Within a partition the window counts for ALL users come from one
+    vectorized merge-rank pass: upper(t) = #(ts ≤ t) via a tie-group
+    cumulative transform, lower(t) = #(ts < t−W) by lexsorting the
+    2n (uid, time, is_data) keys once and cum-summing data flags — no
+    per-user loop, no per-row Python. Only (user, n, max) rows leave."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"user_id": np.empty(0, np.int64),
+                                 "n_events": np.empty(0, np.int64),
+                                 "max_burst": np.empty(0, np.int64)})
+        # segment starts and per-(uid,ts) tie-group ranks
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), 0))
+        # upper(t_i) = index-after-last-tie − seg_start  (ties all count)
+        new_tie = new_seg.copy()
+        new_tie[1:] |= ts[1:] != ts[:-1]
+        tie_id = np.cumsum(new_tie) - 1
+        # last position of each tie group, broadcast back to rows
+        last_of_tie = np.zeros(tie_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(last_of_tie, tie_id, np.arange(n))
+        upper = last_of_tie[tie_id] + 1 - seg_start
+        # lower(t_i) = #(ts_j < t_i − W) in segment, via one lexsort of
+        # data rows (flag 1) and query rows (flag 0, time t−W): queries
+        # sort BEFORE equal-time data ⇒ strict <.
+        q_time = ts - BURST_WINDOW_US
+        all_uid = np.concatenate([uid, uid])
+        all_time = np.concatenate([ts, q_time])
+        all_flag = np.concatenate([np.ones(n, np.int8),
+                                   np.zeros(n, np.int8)])
+        order = np.lexsort((all_flag, all_time, all_uid))
+        data_before = np.cumsum(all_flag[order]) - all_flag[order]
+        pos_of_query = np.empty(2 * n, dtype=np.int64)
+        pos_of_query[order] = np.arange(2 * n)
+        lower = data_before[pos_of_query[n:]] - seg_start
+        burst = upper - lower
+        out = pd.DataFrame({"user_id": uid, "burst": burst})
+        agg = out.groupby("user_id", sort=False).agg(
+            n_events=("burst", "size"),
+            max_burst=("burst", "max")).reset_index()
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["max_burst"] = agg["max_burst"].astype(np.int64)
+        return agg
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_bot"] = (df["max_burst"] >= BURST_BOT_MIN)
+        return df
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .map_batches(finish, batch_format="pandas"))

@@ -774,3 +774,40 @@ def token_frequency_spectrum(docs: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part").map_groups(fold, batch_format="pandas")
             .groupby("freq")
             .aggregate(Sum("n_tokens", alias_name="n_tokens")))
+
+
+# ---- lang-ID chance-corrected agreement (Cohen's kappa) ----
+
+KAPPA_FP = 10 ** 6
+
+
+def langid_kappa(docs: ray.data.Dataset) -> pd.DataFrame:
+    """One-row (n_docs, n_agree, po_fp, pe_fp, kappa_fp): Cohen's kappa
+    of the marker-word classifier against the gold ``lang`` column —
+    the chance-corrected scalar that says whether the heuristic is safe
+    to gate a corpus on (raw accuracy flatters any classifier on a
+    skewed language mix). All fixed-point arithmetic is exact integer:
+    po_fp = FP·agree // n, pe_fp = FP·Σ(row_marg·col_marg) // n², and
+    kappa_fp = FP·(n·agree − Σ) / (n² − Σ) with truncation toward zero
+    (matching DuckDB's ``//``), Python bigints so n ~ 10^10 can't
+    overflow.
+
+    Scale shape: everything distributed happens inside
+    ``langid_confusion`` (map-only scoring pass → ≤ langs² count rows);
+    the kappa fold is a ≤ langs²-row driver computation."""
+    cm = langid_confusion(docs).to_pandas()
+    n = int(cm["n"].sum())
+    agree = int(cm.loc[cm["true_lang"] == cm["pred_lang"], "n"].sum())
+    rm = cm.groupby("true_lang")["n"].sum()
+    co = cm.groupby("pred_lang")["n"].sum()
+    s = sum(int(rm.get(k, 0)) * int(co.get(k, 0))
+            for k in set(rm.index) | set(co.index))
+    num = KAPPA_FP * (n * agree - s)
+    den = max(n * n - s, 1)
+    kappa_fp = -((-num) // den) if num < 0 else num // den
+    return pd.DataFrame({
+        "n_docs": np.array([n], dtype=np.int64),
+        "n_agree": np.array([agree], dtype=np.int64),
+        "po_fp": np.array([KAPPA_FP * agree // max(n, 1)], dtype=np.int64),
+        "pe_fp": np.array([KAPPA_FP * s // max(n * n, 1)], dtype=np.int64),
+        "kappa_fp": np.array([kappa_fp], dtype=np.int64)})
