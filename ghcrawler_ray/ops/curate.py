@@ -302,8 +302,12 @@ def dsir_weights(docs: ray.data.Dataset) -> ray.data.Dataset:
                              "tgt_c": tgt_c[nz].astype(np.int64)})
 
     from ray.data.aggregate import Sum
+    # LARGE batch_size: each partial is ≤ B rows regardless of batch
+    # row count, so wide batches shrink the shuffle input ~linearly
+    # (64 tiny blocks × 4k rows → a handful of partials).
     model = (docs.select_columns(["lang", "text"])
-             .map_batches(count_partial, batch_format="pandas")
+             .map_batches(count_partial, batch_format="pandas",
+                          batch_size=65536)
              .groupby("b")
              .aggregate(Sum("raw_c", alias_name="raw_n"),
                         Sum("tgt_c", alias_name="tgt_n"))
