@@ -146,7 +146,10 @@ def _score_bin_thresholds(slim: ray.data.Dataset,
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    hist = (slim.map_batches(bin_partials, batch_format="pandas")
+    # LARGE batch_size: a partial is ≤ langs×(GATE_BIN_FP+1) rows no
+    # matter the batch width, so wide batches shrink the shuffle input
+    hist = (slim.map_batches(bin_partials, batch_format="pandas",
+                             batch_size=16384)
             .groupby(["lang", "bin"])
             .aggregate(Sum("n", alias_name="n"))
             .to_pandas())

@@ -235,7 +235,8 @@ def unigram_rank_table(docs: ray.data.Dataset,
                              kind="stable").head(v)
 
     cand = (docs.select_columns(["text"])
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=16384)   # wide batch = real combining
             .groupby("part").map_groups(fold, batch_format="pandas")
             .to_pandas())
     cand = cand.sort_values(["n", "token"], ascending=[False, True],
@@ -632,7 +633,8 @@ def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
         return df
 
     return (docs.select_columns(["doc_id", "text", "lang"])
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=16384)   # partial is ≤ langs² rows
             .groupby(["true_lang", "pred_lang"])     # ≤ langs² rows
             .aggregate(Sum("n", alias_name="n"))
             .map_batches(fix, batch_format="pandas"))
