@@ -1219,6 +1219,18 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_event_type_affinity(sf_dir: str) -> pd.DataFrame:
+    """User-set Jaccard overlap per event-type pair (cross-sell /
+    funnel-adjacency readout)."""
+    return ops_events.event_type_affinity(_events(sf_dir))
+
+
+def q_part_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11 shape: parts whose revenue share beats 2× the average
+    part — grouped aggregate filtered against a global scalar."""
+    return ops_rel.part_revenue_share(_table(sf_dir, "lineitem"))
+
+
 def q_burst_profile(sf_dir: str) -> ray.data.Dataset:
     """Per-user peak 60s-window event rate + bot flag (offline
     rate-limit / crawler-trap audit)."""
@@ -4256,6 +4268,36 @@ def _ops_sql() -> dict[str, str]:
                    ::BIGINT AS depth
             FROM v LEFT JOIN c USING (user_id)
                    LEFT JOIN p USING (user_id)""",
+        "event_type_affinity": f"""
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            tc AS (SELECT event_type, count(*)::BIGINT AS n
+                   FROM ut GROUP BY 1),
+            pb AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       count(*)::BIGINT AS n_both
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT pb.type_a, pb.type_b, ta.n AS n_a, tb.n AS n_b,
+                   pb.n_both,
+                   ({ops_events.AFFINITY_FP} * pb.n_both
+                    // (ta.n + tb.n - pb.n_both))::BIGINT AS jaccard_fp
+            FROM pb
+            JOIN tc ta ON ta.event_type = pb.type_a
+            JOIN tc tb ON tb.event_type = pb.type_b""",
+        "part_revenue_share": f"""
+            WITH r AS (SELECT l_partkey,
+                 sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                   AS BIGINT)))::BIGINT AS rev_e4
+               FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(rev_e4)::BIGINT AS tot,
+                      count(*)::BIGINT AS np FROM r)
+            SELECT r.l_partkey AS p_partkey, r.rev_e4 AS revenue_e4,
+                   ({ops_rel.SHARE_FP} * r.rev_e4
+                    // greatest(t.tot, 1))::BIGINT AS share_fp
+            FROM r, t
+            WHERE {ops_rel.SHARE_MULT_DEN} * r.rev_e4 * t.np
+                  > {ops_rel.SHARE_MULT_NUM} * t.tot""",
         "promo_revenue": """
             WITH r AS (SELECT
                  CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -4770,6 +4812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequency_spectrum": q_token_frequency_spectrum,
         "burst_profile": q_burst_profile,
         "langid_kappa": q_langid_kappa,
+        "event_type_affinity": q_event_type_affinity,
+        "part_revenue_share": q_part_revenue_share,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -976,3 +976,72 @@ def burst_profile(events: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(fold, batch_format="pandas")
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- event-type affinity (user-overlap Jaccard) ----
+
+AFFINITY_FP = 10 ** 6
+
+
+def event_type_affinity(events: ray.data.Dataset) -> pd.DataFrame:
+    """(type_a, type_b, n_a, n_b, n_both, jaccard_fp) for every pair of
+    event types sharing ≥1 user: the user-set Jaccard overlap between
+    behaviors — the cross-sell / funnel-adjacency readout ("viewers who
+    also purchase") computed as an exact set-overlap join. Only pairs
+    with n_both ≥ 1 appear (inner-join semantics, mirrored).
+    jaccard_fp = FP·|A∩B| // (|A|+|B|−|A∩B|), exact integer.
+
+    Scale shape: per-batch distinct-(user,type) combiner → ONE
+    user-hash co-partition makes the partition-local dedup global; the
+    partition's pair counts come from one vectorized self-merge on
+    user_id (≤ types² per user) and fold to ≤ types² + types partial
+    rows; a tiny Sum groupby and a ≤ types²-row driver finish."""
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "event_type"]].drop_duplicates()
+        out = pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "event_type": d["event_type"].to_numpy(object)})
+        out["part"] = (out["user_id"].to_numpy(np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        singles = d.groupby("event_type", sort=False, as_index=False) \
+            .size().rename(columns={"size": "n"})
+        singles = pd.DataFrame({
+            "type_a": singles["event_type"].to_numpy(object),
+            "type_b": np.full(len(singles), "", dtype=object),
+            "n": singles["n"].astype(np.int64)})
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"], sort=False,
+                          as_index=False).size()
+        pairs = pd.DataFrame({
+            "type_a": pairs["event_type_x"].to_numpy(object),
+            "type_b": pairs["event_type_y"].to_numpy(object),
+            "n": pairs["size"].astype(np.int64)})
+        return pd.concat([singles, pairs], ignore_index=True)
+
+    from ray.data.aggregate import Sum
+    rows = (events.select_columns(["user_id", "event_type"])
+            .map_batches(distinct_partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby(["type_a", "type_b"])           # ≤ types² rows
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    cnt = {t: int(n) for t, n in
+           rows.loc[rows["type_b"] == "", ["type_a", "n"]].itertuples(
+               index=False)}
+    pr = rows[rows["type_b"] != ""].reset_index(drop=True)
+    n_a = pr["type_a"].map(cnt).to_numpy(np.int64)
+    n_b = pr["type_b"].map(cnt).to_numpy(np.int64)
+    n_both = pr["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "type_a": pr["type_a"].astype(object),
+        "type_b": pr["type_b"].astype(object),
+        "n_a": n_a, "n_b": n_b, "n_both": n_both,
+        "jaccard_fp": (np.int64(AFFINITY_FP) * n_both
+                       // (n_a + n_b - n_both))})

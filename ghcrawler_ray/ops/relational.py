@@ -575,3 +575,68 @@ def customers_without_orders(customer: ray.data.Dataset,
         "n_customers": out["n_customers"].astype(np.int64),
         "total_acctbal_cents": out["total_acctbal_cents"]
         .astype(np.int64)})
+
+
+# ---- part revenue share (TPC-H Q11 shape: HAVING vs global scalar) ----
+
+SHARE_FP = 10 ** 6
+# keep parts with share > (NUM/DEN) × the average part's share
+SHARE_MULT_NUM = 3
+SHARE_MULT_DEN = 2
+
+
+def part_revenue_share(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(p_partkey, revenue_e4, share_fp) for parts whose lineitem
+    revenue share exceeds ``NUM/DEN ×`` the average part's share — the
+    TPC-H Q11 shape: a grouped aggregate filtered against a GLOBAL
+    aggregate of the same data. The threshold is self-scaling
+    (DEN·rev·n_parts > NUM·total), so it stays selective at every sf.
+    Revenue is exact 1e-4-dollar int64 units (cents × (100−disc_cents));
+    the filter is an integer cross-multiply, so no division enters the
+    comparison and the DuckDB mirror is bit-exact. int64 bound: the
+    cross-products stay under 2^63 up to ~10^14 e4-units of total
+    revenue (~$10^10); beyond that switch the compare to Python/HUGEINT.
+
+    Scale shape: per-batch per-part combiner (batch 65536) → ONE
+    partkey-hash Sum groupby to finish per-part revenue; that slim
+    (#parts-sized) table materializes ONCE and serves three bounded
+    reads (scalar total, count, final filter map). The fact table
+    streams exactly once."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (_cents(df["l_extendedprice"])
+               * (100 - _cents(df["l_discount"])))      # 1e-4 units
+        g = pd.DataFrame({"l_partkey": df["l_partkey"]
+                          .to_numpy(np.int64), "rev_e4": rev}) \
+            .groupby("l_partkey", sort=False, as_index=False).sum()
+        g["rev_e4"] = g["rev_e4"].astype(np.int64)
+        return g
+
+    per_part = (lineitem.select_columns(["l_partkey", "l_extendedprice",
+                                         "l_discount"])
+                .map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+                .groupby("l_partkey")
+                .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+                .materialize())                 # slim: one row per part
+    tot = int(per_part.aggregate(Sum("revenue_e4",
+                                     alias_name="t"))["t"])
+    n_parts = per_part.count()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["revenue_e4"].to_numpy(np.int64)
+        keep = (np.int64(SHARE_MULT_DEN) * rev * np.int64(n_parts)
+                > np.int64(SHARE_MULT_NUM) * tot)
+        out = df.loc[keep, ["l_partkey", "revenue_e4"]].copy()
+        out = out.rename(columns={"l_partkey": "p_partkey"})
+        out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+        out["share_fp"] = (np.int64(SHARE_FP)
+                           * out["revenue_e4"].to_numpy(np.int64)
+                           // np.int64(max(tot, 1)))
+        return pd.DataFrame({
+            "p_partkey": out["p_partkey"].to_numpy(np.int64),
+            "revenue_e4": out["revenue_e4"].to_numpy(np.int64),
+            "share_fp": out["share_fp"].to_numpy(np.int64)})
+
+    return per_part.map_batches(finish, batch_format="pandas")
