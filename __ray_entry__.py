@@ -174,6 +174,14 @@ def _links_ds(sf_dir: str) -> ray.data.Dataset:
     return _LINKS_CACHE[sf]
 
 
+def q_crawl_kcore(sf_dir: str) -> ray.data.Dataset:
+    """12-round k-core peel of the undirected page link graph (dense
+    core = spam-farm/template-cluster signal) — shard-actor peel loop,
+    mirrored by an unrolled per-round CTE chain."""
+    from ghcrawler_ray.ops.graph import kcore
+    return kcore(_links_ds(sf_dir))
+
+
 def q_degree_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-node in/out degrees over the extracted link graph (all hrefs,
     including never-fetched dst urls)."""
@@ -1986,9 +1994,50 @@ def _curate_sql() -> str:
         FROM q JOIN d USING (doc_id, norm_md5)"""
 
 
+def _kcore_sql(pages: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peel mirror: round i removes alive nodes whose
+    surviving undirected degree < k (see ops/graph.kcore)."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous round's CTEs 2-3 times, and DuckDB's default inlining
+    # makes the expansion exponential in the round count.
+    parts = [f"""l AS MATERIALIZED (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+            e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM l WHERE src <> dst
+                UNION ALL
+                SELECT dst, src FROM l WHERE src <> dst)),
+            alive0 AS MATERIALIZED (SELECT DISTINCT a FROM e0),
+            d0 AS MATERIALIZED (SELECT a, count(*)::BIGINT AS c
+                FROM e0 GROUP BY 1)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            rm{i} AS MATERIALIZED (SELECT a FROM alive{i - 1}
+                WHERE a NOT IN (
+                SELECT a FROM e{i - 1} GROUP BY a
+                HAVING count(*) >= {k})),
+            alive{i} AS MATERIALIZED (SELECT a FROM alive{i - 1}
+                WHERE a NOT IN (SELECT a FROM rm{i})),
+            e{i} AS MATERIALIZED (SELECT a, b FROM e{i - 1}
+                WHERE a NOT IN (SELECT a FROM rm{i})
+                  AND b NOT IN (SELECT a FROM rm{i}))""")
+    rounds_u = " UNION ALL ".join(
+        f"SELECT a, {i}::BIGINT AS r FROM rm{i}"
+        for i in range(1, rounds + 1))
+    return ("WITH " + ",".join(parts) + f""",
+            rounds AS ({rounds_u})
+            SELECT n.a AS url, d0.c AS degree,
+                   coalesce(rounds.r, -1)::BIGINT AS peel_round,
+                   rounds.a IS NULL AS in_kcore
+            FROM alive0 n JOIN d0 USING (a)
+            LEFT JOIN rounds ON rounds.a = n.a""")
+
+
 def _crawl_sql(sf: float) -> dict[str, str]:
     """Crawl-family oracles read the synthesized web parquet by path
     (generated deterministically on demand; paths are stable per sf)."""
+    from ghcrawler_ray.ops import graph as _graph
     pages = _pages_glob(sf)
     seeds = _seeds_path(sf)
     seeds_dir = str(ensure_testdata(sf))
@@ -1998,6 +2047,8 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_extract_text": f"""
             SELECT url, regexp_extract(decode(html), '<p>(.*?)</p>', 1) AS text
             FROM read_parquet('{pages}')""",
+        "crawl_kcore": _kcore_sql(pages, _graph.KCORE_K,
+                                  _graph.KCORE_MAX_ROUNDS),
         # ops/cdx.cdx_index: SURT key = reversed host labels + ')' + rest
         "crawl_cdx_index": f"""
             WITH p AS (SELECT url, warc_ts, html,
@@ -4814,6 +4865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_kappa": q_langid_kappa,
         "event_type_affinity": q_event_type_affinity,
         "part_revenue_share": q_part_revenue_share,
+        "crawl_kcore": q_crawl_kcore,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

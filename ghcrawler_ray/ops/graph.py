@@ -890,3 +890,143 @@ def host_eccentricity(links: ray.data.Dataset) -> pd.DataFrame:
         "host": hosts.astype(object),
         "n_reachable": reached.sum(axis=1, dtype=np.int64) - 1,
         "eccentricity": ecc})
+
+
+# ---- k-core decomposition (page-level link graph) ----
+
+KCORE_K = 5                 # minimum within-core undirected degree
+KCORE_MAX_ROUNDS = 12       # fixed peel budget (spec'd, mirrored)
+
+
+@ray.remote(num_cpus=0)
+class _KCoreShard:
+    """One k-core partition: the undirected edge rows whose a-endpoint
+    hashes here (both orientations of every edge exist somewhere, so a
+    node's full degree is computable locally), plus the (nid → url)
+    map for the nodes it owns. num_cpus=0 like the other graph shards."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+        self._ab: list[tuple[np.ndarray, np.ndarray]] = []
+        self._nu: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add_edges(self, a: np.ndarray, b: np.ndarray) -> int:
+        self._ab.append((np.asarray(a, np.int64), np.asarray(b, np.int64)))
+        return len(a)
+
+    def add_nodes(self, nid: np.ndarray, url: np.ndarray) -> int:
+        self._nu.append((np.asarray(nid, np.int64),
+                         np.asarray(url, dtype=object)))
+        return len(nid)
+
+    def seal(self) -> int:
+        a = (np.concatenate([c[0] for c in self._ab])
+             if self._ab else np.empty(0, np.int64))
+        b = (np.concatenate([c[1] for c in self._ab])
+             if self._ab else np.empty(0, np.int64))
+        self._ab = []
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            keep = np.empty(len(a), dtype=bool)
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
+        self.a, self.b = a, b
+        nid = (np.concatenate([c[0] for c in self._nu])
+               if self._nu else np.empty(0, np.int64))
+        url = (np.concatenate([c[1] for c in self._nu])
+               if self._nu else np.empty(0, object))
+        self._nu = []
+        self.nids, first = np.unique(nid, return_index=True)
+        self.urls = url[first]
+        self.alive = np.ones(len(self.nids), dtype=bool)
+        self.round_removed = np.full(len(self.nids), -1, dtype=np.int64)
+        self.deg0 = np.searchsorted(self.a, self.nids, side="right") \
+            - np.searchsorted(self.a, self.nids, side="left")
+        return len(self.nids)
+
+    def peel(self, k: int, rnd: int) -> np.ndarray:
+        """Mark + return this shard's nodes whose CURRENT degree < k."""
+        deg = np.searchsorted(self.a, self.nids, side="right") \
+            - np.searchsorted(self.a, self.nids, side="left")
+        rm = self.alive & (deg < k)
+        self.alive[rm] = False
+        self.round_removed[rm] = rnd
+        return self.nids[rm]
+
+    def drop(self, removed_sorted: np.ndarray) -> int:
+        """Drop all edge rows touching any globally removed node."""
+        if len(removed_sorted) == 0 or len(self.a) == 0:
+            return len(self.a)
+        def member(x: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(removed_sorted, x)
+            np.minimum(pos, len(removed_sorted) - 1, out=pos)
+            return removed_sorted[pos] == x
+        keep = ~(member(self.a) | member(self.b))
+        self.a, self.b = self.a[keep], self.b[keep]
+        return len(self.a)
+
+    def result_arrow(self) -> pa.Table:
+        return pa.table({
+            "url": pa.array(self.urls, type=pa.string()),
+            "degree": pa.array(self.deg0, type=pa.int64()),
+            "peel_round": pa.array(self.round_removed, type=pa.int64()),
+            "in_kcore": pa.array(self.alive, type=pa.bool_())})
+
+
+def kcore(links: ray.data.Dataset, k: int = KCORE_K,
+          max_rounds: int = KCORE_MAX_ROUNDS) -> ray.data.Dataset:
+    """(url, degree, peel_round, in_kcore): ``max_rounds``-round k-core
+    peel of the UNDIRECTED page link graph (distinct edges, self-loops
+    dropped; nodes = every url appearing as an endpoint). Round r
+    removes every node whose surviving degree < k; peel_round = the
+    1-based round a node fell (−1 = survived all rounds = the k-core
+    whenever the true peel depth ≤ max_rounds, which pytest pins on the
+    test corpus). The dense core is the spam-farm / template-cluster
+    signal; shallow peel_round marks frontier-fringe pages.
+
+    Scale shape: edges scatter ONCE by hash(a) % P (both orientations,
+    so each node's degree is shard-local); each round is a vectorized
+    shard-local degree scan, and only the REMOVED-node id array (the
+    frontier analogue — output-sized, shrinking) moves: gathered,
+    merged, broadcast back for the b-side edge drop. No per-round
+    all-to-all; P scales with edge count like ``pagerank``."""
+    n_edges = links.count()
+    P = max(4, min(N_GRAPH_PARTS, n_edges // 100_000 + 1))
+    shards = [_KCoreShard.remote(p, P) for p in range(P)]
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["src_url", "dst_url"]].drop_duplicates()
+        e = e[e["src_url"] != e["dst_url"]]
+        s = hash64_array(e["src_url"].astype(str))
+        d = hash64_array(e["dst_url"].astype(str))
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        refs = [shards[p].add_edges.remote(aa, bb) for p, aa, bb in
+                _slice_by_part((a % P).astype(np.int64), P, a, b)]
+        urls = pd.concat([e["src_url"], e["dst_url"]]) \
+            .drop_duplicates().astype(str).to_numpy(dtype=object)
+        ids = hash64_array(pd.Series(urls))
+        refs += [shards[p].add_nodes.remote(i, u) for p, i, u in
+                 _slice_by_part((ids % P).astype(np.int64), P, ids, urls)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(e)]})
+
+    links.map_batches(scatter, batch_format="pandas").materialize()
+    ray.get([s.seal.remote() for s in shards])
+
+    for rnd in range(1, max_rounds + 1):
+        removed = np.concatenate(
+            ray.get([s.peel.remote(k, rnd) for s in shards]))
+        if len(removed) == 0:
+            break
+        rm_ref = ray.put(np.sort(removed))
+        ray.get([s.drop.remote(rm_ref) for s in shards])
+
+    out = ray.data.from_arrow_refs(
+        [s.result_arrow.remote() for s in shards]).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out

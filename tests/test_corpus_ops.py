@@ -1021,3 +1021,26 @@ def test_postings_compression_varint_exact(ray_session):
     y = postings_compression(ray.data.from_pandas(df2)).to_pandas() \
         .set_index("token").loc["y"]
     assert y.coded_bytes == 1 + 2
+
+
+def test_kcore_multi_round_peel_and_core(ray_session):
+    """Hand-built graph: a 4-clique (2-core) with a 3-node tail hanging
+    off u3 — the tail peels inward one node per round (x3@1, x2@2,
+    x1@3), the clique survives; degrees are the initial undirected
+    distinct degrees."""
+    from ghcrawler_ray.ops.graph import kcore
+    edges = [("u0", "u1"), ("u0", "u2"), ("u0", "u3"), ("u1", "u2"),
+             ("u1", "u3"), ("u2", "u3"),          # 4-clique
+             ("u3", "x1"), ("x1", "x2"), ("x2", "x3")]   # tail
+    df = pd.DataFrame({"src_url": [a for a, _ in edges],
+                       "dst_url": [b for _, b in edges]})
+    out = kcore(ray.data.from_pandas(df), k=2, max_rounds=12) \
+        .to_pandas().set_index("url")
+    assert out.loc["x3", "peel_round"] == 1
+    assert out.loc["x2", "peel_round"] == 2
+    assert out.loc["x1", "peel_round"] == 3
+    for u in ("u0", "u1", "u2", "u3"):
+        assert out.loc[u, "peel_round"] == -1 and out.loc[u, "in_kcore"]
+    assert not out.loc["x1", "in_kcore"]
+    assert out.loc["u3", "degree"] == 4
+    assert out.loc["x3", "degree"] == 1
