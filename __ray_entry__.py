@@ -1227,6 +1227,18 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_prefix_search(sf_dir: str) -> ray.data.Dataset:
+    """Wildcard/truncation query (`pre*`): per-doc hit + distinct-term
+    counts for each query prefix — map-only, no shuffle."""
+    return ops_search.prefix_search(_docs(sf_dir))
+
+
+def q_rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """RFM customer segmentation: exact nearest-rank quartile labels
+    per recency/frequency/monetary dimension."""
+    return ops_rel.rfm_segments(_table(sf_dir, "orders"))
+
+
 def q_event_type_affinity(sf_dir: str) -> pd.DataFrame:
     """User-set Jaccard overlap per event-type pair (cross-sell /
     funnel-adjacency readout)."""
@@ -3148,6 +3160,54 @@ def _bpe_compression_sql(k: int = ops_bpe.BPE_MERGES) -> str:
         + "\nUNION ALL\n".join(sels)
 
 
+def _rfm_sql() -> str:
+    """RFM quartile mirror: threshold_q = k-th smallest (k = integer
+    ceil of q·n), label = 1 + #thresholds strictly below; monetary
+    quartiles at dollar resolution (see ops/relational.rfm_segments)."""
+    def t3(tbl: str, pre: str) -> str:
+        ks = (("25", "(nn.n + 3) // 4"), ("50", "(nn.n + 1) // 2"),
+              ("75", "(3 * nn.n + 3) // 4"))
+        return ",\n".join(
+            f"(SELECT min(v) FROM {tbl}, nn WHERE i >= {expr}) AS {pre}{q}"
+            for q, expr in ks)
+
+    def lab(col: str, pre: str) -> str:
+        return (" + ".join(
+            f"CASE WHEN {col} > t.{pre}{q} THEN 1 ELSE 0 END"
+            for q in ("25", "50", "75")))
+
+    return f"""
+        WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+               count(*)::BIGINT AS frequency,
+               sum(CAST(floor(o_totalprice * 100 + 0.5)
+                   AS BIGINT))::BIGINT AS monetary_e2
+             FROM orders GROUP BY 1),
+        g AS (SELECT max(last_d) AS gmax FROM c),
+        b AS (SELECT o_custkey AS c_custkey,
+               (epoch_us(g.gmax) - epoch_us(last_d)) // 86400000000
+                 AS recency_days,
+               frequency, monetary_e2, monetary_e2 // 100 AS m_bin
+             FROM c, g),
+        nn AS (SELECT count(*)::BIGINT AS n FROM b),
+        rs AS (SELECT recency_days AS v,
+                   row_number() OVER (ORDER BY recency_days) AS i FROM b),
+        fs AS (SELECT frequency AS v,
+                   row_number() OVER (ORDER BY frequency) AS i FROM b),
+        ms AS (SELECT m_bin AS v,
+                   row_number() OVER (ORDER BY m_bin) AS i FROM b),
+        t AS (SELECT {t3('rs', 'r')}, {t3('fs', 'f')}, {t3('ms', 'm')}),
+        lbl AS (SELECT b.c_custkey, b.recency_days, b.frequency,
+               b.monetary_e2,
+               (1 + {lab('b.recency_days', 'r')})::BIGINT AS r_label,
+               (1 + {lab('b.frequency', 'f')})::BIGINT AS f_label,
+               (1 + {lab('b.m_bin', 'm')})::BIGINT AS m_label
+             FROM b, t)
+        SELECT c_custkey, recency_days, frequency, monetary_e2,
+               r_label, f_label, m_label,
+               (100 * r_label + 10 * f_label + m_label)::BIGINT AS rfm_code
+        FROM lbl"""
+
+
 def _decon_sql() -> str:
     """Decontamination mirror (benchmark = doc_id % BENCH_MOD == 0);
     reused verbatim by the contamination_by_source rollup."""
@@ -3534,6 +3594,19 @@ def _ops_sql() -> dict[str, str]:
                        THEN a.nll_sum // a.n_bigrams ELSE 0 END)::BIGINT
                      AS mean_nll_fp
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "prefix_search": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            p(prefix) AS (VALUES {", ".join(
+                f"('{p}')" for p in ops_search.PREFIXES)}),
+            h AS (SELECT p.prefix, t.doc_id, u.tok
+                  FROM t, p, LATERAL (SELECT unnest(tk) AS tok) u
+                  WHERE starts_with(u.tok, p.prefix))
+            SELECT prefix, doc_id, count(*)::BIGINT AS n_hits,
+                   count(DISTINCT tok)::BIGINT AS n_distinct_terms
+            FROM h GROUP BY 1, 2""",
+        "rfm_segments": _rfm_sql(),
         "phrase_search": rf"""
             WITH ts AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -4866,6 +4939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": q_event_type_affinity,
         "part_revenue_share": q_part_revenue_share,
         "crawl_kcore": q_crawl_kcore,
+        "prefix_search": q_prefix_search,
+        "rfm_segments": q_rfm_segments,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -640,3 +640,96 @@ def part_revenue_share(lineitem: ray.data.Dataset) -> ray.data.Dataset:
             "share_fp": out["share_fp"].to_numpy(np.int64)})
 
     return per_part.map_batches(finish, batch_format="pandas")
+
+
+# ---- RFM customer segmentation (recency/frequency/monetary quartiles) ----
+
+_DAY_US = 86_400_000_000
+
+
+def rfm_segments(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(c_custkey, recency_days, frequency, monetary_e2, r_label,
+    f_label, m_label, rfm_code): classic RFM segmentation — each
+    customer labeled 1-4 per dimension by exact nearest-rank quartiles
+    (label = 1 + #thresholds strictly below the value; threshold_q =
+    k-th smallest with k = ceil(q·n), integer ceil). Recency = whole
+    days between the customer's last order and the corpus-max order
+    date (labels are mechanical: low recency_days ⇒ label 1 = most
+    recent). Monetary quartiles are computed at DOLLAR resolution
+    (m_bin = cents // 100) so the threshold histogram stays bounded at
+    any scale; labels compare the same binned value on both sides.
+    rfm_code = 100·r + 10·f + m.
+
+    Scale shape: per-batch per-customer combiner → ONE custkey Sum/Max
+    groupby finishes the slim per-customer table (materialized once);
+    the three quartile histograms are value-bounded (days / order
+    counts / dollar bins) Sum shuffles folded on the driver; the label
+    pass streams the per-customer table with nine broadcast ints."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "last_us": df["o_orderdate"].astype("datetime64[us]")
+            .astype(np.int64).to_numpy(),
+            "f": np.ones(len(df), dtype=np.int64),
+            "m_e2": _cents(df["o_totalprice"])})
+        return g.groupby("o_custkey", as_index=False, sort=False) \
+            .agg(last_us=("last_us", "max"), f=("f", "sum"),
+                 m_e2=("m_e2", "sum"))
+
+    cust = (orders.select_columns(["o_custkey", "o_orderdate",
+                                   "o_totalprice"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("o_custkey")
+            .aggregate(Max("last_us", alias_name="last_us"),
+                       Sum("f", alias_name="frequency"),
+                       Sum("m_e2", alias_name="monetary_e2"))
+            .materialize())                 # slim: one row per customer
+    gmax = int(cust.aggregate(Max("last_us", alias_name="g"))["g"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = (gmax - df["last_us"].to_numpy(np.int64)) // _DAY_US
+        f = df["frequency"].to_numpy(np.int64)
+        m = df["monetary_e2"].to_numpy(np.int64) // 100
+        frames = []
+        for dim, v in (("r", r), ("f", f), ("m", m)):
+            u, c = np.unique(v, return_counts=True)
+            frames.append(pd.DataFrame({
+                "dim": np.full(len(u), dim, dtype=object),
+                "val": u.astype(np.int64), "n": c.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = (cust.map_batches(hist_partial, batch_format="pandas",
+                             batch_size=65536)
+            .groupby(["dim", "val"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                   # value-bounded rows
+    thr: dict[str, tuple[int, int, int]] = {}
+    for dim, g in hist.groupby("dim"):
+        g = g.sort_values("val", kind="stable")
+        vals = g["val"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        ks = ((n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4)
+        thr[str(dim)] = tuple(int(vals[np.searchsorted(cum, k)])
+                              for k in ks)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        r = (gmax - df["last_us"].to_numpy(np.int64)) // _DAY_US
+        f = df["frequency"].to_numpy(np.int64)
+        m2 = df["monetary_e2"].to_numpy(np.int64)
+        m = m2 // 100
+        def lab(v, t):
+            return (1 + (v > t[0]).astype(np.int64)
+                    + (v > t[1]).astype(np.int64)
+                    + (v > t[2]).astype(np.int64))
+        rl, fl, ml = lab(r, thr["r"]), lab(f, thr["f"]), lab(m, thr["m"])
+        return pd.DataFrame({
+            "c_custkey": df["o_custkey"].to_numpy(np.int64),
+            "recency_days": r, "frequency": f, "monetary_e2": m2,
+            "r_label": rl, "f_label": fl, "m_label": ml,
+            "rfm_code": 100 * rl + 10 * fl + ml})
+
+    return cust.map_batches(label, batch_format="pandas")

@@ -536,3 +536,55 @@ def search_snippets(docs: ray.data.Dataset,
 
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(snip, batch_format="pandas"))
+
+
+# ---- prefix (wildcard) search ----
+
+PREFIXES: tuple[str, ...] = ("sc", "win", "jo")
+
+
+def prefix_search(docs: ray.data.Dataset,
+                  prefixes: tuple[str, ...] = PREFIXES) -> ray.data.Dataset:
+    """(prefix, doc_id, n_hits, n_distinct_terms) for every document
+    containing ≥1 whitespace token starting with ``prefix`` — the
+    `pre*` wildcard query shape (truncation search), the query class a
+    front-coded term dictionary answers with one binary-search range
+    scan. Here collapsed to its map-only form: a document's tokens
+    live wholly in its row, so each batch flattens once and answers
+    ALL prefixes vectorized (np.char comparisons on the flat token
+    array); output is only matching slim rows, NO shuffle."""
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [_WS_RE.findall(t.lower()) for t in df["text"].tolist()]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        empty = pd.DataFrame({
+            "prefix": np.empty(0, object),
+            "doc_id": np.empty(0, np.int64),
+            "n_hits": np.empty(0, np.int64),
+            "n_distinct_terms": np.empty(0, np.int64)})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in tok_lists if len(t)])
+        doc = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        frames = []
+        flat_s = flat.astype(str)
+        for p in prefixes:
+            hit = np.char.startswith(flat_s, p)
+            if not hit.any():
+                continue
+            m = pd.DataFrame({"doc_id": doc[hit], "term": flat[hit]}) \
+                .groupby("doc_id", sort=False)["term"] \
+                .agg(n_hits="size", n_distinct_terms="nunique") \
+                .reset_index()
+            m.insert(0, "prefix", p)
+            frames.append(m)
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"doc_id": np.int64, "n_hits": np.int64,
+                           "n_distinct_terms": np.int64})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        match, batch_format="pandas")
