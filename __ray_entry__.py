@@ -1227,6 +1227,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Groupwise top-k: the 3 highest-quality docs per language via
+    per-batch local-top-k combiners."""
+    return ops_corpus.top_docs_per_lang(_docs(sf_dir))
+
+
 def q_prefix_search(sf_dir: str) -> ray.data.Dataset:
     """Wildcard/truncation query (`pre*`): per-doc hit + distinct-term
     counts for each query prefix — map-only, no shuffle."""
@@ -3607,6 +3613,16 @@ def _ops_sql() -> dict[str, str]:
                    count(DISTINCT tok)::BIGINT AS n_distinct_terms
             FROM h GROUP BY 1, 2""",
         "rfm_segments": _rfm_sql(),
+        "top_docs_per_lang": f"""
+            WITH q AS (FROM ({_quality_sql()})),
+            ql AS (SELECT d.lang, q.doc_id, q.quality_score
+                   FROM q JOIN documents d USING (doc_id)),
+            r AS (SELECT lang, doc_id, quality_score,
+                      row_number() OVER (PARTITION BY lang
+                          ORDER BY quality_score DESC, doc_id) AS rank
+                  FROM ql)
+            SELECT lang, rank::BIGINT AS rank, doc_id, quality_score
+            FROM r WHERE rank <= {ops_corpus.TOPK_PER_LANG}""",
         "phrase_search": rf"""
             WITH ts AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -4941,6 +4957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": q_crawl_kcore,
         "prefix_search": q_prefix_search,
         "rfm_segments": q_rfm_segments,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -948,3 +948,42 @@ def source_lang_pivot(docs: ray.data.Dataset) -> pd.DataFrame:
         .astype(np.int64)
     wide["source"] = wide["source"].astype(object)
     return wide.sort_values("source", kind="stable").reset_index(drop=True)
+
+
+# ---- groupwise top-k (best docs per language) ----
+
+TOPK_PER_LANG = 3
+
+
+def top_docs_per_lang(docs: ray.data.Dataset,
+                      k: int = TOPK_PER_LANG) -> ray.data.Dataset:
+    """(lang, rank, doc_id, quality_score): the k highest-quality
+    documents per language (composite ``quality_batch`` score; ties →
+    smaller doc_id) — the generic groupwise-top-k shape (`row_number()
+    OVER (PARTITION BY g ORDER BY s DESC) <= k`) done the distributed
+    way: each batch keeps only its LOCAL top-k per lang (the combiner —
+    a global winner is necessarily a batch winner), so the final
+    per-lang fold sees ≤ k×batches slim rows, never the corpus."""
+    from .text import quality_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(df)[["doc_id", "quality_score"]]
+        q.insert(0, "lang", df["lang"].to_numpy(dtype=object))
+        q = q.sort_values(["lang", "quality_score", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        return q.groupby("lang", sort=False).head(k)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["quality_score", "doc_id"],
+                          ascending=[False, True], kind="stable") \
+            .head(k).reset_index(drop=True)
+        return pd.DataFrame({
+            "lang": g["lang"].astype(object),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "doc_id": g["doc_id"].astype(np.int64),
+            "quality_score": g["quality_score"].astype(np.float64)})
+
+    return (docs.select_columns(["doc_id", "text", "lang"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=16384)
+            .groupby("lang").map_groups(fold, batch_format="pandas"))
