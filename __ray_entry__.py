@@ -246,6 +246,13 @@ def q_host_reciprocity(sf_dir: str) -> pd.DataFrame:
     return host_reciprocity(_links_ds(sf_dir))
 
 
+def q_host_bowtie(sf_dir: str) -> pd.DataFrame:
+    """Broder bow-tie map of the host graph (CORE/IN/OUT/TENDRIL/
+    DISCONNECTED) — seed-strategy readout, recursive-closure mirror."""
+    from ghcrawler_ray.ops.graph import host_bowtie
+    return host_bowtie(_links_ds(sf_dir))
+
+
 def q_host_scc(sf_dir: str) -> pd.DataFrame:
     """Strongly connected components of the directed host graph
     (mutual-reachability communities vs host_components' weak CCs) —
@@ -2355,6 +2362,49 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT c.host, c.component, cnt.n::BIGINT AS scc_size
             FROM comp c JOIN (SELECT component, count(*) AS n
                 FROM comp GROUP BY 1) cnt USING (component)""",
+        # ops/graph.host_bowtie: Broder bow-tie via the same recursive
+        # reachability closure; CORE = largest SCC (tie → min label)
+        "crawl_host_bowtie": f"""
+            WITH RECURSIVE {_HOST_EDGES_CTES.format(pages=pages)},
+            n AS (SELECT DISTINCT host FROM (
+                SELECT s AS host FROM e UNION ALL SELECT d FROM e)),
+            reach(s, d) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+            mutual AS (
+                SELECT r1.s AS host, r1.d AS other
+                FROM reach r1 JOIN reach r2
+                  ON r2.s = r1.d AND r2.d = r1.s
+                UNION
+                SELECT host, host FROM n),
+            comp AS (SELECT host, min(other) AS component
+                FROM mutual GROUP BY 1),
+            core_lbl AS (SELECT component FROM comp GROUP BY component
+                ORDER BY count(*) DESC, component LIMIT 1),
+            core AS (SELECT comp.host FROM comp, core_lbl
+                WHERE comp.component = core_lbl.component),
+            ue AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+            wreach(s, d) AS (
+                SELECT s, d FROM ue
+                UNION
+                SELECT r.s, ue.d FROM wreach r JOIN ue ON ue.s = r.d),
+            lab AS (SELECT n.host,
+                CASE WHEN n.host IN (SELECT host FROM core) THEN 'core'
+                     WHEN EXISTS (SELECT 1 FROM reach r JOIN core c
+                             ON r.d = c.host WHERE r.s = n.host)
+                       THEN 'in'
+                     WHEN EXISTS (SELECT 1 FROM reach r JOIN core c
+                             ON r.s = c.host WHERE r.d = n.host)
+                       THEN 'out'
+                     WHEN EXISTS (SELECT 1 FROM wreach r JOIN core c
+                             ON r.d = c.host WHERE r.s = n.host)
+                       THEN 'tendril'
+                     ELSE 'disconnected' END AS region
+                FROM n)
+            SELECT lab.host, lab.region, cnt.n::BIGINT AS region_size
+            FROM lab JOIN (SELECT region, count(*) AS n FROM lab
+                GROUP BY 1) cnt USING (region)""",
         "crawl_host_clustering": f"""
             WITH l AS (SELECT url AS src_url,
                  unnest(regexp_extract_all(decode(html),
@@ -4955,6 +5005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": q_event_type_affinity,
         "part_revenue_share": q_part_revenue_share,
         "crawl_kcore": q_crawl_kcore,
+        "crawl_host_bowtie": q_host_bowtie,
         "prefix_search": q_prefix_search,
         "rfm_segments": q_rfm_segments,
         "top_docs_per_lang": q_top_docs_per_lang,

@@ -1030,3 +1030,59 @@ def kcore(links: ray.data.Dataset, k: int = KCORE_K,
     for s in shards:
         ray.kill(s)
     return out
+
+
+# ---- bow-tie decomposition of the host graph (Broder et al. 2000) ----
+
+def host_bowtie(links: ray.data.Dataset) -> pd.DataFrame:
+    """(host, region, region_size): the classic web bow-tie map —
+    CORE = the largest SCC (ties → lexicographically smallest
+    component label), IN = hosts that reach the core but aren't in it,
+    OUT = hosts the core reaches, TENDRIL = weakly connected to the
+    core component but neither IN nor OUT, DISCONNECTED = everything
+    else (Broder et al., "Graph structure in the Web", WWW 2000). The
+    strategic crawl readout: IN hosts are seed candidates (they feed
+    the core), OUT-heavy graphs mean the frontier drains into sinks.
+
+    Scale shape: one streaming ``host_edges`` collapse; the
+    decomposition itself is boolean-matrix closure over the
+    #hosts-bounded adjacency (``host_scc`` machinery — same delta-BSP
+    escape hatch past the bounded-host regime). IN ∩ OUT = ∅ by
+    construction (mutual reach with the core ⇒ membership)."""
+    e = host_edges(links)
+    hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
+    pos = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[e["a"].map(pos).to_numpy(np.int64),
+        e["b"].map(pos).to_numpy(np.int64)] = True
+    reach = np.eye(n, dtype=bool)
+    frontier = reach.copy()
+    while frontier.any():
+        frontier = (frontier @ adj) & ~reach
+        reach |= frontier
+    same = reach & reach.T
+    comp = np.array([np.flatnonzero(same[i])[0] for i in range(n)],
+                    dtype=np.int64)          # min-index SCC label
+    sizes = np.bincount(comp, minlength=n)
+    core_lbl = int(np.flatnonzero(sizes == sizes.max())[0])
+    core = comp == core_lbl
+    in_set = ~core & reach[:, core].any(axis=1)
+    out_set = ~core & reach[core, :].any(axis=0)
+    uadj = adj | adj.T
+    wreach = np.eye(n, dtype=bool)
+    frontier = wreach.copy()
+    while frontier.any():
+        frontier = (frontier @ uadj) & ~wreach
+        wreach |= frontier
+    weak_core = wreach[:, core].any(axis=1)
+    region = np.where(core, "core",
+                      np.where(in_set, "in",
+                               np.where(out_set, "out",
+                                        np.where(weak_core, "tendril",
+                                                 "disconnected"))))
+    region = region.astype(object)
+    cnt = pd.Series(region).value_counts()
+    return pd.DataFrame({
+        "host": hosts, "region": region,
+        "region_size": pd.Series(region).map(cnt).to_numpy(np.int64)})

@@ -1044,3 +1044,28 @@ def test_kcore_multi_round_peel_and_core(ray_session):
     assert not out.loc["x1", "in_kcore"]
     assert out.loc["u3", "degree"] == 4
     assert out.loc["x3", "degree"] == 1
+
+
+def test_host_bowtie_regions(ray_session):
+    """Hand-built bow-tie: core = {c1,c2} (mutual), i1 feeds the core,
+    o1 drains it, t1 hangs off i1 (weakly connected, neither IN nor
+    OUT), d1→d2 is a separate weak component."""
+    from ghcrawler_ray.ops.graph import host_bowtie
+    def u(h, p="/x"):
+        return f"http://{h}.example{p}"
+    edges = [(u("c1"), u("c2")), (u("c2"), u("c1")),   # core SCC
+             (u("i1"), u("c1")),                       # IN
+             (u("c2"), u("o1")),                       # OUT
+             (u("i1"), u("t1")),                       # TENDRIL
+             (u("d1"), u("d2"))]                       # DISCONNECTED
+    df = pd.DataFrame({"src_url": [a for a, _ in edges],
+                       "dst_url": [b for _, b in edges]})
+    out = host_bowtie(ray.data.from_pandas(df)).set_index("host")
+    assert out.loc["c1.example", "region"] == "core"
+    assert out.loc["c2.example", "region"] == "core"
+    assert out.loc["i1.example", "region"] == "in"
+    assert out.loc["o1.example", "region"] == "out"
+    assert out.loc["t1.example", "region"] == "tendril"
+    assert out.loc["d1.example", "region"] == "disconnected"
+    assert out.loc["d2.example", "region"] == "disconnected"
+    assert out.loc["c1.example", "region_size"] == 2
