@@ -465,6 +465,14 @@ def q_url_compression(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.url_prefix_compression(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_crawl_waterfill(sf_dir: str) -> pd.DataFrame:
+    """Max-min fair (water-filling) split of one global per-wave fetch
+    budget across hosts — the fleet-bottleneck companion to
+    crawl_drain_plan."""
+    sf = sf_of_dir(sf_dir)
+    return ops_urlstats.waterfill_allocation(_pages_ds(sf))
+
+
 def q_drain_plan(sf_dir: str) -> ray.data.Dataset:
     """Per-host polite-wave capacity plan (politeness budgets × URL
     counts)."""
@@ -2140,6 +2148,38 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                           - (sum(n_bytes - shared) + 2 * count(*)), 0)
                  * {ops_urlstats.FC_FP}) // sum(n_bytes) AS savings_fp
             FROM s GROUP BY 1""",
+        # ops/urlstats.waterfill_allocation: sorted integer water-fill;
+        # level = max valid (B - prefix)//(n-k+1); +1s to the
+        # lexicographically-smallest unsaturated hosts
+        "crawl_waterfill": f"""
+            WITH q AS (SELECT
+                 lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+                   AS host, count(*)::BIGINT AS n_urls
+               FROM read_parquet('{pages}') GROUP BY 1),
+            s AS (SELECT host, n_urls,
+                 row_number() OVER (ORDER BY n_urls, host) AS k,
+                 sum(n_urls) OVER (ORDER BY n_urls, host
+                     ROWS UNBOUNDED PRECEDING) - n_urls AS pre,
+                 lag(n_urls) OVER (ORDER BY n_urls, host) AS prev_q,
+                 count(*) OVER () AS n
+               FROM q),
+            lv AS (SELECT max(lk)::BIGINT AS L FROM (
+                 SELECT ({ops_urlstats.WATERFILL_BUDGET} - pre)
+                        // (n - k + 1) AS lk, k, prev_q FROM s)
+               WHERE k = 1 OR prev_q <= lk),
+            base AS (SELECT q.host, q.n_urls,
+                 least(q.n_urls, lv.L) AS b, q.n_urls > lv.L AS unsat
+               FROM q, lv),
+            remv AS (SELECT {ops_urlstats.WATERFILL_BUDGET}
+                 - sum(b)::BIGINT AS rem FROM base),
+            urk AS (SELECT host,
+                 row_number() OVER (ORDER BY host) AS r
+               FROM base WHERE unsat)
+            SELECT base.host, base.n_urls,
+                   (base.b + CASE WHEN urk.r IS NOT NULL
+                        AND urk.r <= remv.rem
+                        THEN 1 ELSE 0 END)::BIGINT AS allocated
+            FROM base LEFT JOIN urk USING (host), remv""",
         # ops/urlstats.drain_plan: ceil(n_urls / budget) polite waves
         "crawl_drain_plan": f"""
             WITH u AS (SELECT {ops_urlstats.HOST_SQL} AS host
@@ -5006,6 +5046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue_share": q_part_revenue_share,
         "crawl_kcore": q_crawl_kcore,
         "crawl_host_bowtie": q_host_bowtie,
+        "crawl_waterfill": q_crawl_waterfill,
         "prefix_search": q_prefix_search,
         "rfm_segments": q_rfm_segments,
         "top_docs_per_lang": q_top_docs_per_lang,

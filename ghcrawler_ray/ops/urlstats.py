@@ -465,3 +465,64 @@ def robots_coverage(pages: ray.data.Dataset,
                          "n_urls": n_allowed + n_blocked,
                          "n_allowed": n_allowed,
                          "n_blocked": n_blocked})
+
+
+# ---- max-min fair wave-budget allocation (water-filling) ----
+
+WATERFILL_BUDGET = 4999     # global per-wave fetch budget B
+
+
+def waterfill_allocation(pages: ray.data.Dataset,
+                         budget: int = WATERFILL_BUDGET) -> pd.DataFrame:
+    """(host, n_urls, allocated): split ONE global per-wave fetch
+    budget B across hosts max-min fairly (water-filling): every host
+    gets min(queue, L) where the integer water level L is the largest
+    feasible, and the leftover B − Σ min(queue, L) goes +1 each to the
+    lexicographically-smallest still-unsaturated hosts. The global
+    companion to ``drain_plan``'s per-host independent budgets — what a
+    coordinator sets when the FLEET (not each host) is the bottleneck.
+
+    Exact integer throughout: with queues sorted asc (ties → host), the
+    level is L = max over k of (B − prefix_{k−1}) // (n−k+1) restricted
+    to k where the previous queue is ≤ that candidate (the classic
+    sorted water-fill; when B ≥ Σqueue the k=n candidate saturates
+    everyone and no +1s are spent). Mirrored term-for-term in SQL.
+
+    Scale shape: per-batch per-host combiner → ONE #hosts-bounded
+    hash-agg; the fill itself is a ≤ #hosts-row driver fold."""
+    from ray.data.aggregate import Sum
+
+    def host_counts(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)", expand=False)
+                .fillna("").str.lower())
+        g = host.groupby(host, sort=False).size()
+        return pd.DataFrame({"host": g.index.to_numpy(dtype=object),
+                             "n": g.to_numpy(dtype=np.int64)})
+
+    q = (pages.select_columns(["url"])
+         .map_batches(host_counts, batch_format="pandas",
+                      batch_size=65536)
+         .groupby("host").aggregate(Sum("n", alias_name="n_urls"))
+         .to_pandas())                        # ≤ #hosts rows
+    q = q.sort_values(["n_urls", "host"], kind="stable") \
+        .reset_index(drop=True)
+    nu = q["n_urls"].to_numpy(np.int64)
+    n = len(q)
+    pre = np.concatenate([[0], np.cumsum(nu)])       # prefix_{k-1}
+    k = np.arange(1, n + 1, dtype=np.int64)
+    lk = (budget - pre[:-1]) // (n - k + 1)
+    valid = np.concatenate([[True], nu[:-1] <= lk[1:]])
+    level = int(lk[valid].max())
+    base = np.minimum(nu, level)
+    unsat = nu > level
+    rem = int(budget - base.sum())
+    plus = np.zeros(n, dtype=np.int64)
+    if rem > 0 and unsat.any():
+        hosts_unsat = q["host"].to_numpy(object)[unsat].astype(str)
+        order = np.argsort(hosts_unsat, kind="stable")
+        idx = np.flatnonzero(unsat)[order][:rem]
+        plus[idx] = 1
+    out = pd.DataFrame({"host": q["host"].astype(object),
+                        "n_urls": nu, "allocated": base + plus})
+    return out.sort_values("host", kind="stable").reset_index(drop=True)

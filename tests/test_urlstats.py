@@ -143,3 +143,35 @@ def test_host_closeness_harmonic_exact():
     assert out.loc["b.x", "harmonic_fp"] == 2 * HC_FP   # two at dist 1
     assert out.loc["d.x", "n_reachable"] == 1           # only its pair
     assert out.loc["d.x", "harmonic_fp"] == HC_FP
+
+
+def test_waterfill_level_remainder_and_saturation(ray_session):
+    from ghcrawler_ray.ops.urlstats import waterfill_allocation
+
+    def pages_of(counts):
+        rows = [f"http://{h}.ex/p{i}" for h, c in counts.items()
+                for i in range(c)]
+        return ray.data.from_pandas(pd.DataFrame({"url": rows}))
+
+    # binding budget: q = (a:5, b:10, c:20), B = 9 → level 3 (k=1:
+    # 9//3=3), base (3,3,3), rem 0
+    out = waterfill_allocation(pages_of({"a": 5, "b": 10, "c": 20}),
+                               budget=9).set_index("host")
+    assert out["allocated"].tolist() == [3, 3, 3]
+    # remainder: B = 11 → level 3, rem 2 → +1 to a.ex and b.ex
+    out = waterfill_allocation(pages_of({"a": 5, "b": 10, "c": 20}),
+                               budget=11).set_index("host")
+    assert out.loc["a.ex", "allocated"] == 4
+    assert out.loc["b.ex", "allocated"] == 4
+    assert out.loc["c.ex", "allocated"] == 3
+    # small queue saturates below the level: q = (a:1, b:10), B = 8
+    # → a gets its whole queue, b gets the rest
+    out = waterfill_allocation(pages_of({"a": 1, "b": 10}),
+                               budget=8).set_index("host")
+    assert out.loc["a.ex", "allocated"] == 1
+    assert out.loc["b.ex", "allocated"] == 7
+    # saturation: B ≥ Σq → everyone gets their full queue, no +1s
+    out = waterfill_allocation(pages_of({"a": 5, "b": 10}),
+                               budget=100).set_index("host")
+    assert out["allocated"].tolist() == [5, 10]
+    assert int(out["allocated"].sum()) == 15
