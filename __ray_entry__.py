@@ -1242,6 +1242,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_shard_rebalance_plan(sf_dir: str) -> pd.DataFrame:
+    """Fleet-resize reshard cost: fraction of distinct index terms
+    that move under mod-hash vs rendezvous (HRW) placement."""
+    return ops_search.shard_rebalance_plan(_docs(sf_dir))
+
+
 def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     """Groupwise top-k: the 3 highest-quality docs per language via
     per-batch local-top-k combiners."""
@@ -3956,6 +3962,43 @@ def _ops_sql() -> dict[str, str]:
             SELECT shard, count(*)::BIGINT AS n_terms,
                 sum(df)::BIGINT AS n_postings
             FROM sh GROUP BY 1""",
+        # ops/search.shard_rebalance_plan: affine HRW weights in
+        # HUGEINT, argmax via row_number (ties → smaller shard)
+        "shard_rebalance_plan": rf"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(
+                 lower(text), '[^\s]+')) AS t FROM documents),
+            dt AS (SELECT DISTINCT t FROM tok),
+            hh AS (SELECT ('0x'||substr(md5(t),1,16))::UBIGINT::HUGEINT
+                 AS h FROM dt),
+            sh AS (SELECT unnest(range(
+                {ops_search.N_INDEX_SHARDS + ops_search.REBALANCE_ADD}))
+                 AS s),
+            w AS (SELECT hh.h, sh.s,
+                 ((2*sh.s + 3) * hh.h
+                  + ({ops_search._HRW_GOLD} * (sh.s + 1)) % {_U64})
+                 % {_U64} AS wgt
+               FROM hh, sh),
+            o AS (SELECT h, s FROM (SELECT h, s, row_number() OVER (
+                 PARTITION BY h ORDER BY wgt DESC, s) AS r FROM w
+                 WHERE s < {ops_search.N_INDEX_SHARDS}) WHERE r = 1),
+            nw AS (SELECT h, s FROM (SELECT h, s, row_number() OVER (
+                 PARTITION BY h ORDER BY wgt DESC, s) AS r FROM w)
+                 WHERE r = 1),
+            mv AS (SELECT o.h,
+                 CASE WHEN o.s != nw.s THEN 1 ELSE 0 END AS mh,
+                 CASE WHEN (o.h % {ops_search.N_INDEX_SHARDS})
+                      != (o.h % {ops_search.N_INDEX_SHARDS
+                                 + ops_search.REBALANCE_ADD})
+                      THEN 1 ELSE 0 END AS mm
+               FROM o JOIN nw USING (h))
+            SELECT count(*)::BIGINT AS n_terms,
+                   sum(mm)::BIGINT AS moved_mod,
+                   sum(mh)::BIGINT AS moved_hrw,
+                   ({ops_search.REBALANCE_FP} * sum(mm)
+                    // greatest(count(*), 1))::BIGINT AS moved_mod_fp,
+                   ({ops_search.REBALANCE_FP} * sum(mh)
+                    // greatest(count(*), 1))::BIGINT AS moved_hrw_fp
+            FROM mv""",
         # ops/text.c4_filter_flags: direct integer column expressions
         "c4_filter_flags": rf"""
             WITH t AS (SELECT doc_id, text,
@@ -5050,6 +5093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": q_prefix_search,
         "rfm_segments": q_rfm_segments,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "shard_rebalance_plan": q_shard_rebalance_plan,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -588,3 +588,86 @@ def prefix_search(docs: ray.data.Dataset,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         match, batch_format="pandas")
+
+
+# ---- shard rebalance plan: mod-hash vs rendezvous (HRW) hashing ----
+
+REBALANCE_ADD = 4            # grow the index fleet N → N + 4
+REBALANCE_FP = 10 ** 6
+_U64_MOD = 1 << 64
+_HRW_GOLD = 2654435769       # 0x9E3779B9
+
+
+def _hrw_weights(h_u64: np.ndarray, shard: int) -> np.ndarray:
+    """Affine rendezvous weight w(t, s) = (A_s·h + B_s) mod 2^64 with
+    A_s = 2s+3 (odd, < 2^32) and B_s = golden·(s+1) mod 2^64 — the
+    minhash affine-seed trick, so DuckDB mirrors it exactly in
+    HUGEINT."""
+    a = np.uint64(2 * shard + 3)
+    b = np.uint64((_HRW_GOLD * (shard + 1)) % _U64_MOD)
+    return h_u64 * a + b          # uint64 wraparound = mod 2^64
+
+
+def shard_rebalance_plan(docs: ray.data.Dataset,
+                         n_old: int = N_INDEX_SHARDS,
+                         n_add: int = REBALANCE_ADD) -> pd.DataFrame:
+    """One row (n_terms, moved_mod, moved_hrw, moved_mod_fp,
+    moved_hrw_fp): when the index fleet grows from ``n_old`` to
+    ``n_old + n_add`` shards, what fraction of DISTINCT terms must
+    migrate under (a) mod-hash placement (h % N — nearly everything
+    moves) vs (b) rendezvous/HRW hashing (argmax of per-shard weights —
+    only terms a NEW shard wins move, ≈ n_add/(n_old+n_add)). The
+    capacity-ops readout that justifies consistent placement before a
+    fleet resize (reshard cost = bytes moved, not bytes stored).
+    Ties in the argmax break to the smaller shard id (mirrored).
+
+    Scale shape: the ``index_shard_plan`` distinct-term combiner → ONE
+    token-hash co-partition dedups terms; each partition folds to a
+    single (n, moved_mod, moved_hrw) counter row; a scalar Sum
+    finishes. Terms never re-shuffle; the weight matrix is
+    (n_old+n_add) vectorized affine passes per partition."""
+    from ray.data.aggregate import Sum
+
+    n_parts = 64
+    n_new = n_old + n_add
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(_WS_RE)
+        rows = [pd.unique(np.asarray(tl, dtype=object)) for tl in toks]
+        if not rows:
+            return pd.DataFrame({"h": np.empty(0, np.int64),
+                                 "part": np.empty(0, np.int32)})
+        flat = pd.unique(np.concatenate(rows))
+        h = _hash64_str(list(flat)).view(np.int64)
+        return pd.DataFrame({"h": h,
+                             "part": (h % n_parts).astype(np.int32)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["h"].to_numpy(np.int64))
+        hu = h.view(np.uint64)
+        w = np.stack([_hrw_weights(hu, s) for s in range(n_new)])
+        s_old = np.argmax(w[:n_old], axis=0)     # first max = min s
+        s_new = np.argmax(w, axis=0)
+        moved_hrw = int((s_old != s_new).sum())
+        moved_mod = int(((hu % np.uint64(n_old))
+                         != (hu % np.uint64(n_new))).sum())
+        return pd.DataFrame({"n": [np.int64(len(h))],
+                             "mm": [np.int64(moved_mod)],
+                             "mh": [np.int64(moved_hrw)]})
+
+    agg = (docs.select_columns(["text"])
+           .map_batches(partial, batch_format="pandas",
+                        batch_size=16384)
+           .groupby("part").map_groups(fold, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("mm", alias_name="mm"),
+                      Sum("mh", alias_name="mh")))
+    n, mm, mh = int(agg["n"]), int(agg["mm"]), int(agg["mh"])
+    return pd.DataFrame({
+        "n_terms": np.array([n], dtype=np.int64),
+        "moved_mod": np.array([mm], dtype=np.int64),
+        "moved_hrw": np.array([mh], dtype=np.int64),
+        "moved_mod_fp": np.array([REBALANCE_FP * mm // max(n, 1)],
+                                 dtype=np.int64),
+        "moved_hrw_fp": np.array([REBALANCE_FP * mh // max(n, 1)],
+                                 dtype=np.int64)})
