@@ -1242,6 +1242,11 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_session_profile(sf_dir: str) -> pd.DataFrame:
+    """Bounce-rate / engagement scorecard over gap-based sessions."""
+    return ops_events.session_profile(_events(sf_dir))
+
+
 def q_shard_rebalance_plan(sf_dir: str) -> pd.DataFrame:
     """Fleet-resize reshard cost: fraction of distinct index terms
     that move under mod-hash vs rendezvous (HRW) placement."""
@@ -3262,6 +3267,24 @@ def _bpe_compression_sql(k: int = ops_bpe.BPE_MERGES) -> str:
         + "\nUNION ALL\n".join(sels)
 
 
+def _sessions_sql() -> str:
+    """Gap-sessionization mirror (ops/events.sessionize), reused by the
+    session_profile rollup."""
+    return """
+            WITH o AS (SELECT event_id, ts, user_id, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+            s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_id"""
+
+
 def _rfm_sql() -> str:
     """RFM quartile mirror: threshold_q = k-th smallest (k = integer
     ceil of q·n), label = 1 + #thresholds strictly below; monetary
@@ -4715,19 +4738,21 @@ def _ops_sql() -> dict[str, str]:
                    coalesce(b.band_id, -1) AS band_id
             FROM events e LEFT JOIN bands b
               ON e.value >= b.lo AND e.value < b.hi""",
-        "user_sessions": """
-            WITH o AS (SELECT event_id, ts, user_id, value,
-                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS brk
-               FROM events),
-            s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                 AS session_id FROM o)
-            SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS t_start, max(ts) AS t_end,
-                   round(sum(value), 6) AS sum_value
-            FROM s GROUP BY user_id, session_id""",
+        "user_sessions": _sessions_sql(),
+        "session_profile": f"""
+            WITH se AS ({_sessions_sql()})
+            SELECT count(*)::BIGINT AS n_sessions,
+                   sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_bounce,
+                   ({ops_events.SESSION_FP}
+                    * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1))::BIGINT AS bounce_fp,
+                   sum(n_events)::BIGINT AS total_events,
+                   ({ops_events.SESSION_FP} * sum(n_events)
+                    // greatest(count(*), 1))::BIGINT AS mean_events_fp,
+                   sum(epoch_us(t_end) - epoch_us(t_start))::BIGINT
+                     AS total_duration_us
+            FROM se""",
         "decontaminate": _decon_sql(),
         "contamination_by_source": f"""
             SELECT d.source, count(*)::BIGINT AS n_docs,
@@ -5094,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "top_docs_per_lang": q_top_docs_per_lang,
         "shard_rebalance_plan": q_shard_rebalance_plan,
+        "session_profile": q_session_profile,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

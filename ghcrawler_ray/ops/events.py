@@ -1045,3 +1045,49 @@ def event_type_affinity(events: ray.data.Dataset) -> pd.DataFrame:
         "n_a": n_a, "n_b": n_b, "n_both": n_both,
         "jaccard_fp": (np.int64(AFFINITY_FP) * n_both
                        // (n_a + n_b - n_both))})
+
+
+# ---- session profile (bounce rate / engagement rollup) ----
+
+SESSION_FP = 10 ** 6
+
+
+def session_profile(events: ray.data.Dataset) -> pd.DataFrame:
+    """One-row (n_sessions, n_bounce, bounce_fp, total_events,
+    mean_events_fp, total_duration_us): the corpus-wide engagement
+    scorecard over gap-based sessions — bounce = single-event session
+    (the classic web-analytics KPI), mean session depth in FP units,
+    total dwell. Exact integers throughout (durations are µs).
+
+    Scale shape: everything heavy happens inside ``sessionize`` (ONE
+    user-hash co-partition); the rollup is a per-batch counter combiner
+    over the slim session rows plus a scalar Sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].to_numpy(np.int64)
+        dur = (df["t_end"].astype("datetime64[us]").astype(np.int64)
+               - df["t_start"].astype("datetime64[us]").astype(np.int64)
+               ).to_numpy()
+        return pd.DataFrame({
+            "s": [np.int64(len(df))],
+            "b": [np.int64((n == 1).sum())],
+            "e": [np.int64(n.sum())],
+            "d": [np.int64(dur.sum())]})
+
+    agg = (sessionize(events)
+           .map_batches(partial, batch_format="pandas",
+                        batch_size=65536)
+           .aggregate(Sum("s", alias_name="s"), Sum("b", alias_name="b"),
+                      Sum("e", alias_name="e"), Sum("d", alias_name="d")))
+    s, b, e, d = (int(agg["s"]), int(agg["b"]), int(agg["e"]),
+                  int(agg["d"]))
+    return pd.DataFrame({
+        "n_sessions": np.array([s], dtype=np.int64),
+        "n_bounce": np.array([b], dtype=np.int64),
+        "bounce_fp": np.array([SESSION_FP * b // max(s, 1)],
+                              dtype=np.int64),
+        "total_events": np.array([e], dtype=np.int64),
+        "mean_events_fp": np.array([SESSION_FP * e // max(s, 1)],
+                                   dtype=np.int64),
+        "total_duration_us": np.array([d], dtype=np.int64)})
