@@ -1242,6 +1242,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_cusum_alarms(sf_dir: str) -> ray.data.Dataset:
+    """Per-user one-sided CUSUM drift chart (exact integer prefix
+    identity) — sequential-spike detector."""
+    return ops_events.cusum_alarms(_events(sf_dir))
+
+
 def q_session_profile(sf_dir: str) -> pd.DataFrame:
     """Bounce-rate / engagement scorecard over gap-based sessions."""
     return ops_events.session_profile(_events(sf_dir))
@@ -4739,6 +4745,24 @@ def _ops_sql() -> dict[str, str]:
             FROM events e LEFT JOIN bands b
               ON e.value >= b.lo AND e.value < b.hi""",
         "user_sessions": _sessions_sql(),
+        "cusum_alarms": f"""
+            WITH o AS (SELECT user_id, ts, event_id,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                   - {ops_events.CUSUM_DRIFT_E6} AS x
+               FROM events),
+            p AS (SELECT user_id, ts, event_id,
+                 sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS pp
+               FROM o),
+            c AS (SELECT user_id,
+                 pp - least(min(pp) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 0) AS cv
+               FROM p)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(cv)::BIGINT AS max_cusum_e6,
+                   max(cv) >= {ops_events.CUSUM_ALARM_E6} AS alarm
+            FROM c GROUP BY 1""",
         "session_profile": f"""
             WITH se AS ({_sessions_sql()})
             SELECT count(*)::BIGINT AS n_sessions,
@@ -5120,6 +5144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "shard_rebalance_plan": q_shard_rebalance_plan,
         "session_profile": q_session_profile,
+        "cusum_alarms": q_cusum_alarms,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -1091,3 +1091,61 @@ def session_profile(events: ray.data.Dataset) -> pd.DataFrame:
         "mean_events_fp": np.array([SESSION_FP * e // max(s, 1)],
                                    dtype=np.int64),
         "total_duration_us": np.array([d], dtype=np.int64)})
+
+
+# ---- CUSUM drift detection (per-user cumulative-sum control chart) ----
+
+CUSUM_DRIFT_E6 = 60_000_000       # k: allowance/drift, 1e-6 value units
+CUSUM_ALARM_E6 = 300_000_000      # H: alarm threshold, 1e-6 value units
+
+
+def cusum_alarms(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, max_cusum_e6, alarm): one-sided CUSUM
+    control chart (Page 1954) per user over the event ``value`` stream
+    ordered by (ts, event_id) — C_t = max(0, C_{t−1} + x_t − k) with
+    allowance k; alarm when the peak exceeds H. The sequential-drift
+    detector behind abuse spikes / metric regressions that z-scores
+    miss (it accumulates many small exceedances).
+
+    Exactness: values are 2-dp by construction → x carried as exact
+    int64 1e-6 units; the recurrence is computed by the prefix identity
+    C_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    (x − k), so both sides evaluate pure integer window arithmetic
+    (no sequential float accumulation anywhere).
+
+    Scale shape: slim 4-column projection → ONE user-hash co-partition;
+    prefix sums and running minima are grouped C-speed scans
+    (pandas groupby cumsum/cummin) across ALL of a partition's users;
+    only (user, n, max) rows leave."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "value"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        x = np.floor(g["value"].to_numpy(np.float64) * 1e6 + 0.5) \
+            .astype(np.int64) - CUSUM_DRIFT_E6
+        gb = g.assign(x=x).groupby("user_id", sort=False)
+        p = gb["x"].cumsum().to_numpy(np.int64)
+        runmin = g.assign(p=p).groupby("user_id", sort=False)["p"] \
+            .cummin().to_numpy(np.int64)
+        c = p - np.minimum(runmin, 0)
+        out = g.assign(c=c).groupby("user_id", sort=False)["c"] \
+            .agg(n_events="size", max_cusum_e6="max").reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["max_cusum_e6"] = out["max_cusum_e6"].astype(np.int64)
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["alarm"] = df["max_cusum_e6"] >= CUSUM_ALARM_E6
+        return df
+
+    return (events.select_columns(["user_id", "ts", "event_id", "value"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .map_batches(finish, batch_format="pandas"))

@@ -598,11 +598,16 @@ def part_revenue_share(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     revenue (~$10^10); beyond that switch the compare to Python/HUGEINT.
 
     Scale shape: per-batch per-part combiner (batch 65536) → ONE
-    partkey-hash Sum groupby to finish per-part revenue; that slim
-    (#parts-sized) table materializes ONCE and serves three bounded
-    reads (scalar total, count, final filter map). The fact table
-    streams exactly once."""
+    coarse partkey-hash co-partition (64 int parts) whose in-partition
+    pandas fold finishes per-part revenue — NOT ``groupby(partkey)``
+    directly: Ray's aggregate pays ~ms per output GROUP, which is
+    pathological at #parts cardinality (measured 45 s for 20k parts vs
+    ~1 s for this fold). The slim (#parts-sized) table materializes
+    ONCE and serves three bounded reads (scalar total, count, final
+    filter map). The fact table streams exactly once."""
     from ray.data.aggregate import Sum
+
+    n_copart = 64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rev = (_cents(df["l_extendedprice"])
@@ -611,14 +616,22 @@ def part_revenue_share(lineitem: ray.data.Dataset) -> ray.data.Dataset:
                           .to_numpy(np.int64), "rev_e4": rev}) \
             .groupby("l_partkey", sort=False, as_index=False).sum()
         g["rev_e4"] = g["rev_e4"].astype(np.int64)
+        g["part"] = (g["l_partkey"].to_numpy(np.int64)
+                     % n_copart).astype(np.int32)
         return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", sort=False, as_index=False) \
+            ["rev_e4"].sum().rename(columns={"rev_e4": "revenue_e4"})
+        out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+        return out
 
     per_part = (lineitem.select_columns(["l_partkey", "l_extendedprice",
                                          "l_discount"])
                 .map_batches(partial, batch_format="pandas",
                              batch_size=65536)
-                .groupby("l_partkey")
-                .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+                .groupby("part")
+                .map_groups(fold, batch_format="pandas")
                 .materialize())                 # slim: one row per part
     tot = int(per_part.aggregate(Sum("revenue_e4",
                                      alias_name="t"))["t"])
@@ -660,12 +673,17 @@ def rfm_segments(orders: ray.data.Dataset) -> ray.data.Dataset:
     any scale; labels compare the same binned value on both sides.
     rfm_code = 100·r + 10·f + m.
 
-    Scale shape: per-batch per-customer combiner → ONE custkey Sum/Max
-    groupby finishes the slim per-customer table (materialized once);
+    Scale shape: per-batch per-customer combiner → ONE coarse
+    custkey-hash co-partition (64 int parts) whose in-partition pandas
+    fold finishes the slim per-customer table (materialized once) —
+    not ``groupby(custkey)``, whose per-output-group cost is
+    pathological at customer cardinality (see part_revenue_share);
     the three quartile histograms are value-bounded (days / order
     counts / dollar bins) Sum shuffles folded on the driver; the label
     pass streams the per-customer table with nine broadcast ints."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max
+
+    n_copart = 64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
@@ -674,18 +692,27 @@ def rfm_segments(orders: ray.data.Dataset) -> ray.data.Dataset:
             .astype(np.int64).to_numpy(),
             "f": np.ones(len(df), dtype=np.int64),
             "m_e2": _cents(df["o_totalprice"])})
-        return g.groupby("o_custkey", as_index=False, sort=False) \
+        g = g.groupby("o_custkey", as_index=False, sort=False) \
             .agg(last_us=("last_us", "max"), f=("f", "sum"),
                  m_e2=("m_e2", "sum"))
+        g["part"] = (g["o_custkey"].to_numpy(np.int64)
+                     % n_copart).astype(np.int32)
+        return g
+
+    def cust_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False, sort=False) \
+            .agg(last_us=("last_us", "max"), frequency=("f", "sum"),
+                 monetary_e2=("m_e2", "sum"))
+        for c in ("last_us", "frequency", "monetary_e2"):
+            out[c] = out[c].astype(np.int64)
+        return out
 
     cust = (orders.select_columns(["o_custkey", "o_orderdate",
                                    "o_totalprice"])
             .map_batches(partial, batch_format="pandas",
                          batch_size=65536)
-            .groupby("o_custkey")
-            .aggregate(Max("last_us", alias_name="last_us"),
-                       Sum("f", alias_name="frequency"),
-                       Sum("m_e2", alias_name="monetary_e2"))
+            .groupby("part")
+            .map_groups(cust_fold, batch_format="pandas")
             .materialize())                 # slim: one row per customer
     gmax = int(cust.aggregate(Max("last_us", alias_name="g"))["g"])
 
@@ -699,12 +726,24 @@ def rfm_segments(orders: ray.data.Dataset) -> ray.data.Dataset:
             frames.append(pd.DataFrame({
                 "dim": np.full(len(u), dim, dtype=object),
                 "val": u.astype(np.int64), "n": c.astype(np.int64)}))
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        # coarse int co-partition, NOT groupby((dim,val)): Ray's
+        # aggregate is ~ms per output group (pathological at bin
+        # cardinality); the fold finishes (dim,val) inside 64 parts
+        out["hpart"] = (out["val"].to_numpy(np.int64) % 64) \
+            .astype(np.int32)
+        return out
+
+    def hist_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["dim", "val"], sort=False, as_index=False) \
+            ["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     hist = (cust.map_batches(hist_partial, batch_format="pandas",
                              batch_size=65536)
-            .groupby(["dim", "val"])
-            .aggregate(Sum("n", alias_name="n"))
+            .groupby("hpart")
+            .map_groups(hist_fold, batch_format="pandas")
             .to_pandas())                   # value-bounded rows
     thr: dict[str, tuple[int, int, int]] = {}
     for dim, g in hist.groupby("dim"):
