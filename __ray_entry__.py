@@ -1242,6 +1242,19 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_lexical_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc type-token ratio and hapax rate (lexical-diversity
+    quality axis), map-only."""
+    return ops_text.lexical_diversity(_docs(sf_dir))
+
+
+def q_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/WAU engagement ratio per day (exact distinct counts)."""
+    out = ops_events.stickiness(_events(sf_dir))
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out
+
+
 def q_cusum_alarms(sf_dir: str) -> ray.data.Dataset:
     """Per-user one-sided CUSUM drift chart (exact integer prefix
     identity) — sequential-spike detector."""
@@ -4494,6 +4507,22 @@ def _ops_sql() -> dict[str, str]:
                 AND ud.day > d.day - INTERVAL {ops_events.ROLLING_DAYS} DAY)
             SELECT wday AS day, count(*)::BIGINT AS n_active_users
             FROM w GROUP BY 1""",
+        "stickiness": f"""
+            WITH ud AS (SELECT DISTINCT user_id,
+                 date_trunc('day', ts) AS day FROM events),
+            days AS (SELECT DISTINCT day FROM ud),
+            wau AS (SELECT d.day, count(DISTINCT ud.user_id)::BIGINT
+                 AS wau
+               FROM ud JOIN days d
+                 ON ud.day <= d.day
+                AND ud.day > d.day - INTERVAL {ops_events.ROLLING_DAYS} DAY
+               GROUP BY 1),
+            dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau
+               FROM ud GROUP BY 1)
+            SELECT dau.day, dau.dau, wau.wau,
+                   ({ops_events.STICKINESS_FP} * dau.dau
+                    // greatest(wau.wau, 1))::BIGINT AS stickiness_fp
+            FROM dau JOIN wau USING (day)""",
         "rollup_doc_stats": f"""
             SELECT coalesce(lang, '{ops_corpus.ROLLUP_ALL}') AS lang,
                 coalesce(source, '{ops_corpus.ROLLUP_ALL}') AS source,
@@ -4805,6 +4834,29 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "lexical_diversity": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS n FROM
+                  (SELECT doc_id, unnest(tk) AS tok FROM t) u
+                  GROUP BY 1, 2),
+            a AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                      count(*)::BIGINT AS n_types,
+                      sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_hapax
+                  FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.n_types, 0)::BIGINT AS n_types,
+                   coalesce(a.n_hapax, 0)::BIGINT AS n_hapax,
+                   ({ops_text.TTR_FP} * coalesce(a.n_types, 0)
+                    // greatest(coalesce(a.n_tokens, 0), 1))::BIGINT
+                     AS ttr_fp,
+                   ({ops_text.TTR_FP} * coalesce(a.n_hapax, 0)
+                    // greatest(coalesce(a.n_tokens, 0), 1))::BIGINT
+                     AS hapax_fp
+            FROM documents d LEFT JOIN a USING (doc_id)""",
         "token_frequency_spectrum": r"""
             WITH tok AS (SELECT unnest(regexp_extract_all(
                  lower(text), '[^\s]+')) AS token FROM documents),
@@ -5145,6 +5197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_rebalance_plan": q_shard_rebalance_plan,
         "session_profile": q_session_profile,
         "cusum_alarms": q_cusum_alarms,
+        "stickiness": q_stickiness,
+        "lexical_diversity": q_lexical_diversity,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

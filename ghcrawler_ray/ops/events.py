@@ -1149,3 +1149,33 @@ def cusum_alarms(events: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(fold, batch_format="pandas")
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- stickiness (DAU / WAU ratio) ----
+
+STICKINESS_FP = 10 ** 6
+
+
+def stickiness(events: ray.data.Dataset) -> pd.DataFrame:
+    """(day, dau, wau, stickiness_fp): the classic engagement ratio —
+    distinct daily actives over distinct trailing-7-day actives per
+    present day (stickiness_fp = FP·dau // wau, exact). A DAU/WAU near
+    FP means users return every day; a sagging ratio flags churn
+    before raw counts move.
+
+    Scale shape: two ``rolling_active_users`` passes (window 1 and
+    ``ROLLING_DAYS``) — each the distinct-(user,day) combiner → ONE
+    user-hash co-partition — joined driver-side on the #days-bounded
+    results."""
+    d1 = rolling_active_users(events, 1).to_pandas() \
+        .rename(columns={"n_active_users": "dau"})
+    d7 = rolling_active_users(events, ROLLING_DAYS).to_pandas() \
+        .rename(columns={"n_active_users": "wau"})
+    m = d1.merge(d7, on="day", how="inner").sort_values("day") \
+        .reset_index(drop=True)
+    m["dau"] = m["dau"].astype(np.int64)
+    m["wau"] = m["wau"].astype(np.int64)
+    m["stickiness_fp"] = (np.int64(STICKINESS_FP)
+                          * m["dau"].to_numpy(np.int64)
+                          // np.maximum(m["wau"].to_numpy(np.int64), 1))
+    return m[["day", "dau", "wau", "stickiness_fp"]]

@@ -813,3 +813,55 @@ def langid_kappa(docs: ray.data.Dataset) -> pd.DataFrame:
         "po_fp": np.array([KAPPA_FP * agree // max(n, 1)], dtype=np.int64),
         "pe_fp": np.array([KAPPA_FP * s // max(n * n, 1)], dtype=np.int64),
         "kappa_fp": np.array([kappa_fp], dtype=np.int64)})
+
+
+# ---- lexical diversity (type-token ratio / hapax rate) ----
+
+TTR_FP = 10 ** 6
+
+
+def lexical_diversity(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_types, n_hapax, ttr_fp, hapax_fp): per-doc
+    type-token ratio and hapax-legomenon rate — the lexical-diversity
+    quality axis (template/spam text repeats a tiny vocabulary → low
+    TTR; gibberish is all hapax → high hapax rate), complementing the
+    stopword/punctuation battery in ``quality_batch``. Exact integer
+    fixed point (FP·x // n_tokens); empty docs emit zeros.
+
+    Scale shape: map-only — a doc's tokens live in its row, so each
+    batch flattens once and folds (doc, token) counts with two grouped
+    C-speed passes; slim int rows out, NO shuffle."""
+
+    def diversity(df: pd.DataFrame) -> pd.DataFrame:
+        ws = re.compile(WS_TOKEN_RE)
+        toks = [np.array(ws.findall(t.lower()), dtype=object)
+                for t in df["text"].astype(str)]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        ids = df["doc_id"].to_numpy(np.int64)
+        if lens.sum() == 0:
+            z = np.zeros(len(df), dtype=np.int64)
+            return pd.DataFrame({"doc_id": ids, "n_tokens": z,
+                                 "n_types": z, "n_hapax": z,
+                                 "ttr_fp": z, "hapax_fp": z})
+        flat = np.concatenate([t for t in toks if len(t)])
+        doc = np.repeat(ids, lens)
+        c = pd.DataFrame({"d": doc, "t": flat}).groupby(
+            ["d", "t"], sort=False).size().reset_index(name="n")
+        a = c.groupby("d", sort=False)["n"].agg(
+            n_tokens="sum", n_types="size",
+            n_hapax=lambda s: int((s == 1).sum())).reset_index()
+        out = pd.DataFrame({"doc_id": ids}).merge(
+            a.rename(columns={"d": "doc_id"}), on="doc_id", how="left") \
+            .fillna(0)
+        nt = out["n_tokens"].to_numpy(np.int64)
+        ty = out["n_types"].to_numpy(np.int64)
+        hp = out["n_hapax"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_tokens": nt, "n_types": ty, "n_hapax": hp,
+            "ttr_fp": np.int64(TTR_FP) * ty // np.maximum(nt, 1),
+            "hapax_fp": np.int64(TTR_FP) * hp // np.maximum(nt, 1)})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        diversity, batch_format="pandas")
