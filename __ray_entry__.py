@@ -465,6 +465,13 @@ def q_url_compression(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.url_prefix_compression(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_crawl_host_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-host mean content quality of crawled pages (recrawl-worth
+    triage) — exact fixed-point rollup."""
+    sf = sf_of_dir(sf_dir)
+    return ops_urlstats.host_quality_profile(_pages_ds(sf))
+
+
 def q_crawl_waterfill(sf_dir: str) -> pd.DataFrame:
     """Max-min fair (water-filling) split of one global per-wave fetch
     budget across hosts — the fleet-bottleneck companion to
@@ -2178,6 +2185,31 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                           - (sum(n_bytes - shared) + 2 * count(*)), 0)
                  * {ops_urlstats.FC_FP}) // sum(n_bytes) AS savings_fp
             FROM s GROUP BY 1""",
+        # ops/urlstats.host_quality_profile: bit-exact quality doubles
+        # floored to 1e-6 fp BEFORE the sum (order-independent ints)
+        "crawl_host_quality": rf"""
+            WITH f AS (SELECT url, length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(text),
+                     '[^\s]+'), t -> list_contains({_STOP_SQL}, t)))
+                   AS n_stop
+               FROM read_parquet('{pages}')),
+            q AS (SELECT
+                 lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+                   AS host,
+                 CAST(floor((0.4e0*least(n_ws_tokens,200)/200.0e0
+                   + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)
+                           *5.0e0, 0.3e0)
+                   + 0.3e0*(1.0e0
+                            - n_punct/greatest(n_chars,1)::DOUBLE))
+                   * {ops_urlstats.HOSTQ_FP}) AS BIGINT) AS fp
+               FROM f)
+            SELECT host, count(*)::BIGINT AS n_pages,
+                   sum(fp)::BIGINT AS sum_quality_fp,
+                   (sum(fp) // count(*))::BIGINT AS mean_quality_fp
+            FROM q GROUP BY 1""",
         # ops/urlstats.waterfill_allocation: sorted integer water-fill;
         # level = max valid (B - prefix)//(n-k+1); +1s to the
         # lexicographically-smallest unsaturated hosts
@@ -5191,6 +5223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_kcore": q_crawl_kcore,
         "crawl_host_bowtie": q_host_bowtie,
         "crawl_waterfill": q_crawl_waterfill,
+        "crawl_host_quality": q_crawl_host_quality,
         "prefix_search": q_prefix_search,
         "rfm_segments": q_rfm_segments,
         "top_docs_per_lang": q_top_docs_per_lang,

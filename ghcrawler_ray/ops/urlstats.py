@@ -526,3 +526,57 @@ def waterfill_allocation(pages: ray.data.Dataset,
     out = pd.DataFrame({"host": q["host"].astype(object),
                         "n_urls": nu, "allocated": base + plus})
     return out.sort_values("host", kind="stable").reset_index(drop=True)
+
+
+# ---- per-host content quality profile ----
+
+HOSTQ_FP = 10 ** 6
+
+
+def host_quality_profile(pages: ray.data.Dataset) -> pd.DataFrame:
+    """(host, n_pages, sum_quality_fp, mean_quality_fp): the composite
+    ``quality_batch`` score of each crawled page's extracted text,
+    rolled up per host — the "is this site worth recrawling" triage
+    signal next to ``host_profile``/``host_mirror`` (a host whose mean
+    quality sags is template spam regardless of its size). Each page's
+    bit-exact IEEE score is floored to 1e-6 fixed point BEFORE summing,
+    so the rollup is order-independent exact integers and the SQL
+    mirror matches bit-for-bit.
+
+    Scale shape: one streaming pass — quality + host extraction +
+    per-host partial sums per batch (combiner) → ONE #hosts-bounded
+    fold; html never leaves the scan."""
+    from ray.data.aggregate import Sum
+    from .text import quality_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(pd.DataFrame({
+            "doc_id": np.arange(len(df), dtype=np.int64),
+            "text": df["text"].astype(str)}))
+        fp = np.floor(q["quality_score"].to_numpy(np.float64)
+                      * HOSTQ_FP).astype(np.int64)
+        host = (df["url"].astype(str)
+                .str.extract(r"^https?://([^/?#]+)", expand=False)
+                .fillna("").str.lower())
+        g = pd.DataFrame({"host": host.to_numpy(object), "s": fp,
+                          "n": np.ones(len(df), dtype=np.int64)}) \
+            .groupby("host", sort=False, as_index=False).sum()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (pages.select_columns(["url", "text"])
+           .map_batches(partial, batch_format="pandas",
+                        batch_size=16384)
+           .groupby("host")
+           .aggregate(Sum("s", alias_name="sum_quality_fp"),
+                      Sum("n", alias_name="n_pages"))
+           .to_pandas())                        # ≤ #hosts rows
+    agg["n_pages"] = agg["n_pages"].astype(np.int64)
+    agg["sum_quality_fp"] = agg["sum_quality_fp"].astype(np.int64)
+    agg["mean_quality_fp"] = (agg["sum_quality_fp"].to_numpy(np.int64)
+                              // np.maximum(agg["n_pages"]
+                                            .to_numpy(np.int64), 1))
+    return agg[["host", "n_pages", "sum_quality_fp",
+                "mean_quality_fp"]].sort_values("host") \
+        .reset_index(drop=True)
