@@ -1249,6 +1249,13 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_customer_activity_join(sf_dir: str) -> ray.data.Dataset:
+    """Engagement-vs-purchase profile: events × orders big×big
+    co-partition join on the shared user/customer key."""
+    return ops_rel.customer_activity_join(_events(sf_dir),
+                                          _table(sf_dir, "orders"))
+
+
 def q_lexical_diversity(sf_dir: str) -> ray.data.Dataset:
     """Per-doc type-token ratio and hapax rate (lexical-diversity
     quality axis), map-only."""
@@ -4866,6 +4873,19 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "customer_activity_join": f"""
+            WITH ev AS (SELECT user_id, count(*)::BIGINT AS n_events
+                 FROM events GROUP BY 1),
+            od AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5)
+                     AS BIGINT))::BIGINT AS total_spend_e2
+               FROM orders GROUP BY 1)
+            SELECT ev.user_id, ev.n_events, od.n_orders,
+                   od.total_spend_e2,
+                   ({ops_rel.LTV_FP} * ev.n_events
+                    // greatest(od.n_orders, 1))::BIGINT
+                     AS events_per_order_fp
+            FROM ev JOIN od ON od.o_custkey = ev.user_id""",
         "lexical_diversity": rf"""
             WITH t AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -5232,6 +5252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_alarms": q_cusum_alarms,
         "stickiness": q_stickiness,
         "lexical_diversity": q_lexical_diversity,
+        "customer_activity_join": q_customer_activity_join,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

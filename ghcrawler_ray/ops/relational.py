@@ -772,3 +772,72 @@ def rfm_segments(orders: ray.data.Dataset) -> ray.data.Dataset:
             "rfm_code": 100 * rl + 10 * fl + ml})
 
     return cust.map_batches(label, batch_format="pandas")
+
+
+# ---- customer activity × spend join (events × orders) ----
+
+LTV_FP = 10 ** 6
+
+
+def customer_activity_join(events: ray.data.Dataset,
+                           orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, n_orders, total_spend_e2,
+    events_per_order_fp): the engagement-vs-purchase profile joining
+    the behavioral stream to the transactional table on the shared
+    user/customer key — the LTV segmentation input (heavy browsers who
+    never buy vs quiet big spenders). Inner join: only keys present in
+    BOTH tables appear. Spend is exact int64 cents;
+    events_per_order_fp = FP·n_events // n_orders.
+
+    Scale shape: BOTH fact tables pre-aggregate per batch (combiner) to
+    slim per-key partials, then co-partition under ONE shared
+    ``key % N_JOIN_PARTS`` tagged-union shuffle; the per-partition fold
+    finishes each side's counts and joins vectorized. Neither fact
+    table ever shuffles raw rows."""
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"k": df["user_id"].to_numpy(np.int64),
+                          "n": np.ones(len(df), dtype=np.int64)}) \
+            .groupby("k", sort=False, as_index=False).sum()
+        return pd.DataFrame({
+            "k": g["k"].astype(np.int64),
+            "part": (g["k"].to_numpy(np.int64)
+                     % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(g), dtype=np.int8),
+            "n": g["n"].astype(np.int64),
+            "spend": np.zeros(len(g), dtype=np.int64)})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"k": df["o_custkey"].to_numpy(np.int64),
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "spend": _cents(df["o_totalprice"])}) \
+            .groupby("k", sort=False, as_index=False).sum()
+        return pd.DataFrame({
+            "k": g["k"].astype(np.int64),
+            "part": (g["k"].to_numpy(np.int64)
+                     % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(g), dtype=np.int8),
+            "n": g["n"].astype(np.int64),
+            "spend": g["spend"].astype(np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == 0].groupby("k", sort=False, as_index=False) \
+            ["n"].sum().rename(columns={"n": "n_events"})
+        od = g[g["side"] == 1].groupby("k", sort=False, as_index=False) \
+            .agg(n_orders=("n", "sum"), total_spend_e2=("spend", "sum"))
+        m = ev.merge(od, on="k", how="inner")
+        ne = m["n_events"].to_numpy(np.int64)
+        no = m["n_orders"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": m["k"].to_numpy(np.int64),
+            "n_events": ne, "n_orders": no,
+            "total_spend_e2": m["total_spend_e2"].to_numpy(np.int64),
+            "events_per_order_fp": np.int64(LTV_FP) * ne
+            // np.maximum(no, 1)})
+
+    ev = events.select_columns(["user_id"]) \
+        .map_batches(tag_events, batch_format="pandas", batch_size=65536)
+    od = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(tag_orders, batch_format="pandas", batch_size=65536)
+    return (ev.union(od).groupby("part")
+            .map_groups(fold, batch_format="pandas"))
