@@ -1249,6 +1249,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_pack_best_fit(sf_dir: str) -> ray.data.Dataset:
+    """Whole-doc best-fit-decreasing packing into seq_len bins (no
+    oracle: stateful greedy — invariants pinned in pytest)."""
+    return ops_packing.pack_best_fit(_docs(sf_dir))
+
+
 def q_customer_activity_join(sf_dir: str) -> ray.data.Dataset:
     """Engagement-vs-purchase profile: events × orders big×big
     co-partition join on the shared user/customer key."""
@@ -5253,6 +5259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stickiness": q_stickiness,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
+        "pack_best_fit": q_pack_best_fit,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

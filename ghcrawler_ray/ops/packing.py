@@ -245,3 +245,72 @@ def truncation_stats(docs: ray.data.Dataset,
         out[c] = out[c].astype(np.int64)
     out["lang"] = out["lang"].astype(object)
     return out
+
+
+# ---- best-fit-decreasing whole-doc packing ----
+
+def pack_best_fit(docs: ray.data.Dataset,
+                  seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    """(lang, doc_id, n_tokens, bin_id, truncated): whole-document
+    bin packing into ``seq_len``-token training sequences by
+    best-fit-decreasing — the packing used when documents must NOT be
+    split across sequences (instruction tuning, contrastive pairs),
+    trading some fill efficiency of ``pack_sequences``' concat-chunk
+    stream for document integrity. Docs longer than ``seq_len`` get a
+    bin of their own with ``truncated`` set; zero-token docs are
+    dropped. Deterministic: docs considered by (n_tokens desc, doc_id
+    asc); best fit = the open bin with the SMALLEST remaining capacity
+    that still fits (ties → smallest bin_id); bin ids are per-language
+    creation order.
+
+    Scale shape: one slim (lang, doc_id, n_tokens) projection →
+    per-LANGUAGE co-partition; the greedy is inherently sequential, so
+    it runs shard-locally (bisect-maintained open-bin list, O(n log n)
+    compares). Past per-lang feasibility, shard further by length band
+    and accept per-band bin independence — bins never cross shards
+    either way. No oracle SQL (stateful greedy); invariants pinned in
+    pytest."""
+    import bisect
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(object),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": df["text"].astype(str)
+            .str.count(r"[^\s]+").to_numpy(np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["n_tokens"] > 0]
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        lang = g["lang"].iloc[0] if len(g) else ""
+        open_bins: list[tuple[int, int]] = []   # (remaining, bin_id)
+        next_bin = 0
+        bin_ids = np.empty(len(g), dtype=np.int64)
+        trunc = np.zeros(len(g), dtype=bool)
+        for i, n in enumerate(g["n_tokens"].to_numpy(np.int64)):
+            if n >= seq_len:
+                bin_ids[i] = next_bin
+                trunc[i] = n > seq_len
+                next_bin += 1
+                continue
+            j = bisect.bisect_left(open_bins, (int(n), -1))
+            if j < len(open_bins):
+                rem, bid = open_bins.pop(j)
+                bin_ids[i] = bid
+                if rem - int(n) > 0:
+                    bisect.insort(open_bins, (rem - int(n), bid))
+            else:
+                bin_ids[i] = next_bin
+                bisect.insort(open_bins,
+                              (seq_len - int(n), next_bin))
+                next_bin += 1
+        return pd.DataFrame({
+            "lang": np.full(len(g), lang, dtype=object),
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64),
+            "bin_id": bin_ids, "truncated": trunc})
+
+    return (docs.select_columns(["doc_id", "text", "lang"])
+            .map_batches(slim, batch_format="pandas")
+            .groupby("lang").map_groups(fold, batch_format="pandas"))

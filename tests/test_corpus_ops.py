@@ -1069,3 +1069,36 @@ def test_host_bowtie_regions(ray_session):
     assert out.loc["d1.example", "region"] == "disconnected"
     assert out.loc["d2.example", "region"] == "disconnected"
     assert out.loc["c1.example", "region_size"] == 2
+
+
+def test_pack_best_fit_hand_case_and_invariants(ray_session):
+    """BFD on lengths [6,5,4,3,2] @ seq_len 10 → bins {6,4} and
+    {5,3,2}; corpus invariants: unique docs, fills ≤ seq_len except
+    single oversize truncated docs, deterministic."""
+    from ghcrawler_ray.ops.packing import pack_best_fit
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en"] * 5,
+        "text": ["w " * 6, "w " * 5, "w " * 4, "w " * 3, "w " * 2]})
+    out = pack_best_fit(ray.data.from_pandas(df), seq_len=10) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "bin_id"] == out.loc[3, "bin_id"]      # 6+4
+    assert (out.loc[2, "bin_id"] == out.loc[4, "bin_id"]
+            == out.loc[5, "bin_id"])                          # 5+3+2
+    assert out["bin_id"].nunique() == 2
+    assert not out["truncated"].any()
+
+    from ghcrawler_ray.testgen import ensure_testdata  # noqa: F401
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    a = pack_best_fit(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_best_fit(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                                        # determinism
+    assert a["doc_id"].is_unique
+    fills = a[~a["truncated"]].groupby(["lang", "bin_id"])["n_tokens"].sum()
+    assert (fills <= 2048).all()
+    over = a[a["truncated"]]
+    assert (over["n_tokens"] > 2048).all()
+    per_bin = a.groupby(["lang", "bin_id"]).size()
+    assert (per_bin[over.set_index(["lang", "bin_id"]).index] == 1).all()
