@@ -1249,6 +1249,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_daily_periodicity(sf_dir: str) -> ray.data.Dataset:
+    """24h±30m recurrence pair counts per user — scheduled-agent /
+    habitual-returner detector."""
+    return ops_events.daily_periodicity(_events(sf_dir))
+
+
 def q_pack_best_fit(sf_dir: str) -> ray.data.Dataset:
     """Whole-doc best-fit-decreasing packing into seq_len bins (no
     oracle: stateful greedy — invariants pinned in pytest)."""
@@ -4879,6 +4885,21 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "daily_periodicity": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            p AS (SELECT a.user_id, count(*)::BIGINT AS np
+                  FROM e a JOIN e b ON b.user_id = a.user_id
+                    AND b.us <= a.us - {ops_events.PERIOD_LO_US}
+                    AND b.us >= a.us - {ops_events.PERIOD_HI_US}
+                  GROUP BY 1),
+            n AS (SELECT user_id, count(*)::BIGINT AS n_events
+                  FROM e GROUP BY 1)
+            SELECT n.user_id, n.n_events,
+                   coalesce(p.np, 0)::BIGINT AS n_daily_pairs,
+                   ({ops_events.PERIOD_FP} * coalesce(p.np, 0)
+                    // greatest(n.n_events, 1))::BIGINT
+                     AS periodicity_fp
+            FROM n LEFT JOIN p USING (user_id)""",
         "customer_activity_join": f"""
             WITH ev AS (SELECT user_id, count(*)::BIGINT AS n_events
                  FROM events GROUP BY 1),
@@ -5260,6 +5281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,
+        "daily_periodicity": q_daily_periodicity,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

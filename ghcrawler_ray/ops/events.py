@@ -1179,3 +1179,83 @@ def stickiness(events: ray.data.Dataset) -> pd.DataFrame:
                           * m["dau"].to_numpy(np.int64)
                           // np.maximum(m["wau"].to_numpy(np.int64), 1))
     return m[["day", "dau", "wau", "stickiness_fp"]]
+
+
+# ---- daily periodicity (24h-recurrence detector) ----
+
+PERIOD_LO_US = 23 * 3_600_000_000 + 1_800_000_000   # 23h30m
+PERIOD_HI_US = 24 * 3_600_000_000 + 1_800_000_000   # 24h30m
+PERIOD_FP = 10 ** 6
+
+
+def daily_periodicity(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, n_daily_pairs, periodicity_fp): for each
+    user, how many event pairs are separated by roughly one day
+    (gap ∈ [23h30m, 24h30m], inclusive) — the circadian-recurrence
+    signal that separates scheduled agents (cron-like fetchers, the
+    reference's polling loops) and habitual returners from random
+    traffic. periodicity_fp = FP·n_daily_pairs // n_events, exact.
+
+    Shape: ONE user-hash co-partition; all users' window pair-counts
+    come from a single vectorized merge-rank lexsort (the
+    ``burst_profile`` machinery with a two-sided window): for each
+    event, #(ts_j ≤ t−LO) − #(ts_j < t−HI) within the user, summed.
+    Only (user, n, pairs) rows leave a partition."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"user_id": np.empty(0, np.int64),
+                                 "n_events": np.empty(0, np.int64),
+                                 "n_daily_pairs": np.empty(0, np.int64)})
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), 0))
+        # one lexsort answers both bounds: data rows flag 1; "≤ t−LO"
+        # queries flag 2 (after equal-time data); "< t−HI" queries
+        # flag 0 (before equal-time data)
+        all_uid = np.concatenate([uid, uid, uid])
+        all_time = np.concatenate([ts, ts - PERIOD_LO_US,
+                                   ts - PERIOD_HI_US])
+        all_flag = np.concatenate([np.full(n, 1, np.int8),
+                                   np.full(n, 2, np.int8),
+                                   np.full(n, 0, np.int8)])
+        order = np.lexsort((all_flag, all_time, all_uid))
+        is_data = all_flag[order] == 1
+        data_before = np.cumsum(is_data) - is_data
+        pos = np.empty(3 * n, dtype=np.int64)
+        pos[order] = np.arange(3 * n)
+        le_lo = data_before[pos[n:2 * n]] - seg_start   # ≤ t−LO
+        lt_hi = data_before[pos[2 * n:]] - seg_start    # < t−HI
+        pairs = le_lo - lt_hi
+        out = pd.DataFrame({"user_id": uid, "p": pairs}) \
+            .groupby("user_id", sort=False)["p"] \
+            .agg(n_events="size", n_daily_pairs="sum").reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_daily_pairs"] = out["n_daily_pairs"].astype(np.int64)
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["periodicity_fp"] = (np.int64(PERIOD_FP)
+                                * df["n_daily_pairs"].to_numpy(np.int64)
+                                // np.maximum(df["n_events"]
+                                              .to_numpy(np.int64), 1))
+        return df
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .map_batches(finish, batch_format="pandas"))
