@@ -1249,6 +1249,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_tokenizer_fertility(sf_dir: str) -> ray.data.Dataset:
+    """BPE tokens per whitespace word by language (context-budget
+    skew readout)."""
+    return ops_text.tokenizer_fertility(_docs(sf_dir))
+
+
 def q_daily_periodicity(sf_dir: str) -> ray.data.Dataset:
     """24h±30m recurrence pair counts per user — scheduled-agent /
     habitual-returner detector."""
@@ -4885,6 +4891,18 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "tokenizer_fertility": rf"""
+            WITH t AS (SELECT lang,
+                 len(regexp_extract_all(text, '[^\s]+')) AS ws,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+               FROM documents)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(ws)::BIGINT AS sum_ws_tokens,
+                   sum(bpe)::BIGINT AS sum_bpe_tokens,
+                   ({ops_text.FERTILITY_FP} * sum(bpe)
+                    // greatest(sum(ws), 1))::BIGINT AS fertility_fp
+            FROM t GROUP BY 1""",
         "daily_periodicity": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
             p AS (SELECT a.user_id, count(*)::BIGINT AS np
@@ -5282,6 +5300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,
         "daily_periodicity": q_daily_periodicity,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -865,3 +865,53 @@ def lexical_diversity(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         diversity, batch_format="pandas")
+
+
+# ---- tokenizer fertility per language ----
+
+FERTILITY_FP = 10 ** 6
+
+
+def tokenizer_fertility(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs, sum_ws_tokens, sum_bpe_tokens, fertility_fp):
+    BPE-grammar tokens per whitespace word by language — the tokenizer
+    "fertility" readout (Ács 2019-style): a lang whose fertility runs
+    hot pays more context budget per word, which skews mixture weights
+    and per-lang effective batch sizes. fertility_fp =
+    FP·Σbpe // Σws, exact.
+
+    Scale shape: one map-only counting pass (the ``token_count_batch``
+    kernels) collapsed per batch to ≤ #langs partials → tiny Sum
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype(str)
+        g = pd.DataFrame({
+            "lang": df["lang"].to_numpy(object),
+            "ws": t.str.count(WS_TOKEN_RE).to_numpy(np.int64),
+            "bpe": t.str.count(BPE_TOKEN_RE).to_numpy(np.int64),
+            "n": np.ones(len(df), dtype=np.int64)}) \
+            .groupby("lang", sort=False, as_index=False).sum()
+        for c in ("ws", "bpe", "n"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ws = df["sum_ws_tokens"].to_numpy(np.int64)
+        bpe = df["sum_bpe_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"].astype(object),
+            "n_docs": df["n_docs"].astype(np.int64),
+            "sum_ws_tokens": ws, "sum_bpe_tokens": bpe,
+            "fertility_fp": np.int64(FERTILITY_FP) * bpe
+            // np.maximum(ws, 1)})
+
+    return (docs.select_columns(["lang", "text"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=16384)
+            .groupby("lang")
+            .aggregate(Sum("ws", alias_name="sum_ws_tokens"),
+                       Sum("bpe", alias_name="sum_bpe_tokens"),
+                       Sum("n", alias_name="n_docs"))
+            .map_batches(finish, batch_format="pandas"))
