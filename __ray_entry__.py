@@ -1249,6 +1249,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_embedding_dim_ranges(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-dimension min/max/range of the embedding table
+    (int8-quantizer calibration / encoder-drift QC)."""
+    return ops_ann.embedding_dim_ranges(_emb(sf_dir))
+
+
 def q_tokenizer_fertility(sf_dir: str) -> ray.data.Dataset:
     """BPE tokens per whitespace word by language (context-budget
     skew readout)."""
@@ -4891,6 +4897,15 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "embedding_dim_ranges": """
+            WITH u AS (SELECT
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings)
+            SELECT dim, min(v) AS min_val, max(v) AS max_val,
+                   max(v) - min(v) AS range_val
+            FROM u GROUP BY 1""",
         "tokenizer_fertility": rf"""
             WITH t AS (SELECT lang,
                  len(regexp_extract_all(text, '[^\s]+')) AS ws,
@@ -5301,6 +5316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_best_fit": q_pack_best_fit,
         "daily_periodicity": q_daily_periodicity,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_dim_ranges": q_embedding_dim_ranges,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

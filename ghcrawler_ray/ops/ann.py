@@ -1277,3 +1277,41 @@ def kmeans_purity(emb: ray.data.Dataset) -> pd.DataFrame:
         "majority_label": np.array([o[2] for o in out], dtype=np.int64),
         "n_majority": np.array([o[3] for o in out], dtype=np.int64),
         "purity_fp": np.array([o[4] for o in out], dtype=np.int64)})
+
+
+# ---- per-dimension range audit (quantization calibration QC) ----
+
+def embedding_dim_ranges(vecs: ray.data.Dataset) -> ray.data.Dataset:
+    """(dim, min_val, max_val, range_val): exact per-dimension min/max
+    over the embedding table — the calibration table an int8 scalar
+    quantizer derives its scales from, and the drift/outlier QC that
+    catches a bad encoder batch (one dimension's range exploding).
+    min/max are order-independent (no float summation), so the values
+    are EXACT and the DuckDB mirror matches bit-for-bit; float32 inputs
+    widen exactly to float64 on output.
+
+    Scale shape: each batch folds to one (dim, min, max) partial matrix
+    (vectorized axis-0 reduce) → a ≤ dim-group Min/Max groupby."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        arr = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = arr.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(d, dtype=np.int64),
+            "mn": arr.min(axis=0), "mx": arr.max(axis=0)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df["min_val"].to_numpy(np.float64)
+        mx = df["max_val"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "dim": df["dim"].astype(np.int64),
+            "min_val": mn, "max_val": mx, "range_val": mx - mn})
+
+    return (vecs.select_columns(["embedding"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=16384)
+            .groupby("dim")
+            .aggregate(Min("mn", alias_name="min_val"),
+                       Max("mx", alias_name="max_val"))
+            .map_batches(finish, batch_format="pandas"))
