@@ -1249,6 +1249,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_adoption_curve(sf_dir: str) -> ray.data.Dataset:
+    """First-touch cohort counts per (event_type, day) — feature
+    adoption curve."""
+    return ops_events.adoption_curve(_events(sf_dir))
+
+
 def q_embedding_dim_ranges(sf_dir: str) -> ray.data.Dataset:
     """Exact per-dimension min/max/range of the embedding table
     (int8-quantizer calibration / encoder-drift QC)."""
@@ -4897,6 +4903,12 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "adoption_curve": """
+            WITH f AS (SELECT user_id, event_type, min(ts) AS first_ts
+                 FROM events GROUP BY 1, 2)
+            SELECT event_type, date_trunc('day', first_ts) AS day,
+                   count(*)::BIGINT AS n_new_users
+            FROM f GROUP BY 1, 2""",
         "embedding_dim_ranges": """
             WITH u AS (SELECT
                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
@@ -5317,6 +5329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_periodicity": q_daily_periodicity,
         "tokenizer_fertility": q_tokenizer_fertility,
         "embedding_dim_ranges": q_embedding_dim_ranges,
+        "adoption_curve": q_adoption_curve,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

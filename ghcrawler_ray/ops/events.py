@@ -1259,3 +1259,57 @@ def daily_periodicity(events: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(fold, batch_format="pandas")
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- adoption curve (first-touch cohorts per event type) ----
+
+def adoption_curve(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, day, n_new_users): for each event type, how many
+    users performed it FOR THE FIRST TIME on each day — the feature
+    adoption curve (first-touch cohort counts), the product-analytics
+    complement to ``cohort_retention`` (which tracks users after their
+    first day overall, not per type).
+
+    Shape: per-batch (user, type, min-ts) combiner → ONE user-hash
+    co-partition makes the per-(user,type) minimum global (a user's
+    rows co-locate) → per-partition fold to ≤ types × days count
+    partials → tiny Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "ts_us": df["ts"].astype("datetime64[us]")
+            .astype(np.int64).to_numpy()}) \
+            .groupby(["user_id", "event_type"], sort=False,
+                     as_index=False)["ts_us"].min()
+        g["part"] = (g["user_id"].to_numpy(np.int64)
+                     % N_USER_PARTS).astype(np.int32)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], sort=False,
+                      as_index=False)["ts_us"].min()
+        day_us = 86_400_000_000
+        m["day"] = (m["ts_us"].to_numpy(np.int64) // day_us) * day_us
+        out = m.groupby(["event_type", "day"], sort=False,
+                        as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(object),
+            "day": df["day"].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "n_new_users": df["n_new_users"].astype(np.int64)})
+
+    return (events.select_columns(["user_id", "event_type", "ts"])
+            .map_batches(combine, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby(["event_type", "day"])    # ≤ types × days rows
+            .aggregate(Sum("n", alias_name="n_new_users"))
+            .map_batches(finish, batch_format="pandas"))
