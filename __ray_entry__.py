@@ -1249,6 +1249,19 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_label_quality_profile(sf_dir: str) -> pd.DataFrame:
+    """Cross-modal QC join: mean text quality per embedding label
+    group (SemDeDup-style cluster keep/drop input)."""
+    return ops_ann.label_quality_profile(_docs(sf_dir), _emb(sf_dir))
+
+
+def q_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q18 shape: orders with total lineitem quantity > 300
+    (big-fact groupby + HAVING + header join)."""
+    return ops_rel.large_orders(_table(sf_dir, "orders"),
+                                _table(sf_dir, "lineitem"))
+
+
 def q_adoption_curve(sf_dir: str) -> ray.data.Dataset:
     """First-touch cohort counts per (event_type, day) — feature
     adoption curve."""
@@ -4903,6 +4916,26 @@ def _ops_sql() -> dict[str, str]:
                         ELSE (1::BIGINT << (gap_bucket + 1)) - 1 END AS hi_us,
                    n
             FROM h""",
+        "label_quality_profile": f"""
+            WITH q AS (FROM ({_quality_sql()})),
+            j AS (SELECT e.label,
+                 CAST(floor(q.quality_score * {ops_ann.CLUSTERQ_FP})
+                     AS BIGINT) AS fp
+               FROM q JOIN embeddings e ON e.vec_id = q.doc_id)
+            SELECT label::BIGINT AS label, count(*)::BIGINT AS n_docs,
+                   sum(fp)::BIGINT AS sum_quality_fp,
+                   (sum(fp) // count(*))::BIGINT AS mean_quality_fp
+            FROM j GROUP BY 1""",
+        "large_orders": f"""
+            WITH s AS (SELECT l_orderkey,
+                 sum(CAST(floor(l_quantity * 100 + 0.5)
+                     AS BIGINT))::BIGINT AS q
+               FROM lineitem GROUP BY 1
+               HAVING sum(CAST(floor(l_quantity * 100 + 0.5)
+                     AS BIGINT)) > {ops_rel.LARGE_QTY_E2})
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   s.q AS total_qty_e2
+            FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey""",
         "adoption_curve": """
             WITH f AS (SELECT user_id, event_type, min(ts) AS first_ts
                  FROM events GROUP BY 1, 2)
@@ -5330,6 +5363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "embedding_dim_ranges": q_embedding_dim_ranges,
         "adoption_curve": q_adoption_curve,
+        "label_quality_profile": q_label_quality_profile,
+        "large_orders": q_large_orders,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -1315,3 +1315,72 @@ def embedding_dim_ranges(vecs: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Min("mn", alias_name="min_val"),
                        Max("mx", alias_name="max_val"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- cross-modal: text quality per embedding label ----
+
+CLUSTERQ_FP = 10 ** 6
+
+
+def label_quality_profile(docs: ray.data.Dataset,
+                          vecs: ray.data.Dataset) -> pd.DataFrame:
+    """(label, n_docs, sum_quality_fp, mean_quality_fp): mean TEXT
+    quality of the documents inside each embedding label group — the
+    cross-modal QC join (text table × vector table on the shared
+    doc/vec id) that answers "is this embedding cluster full of junk
+    text?" before cluster-level corpus decisions (SemDeDup-style
+    pruning keeps/drops whole clusters). Quality doubles are bit-exact
+    and floored to fixed point BEFORE summing (order-independent).
+
+    Scale shape: the docs side folds to (id, quality_fp) slim rows in
+    its scan; the vecs side to (id, label); both co-partition under ONE
+    shared ``id % 64`` tagged-union shuffle; the per-partition merge
+    emits ≤ #labels partials → driver fold."""
+    from .text import quality_batch
+
+    P = 64
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(df)
+        fp = np.floor(q["quality_score"].to_numpy(np.float64)
+                      * CLUSTERQ_FP).astype(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "id": ids, "part": (ids % P).astype(np.int32),
+            "side": np.zeros(len(ids), dtype=np.int8),
+            "label": np.zeros(len(ids), dtype=np.int64), "fp": fp})
+
+    def tag_vecs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "id": ids, "part": (ids % P).astype(np.int32),
+            "side": np.ones(len(ids), dtype=np.int8),
+            "label": df["label"].to_numpy(np.int64),
+            "fp": np.zeros(len(ids), dtype=np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0][["id", "fp"]]
+        v = g[g["side"] == 1][["id", "label"]]
+        m = d.merge(v, on="id", how="inner")
+        out = m.groupby("label", sort=False, as_index=False).agg(
+            n=("id", "size"), s=("fp", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    parts = (docs.select_columns(["doc_id", "text"])
+             .map_batches(tag_docs, batch_format="pandas")
+             .union(vecs.select_columns(["vec_id", "label"])
+                    .map_batches(tag_vecs, batch_format="pandas"))
+             .groupby("part").map_groups(fold, batch_format="pandas")
+             .to_pandas())              # ≤ labels × parts rows
+    out = parts.groupby("label", sort=True, as_index=False).agg(
+        n_docs=("n", "sum"), sum_quality_fp=("s", "sum"))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_quality_fp"] = out["sum_quality_fp"].astype(np.int64)
+    out["mean_quality_fp"] = (out["sum_quality_fp"].to_numpy(np.int64)
+                              // np.maximum(out["n_docs"]
+                                            .to_numpy(np.int64), 1))
+    out["label"] = out["label"].astype(np.int64)
+    return out[["label", "n_docs", "sum_quality_fp",
+                "mean_quality_fp"]]

@@ -841,3 +841,66 @@ def customer_activity_join(events: ray.data.Dataset,
         .map_batches(tag_orders, batch_format="pandas", batch_size=65536)
     return (ev.union(od).groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---- large orders (TPC-H Q18 shape: HAVING over a big groupby) ----
+
+LARGE_QTY_E2 = 300 * 100       # Σ l_quantity > 300, exact cents-of-qty
+
+
+def large_orders(orders: ray.data.Dataset,
+                 lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(o_orderkey, o_custkey, o_orderdate, total_qty_e2): orders whose
+    total lineitem quantity exceeds 300 — the TPC-H Q18 "large volume
+    customer" shape: a big-fact groupby with a HAVING cut, then a join
+    back to the order header. Quantities are exact 1e-2 integers.
+
+    Scale shape: lineitem folds to per-order qty partials per batch
+    (combiner) and co-partitions with the slim order headers under ONE
+    shared ``orderkey % N_JOIN_PARTS`` tagged-union shuffle; each
+    partition finishes its orders' sums, applies the HAVING cut and
+    joins vectorized. Neither fact table shuffles raw rows."""
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"k": df["l_orderkey"].to_numpy(np.int64),
+                          "q": _cents(df["l_quantity"])}) \
+            .groupby("k", sort=False, as_index=False).sum()
+        return pd.DataFrame({
+            "k": g["k"].astype(np.int64),
+            "part": (g["k"].to_numpy(np.int64)
+                     % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(g), dtype=np.int8),
+            "q": g["q"].astype(np.int64),
+            "cust": np.zeros(len(g), dtype=np.int64),
+            "odate": np.zeros(len(g), dtype=np.int64)})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "q": np.zeros(len(k), dtype=np.int64),
+            "cust": df["o_custkey"].to_numpy(np.int64),
+            "odate": df["o_orderdate"].astype("datetime64[us]")
+            .astype(np.int64).to_numpy()})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0].groupby("k", sort=False,
+                                       as_index=False)["q"].sum()
+        li = li[li["q"].to_numpy(np.int64) > LARGE_QTY_E2]
+        od = g[g["side"] == 1][["k", "cust", "odate"]]
+        m = li.merge(od, on="k", how="inner")
+        return pd.DataFrame({
+            "o_orderkey": m["k"].to_numpy(np.int64),
+            "o_custkey": m["cust"].to_numpy(np.int64),
+            "o_orderdate": m["odate"].to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "total_qty_e2": m["q"].to_numpy(np.int64)})
+
+    li = lineitem.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(tag_lines, batch_format="pandas", batch_size=65536)
+    od = orders.select_columns(["o_orderkey", "o_custkey",
+                                "o_orderdate"]) \
+        .map_batches(tag_orders, batch_format="pandas", batch_size=65536)
+    return (li.union(od).groupby("part")
+            .map_groups(fold, batch_format="pandas"))
