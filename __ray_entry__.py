@@ -1249,6 +1249,12 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_supplier_part_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT part) per supplier with volume ratio —
+    assortment-breadth readout."""
+    return ops_rel.supplier_part_coverage(_table(sf_dir, "lineitem"))
+
+
 def q_label_quality_profile(sf_dir: str) -> pd.DataFrame:
     """Cross-modal QC join: mean text quality per embedding label
     group (SemDeDup-style cluster keep/drop input)."""
@@ -4926,6 +4932,14 @@ def _ops_sql() -> dict[str, str]:
                    sum(fp)::BIGINT AS sum_quality_fp,
                    (sum(fp) // count(*))::BIGINT AS mean_quality_fp
             FROM j GROUP BY 1""",
+        "supplier_part_coverage": f"""
+            SELECT l_suppkey AS s_suppkey,
+                   count(DISTINCT l_partkey)::BIGINT AS n_parts,
+                   count(*)::BIGINT AS n_lines,
+                   ({ops_rel.COVERAGE_RATIO_FP} * count(*)
+                    // count(DISTINCT l_partkey))::BIGINT
+                     AS lines_per_part_fp
+            FROM lineitem GROUP BY 1""",
         "large_orders": f"""
             WITH s AS (SELECT l_orderkey,
                  sum(CAST(floor(l_quantity * 100 + 0.5)
@@ -5365,6 +5379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adoption_curve": q_adoption_curve,
         "label_quality_profile": q_label_quality_profile,
         "large_orders": q_large_orders,
+        "supplier_part_coverage": q_supplier_part_coverage,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -904,3 +904,59 @@ def large_orders(orders: ray.data.Dataset,
         .map_batches(tag_orders, batch_format="pandas", batch_size=65536)
     return (li.union(od).groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---- per-key exact distinct count (supplier part coverage) ----
+
+COVERAGE_RATIO_FP = 10 ** 6
+
+
+def supplier_part_coverage(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(s_suppkey, n_parts, n_lines, lines_per_part_fp): how many
+    DISTINCT parts each supplier ships and how concentrated the volume
+    is — the exact COUNT(DISTINCT x) GROUP BY k shape done distributed:
+    a supplier with few parts but many lines is a single-SKU firehose,
+    the assortment-breadth readout.
+
+    Scale shape: each batch emits its distinct (supp, part) pairs PLUS
+    per-supp line-count partials (tagged rows, one pass); ONE supp-hash
+    co-partition makes the pair-dedup global (a supplier's rows
+    co-locate) and folds both kinds to one row per supplier. The
+    distinct state never sits on the driver and never re-shuffles."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["l_suppkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        pairs = pd.DataFrame({"s": s, "p": p}).drop_duplicates()
+        pairs["kind"] = np.int8(0)
+        pairs["n"] = np.int64(0)
+        cnt = pd.DataFrame({"s": s}).groupby("s", as_index=False) \
+            .size().rename(columns={"size": "n"})
+        cnt["p"] = np.int64(-1)
+        cnt["kind"] = np.int8(1)
+        cnt["n"] = cnt["n"].astype(np.int64)
+        out = pd.concat([pairs, cnt[["s", "p", "kind", "n"]]],
+                        ignore_index=True)
+        out["part"] = (out["s"].to_numpy(np.int64) % 64).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["kind"] == 0].drop_duplicates(["s", "p"])
+        np_ = pr.groupby("s", sort=False, as_index=False) \
+            .size().rename(columns={"size": "n_parts"})
+        nl = g[g["kind"] == 1].groupby("s", sort=False,
+                                       as_index=False)["n"].sum() \
+            .rename(columns={"n": "n_lines"})
+        m = np_.merge(nl, on="s", how="inner")
+        npa = m["n_parts"].to_numpy(np.int64)
+        nli = m["n_lines"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "s_suppkey": m["s"].to_numpy(np.int64),
+            "n_parts": npa, "n_lines": nli,
+            "lines_per_part_fp": np.int64(COVERAGE_RATIO_FP) * nli
+            // np.maximum(npa, 1)})
+
+    return (lineitem.select_columns(["l_suppkey", "l_partkey"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas"))
