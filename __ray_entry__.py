@@ -465,6 +465,13 @@ def q_url_compression(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.url_prefix_compression(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_crawl_depth_quality(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of URL path depth vs content quality
+    (exact integer moments, one IEEE division chain)."""
+    sf = sf_of_dir(sf_dir)
+    return ops_urlstats.depth_quality_correlation(_pages_ds(sf))
+
+
 def q_crawl_host_quality(sf_dir: str) -> pd.DataFrame:
     """Per-host mean content quality of crawled pages (recrawl-worth
     triage) — exact fixed-point rollup."""
@@ -2241,6 +2248,44 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                           - (sum(n_bytes - shared) + 2 * count(*)), 0)
                  * {ops_urlstats.FC_FP}) // sum(n_bytes) AS savings_fp
             FROM s GROUP BY 1""",
+        # ops/urlstats.depth_quality_correlation: exact HUGEINT moments
+        # → one IEEE division chain (assortativity convention)
+        "crawl_depth_quality": rf"""
+            WITH f AS (SELECT url, text, length(text) AS n_chars,
+                 len(regexp_extract_all(text, '[^\s]+')) AS n_ws_tokens,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                   AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(text),
+                     '[^\s]+'), t -> list_contains({_STOP_SQL}, t)))
+                   AS n_stop
+               FROM read_parquet('{pages}')),
+            q AS (SELECT
+                 CAST(length(regexp_replace(regexp_replace(url,
+                        '^https?://[^/?#]+', ''), '[?#].*$', ''))
+                   - length(replace(regexp_replace(regexp_replace(url,
+                        '^https?://[^/?#]+', ''), '[?#].*$', ''),
+                        '/', '')) AS BIGINT) AS x,
+                 CAST(floor((0.4e0*least(n_ws_tokens,200)/200.0e0
+                   + least(0.3e0*(n_stop/greatest(n_ws_tokens,1)::DOUBLE)
+                           *5.0e0, 0.3e0)
+                   + 0.3e0*(1.0e0
+                            - n_punct/greatest(n_chars,1)::DOUBLE))
+                   * {ops_urlstats.HOSTQ_FP}) AS BIGINT) AS y
+               FROM f),
+            m AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                 sum(y)::HUGEINT AS sy, sum(x*y)::HUGEINT AS sxy,
+                 sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy
+               FROM q)
+            SELECT n::BIGINT AS n_pages,
+                   (1000000 * sx // greatest(n, 1))::BIGINT
+                     AS mean_depth_fp,
+                   (sy // greatest(n, 1))::BIGINT AS mean_quality_fp,
+                   CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                        THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                        ELSE 0.0e0 END AS r
+            FROM m""",
         # ops/urlstats.host_quality_profile: bit-exact quality doubles
         # floored to 1e-6 fp BEFORE the sum (order-independent ints)
         "crawl_host_quality": rf"""
@@ -5363,6 +5408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_bowtie": q_host_bowtie,
         "crawl_waterfill": q_crawl_waterfill,
         "crawl_host_quality": q_crawl_host_quality,
+        "crawl_depth_quality": q_crawl_depth_quality,
         "prefix_search": q_prefix_search,
         "rfm_segments": q_rfm_segments,
         "top_docs_per_lang": q_top_docs_per_lang,

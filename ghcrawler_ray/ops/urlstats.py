@@ -580,3 +580,59 @@ def host_quality_profile(pages: ray.data.Dataset) -> pd.DataFrame:
     return agg[["host", "n_pages", "sum_quality_fp",
                 "mean_quality_fp"]].sort_values("host") \
         .reset_index(drop=True)
+
+
+# ---- URL depth × content quality correlation ----
+
+def depth_quality_correlation(pages: ray.data.Dataset) -> pd.DataFrame:
+    """One row (n_pages, mean_depth_fp, mean_quality_fp, r): Pearson
+    correlation between a page's URL path depth (number of '/'
+    segments, query/fragment stripped) and its content quality score —
+    the "does depth predict junk" readout that justifies (or kills)
+    depth-capped crawl policies (`lib/traversalPolicy.js` depth
+    limits). All five moments are EXACT integer sums (depth int,
+    quality floored to 1e-6 fp), so both sides derive r from identical
+    integers with one IEEE division chain at the end (the
+    ``host_assortativity`` convention).
+
+    Scale shape: one streaming pass → each batch folds to a single
+    6-moment partial row → scalar Sum."""
+    from ray.data.aggregate import Sum
+    from .text import quality_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        path = (df["url"].astype(str)
+                .str.replace(r"^https?://[^/?#]+", "", regex=True)
+                .str.replace(r"[?#].*$", "", regex=True))
+        x = path.str.count("/").to_numpy(np.int64)
+        q = quality_batch(pd.DataFrame({
+            "doc_id": np.arange(len(df), dtype=np.int64),
+            "text": df["text"].astype(str)}))
+        y = np.floor(q["quality_score"].to_numpy(np.float64)
+                     * HOSTQ_FP).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(df))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    a = (pages.select_columns(["url", "text"])
+         .map_batches(partial, batch_format="pandas", batch_size=16384)
+         .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxy", alias_name="sxy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("syy", alias_name="syy")))
+    n, sx, sy = int(a["n"]), int(a["sx"]), int(a["sy"])
+    sxy, sxx, syy = int(a["sxy"]), int(a["sxx"]), int(a["syy"])
+    import math
+    num = n * sxy - sx * sy        # python bigints: n·syy can pass 2^63
+    den2x = n * sxx - sx * sx
+    den2y = n * syy - sy * sy
+    r = (float(num) / (math.sqrt(float(den2x)) * math.sqrt(float(den2y)))
+         if den2x > 0 and den2y > 0 else 0.0)
+    return pd.DataFrame({
+        "n_pages": np.array([n], dtype=np.int64),
+        "mean_depth_fp": np.array([10 ** 6 * sx // max(n, 1)],
+                                  dtype=np.int64),
+        "mean_quality_fp": np.array([sy // max(n, 1)], dtype=np.int64),
+        "r": np.array([r], dtype=np.float64)})
