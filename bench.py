@@ -58,7 +58,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "kmv_distinct_tokens", "c4_filter_flags",
                "orders_with_returns", "event_stationary",
                "contamination_by_source", "vocab_coverage_curve",
-               "crawl_kcore", "burst_profile", "part_revenue_share")
+               "crawl_kcore", "burst_profile", "part_revenue_share",
+               "rfm_segments", "cusum_alarms", "supplier_part_coverage")
 SCALING_CPUS = (8, 32)
 
 
