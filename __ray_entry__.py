@@ -1256,6 +1256,11 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.decontaminate(_docs(sf_dir))
 
 
+def q_weekday_profile(sf_dir: str) -> ray.data.Dataset:
+    """Event counts by (type, day-of-week) — weekly-rhythm profile."""
+    return ops_events.weekday_profile(_events(sf_dir))
+
+
 def q_supplier_part_coverage(sf_dir: str) -> ray.data.Dataset:
     """Exact COUNT(DISTINCT part) per supplier with volume ratio —
     assortment-breadth readout."""
@@ -4977,6 +4982,11 @@ def _ops_sql() -> dict[str, str]:
                    sum(fp)::BIGINT AS sum_quality_fp,
                    (sum(fp) // count(*))::BIGINT AS mean_quality_fp
             FROM j GROUP BY 1""",
+        "weekday_profile": """
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS BIGINT) AS day_of_week,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2""",
         "supplier_part_coverage": f"""
             SELECT l_suppkey AS s_suppkey,
                    count(DISTINCT l_partkey)::BIGINT AS n_parts,
@@ -5426,6 +5436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_quality_profile": q_label_quality_profile,
         "large_orders": q_large_orders,
         "supplier_part_coverage": q_supplier_part_coverage,
+        "weekday_profile": q_weekday_profile,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,

@@ -1313,3 +1313,44 @@ def adoption_curve(events: ray.data.Dataset) -> ray.data.Dataset:
             .groupby(["event_type", "day"])    # ≤ types × days rows
             .aggregate(Sum("n", alias_name="n_new_users"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- weekday activity profile ----
+
+def weekday_profile(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, day_of_week, n): event counts by day-of-week
+    (0 = Sunday, DuckDB's ``dayofweek`` convention) per type — the
+    weekly-rhythm companion to ``hourly_seasonality`` (weekday-heavy
+    purchase types vs weekend browsing; schedule crawls/batch jobs in
+    the troughs). Integer epoch-day arithmetic: dow = (days_since_epoch
+    + 4) % 7 (1970-01-01 was a Thursday), bit-exact vs the mirror.
+
+    Shape: per-batch (type, dow) count combiner → ≤ types×7 partials →
+    tiny Sum groupby."""
+    from ray.data.aggregate import Sum
+    day_us = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dow = ((us // day_us) + 4) % 7
+        g = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "day_of_week": dow.astype(np.int64),
+            "n": np.ones(len(df), dtype=np.int64)}) \
+            .groupby(["event_type", "day_of_week"], sort=False,
+                     as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype(np.int64)
+        df["day_of_week"] = df["day_of_week"].astype(np.int64)
+        return df
+
+    return (events.select_columns(["event_type", "ts"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby(["event_type", "day_of_week"])   # ≤ types×7 rows
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(fix, batch_format="pandas"))
