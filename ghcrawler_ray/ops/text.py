@@ -39,6 +39,64 @@ def _tokens(texts: pd.Series) -> pd.Series:
     return texts.str.findall(WS_TOKEN_RE)
 
 
+#: batch-tokenizer sentinel: docs are joined with " \x00 " so the whole
+#: batch tokenizes in ONE C-level regex pass; a NUL token can never be
+#: produced by real corpus text the oracle sees (parquet text columns in
+#: the fixtures contain no NULs — asserted by tests), so sentinel tokens
+#: mark exact document boundaries.
+_TOK_SENTINEL = "\x00"
+_WS_TOKENIZER = re.compile(WS_TOKEN_RE)
+
+
+def tokenize_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a whole batch in ONE C-level regex pass.
+
+    Returns ``(flat, lens)``: the batch's lowercased tokens concatenated
+    in document order (object ndarray, boundary sentinels removed) and the
+    per-document token counts. Replaces ``for text in batch: findall(...)``
+    loops in hot kernels — at 100 TB the per-doc Python loop is the
+    difference between a regex-bound and an interpreter-bound stage.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.array([], dtype=object), np.zeros(0, dtype=np.int64)
+    big = (" \x00 ".join(texts)).lower()
+    toks = np.array(_WS_TOKENIZER.findall(big), dtype=object)
+    # NB: comparing an object ndarray against a bare NUL-containing str
+    # scalar silently yields all-False in numpy; the object-dtype scalar
+    # wrapper makes the elementwise == compare actual Python strings
+    bnd = toks == np.array(_TOK_SENTINEL, dtype=object)
+    did = np.cumsum(bnd)[~bnd] if bnd.any() else np.zeros(
+        len(toks), dtype=np.int64)
+    lens = np.bincount(did, minlength=n).astype(np.int64)
+    return toks[~bnd], lens
+
+
+def tokenize_joined(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`tokenize_flat` but keeps the boundary sentinels so
+    adjacency (bigram) kernels can mask document-crossing pairs.
+
+    Returns ``(toks, bnd, lens)``: tokens WITH sentinel rows, the boolean
+    sentinel mask, and per-document real-token counts. Document ``i``'s
+    tokens occupy positions ``[starts[i], starts[i]+lens[i])`` with
+    ``starts = cumsum0(lens) + arange(n)`` (one sentinel between docs).
+    """
+    n = len(texts)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.array([], dtype=object), np.zeros(0, dtype=bool), z
+    big = (" \x00 ".join(texts)).lower()
+    toks = np.array(_WS_TOKENIZER.findall(big), dtype=object)
+    # NB: comparing an object ndarray against a bare NUL-containing str
+    # scalar silently yields all-False in numpy; the object-dtype scalar
+    # wrapper makes the elementwise == compare actual Python strings
+    bnd = toks == np.array(_TOK_SENTINEL, dtype=object)
+    did = np.cumsum(bnd)[~bnd] if bnd.any() else np.zeros(
+        len(toks), dtype=np.int64)
+    lens = np.bincount(did, minlength=n).astype(np.int64)
+    return toks, bnd, lens
+
+
 def token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, n_ws_tokens, n_bpe_tokens) per document."""
     t = df["text"].astype(str)
@@ -216,11 +274,7 @@ def unigram_rank_table(docs: ray.data.Dataset,
     from ..urls import hash64_array
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ws = re.compile(WS_TOKEN_RE)
-        toks = []
-        for text in df["text"].astype(str):
-            toks.append(np.array(ws.findall(text.lower()), dtype=object))
-        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        flat, _ = tokenize_flat(df["text"].astype(str).tolist())
         out = pd.DataFrame({"token": flat}).groupby(
             "token", as_index=False).size().rename(columns={"size": "n"})
         out["n"] = out["n"].astype(np.int64)
@@ -267,14 +321,7 @@ def unigram_rank_scores(docs: ray.data.Dataset,
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         voc, rk = ray.get(ref)
-        ws = re.compile(WS_TOKEN_RE)
-        toks, lens = [], []
-        for text in df["text"].astype(str):
-            ts = ws.findall(text.lower())
-            toks.append(np.array(ts, dtype=object))
-            lens.append(len(ts))
-        lens = np.array(lens, dtype=np.int64)
-        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        flat, lens = tokenize_flat(df["text"].astype(str).tolist())
         if len(flat) and len(voc):
             idx = np.minimum(np.searchsorted(voc, flat), len(voc) - 1)
             r = np.where(voc[idx] == flat, rk[idx], oov)
@@ -495,21 +542,18 @@ def bigram_lm_table(docs: ray.data.Dataset,
     # lesson); large batches + an int coarse co-partition fold instead
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         voc = ray.get(vref)
-        ws = re.compile(WS_TOKEN_RE)
-        ls, rs = [], []
-        for text in df["text"].astype(str):
-            ts = ws.findall(text.lower())
-            ls.extend(ts[:-1])
-            rs.extend(ts[1:])
-        if not ls or not len(voc):
+        # one C-level tokenize pass; a pair that crosses a document
+        # boundary contains the sentinel token, which is never in the
+        # vocabulary, so the in-vocab mask drops it automatically
+        toks, _, _ = tokenize_joined(df["text"].astype(str).tolist())
+        if len(toks) < 2 or not len(voc):
             return pd.DataFrame({"k": np.empty(0, np.int64),
                                  "n": np.empty(0, np.int64),
                                  "part": np.empty(0, np.int32)})
-        l = np.array(ls, dtype=object)
-        r = np.array(rs, dtype=object)
-        li = np.minimum(np.searchsorted(voc, l), len(voc) - 1)
-        ri = np.minimum(np.searchsorted(voc, r), len(voc) - 1)
-        keep = (voc[li] == l) & (voc[ri] == r)
+        idx = np.minimum(np.searchsorted(voc, toks), len(voc) - 1)
+        inv = voc[idx] == toks
+        li, ri = idx[:-1], idx[1:]
+        keep = inv[:-1] & inv[1:]
         key = li[keep].astype(np.int64) * len(voc) + ri[keep]
         c = pd.Series(key).value_counts()
         out = pd.DataFrame({"k": c.index.to_numpy(np.int64),
@@ -559,9 +603,13 @@ def bigram_lm_scores(docs: ray.data.Dataset,
     order = np.argsort(uni["token"].to_numpy(dtype=object), kind="stable")
     vocab = uni["token"].to_numpy(dtype=object)[order]
     ucnt = uni["n"].to_numpy(dtype=np.int64)[order]
-    # bigram keys as "lhs\x00rhs" for one sorted lookup array
-    bkey = np.array([f"{a}\x00{b}" for a, b in zip(bi["lhs"], bi["rhs"])],
-                    dtype=object)
+    # bigram keys as one sorted int64 array (lhs_idx·V + rhs_idx) — the
+    # lookup in the scoring pass is then integer searchsorted, with no
+    # per-pair string materialization at all
+    nv = max(len(vocab), 1)
+    bl = np.searchsorted(vocab, bi["lhs"].to_numpy(dtype=object))
+    br = np.searchsorted(vocab, bi["rhs"].to_numpy(dtype=object))
+    bkey = bl.astype(np.int64) * nv + br
     border = np.argsort(bkey, kind="stable")
     bkey = bkey[border]
     bcnt = bi["n"].to_numpy(dtype=np.int64)[border]
@@ -570,32 +618,36 @@ def bigram_lm_scores(docs: ray.data.Dataset,
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         voc, uc, bk, bc = ray.get(ref)
-        ws = re.compile(WS_TOKEN_RE)
-        toks, lens = [], []
-        for text in df["text"].astype(str):
-            ts = ws.findall(text.lower())
-            toks.append(ts)
-            lens.append(max(len(ts) - 1, 0))
-        lens = np.array(lens, dtype=np.int64)
-        l = np.array([t[i] for t in toks for i in range(len(t) - 1)],
-                     dtype=object)
-        r = np.array([t[i + 1] for t in toks for i in range(len(t) - 1)],
-                     dtype=object)
-        if len(l) and len(voc):
-            li = np.minimum(np.searchsorted(voc, l), len(voc) - 1)
-            c1 = np.where(voc[li] == l, uc[li], np.int64(0))
-            pk = np.array([f"{a}\x00{b}" for a, b in zip(l, r)], dtype=object)
+        toks, bnd, tlens = tokenize_joined(df["text"].astype(str).tolist())
+        lens = np.maximum(tlens - 1, 0)
+        npairs = max(len(toks) - 1, 0)
+        if npairs and len(voc):
+            idx = np.minimum(np.searchsorted(voc, toks), len(voc) - 1)
+            inv = voc[idx] == toks
+            li, ri = idx[:-1], idx[1:]
+            c1 = np.where(inv[:-1], uc[li], np.int64(0))
+            key = li.astype(np.int64) * len(voc) + ri
             if len(bk):
-                pi = np.minimum(np.searchsorted(bk, pk), len(bk) - 1)
-                c12 = np.where(bk[pi] == pk, bc[pi], np.int64(0))
+                pi = np.minimum(np.searchsorted(bk, key), len(bk) - 1)
+                c12 = np.where((bk[pi] == key) & inv[:-1] & inv[1:],
+                               bc[pi], np.int64(0))
             else:
-                c12 = np.zeros(len(pk), dtype=np.int64)
+                c12 = np.zeros(npairs, dtype=np.int64)
             cost = (fp * (c1 + vv + np.int64(1))) // (c12 + np.int64(1))
+            # zero the document-crossing pairs (either side a sentinel)
+            cost[bnd[:-1] | bnd[1:]] = 0
         else:
-            cost = np.zeros(len(l), dtype=np.int64)
+            cost = np.zeros(npairs, dtype=np.int64)
         csum = np.concatenate([[0], np.cumsum(cost, dtype=np.int64)])
-        ends = np.cumsum(lens)
-        nll = csum[ends] - csum[ends - lens]
+        # doc i's tokens start at cumsum0(tlens)[i] + i (one sentinel
+        # between docs); its pairs span [start, start + lens[i]) in pair
+        # index space
+        starts = (np.concatenate([[0], np.cumsum(tlens)[:-1]])
+                  + np.arange(len(tlens), dtype=np.int64))
+        # an empty trailing doc's start lands one past the last pair —
+        # clip: its lens is 0 so the segment sum is 0 either way
+        starts = np.minimum(starts, np.int64(max(npairs, 0)))
+        nll = csum[starts + lens] - csum[starts]
         mean = np.where(lens > 0, nll // np.maximum(lens, 1), np.int64(0))
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
@@ -751,11 +803,7 @@ def token_frequency_spectrum(docs: ray.data.Dataset) -> ray.data.Dataset:
     from ..urls import hash64_array
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ws = re.compile(WS_TOKEN_RE)
-        toks = []
-        for text in df["text"].astype(str):
-            toks.append(np.array(ws.findall(text.lower()), dtype=object))
-        flat = np.concatenate(toks) if toks else np.array([], dtype=object)
+        flat, _ = tokenize_flat(df["text"].astype(str).tolist())
         out = pd.DataFrame({"token": flat}).groupby(
             "token", as_index=False).size().rename(columns={"size": "n"})
         out["n"] = out["n"].astype(np.int64)

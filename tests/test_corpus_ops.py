@@ -1102,3 +1102,39 @@ def test_pack_best_fit_hand_case_and_invariants(ray_session):
     assert (over["n_tokens"] > 2048).all()
     per_bin = a.groupby(["lang", "bin_id"]).size()
     assert (per_bin[over.set_index(["lang", "bin_id"]).index] == 1).all()
+
+
+def test_batch_tokenizer_matches_per_doc_findall():
+    """tokenize_flat/_joined must reproduce the per-doc findall loop
+    exactly — including the numpy pitfall where `obj_array == "\\x00"`
+    (bare NUL str scalar) silently compares all-False."""
+    import re
+
+    import numpy as np
+
+    from ghcrawler_ray.ops.text import (WS_TOKEN_RE, tokenize_flat,
+                                        tokenize_joined)
+
+    texts = ["The  quick\tbrown fox", "", "one", "a b c", "",
+             "trailing space ", "  leading", "MiXeD CaSe TOKENS"]
+    ws = re.compile(WS_TOKEN_RE)
+    ref = [ws.findall(t.lower()) for t in texts]
+    flat, lens = tokenize_flat(texts)
+    assert lens.tolist() == [len(r) for r in ref]
+    assert flat.tolist() == [t for r in ref for t in r]
+
+    toks, bnd, lens2 = tokenize_joined(texts)
+    assert lens2.tolist() == [len(r) for r in ref]
+    # sentinel count = n_docs - 1, and stripping them recovers the flat view
+    assert int(bnd.sum()) == len(texts) - 1
+    assert toks[~bnd].tolist() == flat.tolist()
+    # no adjacent pair crosses a document boundary once sentinels are masked
+    ok = ~bnd[:-1] & ~bnd[1:]
+    did = np.cumsum(bnd)[~bnd]
+    pair_docs = did[np.searchsorted(np.flatnonzero(~bnd),
+                                    np.flatnonzero(ok))]
+    assert len(pair_docs) == sum(max(len(r) - 1, 0) for r in ref)
+
+    # empty batch
+    f0, l0 = tokenize_flat([])
+    assert len(f0) == 0 and len(l0) == 0
