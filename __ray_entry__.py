@@ -5005,6 +5005,70 @@ def _ops_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
                    s.q AS total_qty_e2
             FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey""",
+        "nation_trade_volume": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS year,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)))::BIGINT AS revenue_e4,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2, 3""",
+        "customer_order_distribution": """
+            WITH cc AS (SELECT c.c_custkey,
+                   count(o.o_orderkey)::BIGINT AS c_count
+                 FROM customer c
+                 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                 GROUP BY 1)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM cc GROUP BY 1""",
+        "small_quantity_revenue": f"""
+            WITH w AS (SELECT
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY l_partkey) AS sq,
+                   count(*) OVER (PARTITION BY l_partkey) AS n
+                 FROM lineitem)
+            SELECT count(*)::BIGINT AS n_lines,
+                   coalesce(sum(p), 0)::BIGINT AS total_price_e2,
+                   (coalesce(sum(p), 0)
+                    // {ops_rel.SMALL_QTY_YEARS})::BIGINT AS avg_yearly_e2
+            FROM w WHERE 5 * q * n < sq""",
+        "returned_item_revenue": f"""
+            WITH r AS (SELECT o.o_custkey,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)))::BIGINT AS revenue_e4
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 WHERE l.l_returnflag = 'R'
+                 GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_e4
+            FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.revenue_e4 DESC, c.c_custkey ASC
+            LIMIT {ops_rel.RETURNED_TOPK}""",
+        "wealthy_inactive_customers": """
+            WITH t AS (SELECT
+                   sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                     AS s, count(*) AS n
+                 FROM customer WHERE c_acctbal > 0.0)
+            SELECT c.c_nationkey, count(*)::BIGINT AS n_cust,
+                   sum(CAST(floor(c.c_acctbal * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS total_acctbal_e2
+            FROM customer c, t
+            WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * t.n > t.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '2000-01-01')
+            GROUP BY 1""",
         "adoption_curve": """
             WITH f AS (SELECT user_id, event_type, min(ts) AS first_ts
                  FROM events GROUP BY 1, 2)
@@ -5239,6 +5303,53 @@ def _ops_sql() -> dict[str, str]:
     }
 
 
+def q_nation_trade_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q7 shape: cross-nation (customer→supplier) revenue per
+    ship-year — broadcast dims + one orderkey co-partition join."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    return ops_rel.nation_trade_volume(_table(sf_dir, "orders"),
+                                       _table(sf_dir, "lineitem"),
+                                       cust, supp, nat)
+
+
+def q_customer_order_distribution(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 shape: order-count histogram including zero-order
+    customers (left-outer + double groupby)."""
+    return ops_rel.customer_order_distribution(_table(sf_dir, "customer"),
+                                               _table(sf_dir, "orders"))
+
+
+def q_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lines below 20% of their part's
+    average quantity (correlated aggregate, exact int gate)."""
+    return ops_rel.small_quantity_revenue(_table(sf_dir, "lineitem"))
+
+
+def q_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-line revenue
+    (two-join + group + distributed top-k)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name",
+                                  "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    return ops_rel.returned_item_revenue(_table(sf_dir, "orders"),
+                                         _table(sf_dir, "lineitem"),
+                                         cust, nat)
+
+
+def q_wealthy_inactive_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    rolled up per nation (scalar subquery + anti-join)."""
+    return ops_rel.wealthy_inactive_customers(_table(sf_dir, "customer"),
+                                              _table(sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5436,6 +5547,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_quality_profile": q_label_quality_profile,
         "large_orders": q_large_orders,
         "supplier_part_coverage": q_supplier_part_coverage,
+        "nation_trade_volume": q_nation_trade_volume,
+        "customer_order_distribution": q_customer_order_distribution,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "returned_item_revenue": q_returned_item_revenue,
+        "wealthy_inactive_customers": q_wealthy_inactive_customers,
         "weekday_profile": q_weekday_profile,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,

@@ -960,3 +960,381 @@ def supplier_part_coverage(lineitem: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(partial, batch_format="pandas",
                          batch_size=65536)
             .groupby("part").map_groups(fold, batch_format="pandas"))
+
+
+# ---- TPC-H Q7 analogue: cross-nation trade volume ----
+
+def nation_trade_volume(orders: ray.data.Dataset,
+                        lineitem: ray.data.Dataset,
+                        customer: pd.DataFrame,
+                        supplier: pd.DataFrame,
+                        nation: pd.DataFrame) -> ray.data.Dataset:
+    """(cust_nation, supp_nation, year, revenue_e4, n_lines): revenue
+    flowing between distinct customer/supplier nation pairs per
+    ship-year — the TPC-H Q7 "volume shipping" shape with three
+    broadcast dimension attaches riding ONE big×big co-partition join.
+
+    Scale shape: customer→nation, supplier→nation and nation→name are
+    dimension lookups, broadcast once via ``ray.put`` as sorted
+    key/value arrays and probed with searchsorted inside the tag
+    stages; orders and lineitem co-partition by ``orderkey % P``
+    (tagged union, one shuffle), each partition folds to ≤
+    nations²·years partial rows, and the final hash groupby touches
+    only those partials. The fact rows never shuffle twice.
+
+    Exactness: revenue carried as int64 1e-4 units
+    (price_cents · (100 − disc_cents)); summation order-independent."""
+    cn = customer.sort_values("c_custkey")
+    ck = cn["c_custkey"].to_numpy(np.int64)
+    cnat = cn["c_nationkey"].to_numpy(np.int64)
+    sn = supplier.sort_values("s_suppkey")
+    sk = sn["s_suppkey"].to_numpy(np.int64)
+    snat = sn["s_nationkey"].to_numpy(np.int64)
+    nn = nation.sort_values("n_nationkey")
+    nk = nn["n_nationkey"].to_numpy(np.int64)
+    nname = nn["n_name"].to_numpy(dtype=object)
+    ref = ray.put((ck, cnat, sk, snat, nk, nname))
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ck_, cnat_, *_ = ray.get(ref)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(ck_, df["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "a": cnat_[pos],                       # customer nationkey
+            "b": np.zeros(len(df), dtype=np.int64),
+            "v": np.zeros(len(df), dtype=np.int64)})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, sk_, snat_, *_ = ray.get(ref)
+        k = df["l_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk_, df["l_suppkey"].to_numpy(np.int64))
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        yr = pd.DatetimeIndex(df["l_shipdate"]).year.to_numpy() \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(df), dtype=np.int8),
+            "a": snat_[pos],                       # supplier nationkey
+            "b": yr,
+            "v": p * (100 - d)})                   # 1e-4 units
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        m = l.merge(o[["k", "a"]].rename(columns={"a": "cn"}),
+                    on="k", how="inner")
+        m = m[m["cn"].to_numpy(np.int64) != m["a"].to_numpy(np.int64)]
+        agg = m.groupby(["cn", "a", "b"], sort=False).agg(
+            revenue_e4=("v", "sum"), n_lines=("v", "size")).reset_index()
+        cn_ = agg["cn"].to_numpy(np.int64)
+        sn_ = agg["a"].to_numpy(np.int64)
+        yr_ = agg["b"].to_numpy(np.int64)
+        # int composite key for the final fold — a 3-string-key Ray
+        # groupby at a few thousand distinct keys is the pathological
+        # per-group shape; one int co-partition fold is not
+        return pd.DataFrame({
+            "fpart": (((cn_ * 64 + sn_) * 16 + yr_ % 16)
+                      % N_JOIN_PARTS).astype(np.int32),
+            "cn": cn_, "sn": sn_, "year": yr_,
+            "revenue_e4": agg["revenue_e4"].to_numpy(np.int64),
+            "n_lines": agg["n_lines"].to_numpy(np.int64)})
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        *_, nk_, nname_ = ray.get(ref)
+        agg = g.groupby(["cn", "sn", "year"], sort=False).agg(
+            revenue_e4=("revenue_e4", "sum"),
+            n_lines=("n_lines", "sum")).reset_index()
+        return pd.DataFrame({
+            "cust_nation": nname_[np.searchsorted(
+                nk_, agg["cn"].to_numpy(np.int64))],
+            "supp_nation": nname_[np.searchsorted(
+                nk_, agg["sn"].to_numpy(np.int64))],
+            "year": agg["year"].to_numpy(np.int64),
+            "revenue_e4": agg["revenue_e4"].to_numpy(np.int64),
+            "n_lines": agg["n_lines"].to_numpy(np.int64)})
+
+    tagged = (orders.select_columns(["o_orderkey", "o_custkey"])
+              .map_batches(tag_orders, batch_format="pandas",
+                           batch_size=65536)
+              .union(lineitem.select_columns(
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount", "l_shipdate"])
+                  .map_batches(tag_lines, batch_format="pandas",
+                               batch_size=65536)))
+    return (tagged.groupby("part").map_groups(join_fold,
+                                              batch_format="pandas")
+            .groupby("fpart").map_groups(final_fold,
+                                         batch_format="pandas")
+            .select_columns(["cust_nation", "supp_nation", "year",
+                             "revenue_e4", "n_lines"]))
+
+
+# ---- TPC-H Q13 analogue: customer order-count distribution ----
+
+def customer_order_distribution(customer: ray.data.Dataset,
+                                orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(c_count, custdist): how many customers placed exactly N orders,
+    INCLUDING the zero-order customers a plain inner join loses — the
+    TPC-H Q13 left-outer-join + double-groupby shape.
+
+    Scale shape: orders collapse to per-custkey count partials inside
+    each batch (combiner); customer keys ride as tagged presence rows.
+    ONE custkey-hash co-partition completes each customer's global
+    count next to its presence row (zero when no order rows arrived);
+    each partition folds to ≤ #distinct-counts histogram partials and
+    a tiny Sum groupby finishes."""
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "n": np.zeros(len(df), dtype=np.int64)})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("o_custkey", as_index=False).size()
+        k = c["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "n": c["size"].to_numpy(np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g.loc[g["side"] == 0, ["k"]]
+        cnt = g[g["side"] == 1].groupby("k", sort=False)["n"].sum()
+        m = cust.merge(cnt.rename("c_count"), left_on="k",
+                       right_index=True, how="left")
+        cc = m["c_count"].fillna(0).to_numpy(np.int64)
+        h = pd.DataFrame({"c_count": cc}).groupby(
+            "c_count", as_index=False).size()
+        return pd.DataFrame({
+            "c_count": h["c_count"].to_numpy(np.int64),
+            "custdist": h["size"].to_numpy(np.int64)})
+
+    tagged = (customer.select_columns(["c_custkey"])
+              .map_batches(tag_cust, batch_format="pandas",
+                           batch_size=65536)
+              .union(orders.select_columns(["o_custkey"])
+                     .map_batches(tag_orders, batch_format="pandas",
+                                  batch_size=65536)))
+    return (tagged.groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist")))
+
+
+# ---- TPC-H Q17 analogue: small-quantity revenue gate ----
+
+SMALL_QTY_YEARS = 7
+
+
+def small_quantity_revenue(lineitem: ray.data.Dataset) -> pd.DataFrame:
+    """One row (n_lines, total_price_e2, avg_yearly_e2): revenue from
+    lineitem rows whose quantity is below 20% of their part's average
+    quantity — the TPC-H Q17 correlated-aggregate shape (per-key scalar
+    aggregate joined back to the fact rows of the same key).
+
+    Scale shape: slim (partkey, qty_e2, price_e2) rows co-partition
+    ONCE by ``partkey % P``; each partition computes its parts' global
+    sum/count (all of a part's rows co-locate) and the row-level gate
+    vectorized, emitting one scalar partial per partition. The gate
+    ``qty < 0.2·avg`` is evaluated as ``5·qty·n < sum_qty`` — pure
+    int64, no division, bit-exact vs the SQL window mirror."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part": (k % N_JOIN_PARTS).astype(np.int32), "k": k,
+            "q": _cents(df["l_quantity"]),
+            "p": _cents(df["l_extendedprice"])})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False)["q"].agg(["sum", "size"])
+        m = g.merge(s, left_on="k", right_index=True, how="left")
+        keep = (np.int64(5) * m["q"].to_numpy(np.int64)
+                * m["size"].to_numpy(np.int64)) \
+            < m["sum"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_lines": [np.int64(keep.sum())],
+            "total_price_e2": [m["p"].to_numpy(np.int64)[keep].sum()]})
+
+    parts = (lineitem.select_columns(["l_partkey", "l_quantity",
+                                      "l_extendedprice"])
+             .map_batches(tag, batch_format="pandas", batch_size=65536)
+             .groupby("part").map_groups(fold, batch_format="pandas")
+             .to_pandas())                       # ≤ P scalar partials
+    n = np.int64(parts["n_lines"].to_numpy(np.int64).sum())
+    tot = np.int64(parts["total_price_e2"].to_numpy(np.int64).sum())
+    return pd.DataFrame({
+        "n_lines": [n], "total_price_e2": [tot],
+        "avg_yearly_e2": [tot // np.int64(SMALL_QTY_YEARS)]})
+
+
+# ---- TPC-H Q10 analogue: returned-item revenue top customers ----
+
+RETURNED_TOPK = 20
+
+
+def returned_item_revenue(orders: ray.data.Dataset,
+                          lineitem: ray.data.Dataset,
+                          customer: pd.DataFrame,
+                          nation: pd.DataFrame,
+                          k: int = RETURNED_TOPK) -> pd.DataFrame:
+    """Top-``k`` customers by revenue lost to returned lines
+    (l_returnflag = 'R'): (c_custkey, c_name, n_name, revenue_e4) —
+    the TPC-H Q10 two-join + group + top-k shape, ties broken by
+    custkey asc.
+
+    Scale shape: returned lines collapse to per-orderkey revenue
+    partials inside each batch; orders ride slim (orderkey, custkey);
+    ONE orderkey co-partition joins them and folds to per-custkey
+    partials ≤ customers per partition; a second custkey co-partition
+    completes each customer's total and keeps a local top-k, so the
+    driver merges ≤ k·P slim rows and attaches the broadcast
+    customer/nation attributes once (at 100 TB customer attrs attach
+    via the same co-partition instead — documented tradeoff)."""
+    P = N_JOIN_PARTS
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        a = pd.DataFrame({"k": df["l_orderkey"].to_numpy(np.int64),
+                          "v": p * (100 - d)})
+        a = a.groupby("k", as_index=False)["v"].sum()
+        kk = a["k"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": kk, "part": (kk % P).astype(np.int32),
+            "side": np.ones(len(kk), dtype=np.int8),
+            "v": a["v"].to_numpy(np.int64)})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        kk = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": kk, "part": (kk % P).astype(np.int32),
+            "side": np.zeros(len(kk), dtype=np.int8),
+            "v": df["o_custkey"].to_numpy(np.int64)})
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1].groupby("k", sort=False)["v"].sum()
+        m = o.merge(l.rename("rev"), left_on="k", right_index=True,
+                    how="inner")
+        agg = m.groupby("v", sort=False)["rev"].sum()
+        ck = agg.index.to_numpy(np.int64)
+        return pd.DataFrame({
+            "ck": ck, "cpart": (ck % P).astype(np.int32),
+            "rev": agg.to_numpy(np.int64)})
+
+    def topk_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("ck", sort=False)["rev"].sum().reset_index()
+        s = s.sort_values(["rev", "ck"], ascending=[False, True],
+                          kind="stable").head(k)
+        return s
+
+    tagged = (orders.select_columns(["o_orderkey", "o_custkey"])
+              .map_batches(tag_orders, batch_format="pandas",
+                           batch_size=65536)
+              .union(lineitem.select_columns(
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"])
+                  .map_batches(tag_lines, batch_format="pandas",
+                               batch_size=65536)))
+    top = (tagged.groupby("part")
+           .map_groups(join_fold, batch_format="pandas")
+           .groupby("cpart").map_groups(topk_fold, batch_format="pandas")
+           .to_pandas())                          # ≤ k·P slim rows
+    top = top.sort_values(["rev", "ck"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    cs = customer.sort_values("c_custkey")
+    pos = np.searchsorted(cs["c_custkey"].to_numpy(np.int64),
+                          top["ck"].to_numpy(np.int64))
+    ns = nation.sort_values("n_nationkey")
+    npos = np.searchsorted(
+        ns["n_nationkey"].to_numpy(np.int64),
+        cs["c_nationkey"].to_numpy(np.int64)[pos])
+    return pd.DataFrame({
+        "c_custkey": top["ck"].to_numpy(np.int64),
+        "c_name": cs["c_name"].to_numpy(dtype=object)[pos],
+        "n_name": ns["n_name"].to_numpy(dtype=object)[npos],
+        "revenue_e4": top["rev"].to_numpy(np.int64)})
+
+
+# ---- TPC-H Q22 analogue: wealthy inactive customers per nation ----
+
+WEALTHY_CUTOFF = np.datetime64("2000-01-01", "us")
+
+
+def wealthy_inactive_customers(customer: ray.data.Dataset,
+                               orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(c_nationkey, n_cust, total_acctbal_e2): customers whose account
+    balance exceeds the global average POSITIVE balance and who placed
+    no order on/after the cutoff (lapsed, not merely order-less — every
+    fixture customer has SOME order) — the TPC-H Q22 scalar-subquery +
+    anti-join shape.
+
+    Scale shape: the scalar threshold is a Sum/Count pass over
+    customer (exact int64 cents; the comparison ``bal·n > sum`` avoids
+    the division); the anti-join co-partitions customer rows with
+    per-batch-distinct recent-order custkeys under ONE custkey hash
+    shuffle; partition folds emit ≤ nations partials."""
+    bal = customer.map_batches(
+        lambda df: pd.DataFrame({
+            "s": [_cents(df.loc[df["c_acctbal"] > 0.0, "c_acctbal"]).sum()],
+            "n": [np.int64((df["c_acctbal"] > 0.0).sum())]}),
+        batch_format="pandas", batch_size=65536) \
+        .to_pandas()
+    sum_pos = np.int64(bal["s"].to_numpy(np.int64).sum())
+    n_pos = np.int64(bal["n"].to_numpy(np.int64).sum())
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        b = _cents(df["c_acctbal"])
+        keep = b * n_pos > sum_pos
+        df = df[keep]
+        kk = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": kk, "part": (kk % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(kk), dtype=np.int8),
+            "nat": df["c_nationkey"].to_numpy(np.int64),
+            "bal": b[keep]})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"] >= WEALTHY_CUTOFF]
+        kk = np.unique(df["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "k": kk, "part": (kk % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(kk), dtype=np.int8),
+            "nat": np.zeros(len(kk), dtype=np.int64),
+            "bal": np.zeros(len(kk), dtype=np.int64)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        active = np.unique(g.loc[g["side"] == 1, "k"].to_numpy(np.int64))
+        c = g[g["side"] == 0]
+        kk = c["k"].to_numpy(np.int64)
+        if len(active):
+            pos = np.searchsorted(active, kk)
+            pos[pos == len(active)] = 0
+            inactive = active[pos] != kk
+        else:
+            inactive = np.ones(len(kk), dtype=bool)
+        c = c[inactive]
+        agg = c.groupby("nat", sort=False)["bal"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "c_nationkey": agg.index.to_numpy(np.int64),
+            "n_cust": agg["size"].to_numpy(np.int64),
+            "total_acctbal_e2": agg["sum"].to_numpy(np.int64)})
+
+    tagged = (customer.select_columns(["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+              .map_batches(tag_cust, batch_format="pandas",
+                           batch_size=65536)
+              .union(orders.select_columns(["o_custkey", "o_orderdate"])
+                     .map_batches(tag_orders, batch_format="pandas",
+                                  batch_size=65536)))
+    return (tagged.groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("c_nationkey")
+            .aggregate(Sum("n_cust", alias_name="n_cust"),
+                       Sum("total_acctbal_e2",
+                           alias_name="total_acctbal_e2")))
