@@ -4661,6 +4661,37 @@ def _ops_sql() -> dict[str, str]:
                    ({ops_events.STICKINESS_FP} * dau.dau
                     // greatest(wau.wau, 1))::BIGINT AS stickiness_fp
             FROM dau JOIN wau USING (day)""",
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id,
+                   regexp_extract_all(text, '[^\\s]+') AS toks
+                 FROM documents),
+            c AS (SELECT doc_id,
+                   unnest(generate_series(1, len(toks),
+                          {ops_corpus.CHUNK_STRIDE})) AS start_tok,
+                   toks
+                 FROM t WHERE len(toks) > 0)
+            SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(least(start_tok + {ops_corpus.CHUNK_TOKENS} - 1,
+                              len(toks)) - start_tok + 1 AS BIGINT)
+                     AS n_tok,
+                   array_to_string(
+                     toks[start_tok : least(
+                       start_tok + {ops_corpus.CHUNK_TOKENS} - 1,
+                       len(toks))], ' ') AS chunk
+            FROM c""",
+        "length_mad_outliers": f"""
+            WITH m AS (SELECT CAST(2 * median(n_chars) AS BIGINT) AS med2
+                 FROM documents),
+            d AS (SELECT doc_id, n_chars,
+                   abs(2 * n_chars - m.med2) AS dev2
+                 FROM documents, m),
+            md AS (SELECT CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM d)
+            SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CAST(d.dev2 AS BIGINT) AS dev2,
+                   CAST(CASE WHEN 4 * d.dev2 > {ops_corpus.MAD_K_NUM}
+                             * md.mad4 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_outlier
+            FROM d, md""",
         "rollup_doc_stats": f"""
             SELECT coalesce(lang, '{ops_corpus.ROLLUP_ALL}') AS lang,
                 coalesce(source, '{ops_corpus.ROLLUP_ALL}') AS source,
@@ -5350,6 +5381,18 @@ def q_wealthy_inactive_customers(sf_dir: str) -> ray.data.Dataset:
                                               _table(sf_dir, "orders"))
 
 
+def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """RAG chunking: overlapping token windows per doc, one streaming
+    pass, no shuffle."""
+    return ops_corpus.chunk_documents(_docs(sf_dir))
+
+
+def q_length_mad_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Robust median/MAD length-outlier gate, exact integer arithmetic
+    (doubled medians), histogram-based — no global sort."""
+    return ops_corpus.length_mad_outliers(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5509,6 +5552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q_rolling_active_users,
         "rollup_doc_stats": q_rollup_doc_stats,
         "length_percentile_ranks": q_length_percentile_ranks,
+        "chunk_documents": q_chunk_documents,
+        "length_mad_outliers": q_length_mad_outliers,
         "event_transitions": q_event_transitions,
         "revisit_schedule": q_revisit_schedule,
         "events_windowed": q_events_windowed,

@@ -987,3 +987,122 @@ def top_docs_per_lang(docs: ray.data.Dataset,
             .map_batches(partial, batch_format="pandas",
                          batch_size=16384)
             .groupby("lang").map_groups(fold, batch_format="pandas"))
+
+
+# ---- RAG-style document chunking (token windows with stride) ----
+
+CHUNK_TOKENS = 32          # tokens per chunk window
+CHUNK_STRIDE = 24          # window start step (overlap = 32 - 24 = 8)
+
+
+def chunk_documents(docs: ray.data.Dataset,
+                    size: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE) -> ray.data.Dataset:
+    """(doc_id, start_tok, n_tok, chunk): overlapping token windows per
+    document — the retrieval/RAG chunking step (and the packing
+    pre-step for long-document training). Windows start at token
+    1, 1+stride, 1+2·stride, … while the start is within the document;
+    the final window may be short; empty documents emit no chunks.
+    Chunk text is the window's tokens joined with single spaces
+    (original inter-token whitespace is not preserved — identical rule
+    in the SQL mirror's ``array_to_string(array_slice(...))``).
+
+    Scale shape: embarrassingly parallel — ONE streaming map_batches
+    pass, no shuffle; the batch tokenizes in one C-level regex pass
+    (:func:`~ghcrawler_ray.ops.text.tokenize_flat`) and each output
+    chunk is one C-level join. Output rows are chunk-sized, so
+    downstream embed/index stages see bounded payloads regardless of
+    input document length."""
+    from .text import tokenize_flat
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = tokenize_flat(df["text"].astype(str).tolist())
+        ids = df["doc_id"].to_numpy(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        out_id, out_s, out_n, out_c = [], [], [], []
+        for i in range(len(ids)):
+            n = int(lens[i])
+            base = int(starts[i])
+            for s in range(0, n, stride):
+                e = min(s + size, n)
+                out_id.append(ids[i])
+                out_s.append(s + 1)          # 1-based like array_slice
+                out_n.append(e - s)
+                out_c.append(" ".join(flat[base + s:base + e]))
+        return pd.DataFrame({
+            "doc_id": np.array(out_id, dtype=np.int64),
+            "start_tok": np.array(out_s, dtype=np.int64),
+            "n_tok": np.array(out_n, dtype=np.int64),
+            "chunk": np.array(out_c, dtype=object)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(chunk, batch_format="pandas"))
+
+
+# ---- robust length-outlier gate (exact distributed median + MAD) ----
+
+MAD_K_NUM = 3              # flag when |x - median| > 3 · MAD
+
+
+def length_mad_outliers(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_chars, dev2, is_outlier): robust length-outlier gate —
+    flag documents whose character count deviates from the corpus
+    median by more than ``MAD_K_NUM`` × MAD (median absolute
+    deviation). The mean/std z-score version breaks on the heavy-tailed
+    length distributions web corpora actually have; median/MAD is the
+    production-grade gate.
+
+    Exactness: medians of integers are carried DOUBLED (median = avg of
+    the two middle values on even counts → med2 = lo+hi is always an
+    int), deviations as ``dev2 = |2·x − med2|``, MAD doubled again
+    (mad4), and the gate is the pure-integer comparison
+    ``4·dev2 > 3·mad4`` — bit-identical to the SQL ``median()`` mirror
+    with no floating point anywhere.
+
+    Scale shape: an exact global median needs no sort — lengths are
+    low-cardinality, so ONE combiner pass builds a (value, count)
+    histogram whose global merge is driver-side over ≤ #distinct-length
+    rows; the second histogram over dev2 reuses the first (a shifted
+    |2x−med2| remap, no second corpus scan); only the final flag pass
+    streams the corpus again."""
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("n_chars", as_index=False).size()
+        return pd.DataFrame({
+            "v": c["n_chars"].to_numpy(np.int64),
+            "n": c["size"].to_numpy(np.int64)})
+
+    h = (docs.select_columns(["n_chars"])
+         .map_batches(hist, batch_format="pandas", batch_size=65536)
+         .groupby("v").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())                       # ≤ #distinct lengths rows
+    h = h.sort_values("v").reset_index(drop=True)
+    v = h["v"].to_numpy(np.int64)
+    n = h["n"].to_numpy(np.int64)
+
+    def med2_of(vals: np.ndarray, cnts: np.ndarray) -> np.int64:
+        total = cnts.sum()
+        cum = np.cumsum(cnts)
+        lo = vals[np.searchsorted(cum, (total + 1) // 2)]
+        hi = vals[np.searchsorted(cum, total // 2 + 1)]
+        return np.int64(lo + hi)
+
+    med2 = med2_of(v, n)
+    # dev2 histogram derived from the length histogram — no second scan
+    dev2 = np.abs(2 * v - med2)
+    dh = pd.DataFrame({"d": dev2, "n": n}).groupby("d", as_index=False) \
+        .sum().sort_values("d")
+    mad4 = med2_of(dh["d"].to_numpy(np.int64), dh["n"].to_numpy(np.int64))
+    m2, m4 = np.int64(med2), np.int64(mad4)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        d2 = np.abs(2 * x - m2)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_chars": x, "dev2": d2,
+            "is_outlier": (4 * d2 > np.int64(MAD_K_NUM) * m4)
+            .astype(np.int64)})
+
+    return (docs.select_columns(["doc_id", "n_chars"])
+            .map_batches(flag, batch_format="pandas"))
