@@ -5036,6 +5036,60 @@ def _ops_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
                    s.q AS total_qty_e2
             FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey""",
+        "embedding_sim_histogram": f"""
+            WITH q AS (SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                     AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {ops_ann.SIM_Q} + 0.5) AS BIGINT) AS qv
+                 FROM embeddings),
+            s AS (SELECT unnest([{", ".join(str(s) for s in
+                                  ops_ann.SIM_HIST_STRIDES)}])
+                    AS stride),
+            d AS (SELECT s.stride, a.vec_id,
+                   sum(a.qv * b.qv)::BIGINT AS dot
+                 FROM s, q a JOIN q b ON b.dim = a.dim
+                 WHERE b.vec_id = a.vec_id + s.stride
+                 GROUP BY 1, 2)
+            SELECT stride, (dot // {ops_ann.SIM_BUCKET_DIV})::BIGINT
+                     AS bucket,
+                   count(*)::BIGINT AS n_pairs
+            FROM d GROUP BY 1, 2""",
+        "cheapest_supplier_per_part": f"""
+            WITH u AS (SELECT l_partkey, l_suppkey,
+                   (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * {ops_rel.UNIT_PRICE_FP})
+                   // greatest(CAST(floor(l_quantity * 100 + 0.5)
+                               AS BIGINT), 1) AS up
+                 FROM lineitem),
+            r AS (SELECT l_partkey, l_suppkey, up,
+                   row_number() OVER (PARTITION BY l_partkey
+                     ORDER BY up ASC, l_suppkey ASC) AS rn,
+                   count(*) OVER (PARTITION BY l_partkey) AS n
+                 FROM u)
+            SELECT l_partkey, l_suppkey AS s_suppkey,
+                   up AS unit_price_fp, CAST(n AS BIGINT) AS n_offers
+            FROM r WHERE rn = 1""",
+        "nation_market_share": f"""
+            WITH rc AS (SELECT c.c_custkey FROM customer c
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 JOIN region r ON r.r_regionkey = n.n_regionkey
+                 WHERE r.r_name = '{ops_rel.SHARE_REGION}'),
+            f AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                 AS BIGINT)) AS rev,
+                   CASE WHEN s.s_nationkey = {ops_rel.SHARE_NATION_KEY}
+                        THEN 1 ELSE 0 END AS tgt
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN rc ON rc.c_custkey = o.o_custkey
+                 JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+            SELECT year, sum(rev * tgt)::BIGINT AS target_rev_e4,
+                   sum(rev)::BIGINT AS total_rev_e4,
+                   ({ops_rel.MARKET_SHARE_FP} * sum(rev * tgt)
+                    // greatest(sum(rev), 1))::BIGINT AS share_fp
+            FROM f GROUP BY 1""",
         "nation_trade_volume": """
             SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
                    CAST(year(l.l_shipdate) AS BIGINT) AS year,
@@ -5393,6 +5447,32 @@ def q_length_mad_outliers(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.length_mad_outliers(_docs(sf_dir))
 
 
+def q_embedding_sim_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-geometry QC: exact-int cosine-dot histogram over the
+    deterministic (i, i+stride) pair lattice."""
+    return ops_ann.embedding_sim_histogram(_emb(sf_dir))
+
+
+def q_cheapest_supplier_per_part(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2 shape: groupwise argmin — lowest unit price supplier
+    per part, integer FP unit price, suppkey tie-break."""
+    return ops_rel.cheapest_supplier_per_part(_table(sf_dir, "lineitem"))
+
+
+def q_nation_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: one nation's supplier share of a region's
+    customer revenue per year."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    return ops_rel.nation_market_share(_table(sf_dir, "orders"),
+                                       _table(sf_dir, "lineitem"),
+                                       cust, nat, supp, reg)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5597,6 +5677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "returned_item_revenue": q_returned_item_revenue,
         "wealthy_inactive_customers": q_wealthy_inactive_customers,
+        "embedding_sim_histogram": q_embedding_sim_histogram,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "nation_market_share": q_nation_market_share,
         "weekday_profile": q_weekday_profile,
         "duplicate_ngrams": q_duplicate_ngrams,
         "dedup_spans": q_dedup_spans,

@@ -1384,3 +1384,80 @@ def label_quality_profile(docs: ray.data.Dataset,
     out["label"] = out["label"].astype(np.int64)
     return out[["label", "n_docs", "sum_quality_fp",
                 "mean_quality_fp"]]
+
+
+# ---- embedding similarity histogram (corpus-geometry QC) ----
+
+SIM_HIST_STRIDES = (1, 17)     # deterministic pair lattice: (i, i+s)
+SIM_Q = 10 ** 6                # component quantization (1e-6 grid)
+SIM_BUCKET_DIV = 10 ** 11      # dot_e12 → ~21 buckets over [-1, 1]
+SIM_PAIR_PARTS = 64
+
+
+def embedding_sim_histogram(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(stride, bucket, n_pairs): distribution of pairwise similarity
+    over the deterministic pair lattice (vec_id, vec_id+stride) — the
+    corpus-geometry QC readout (a healthy embedding space is centered
+    near 0; a collapsed encoder shows a spike near 1) without an O(n²)
+    pass or RNG.
+
+    Exactness: components quantize to the 1e-6 integer grid; the dot
+    product is a pure int64 sum (64 dims × 1e12 « 2⁶³), and the bucket
+    is truncating division ``sign·(|dot|//1e11)`` — DuckDB's ``//``
+    truncates toward zero, numpy floors, so the kernel matches DuckDB
+    explicitly.
+
+    Scale shape: each vector ships to its pair partitions (2·|strides|
+    slim quantized copies, role-tagged); ONE pair-key co-partition
+    aligns (left=i, right=i+s) rows; the dot is one stacked matmul per
+    partition; output partials are ≤ strides × buckets rows. No
+    driver-side matrix, no all-pairs."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * SIM_Q + 0.5).astype(np.int64)
+        outs = []
+        for s in SIM_HIST_STRIDES:
+            for role, key in ((0, ids), (1, ids - s)):
+                o = pd.DataFrame({
+                    "pk": key, "stride": np.int64(s),
+                    "role": np.int8(role),
+                    "part": ((key % SIM_PAIR_PARTS + SIM_PAIR_PARTS)
+                             % SIM_PAIR_PARTS).astype(np.int32)})
+                o["vec"] = list(q)
+                outs.append(o)
+        return pd.concat(outs, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s in SIM_HIST_STRIDES:
+            gs = g[g["stride"] == s]
+            l = gs[gs["role"] == 0][["pk", "vec"]]
+            r = gs[gs["role"] == 1][["pk", "vec"]]
+            m = l.merge(r, on="pk", how="inner", suffixes=("_l", "_r"))
+            if not len(m):
+                continue
+            a = np.stack(m["vec_l"].to_numpy())
+            b = np.stack(m["vec_r"].to_numpy())
+            dot = (a * b).sum(axis=1)
+            bucket = np.sign(dot) * (np.abs(dot) // SIM_BUCKET_DIV)
+            h = pd.DataFrame({"bucket": bucket.astype(np.int64)}) \
+                .groupby("bucket", as_index=False).size()
+            h["stride"] = np.int64(s)
+            outs.append(pd.DataFrame({
+                "stride": h["stride"].to_numpy(np.int64),
+                "bucket": h["bucket"].to_numpy(np.int64),
+                "n_pairs": h["size"].to_numpy(np.int64)}))
+        if not outs:
+            return pd.DataFrame({"stride": np.empty(0, np.int64),
+                                 "bucket": np.empty(0, np.int64),
+                                 "n_pairs": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(tag, batch_format="pandas", batch_size=8192)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby(["stride", "bucket"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))

@@ -1338,3 +1338,157 @@ def wealthy_inactive_customers(customer: ray.data.Dataset,
             .aggregate(Sum("n_cust", alias_name="n_cust"),
                        Sum("total_acctbal_e2",
                            alias_name="total_acctbal_e2")))
+
+
+# ---- TPC-H Q2 analogue: cheapest supplier per part ----
+
+UNIT_PRICE_FP = 10 ** 6
+
+
+def cheapest_supplier_per_part(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(l_partkey, s_suppkey, unit_price_fp, n_offers): for every part,
+    the supplier offering the lowest observed unit price — the TPC-H Q2
+    groupwise-argmin join shape. ``unit_price_fp =
+    (price_e2 · 1e6) // qty_e2`` (pure int64), ties broken by suppkey
+    asc; ``n_offers`` counts the part's lineitem rows.
+
+    Scale shape: each batch reduces to its parts' local argmin + count
+    partials (combiner — the shuffle carries ≤ #parts·#batches slim
+    rows, not the fact table); ONE partkey co-partition finishes the
+    argmin and the count. Argmin-of-partials is valid because min over
+    (unit_price_fp, suppkey) lexicographic pairs is associative."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_partkey"].to_numpy(np.int64)
+        q = _cents(df["l_quantity"])
+        p = _cents(df["l_extendedprice"])
+        up = (p * np.int64(UNIT_PRICE_FP)) // np.maximum(q, 1)
+        t = pd.DataFrame({"k": k, "s": df["l_suppkey"]
+                          .to_numpy(np.int64), "up": up})
+        t = t.sort_values(["k", "up", "s"], kind="stable")
+        best = t.drop_duplicates("k", keep="first")
+        cnt = t.groupby("k", sort=False, as_index=False).size()
+        m = best.merge(cnt, on="k")
+        m["part"] = (m["k"].to_numpy(np.int64)
+                     % N_JOIN_PARTS).astype(np.int32)
+        return m.rename(columns={"size": "n"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(["k", "up", "s"], kind="stable")
+        best = t.drop_duplicates("k", keep="first")
+        cnt = g.groupby("k", sort=False, as_index=False)["n"].sum()
+        m = best[["k", "s", "up"]].merge(cnt, on="k")
+        return pd.DataFrame({
+            "l_partkey": m["k"].to_numpy(np.int64),
+            "s_suppkey": m["s"].to_numpy(np.int64),
+            "unit_price_fp": m["up"].to_numpy(np.int64),
+            "n_offers": m["n"].to_numpy(np.int64)})
+
+    return (lineitem.select_columns(["l_partkey", "l_suppkey",
+                                     "l_quantity", "l_extendedprice"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas"))
+
+
+# ---- TPC-H Q8 analogue: national market share within a region ----
+
+SHARE_REGION = "ASIA"
+SHARE_NATION_KEY = 2           # NATION_2 (an ASIA nation)
+MARKET_SHARE_FP = 10 ** 6
+
+
+def nation_market_share(orders: ray.data.Dataset,
+                        lineitem: ray.data.Dataset,
+                        customer: pd.DataFrame,
+                        nation: pd.DataFrame,
+                        supplier: pd.DataFrame,
+                        region: pd.DataFrame) -> pd.DataFrame:
+    """(year, target_rev_e4, total_rev_e4, share_fp): of all revenue
+    sold to customers in ``SHARE_REGION``, the share supplied by
+    suppliers of nation ``SHARE_NATION_KEY``, per order-year — the
+    TPC-H Q8 market-share shape (two dimension chains onto one fact
+    join, ratio per group).
+
+    Scale shape: region→nation→customer and supplier→nation are
+    broadcast probes inside the tag stages; orders (filtered to the
+    region's customers) and lineitem co-partition ONCE by orderkey;
+    each partition folds to ≤ years (rev_target, rev_total) partials;
+    the ≤ years × P partial rows reduce driver-side and the share is
+    ONE division mirrored in SQL."""
+    rk = region.loc[region["r_name"] == SHARE_REGION,
+                    "r_regionkey"].iloc[0]
+    nat_in_region = np.sort(nation.loc[nation["n_regionkey"] == rk,
+                                       "n_nationkey"].to_numpy(np.int64))
+    cs = customer.sort_values("c_custkey")
+    ck = cs["c_custkey"].to_numpy(np.int64)
+    cnat = cs["c_nationkey"].to_numpy(np.int64)
+    in_region = np.isin(cnat, nat_in_region)
+    region_custkeys = ck[in_region]
+    ss = supplier.sort_values("s_suppkey")
+    sk = ss["s_suppkey"].to_numpy(np.int64)
+    snat = ss["s_nationkey"].to_numpy(np.int64)
+    ref = ray.put((region_custkeys, sk, snat))
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        rck, *_ = ray.get(ref)
+        c = df["o_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(rck, c)
+        pos[pos == len(rck)] = 0
+        keep = rck[pos] == c if len(rck) else np.zeros(len(c), bool)
+        df = df[keep]
+        k = df["o_orderkey"].to_numpy(np.int64)
+        yr = pd.DatetimeIndex(df["o_orderdate"]).year.to_numpy() \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "a": yr, "v": np.zeros(len(df), dtype=np.int64)})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        _, sk_, snat_ = ray.get(ref)
+        k = df["l_orderkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk_, df["l_suppkey"].to_numpy(np.int64))
+        is_target = snat_[pos] == SHARE_NATION_KEY
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(df), dtype=np.int8),
+            "a": is_target.astype(np.int64),
+            "v": p * (100 - d)})
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        m = l.merge(o[["k", "a"]].rename(columns={"a": "yr"}),
+                    on="k", how="inner")
+        tgt = m["v"].to_numpy(np.int64) * m["a"].to_numpy(np.int64)
+        agg = pd.DataFrame({"yr": m["yr"].to_numpy(np.int64),
+                            "t": tgt,
+                            "v": m["v"].to_numpy(np.int64)}) \
+            .groupby("yr", as_index=False).sum()
+        return pd.DataFrame({
+            "year": agg["yr"].to_numpy(np.int64),
+            "t": agg["t"].to_numpy(np.int64),
+            "v": agg["v"].to_numpy(np.int64)})
+
+    tagged = (orders.select_columns(["o_orderkey", "o_custkey",
+                                     "o_orderdate"])
+              .map_batches(tag_orders, batch_format="pandas",
+                           batch_size=65536)
+              .union(lineitem.select_columns(
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+                  .map_batches(tag_lines, batch_format="pandas",
+                               batch_size=65536)))
+    parts = (tagged.groupby("part").map_groups(join_fold,
+                                               batch_format="pandas")
+             .to_pandas())                    # ≤ years × P rows
+    out = parts.groupby("year", sort=True, as_index=False).sum()
+    t = out["t"].to_numpy(np.int64)
+    v = out["v"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "year": out["year"].to_numpy(np.int64),
+        "target_rev_e4": t, "total_rev_e4": v,
+        "share_fp": np.int64(MARKET_SHARE_FP) * t // np.maximum(v, 1)})
