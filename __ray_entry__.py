@@ -4645,6 +4645,16 @@ def _ops_sql() -> dict[str, str]:
                 AND ud.day > d.day - INTERVAL {ops_events.ROLLING_DAYS} DAY)
             SELECT wday AS day, count(*)::BIGINT AS n_active_users
             FROM w GROUP BY 1""",
+        "decayed_user_activity": f"""
+            WITH m AS (SELECT max(ts) AS mx FROM events),
+            w AS (SELECT user_id,
+                   (1::BIGINT << {ops_events.DECAY_FP_SHIFT}) >>
+                   least((epoch_us(m.mx) - epoch_us(ts))
+                         // 86400000000, 63) AS w
+                 FROM events, m)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(w)::BIGINT AS score_fp
+            FROM w GROUP BY 1""",
         "stickiness": f"""
             WITH ud AS (SELECT DISTINCT user_id,
                  date_trunc('day', ts) AS day FROM events),
@@ -5473,6 +5483,12 @@ def q_nation_market_share(sf_dir: str) -> pd.DataFrame:
                                        cust, nat, supp, reg)
 
 
+def q_decayed_user_activity(sf_dir: str) -> ray.data.Dataset:
+    """Per-user half-life-decayed activity score — exact power-of-two
+    integer decay ladder, no FP."""
+    return ops_events.decayed_user_activity(_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5662,6 +5678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_profile": q_session_profile,
         "cusum_alarms": q_cusum_alarms,
         "stickiness": q_stickiness,
+        "decayed_user_activity": q_decayed_user_activity,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,

@@ -1354,3 +1354,55 @@ def weekday_profile(events: ray.data.Dataset) -> ray.data.Dataset:
             .groupby(["event_type", "day_of_week"])   # ≤ types×7 rows
             .aggregate(Sum("n", alias_name="n"))
             .map_batches(fix, batch_format="pandas"))
+
+
+# ---- time-decayed activity score (half-life counters) ----
+
+DECAY_FP_SHIFT = 40            # score unit = 2^40 per zero-age event
+_DAY_DECAY_US = 86_400_000_000
+
+
+def decayed_user_activity(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, score_fp): per-user activity score where an
+    event's weight halves per day of age relative to the corpus max
+    timestamp — the freshness/recency counter behind adaptive crawl
+    scheduling and churn scoring, with NO floating point: the weight is
+    ``2^40 >> age_days`` (exact, order-independent integer sum), so the
+    result is bit-identical to the SQL bit-shift mirror. A float
+    ``Σ exp(-λ·age)`` is summation-order-dependent and can never pin a
+    distributed==sequential equality; the power-of-two ladder can.
+
+    Scale shape: the global max timestamp is one scalar aggregate
+    (parquet footer statistics at read time make this nearly free);
+    then ONE combiner pass folds each batch to per-user partials and
+    ONE user-hash co-partition completes the sums. Bit shifts are
+    clamped at 63 (numpy shift ≥ 64 is undefined; DuckDB saturates to
+    0 — ages that old contribute 0 in both engines)."""
+    from ray.data.aggregate import Max
+
+    mx = events.select_columns(["ts"]).aggregate(Max("ts"))["max(ts)"]
+    mx_us = np.int64(pd.Timestamp(mx).value // 1000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        age = (mx_us - us) // np.int64(_DAY_DECAY_US)
+        w = np.int64(1 << DECAY_FP_SHIFT) >> np.minimum(age, np.int64(63))
+        t = pd.DataFrame({"u": df["user_id"].to_numpy(np.int64), "w": w})
+        agg = t.groupby("u", as_index=False).agg(
+            n=("w", "size"), s=("w", "sum"))
+        agg["part"] = (agg["u"].to_numpy(np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("u", sort=False, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"))
+        return pd.DataFrame({
+            "user_id": agg["u"].to_numpy(np.int64),
+            "n_events": agg["n"].to_numpy(np.int64),
+            "score_fp": agg["s"].to_numpy(np.int64)})
+
+    return (events.select_columns(["ts", "user_id"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas"))
