@@ -4645,6 +4645,20 @@ def _ops_sql() -> dict[str, str]:
                 AND ud.day > d.day - INTERVAL {ops_events.ROLLING_DAYS} DAY)
             SELECT wday AS day, count(*)::BIGINT AS n_active_users
             FROM w GROUP BY 1""",
+        "embedding_coverage": f"""
+            SELECT d.lang, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1
+                       END)::BIGINT AS n_with_embedding,
+                   ({ops_ann.COVERAGE_FP} * sum(CASE WHEN e.vec_id IS
+                       NULL THEN 0 ELSE 1 END)
+                    // greatest(count(*), 1))::BIGINT AS coverage_fp
+            FROM documents d
+            LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+            GROUP BY 1""",
+        "lang_length_medians": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   CAST(2 * median(n_chars) AS BIGINT) AS med2_chars
+            FROM documents GROUP BY 1""",
         "decayed_user_activity": f"""
             WITH m AS (SELECT max(ts) AS mx FROM events),
             w AS (SELECT user_id,
@@ -5489,6 +5503,18 @@ def q_decayed_user_activity(sf_dir: str) -> ray.data.Dataset:
     return ops_events.decayed_user_activity(_events(sf_dir))
 
 
+def q_embedding_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Cross-modal audit: per-lang share of documents that have an
+    embedding row (id anti-join)."""
+    return ops_ann.embedding_coverage(_docs(sf_dir), _emb(sf_dir))
+
+
+def q_lang_length_medians(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language median doc length (doubled-median integers,
+    grouped histogram — no sort)."""
+    return ops_corpus.lang_length_medians(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5679,6 +5705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_alarms": q_cusum_alarms,
         "stickiness": q_stickiness,
         "decayed_user_activity": q_decayed_user_activity,
+        "embedding_coverage": q_embedding_coverage,
+        "lang_length_medians": q_lang_length_medians,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,

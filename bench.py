@@ -59,7 +59,11 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "orders_with_returns", "event_stationary",
                "contamination_by_source", "vocab_coverage_curve",
                "crawl_kcore", "burst_profile", "part_revenue_share",
-               "rfm_segments", "cusum_alarms", "supplier_part_coverage")
+               "rfm_segments", "cusum_alarms", "supplier_part_coverage",
+               "nation_trade_volume", "chunk_documents",
+               "length_mad_outliers", "returned_item_revenue",
+               "embedding_sim_histogram", "cheapest_supplier_per_part",
+               "decayed_user_activity")
 SCALING_CPUS = (8, 32)
 
 

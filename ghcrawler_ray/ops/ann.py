@@ -1461,3 +1461,80 @@ def embedding_sim_histogram(emb: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part").map_groups(fold, batch_format="pandas")
             .groupby(["stride", "bucket"])
             .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
+# ---- cross-modal coverage audit (docs ∖ embeddings anti-join) ----
+
+COVERAGE_FP = 10 ** 6
+
+
+def embedding_coverage(docs: ray.data.Dataset,
+                       emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs, n_with_embedding, coverage_fp): per language, how
+    many documents have an embedding row (doc_id = vec_id) — the
+    before-training audit that catches a failed embed shard (a corpus
+    slice silently missing from the index is the classic production
+    hole a coverage join finds).
+
+    Scale shape: both sides slim to id-keyed tagged rows (docs carry
+    lang, embeddings carry presence only); ONE id-hash co-partition
+    resolves membership with a sorted-array probe per partition and
+    folds to ≤ langs partials; final Sum groupby is tiny."""
+    P = 64
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": ids, "part": (ids % P).astype(np.int32),
+            "side": np.zeros(len(ids), dtype=np.int8),
+            "lang": df["lang"].to_numpy(dtype=object)})
+
+    def tag_emb(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": ids, "part": (ids % P).astype(np.int32),
+            "side": np.ones(len(ids), dtype=np.int8),
+            "lang": np.full(len(ids), "", dtype=object)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        have = np.unique(g.loc[g["side"] == 1, "k"].to_numpy(np.int64))
+        d = g[g["side"] == 0]
+        kk = d["k"].to_numpy(np.int64)
+        if len(have):
+            pos = np.searchsorted(have, kk)
+            pos[pos == len(have)] = 0
+            hit = have[pos] == kk
+        else:
+            hit = np.zeros(len(kk), dtype=bool)
+        t = pd.DataFrame({"lang": d["lang"].to_numpy(dtype=object),
+                          "hit": hit.astype(np.int64)})
+        agg = t.groupby("lang", as_index=False).agg(
+            n_docs=("hit", "size"), n_with=("hit", "sum"))
+        return pd.DataFrame({
+            "lang": agg["lang"].to_numpy(dtype=object),
+            "n_docs": agg["n_docs"].to_numpy(np.int64),
+            "n_with_embedding": agg["n_with"].to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].to_numpy(np.int64)
+        w = df["n_with_embedding"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(dtype=object),
+            "n_docs": n, "n_with_embedding": w,
+            "coverage_fp": np.int64(COVERAGE_FP) * w
+            // np.maximum(n, 1)})
+
+    return (docs.select_columns(["doc_id", "lang"])
+            .map_batches(tag_docs, batch_format="pandas",
+                         batch_size=65536)
+            .union(emb.select_columns(["vec_id"])
+                   .map_batches(tag_emb, batch_format="pandas",
+                                batch_size=65536))
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_with_embedding",
+                           alias_name="n_with_embedding"))
+            .map_batches(finish, batch_format="pandas"))

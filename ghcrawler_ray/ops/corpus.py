@@ -1106,3 +1106,52 @@ def length_mad_outliers(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return (docs.select_columns(["doc_id", "n_chars"])
             .map_batches(flag, batch_format="pandas"))
+
+
+# ---- exact per-group medians (grouped doubled-median histogram) ----
+
+def lang_length_medians(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n_docs, med2_chars): exact per-language median document
+    length, carried DOUBLED (med2 = lo+hi of the two middle values, an
+    integer even when the median is x.5) — grouped robust statistics
+    without a global sort, the per-stratum version of
+    :func:`length_mad_outliers`.
+
+    Scale shape: ONE combiner pass builds per-(lang, n_chars) count
+    partials; the (lang, value) histogram — ≤ langs × distinct-lengths
+    rows, corpus-size-independent — folds per lang-hash partition where
+    each language's histogram lands whole, so the median select is a
+    cumsum probe, not a sort of the corpus."""
+    from ..urls import hash64_array
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["lang", "n_chars"], as_index=False).size()
+        out = pd.DataFrame({
+            "lang": c["lang"].to_numpy(dtype=object),
+            "v": c["n_chars"].to_numpy(np.int64),
+            "n": c["size"].to_numpy(np.int64)})
+        # deterministic string hash — Python's builtin hash() is
+        # seed-randomized per process and would split a language's
+        # histogram across partitions
+        out["part"] = (hash64_array(out["lang"]) % 16).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, gl in g.groupby("lang", sort=False):
+            s = gl.groupby("v", as_index=False)["n"].sum() \
+                .sort_values("v")
+            v = s["v"].to_numpy(np.int64)
+            n = s["n"].to_numpy(np.int64)
+            total = n.sum()
+            cum = np.cumsum(n)
+            lo = v[np.searchsorted(cum, (total + 1) // 2)]
+            hi = v[np.searchsorted(cum, total // 2 + 1)]
+            rows.append((lang, int(total), int(lo + hi)))
+        return pd.DataFrame(rows, columns=["lang", "n_docs",
+                                           "med2_chars"])
+
+    return (docs.select_columns(["lang", "n_chars"])
+            .map_batches(hist, batch_format="pandas", batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["lang", "n_docs", "med2_chars"]))
