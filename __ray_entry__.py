@@ -4655,6 +4655,21 @@ def _ops_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1""",
+        "token_budget_sample": rf"""
+            WITH t AS (SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '[^\s]+'))
+                        AS BIGINT) AS n_tokens
+                 FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                 FROM t)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                   CAST(CASE WHEN cum_tokens <=
+                     {ops_corpus.TOKEN_BUDGET_PER_LANG} THEN 1 ELSE 0
+                     END AS BIGINT) AS keep
+            FROM c""",
         "lang_length_medians": """
             SELECT lang, count(*)::BIGINT AS n_docs,
                    CAST(2 * median(n_chars) AS BIGINT) AS med2_chars
@@ -5515,6 +5530,12 @@ def q_lang_length_medians(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.lang_length_medians(_docs(sf_dir))
 
 
+def q_token_budget_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-language token-budget cap: admit docs in id order until the
+    running token total exceeds the budget (windowed cumsum gate)."""
+    return ops_corpus.token_budget_sample(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5707,6 +5728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_activity": q_decayed_user_activity,
         "embedding_coverage": q_embedding_coverage,
         "lang_length_medians": q_lang_length_medians,
+        "token_budget_sample": q_token_budget_sample,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,

@@ -1155,3 +1155,70 @@ def lang_length_medians(docs: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(hist, batch_format="pandas", batch_size=65536)
             .groupby("part").map_groups(fold, batch_format="pandas")
             .select_columns(["lang", "n_docs", "med2_chars"]))
+
+
+# ---- per-language token-budget cap (ordered cumulative gate) ----
+
+TOKEN_BUDGET_PER_LANG = 2000
+
+
+def token_budget_sample(docs: ray.data.Dataset,
+                        budget: int = TOKEN_BUDGET_PER_LANG
+                        ) -> ray.data.Dataset:
+    """(doc_id, lang, n_tokens, cum_tokens, keep): cap each language's
+    corpus slice at a token budget, admitting documents in doc_id order
+    until the running total would exceed the budget — the
+    mixture-building step that turns "sample 30B tokens of French" into
+    a deterministic, resumable selection (id order ⇒ re-running after
+    an append admits the same prefix).
+
+    keep = 1 iff the document's INCLUSIVE running total ≤ budget (a
+    document never splits). Mirrored by the SQL windowed cumsum.
+
+    Scale shape: per-doc token counts are one vectorized streaming
+    pass; the cumulative gate needs each language's counts ordered by
+    doc_id, so slim (lang, doc_id, n_tokens) rows co-partition ONCE by
+    a deterministic lang hash and each partition lexsorts + cumsums its
+    languages vectorized. Only the slim count rows shuffle — never
+    text. (Per-lang data volume is the partitioning assumption: a
+    single language's count rows must fit a partition; at 100 TB that
+    is ~10⁹ slim rows per lang — int columns only, still partition-
+    sized. A salted two-level cumsum is the escape hatch.)"""
+    from .text import WS_TOKEN_RE
+    from ..urls import hash64_array
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].to_numpy(dtype=object),
+            "n_tokens": df["text"].astype(str).str.count(WS_TOKEN_RE)
+            .to_numpy(np.int64)})
+        out["part"] = (hash64_array(out["lang"]) % 16).astype(np.int32)
+        return out
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "doc_id"], kind="stable") \
+            .reset_index(drop=True)
+        lang = g["lang"].to_numpy(dtype=object)
+        n = g["n_tokens"].to_numpy(np.int64)
+        c = np.cumsum(n)
+        # rebase the cumsum at each language boundary
+        new = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = lang[1:] != lang[:-1]
+        starts = np.flatnonzero(np.concatenate([[True], new[1:]])) \
+            if len(g) else np.empty(0, np.int64)
+        runlen = np.diff(np.concatenate([starts, [len(g)]]))
+        base = np.repeat(c[starts] - n[starts], runlen) \
+            if len(g) else np.empty(0, np.int64)
+        cum = c - base
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "lang": lang, "n_tokens": n, "cum_tokens": cum,
+            "keep": (cum <= np.int64(budget)).astype(np.int64)})
+
+    return (docs.select_columns(["doc_id", "lang", "text"])
+            .map_batches(count, batch_format="pandas")
+            .groupby("part").map_groups(gate, batch_format="pandas")
+            .select_columns(["doc_id", "lang", "n_tokens",
+                             "cum_tokens", "keep"]))
