@@ -4655,6 +4655,21 @@ def _ops_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1""",
+        "cumulative_unique_customers": """
+            WITH f AS (SELECT o_custkey,
+                   min(date_trunc('day', o_orderdate)) AS day
+                 FROM orders GROUP BY 1),
+            d AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+            SELECT day, n_new,
+                   sum(n_new) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_customers
+            FROM d""",
+        "exact_distinct_tokens": r"""
+            WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+                   '[^\s]+')) AS token FROM documents)
+            SELECT count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT token)::BIGINT AS n_distinct
+            FROM t""",
         "token_budget_sample": rf"""
             WITH t AS (SELECT doc_id, lang,
                    CAST(len(regexp_extract_all(text, '[^\s]+'))
@@ -5536,6 +5551,18 @@ def q_token_budget_sample(sf_dir: str) -> ray.data.Dataset:
     return ops_corpus.token_budget_sample(_docs(sf_dir))
 
 
+def q_cumulative_unique_customers(sf_dir: str) -> pd.DataFrame:
+    """Audience-growth curve: running distinct customers per order-day
+    via first-occurrence cumsum (no per-day distinct rescans)."""
+    return ops_rel.cumulative_unique_customers(_table(sf_dir, "orders"))
+
+
+def q_exact_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus (n_tokens, n_distinct) — ground truth the HLL/KMV
+    sketches estimate; token-hash co-partition dedup."""
+    return ops_text.exact_distinct_tokens(_docs(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5729,6 +5756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_coverage": q_embedding_coverage,
         "lang_length_medians": q_lang_length_medians,
         "token_budget_sample": q_token_budget_sample,
+        "cumulative_unique_customers": q_cumulative_unique_customers,
+        "exact_distinct_tokens": q_exact_distinct_tokens,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,

@@ -1492,3 +1492,49 @@ def nation_market_share(orders: ray.data.Dataset,
         "year": out["year"].to_numpy(np.int64),
         "target_rev_e4": t, "total_rev_e4": v,
         "share_fp": np.int64(MARKET_SHARE_FP) * t // np.maximum(v, 1)})
+
+
+# ---- cumulative distinct count (first-occurrence cumsum) ----
+
+def cumulative_unique_customers(orders: ray.data.Dataset) -> pd.DataFrame:
+    """(day, n_new, cum_customers): running count of distinct customers
+    ever seen, per order-day — the audience-growth curve. A naive
+    windowed COUNT(DISTINCT) rescans history per day; the exact
+    streaming shape is: each customer contributes on their FIRST order
+    day only, then one ordered cumsum over the ≤ #days series.
+
+    Scale shape: per-batch (custkey → min day) combiner partials; ONE
+    custkey co-partition completes each customer's global first day;
+    per-day counts are ≤ #days rows reduced driver-side where the
+    cumsum is a single vectorized pass."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        t = pd.DataFrame({"k": df["o_custkey"].to_numpy(np.int64),
+                          "d": d})
+        agg = t.groupby("k", as_index=False)["d"].min()
+        agg["part"] = (agg["k"].to_numpy(np.int64)
+                       % N_JOIN_PARTS).astype(np.int32)
+        return agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("k", sort=False)["d"].min()
+        c = pd.DataFrame({"d": first.to_numpy(np.int64)}) \
+            .groupby("d", as_index=False).size()
+        return pd.DataFrame({"d": c["d"].to_numpy(np.int64),
+                             "n": c["size"].to_numpy(np.int64)})
+
+    parts = (orders.select_columns(["o_custkey", "o_orderdate"])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+             .groupby("part").map_groups(fold, batch_format="pandas")
+             .to_pandas())                     # ≤ days × P rows
+    day = parts.groupby("d", as_index=False)["n"].sum() \
+        .sort_values("d").reset_index(drop=True)
+    n = day["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "day": day["d"].to_numpy(np.int64).astype("datetime64[D]")
+        .astype("datetime64[us]"),
+        "n_new": n,
+        "cum_customers": np.cumsum(n)})

@@ -963,3 +963,47 @@ def tokenizer_fertility(docs: ray.data.Dataset) -> ray.data.Dataset:
                        Sum("bpe", alias_name="sum_bpe_tokens"),
                        Sum("n", alias_name="n_docs"))
             .map_batches(finish, batch_format="pandas"))
+
+
+# ---- exact global distinct-token count (sketch ground truth) ----
+
+def exact_distinct_tokens(docs: ray.data.Dataset) -> pd.DataFrame:
+    """One row (n_tokens, n_distinct): exact corpus token totals — the
+    ground truth the HLL/KMV sketch queries estimate. Not a sketch:
+    per-batch distinct-token combiner partials co-partition by token
+    hash so each token's duplicates collapse inside ONE partition;
+    the driver reduces ≤ parts scalar rows. The full vocabulary never
+    sits on the driver and never re-shuffles.
+
+    (At 100 TB this is the expensive-but-exact audit you run once to
+    calibrate the sketches; the vocabulary-sized shuffle is the cost
+    the sketch family exists to avoid.)"""
+    from ..urls import hash64_array
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = tokenize_flat(df["text"].astype(str).tolist())
+        if not len(flat):
+            return pd.DataFrame({"token": np.empty(0, object),
+                                 "n": np.empty(0, np.int64),
+                                 "part": np.empty(0, np.int32)})
+        c = pd.DataFrame({"token": flat}).groupby(
+            "token", as_index=False).size()
+        return pd.DataFrame({
+            "token": c["token"].to_numpy(dtype=object),
+            "n": c["size"].to_numpy(np.int64),
+            "part": (hash64_array(c["token"]) % 64).astype(np.int32)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["n"].sum()
+        return pd.DataFrame({
+            "n_tokens": [np.int64(s.to_numpy(np.int64).sum())],
+            "n_distinct": [np.int64(len(s))]})
+
+    parts = (docs.select_columns(["text"])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=32768)
+             .groupby("part").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({
+        "n_tokens": [np.int64(parts["n_tokens"].sum())],
+        "n_distinct": [np.int64(parts["n_distinct"].sum())]})
