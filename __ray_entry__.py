@@ -4655,6 +4655,14 @@ def _ops_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1""",
+        "daily_type_deltas": """
+            WITH d AS (SELECT event_type,
+                   date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+                 FROM events GROUP BY 1, 2)
+            SELECT event_type, day, n,
+                   (n - coalesce(lag(n) OVER (PARTITION BY event_type
+                     ORDER BY day), 0))::BIGINT AS delta
+            FROM d""",
         "cumulative_unique_customers": """
             WITH f AS (SELECT o_custkey,
                    min(date_trunc('day', o_orderdate)) AS day
@@ -5563,6 +5571,12 @@ def q_exact_distinct_tokens(sf_dir: str) -> pd.DataFrame:
     return ops_text.exact_distinct_tokens(_docs(sf_dir))
 
 
+def q_daily_type_deltas(sf_dir: str) -> ray.data.Dataset:
+    """Day-over-day count delta per event type (bounded series lag
+    diff under one type-hash co-partition)."""
+    return ops_events.daily_type_deltas(_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5758,6 +5772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": q_token_budget_sample,
         "cumulative_unique_customers": q_cumulative_unique_customers,
         "exact_distinct_tokens": q_exact_distinct_tokens,
+        "daily_type_deltas": q_daily_type_deltas,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,

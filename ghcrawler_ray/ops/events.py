@@ -1406,3 +1406,50 @@ def decayed_user_activity(events: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(partial, batch_format="pandas",
                          batch_size=65536)
             .groupby("part").map_groups(fold, batch_format="pandas"))
+
+
+# ---- day-over-day deltas per event type (discrete derivative) ----
+
+def daily_type_deltas(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, day, n, delta): daily event count per type and its
+    change from the type's previous ACTIVE day (first day delta = n) —
+    the discrete-derivative trend feed behind release-regression and
+    traffic-shift alerts.
+
+    Scale shape: per-batch (type, day) count partials (combiner) → the
+    bounded (types × days) series reduces under ONE type-hash
+    co-partition where each type's days sort locally and the lag diff
+    is one vectorized shift — the corpus never re-shuffles and no
+    global sort runs."""
+    from ..urls import hash64_array
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        t = pd.DataFrame({"et": df["event_type"].to_numpy(dtype=object),
+                          "d": d})
+        agg = t.groupby(["et", "d"], as_index=False).size()
+        agg["part"] = (hash64_array(agg["et"]) % 16).astype(np.int32)
+        return agg.rename(columns={"size": "n"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["et", "d"], sort=False, as_index=False)["n"].sum()
+        s = s.sort_values(["et", "d"], kind="stable").reset_index(drop=True)
+        n = s["n"].to_numpy(np.int64)
+        et = s["et"].to_numpy(dtype=object)
+        prev = np.concatenate([[np.int64(0)], n[:-1]])
+        new_type = np.zeros(len(s), dtype=bool)
+        if len(s) > 1:
+            new_type[1:] = et[1:] != et[:-1]
+        new_type[0] = True
+        prev[new_type] = 0
+        return pd.DataFrame({
+            "event_type": et,
+            "day": s["d"].to_numpy(np.int64)
+            .astype("datetime64[D]").astype("datetime64[us]"),
+            "n": n, "delta": n - prev})
+
+    return (events.select_columns(["event_type", "ts"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["event_type", "day", "n", "delta"]))
