@@ -4655,6 +4655,15 @@ def _ops_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN embeddings e ON e.vec_id = d.doc_id
             GROUP BY 1""",
+        "user_type_diversity": f"""
+            WITH c AS (SELECT user_id, event_type,
+                   count(*)::BIGINT AS n
+                 FROM events GROUP BY 1, 2)
+            SELECT user_id, sum(n)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_types,
+                   ({ops_events.SIMPSON_FP} * sum(n) * sum(n)
+                    // greatest(sum(n * n), 1))::BIGINT AS simpson_fp
+            FROM c GROUP BY 1""",
         "daily_type_deltas": """
             WITH d AS (SELECT event_type,
                    date_trunc('day', ts) AS day, count(*)::BIGINT AS n
@@ -5577,6 +5586,12 @@ def q_daily_type_deltas(sf_dir: str) -> ray.data.Dataset:
     return ops_events.daily_type_deltas(_events(sf_dir))
 
 
+def q_user_type_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inverse Simpson diversity over event types — exact
+    integer rational (bot signature feed)."""
+    return ops_events.user_type_diversity(_events(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -5773,6 +5788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_unique_customers": q_cumulative_unique_customers,
         "exact_distinct_tokens": q_exact_distinct_tokens,
         "daily_type_deltas": q_daily_type_deltas,
+        "user_type_diversity": q_user_type_diversity,
         "lexical_diversity": q_lexical_diversity,
         "customer_activity_join": q_customer_activity_join,
         "pack_best_fit": q_pack_best_fit,

@@ -1453,3 +1453,55 @@ def daily_type_deltas(events: ray.data.Dataset) -> ray.data.Dataset:
                          batch_size=65536)
             .groupby("part").map_groups(fold, batch_format="pandas")
             .select_columns(["event_type", "day", "n", "delta"]))
+
+
+# ---- behavioral diversity (inverse Simpson index per user) ----
+
+SIMPSON_FP = 10 ** 6
+
+
+def user_type_diversity(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, n_events, n_types, simpson_fp): per-user behavioral
+    diversity as the inverse Simpson index ``n² / Σ c_t²`` (1 = does
+    one thing, #types = perfectly mixed) in 1e6 fixed point — the
+    bot/spam signature feed (single-type firehose users score 1e6).
+    Shannon entropy needs logs whose float sums are order-dependent;
+    inverse Simpson is a pure integer rational, so distributed ==
+    sequential == SQL bit-for-bit.
+
+    Scale shape: per-batch (user, type) count partials → ONE user-hash
+    co-partition completes each user's type histogram and folds to one
+    row per user; ≤ users × types slim rows shuffle once."""
+    from ..urls import hash64_array
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"u": df["user_id"].to_numpy(np.int64),
+                          "et": df["event_type"].to_numpy(dtype=object)})
+        agg = t.groupby(["u", "et"], as_index=False).size()
+        agg["part"] = (agg["u"].to_numpy(np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return agg.rename(columns={"size": "n"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["u", "et"], sort=False, as_index=False)["n"].sum()
+        c = s["n"].to_numpy(np.int64)
+        agg = pd.DataFrame({"u": s["u"].to_numpy(np.int64),
+                            "n": c, "sq": c * c}) \
+            .groupby("u", as_index=False) \
+            .agg(n_events=("n", "sum"), n_types=("n", "size"),
+                 ssq=("sq", "sum"))
+        n = agg["n_events"].to_numpy(np.int64)
+        ssq = agg["ssq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": agg["u"].to_numpy(np.int64),
+            "n_events": n,
+            "n_types": agg["n_types"].to_numpy(np.int64),
+            "simpson_fp": np.int64(SIMPSON_FP) * n * n
+            // np.maximum(ssq, 1)})
+
+    return (events.select_columns(["user_id", "event_type"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .select_columns(["user_id", "n_events", "n_types",
+                             "simpson_fp"]))
