@@ -1138,3 +1138,81 @@ def test_batch_tokenizer_matches_per_doc_findall():
     # empty batch
     f0, l0 = tokenize_flat([])
     assert len(f0) == 0 and len(l0) == 0
+
+
+def test_token_budget_sample_resumable_prefix(ray_session):
+    """Appending new docs must not change which earlier docs are kept
+    (id-ordered admission ⇒ stable prefix)."""
+    import pandas as pd
+    import ray
+
+    from ghcrawler_ray.ops.corpus import token_budget_sample
+
+    base = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en"] * 4,
+        "text": ["a b c", "d e", "f g h i", "j"]})
+    more = pd.concat([base, pd.DataFrame({
+        "doc_id": [5, 6], "lang": ["en", "en"],
+        "text": ["k l m", "n"]})], ignore_index=True)
+    r1 = token_budget_sample(ray.data.from_pandas(base), budget=6) \
+        .to_pandas().set_index("doc_id").sort_index()
+    r2 = token_budget_sample(ray.data.from_pandas(more), budget=6) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert r1["keep"].tolist() == r2.loc[r1.index, "keep"].tolist()
+    assert r1["cum_tokens"].tolist() == r2.loc[r1.index,
+                                               "cum_tokens"].tolist()
+    # budget=6, cumulative over ALL docs in id order (the SQL windowed
+    # cumsum does not skip rejected docs): cums are 3, 5, 9, 10 → the
+    # admitted set is the strict prefix whose cum ≤ 6
+    assert r1["keep"].tolist() == [1, 1, 0, 0]
+
+
+def test_length_mad_outliers_degenerate_and_flags(ray_session):
+    """Single distinct length → MAD 0, nothing flagged; a far outlier
+    is flagged."""
+    import pandas as pd
+    import ray
+
+    from ghcrawler_ray.ops.corpus import length_mad_outliers
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3], "n_chars": [10, 10, 10],
+        "text": ["x"] * 3, "lang": ["en"] * 3})
+    out = length_mad_outliers(ray.data.from_pandas(docs)).to_pandas()
+    assert out["is_outlier"].sum() == 0
+
+    docs2 = pd.DataFrame({
+        "doc_id": list(range(9)),
+        "n_chars": [100, 101, 99, 100, 102, 98, 100, 101, 10_000],
+        "text": ["x"] * 9, "lang": ["en"] * 9})
+    out2 = length_mad_outliers(ray.data.from_pandas(docs2)) \
+        .to_pandas().set_index("doc_id")
+    assert out2.loc[8, "is_outlier"] == 1
+    assert out2.loc[0, "is_outlier"] == 0
+
+
+def test_decayed_activity_shift_clamp(ray_session):
+    """Ages ≥ 63 days contribute exactly 0 (and don't trip numpy's
+    undefined ≥64-bit shift)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ghcrawler_ray.ops.events import (DECAY_FP_SHIFT,
+                                          decayed_user_activity)
+
+    base = pd.Timestamp("2024-06-01")
+    ev = pd.DataFrame({
+        "ts": [base, base - pd.Timedelta(days=1),
+               base - pd.Timedelta(days=100)],
+        "user_id": [1, 1, 2],
+        "event_id": [1, 2, 3],
+        "event_type": ["view"] * 3,
+        "value": [0.0] * 3,
+        "props": ["{}"] * 3})
+    out = decayed_user_activity(ray.data.from_pandas(ev)) \
+        .to_pandas().set_index("user_id")
+    full = 1 << DECAY_FP_SHIFT
+    assert out.loc[1, "score_fp"] == full + (full >> 1)
+    assert out.loc[2, "score_fp"] == 0
