@@ -1443,6 +1443,33 @@ def _docs_lines(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(fx, batch_format="pandas")
 
 
+def _docs_boiler(sf_dir: str) -> ray.data.Dataset:
+    """Boilerplate-detector fixture: like ``_docs_lines`` but keeps
+    ``source`` and plants a per-SOURCE footer (every doc of the source
+    carries it → frac 1.0) alongside the cross-source per-lang NAV
+    header, so per-source frequency and corpus-wide frequency separate
+    observably. Mirrored 1:1 by the SQL fixture CTE."""
+    docs = _docs(sf_dir)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        text = ("NAV " + df["lang"].astype(str) + "\n"
+                + df["text"].astype(str) + "\n"
+                + "FOOTER " + df["source"].astype(str))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "source": df["source"].astype(object),
+                             "text": text})
+
+    return docs.map_batches(fx, batch_format="pandas")
+
+
+def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
+    return ops_contam.boilerplate_lines(_docs_boiler(sf_dir))
+
+
+def q_readability(sf_dir: str) -> ray.data.Dataset:
+    return ops_text.readability(_docs(sf_dir))
+
+
 def q_duplicate_lines(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_lines(_docs_lines(sf_dir))
 
@@ -1500,6 +1527,42 @@ def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
 def q_supplier_balances(sf_dir: str) -> ray.data.Dataset:
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     return ops_rel.supplier_balances(_table(sf_dir, "supplier"), nation)
+
+
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    return ops_rel.forecast_revenue(_table(sf_dir, "lineitem"))
+
+
+def q_nation_year_profit(sf_dir: str) -> ray.data.Dataset:
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    return ops_rel.nation_year_profit(_table(sf_dir, "lineitem"),
+                                      part, supplier, nation)
+
+
+def q_parts_supplier_count(sf_dir: str) -> ray.data.Dataset:
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    return ops_rel.parts_supplier_count(_table(sf_dir, "lineitem"), part)
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    return ops_rel.disjunctive_revenue(_table(sf_dir, "lineitem"), part)
+
+
+def q_top_shippers(sf_dir: str) -> pd.DataFrame:
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name"]).to_pandas()
+    return ops_rel.top_shippers(_table(sf_dir, "lineitem"), part, supplier)
 
 
 def q_customer_running_totals(sf_dir: str) -> ray.data.Dataset:
@@ -4891,6 +4954,68 @@ def _ops_sql() -> dict[str, str]:
                     / count(*) AS avg_acctbal
             FROM supplier JOIN nation ON n_nationkey = s_nationkey
             GROUP BY 1""",
+        "forecast_revenue": """
+            WITH f AS (SELECT
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(round(l_discount * 100) AS BIGINT) AS d
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-01-01'
+                 AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+                 AND l_quantity < 24)
+            SELECT COALESCE(sum(p * d), 0) / 10000e0 AS revenue,
+                count(*)::BIGINT AS n_lines
+            FROM f""",
+        "nation_year_profit": """
+            WITH f AS (SELECT n.n_name,
+                 EXTRACT(year FROM l.l_shipdate)::BIGINT AS year,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS v
+               FROM lineitem l
+               JOIN part p ON l.l_partkey = p.p_partkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN nation n ON s.s_nationkey = n.n_nationkey
+               WHERE p.p_name LIKE '%rod')
+            SELECT n_name, year, sum(v) / 10000e0 AS profit,
+                count(*)::BIGINT AS n_lines
+            FROM f GROUP BY 1, 2""",
+        "parts_supplier_count": """
+            SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+                count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#13'
+              AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+            GROUP BY 1, 2, 3""",
+        "disjunctive_revenue": """
+            WITH f AS (SELECT
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT) AS p,
+                 CAST(round(l.l_discount * 100) AS BIGINT) AS d
+               FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+               WHERE (pt.p_brand = 'Brand#1'
+                      AND l.l_quantity BETWEEN 1 AND 11
+                      AND pt.p_size BETWEEN 1 AND 5)
+                  OR (pt.p_brand = 'Brand#2'
+                      AND l.l_quantity BETWEEN 10 AND 20
+                      AND pt.p_size BETWEEN 1 AND 10)
+                  OR (pt.p_brand = 'Brand#3'
+                      AND l.l_quantity BETWEEN 20 AND 30
+                      AND pt.p_size BETWEEN 1 AND 15))
+            SELECT COALESCE(sum(p * (100 - d)), 0) / 10000e0 AS revenue,
+                count(*)::BIGINT AS n_lines
+            FROM f""",
+        "top_shippers": """
+            WITH per AS (SELECT l.l_suppkey AS s_suppkey,
+                 sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE p.p_name LIKE '%widget'
+               GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS n,
+                 sum(qty_c)::BIGINT AS t FROM per)
+            SELECT per.s_suppkey, s.s_name, per.qty_c / 100e0 AS total_qty
+            FROM per CROSS JOIN tot
+            JOIN supplier s ON per.s_suppkey = s.s_suppkey
+            WHERE 2 * tot.n * per.qty_c > tot.t
+            ORDER BY per.s_suppkey""",
         "customer_running_totals": """
             SELECT o_custkey, o_orderkey, o_orderdate,
                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
@@ -5376,6 +5501,47 @@ def _ops_sql() -> dict[str, str]:
         # line-level dedup mirrors: key = line stripped of " \t\r",
         # dup membership on the md5-u64 of the key (collisions identical
         # on both sides); blank lines kept, n_lines counts non-blank
+        "boilerplate_lines": rf"""
+            WITH base AS (SELECT doc_id, source,
+                 'NAV ' || lang || chr(10) || text || chr(10)
+                   || 'FOOTER ' || source AS text
+               FROM documents),
+            s AS (SELECT doc_id, source,
+                 string_split(text, chr(10)) AS ls FROM base),
+            l AS (SELECT DISTINCT s.doc_id, s.source,
+                 ('0x' || substr(md5(trim(u.line,
+                      ' ' || chr(9) || chr(13))), 1, 16))::UBIGINT::HUGEINT
+                   AS hu
+               FROM s, LATERAL (SELECT unnest(ls) AS line) u
+               WHERE trim(u.line, ' ' || chr(9) || chr(13)) <> ''),
+            d AS (SELECT source, count(*)::BIGINT AS n_docs
+                  FROM base GROUP BY 1),
+            f AS (SELECT source, hu, count(*)::BIGINT AS doc_freq
+                  FROM l GROUP BY 1, 2)
+            SELECT f.source,
+                CAST(CASE WHEN hu >= 9223372036854775808
+                     THEN hu - {_U64} ELSE hu END AS BIGINT) AS line_hash,
+                f.doc_freq, d.n_docs
+            FROM f JOIN d USING (source)
+            WHERE f.doc_freq * {ops_contam.BOILER_FRAC_DEN}
+                  >= d.n_docs * {ops_contam.BOILER_FRAC_NUM}""",
+        "readability": """
+            WITH c AS (SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT
+                   AS n_words,
+                 len(regexp_extract_all(text, '[.!?]+'))::BIGINT
+                   AS n_sentences,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                   AS n_syllables
+               FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                206.835e0
+                  - 1.015e0 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                               / CAST(greatest(n_sentences, 1) AS DOUBLE))
+                  - 84.6e0 * (CAST(n_syllables AS DOUBLE)
+                              / CAST(greatest(n_words, 1) AS DOUBLE))
+                  AS flesch
+            FROM c""",
         "duplicate_lines": rf"""
             WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls
                FROM (SELECT doc_id, 'NAV ' || lang || chr(10) || text || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'PROMO ' || CAST(doc_id AS VARCHAR) || chr(10) ELSE '' END || 'FOOTER ' || CAST(doc_id % 97 AS VARCHAR) AS text FROM documents) dlf),
@@ -5812,6 +5978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,
         "dedup_lines": q_dedup_lines,
+        "boilerplate_lines": q_boilerplate_lines,
+        "readability": q_readability,
         "bm25_topk": q_bm25_topk,
         # relational pipelines (TPC-H-style tables)
         "pricing_summary": q_pricing_summary,
@@ -5824,6 +5992,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q_region_revenue,
         "promo_revenue": q_promo_revenue,
         "supplier_balances": q_supplier_balances,
+        "forecast_revenue": q_forecast_revenue,
+        "nation_year_profit": q_nation_year_profit,
+        "parts_supplier_count": q_parts_supplier_count,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "top_shippers": q_top_shippers,
     }
 
 

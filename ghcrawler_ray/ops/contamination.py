@@ -643,3 +643,71 @@ def contamination_by_source(docs: ray.data.Dataset) -> pd.DataFrame:
                       // np.maximum(out["n_docs"].to_numpy(np.int64), 1))
     out["source"] = out["source"].astype(object)
     return out
+
+
+# ---- per-source boilerplate detection (CCNet/RefinedWeb nav-footer
+# shape): a line is boilerplate WITHIN a source when it appears in at
+# least frac_num/frac_den of that source's documents — unlike
+# duplicate_lines' corpus-wide occurrence count, the unit here is
+# distinct-document frequency relative to the source's size, which is
+# what separates sitewide chrome from popular quotations. ----
+
+BOILER_FRAC_NUM = 1
+BOILER_FRAC_DEN = 2
+
+
+def boilerplate_lines(docs: ray.data.Dataset,
+                      frac_num: int = BOILER_FRAC_NUM,
+                      frac_den: int = BOILER_FRAC_DEN) -> ray.data.Dataset:
+    """(source, line_hash, doc_freq, n_docs) for every stripped line
+    whose distinct-document frequency within its source reaches
+    ``frac_num/frac_den`` of the source's document count.
+
+    Scale shape: per-source doc totals are a tiny column-pruned
+    aggregate (≤ #sources rows) broadcast via ``ray.put``; the line
+    pass dedups (doc, line) per batch — each doc lives in exactly one
+    batch, so the per-batch dedup IS the global (doc, line) dedup —
+    and folds to (source, line_hash, count) partials under ONE coarse
+    line-hash co-partition where the broadcast totals gate
+    ``doc_freq·den ≥ n_docs·num`` in pure integers. Line text never
+    shuffles."""
+    totals = (docs.select_columns(["doc_id", "source"])
+              .groupby("source").count().to_pandas())
+    cnt_col = [c for c in totals.columns if c != "source"][0]
+    src_sorted = np.sort(totals["source"].to_numpy(dtype=object))
+    order = np.argsort(totals["source"].to_numpy(dtype=object),
+                       kind="stable")
+    n_docs_sorted = totals[cnt_col].to_numpy(np.int64)[order]
+    ref = ray.put((src_sorted, n_docs_sorted))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lf, lens = _line_frame(df)
+        src = np.repeat(df["source"].to_numpy(dtype=object), lens)
+        lf = lf.assign(source=src)
+        lf = lf[lf["line_hash"] != 0]
+        u = lf[["doc_id", "line_hash", "source"]].drop_duplicates(
+            ["doc_id", "line_hash"])
+        g = (u.groupby(["source", "line_hash"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["part"] = (g["line_hash"].to_numpy(np.int64)
+                     % LINE_PARTS).astype(np.int32)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        src_s, nd_s = ray.get(ref)
+        s = (g.groupby(["source", "line_hash"], sort=False)["cnt"].sum()
+             .rename("doc_freq").reset_index())
+        pos = np.searchsorted(src_s, s["source"].to_numpy(dtype=object))
+        nd = nd_s[pos]
+        keep = (s["doc_freq"].to_numpy(np.int64) * frac_den
+                >= nd * frac_num)
+        out = s[keep].copy()
+        out["doc_freq"] = out["doc_freq"].astype(np.int64)
+        out["n_docs"] = nd[keep]
+        return out[["source", "line_hash", "doc_freq", "n_docs"]]
+
+    return (docs.select_columns(["doc_id", "source", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))

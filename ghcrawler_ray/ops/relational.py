@@ -1538,3 +1538,283 @@ def cumulative_unique_customers(orders: ray.data.Dataset) -> pd.DataFrame:
         .astype("datetime64[us]"),
         "n_new": n,
         "cum_customers": np.cumsum(n)})
+
+
+def _member_mask(sorted_keys: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``k`` in a sorted broadcast key array;
+    always returns a boolean ndarray (empty key set → all-False)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(k), dtype=bool)
+    pos = np.searchsorted(sorted_keys, k)
+    pos[pos == len(sorted_keys)] = 0
+    return sorted_keys[pos] == k
+
+
+# ---- TPC-H Q6 shape: predicate-pushdown scalar aggregate ----
+
+Q6_LO = np.datetime64("1996-01-01", "us")
+Q6_HI = np.datetime64("1997-01-01", "us")
+
+
+def forecast_revenue(lineitem: ray.data.Dataset) -> pd.DataFrame:
+    """TPC-H Q6 analogue: one-row forecast-revenue-change scalar —
+    sum(l_extendedprice * l_discount) over a ship-year with discount in
+    [0.05, 0.07] and quantity < 24.
+
+    Scale shape: pure streaming filter + per-batch partial (each batch
+    collapses to ONE partial row) → scalar ``Sum``; nothing shuffles but
+    #batches 2-column rows. Column-pruned read; revenue carried as int64
+    1e-4 units (cents × discount-cents) so the sum is order-independent
+    and bit-exact vs the SQL mirror."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        d = _cents(df["l_discount"])
+        ok = ((sd >= Q6_LO) & (sd < Q6_HI) & (d >= 5) & (d <= 7)
+              & (df["l_quantity"].to_numpy(np.float64) < 24.0))
+        p = _cents(df["l_extendedprice"][ok])
+        return pd.DataFrame({"rev_e4": [int((p * d[ok]).sum())],
+                             "n_lines": [int(ok.sum())]})
+
+    agg = (lineitem.select_columns(
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+           .map_batches(partial, batch_format="pandas")
+           .aggregate(Sum("rev_e4", alias_name="rev_e4"),
+                      Sum("n_lines", alias_name="n_lines")))
+    return pd.DataFrame({"revenue": [int(agg["rev_e4"]) / 10000.0],
+                         "n_lines": [int(agg["n_lines"])]})
+
+
+# ---- TPC-H Q9 shape: product-type profit by nation and year ----
+
+Q9_NAME_SUFFIX = "rod"
+
+
+def nation_year_profit(lineitem: ray.data.Dataset,
+                       part: pd.DataFrame,
+                       supplier: pd.DataFrame,
+                       nation: pd.DataFrame) -> ray.data.Dataset:
+    """TPC-H Q9 analogue (the tables carry no partsupp, so profit =
+    discounted revenue): per (supplier-nation, ship-year) profit over
+    lineitems whose part name ends with ``rod``.
+
+    Scale shape: part membership (sorted key array) and supplier→nation
+    name are DIMENSION broadcasts (``ray.put`` once, searchsorted probe
+    per batch); the fact table never shuffles — each batch folds to
+    ≤ nations × years partial rows before one tiny hash groupby.
+    Exactness: profit carried as int64 1e-4 units."""
+    pk = np.sort(part.loc[part["p_name"].str.endswith(Q9_NAME_SUFFIX),
+                          "p_partkey"].to_numpy(np.int64))
+    sn = supplier.sort_values("s_suppkey")
+    sk = sn["s_suppkey"].to_numpy(np.int64)
+    snat = sn["s_nationkey"].to_numpy(np.int64)
+    nn = nation.sort_values("n_nationkey")
+    nname = nn["n_name"].to_numpy(dtype=object)
+    nk = nn["n_nationkey"].to_numpy(np.int64)
+    ref = ray.put((pk, sk, snat, nk, nname))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk_, sk_, snat_, nk_, nname_ = ray.get(ref)
+        k = df["l_partkey"].to_numpy(np.int64)
+        ok = _member_mask(pk_, k)
+        if not np.any(ok):
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "year": pd.Series([], dtype=np.int64),
+                                 "profit_e4": pd.Series([], dtype=np.int64),
+                                 "n_lines": pd.Series([], dtype=np.int64)})
+        df = df[ok]
+        spos = np.searchsorted(sk_, df["l_suppkey"].to_numpy(np.int64))
+        npos = np.searchsorted(nk_, snat_[spos])
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        yr = pd.DatetimeIndex(df["l_shipdate"]).year.to_numpy() \
+            .astype(np.int64)
+        g = pd.DataFrame({"n_name": nname_[npos], "year": yr,
+                          "profit_e4": p * (100 - d),
+                          "n_lines": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(["n_name", "year"], sort=False, as_index=False) \
+            .sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": df["n_name"],
+            "year": df["year"].astype(np.int64),
+            "profit": df["profit_e4"].to_numpy(np.int64) / 10000.0,
+            "n_lines": df["n_lines"].astype(np.int64)})
+
+    return (lineitem.select_columns(
+                ["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["n_name", "year"])
+            .aggregate(Sum("profit_e4", alias_name="profit_e4"),
+                       Sum("n_lines", alias_name="n_lines"))
+            .map_batches(finish, batch_format="pandas"))
+
+
+# ---- TPC-H Q16 shape: supplier count per part attribute group ----
+
+Q16_EXCLUDE_BRAND = "Brand#13"
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def parts_supplier_count(lineitem: ray.data.Dataset,
+                         part: pd.DataFrame) -> ray.data.Dataset:
+    """TPC-H Q16 analogue (supplier relationships observed from the fact
+    table instead of partsupp): distinct supplier count per
+    (p_brand, p_type, p_size) for a size shortlist, excluding one brand.
+
+    Scale shape: partkey → attribute-GROUP id (brand, type, size
+    factorized driver-side over the small dimension) rides the
+    broadcast, so the distinct unit is exactly Q16's (group, supplier):
+    per-batch (gid, suppkey) dedup (the combiner) → ONE co-partition
+    shuffle on hash(gid, suppkey) % P with local dedup inside each
+    partition → ≤ |groups| × P counting partials → tiny hash groupby.
+    The fact rows themselves never shuffle."""
+    keep = part[(part["p_brand"] != Q16_EXCLUDE_BRAND)
+                & part["p_size"].isin(Q16_SIZES)].sort_values("p_partkey")
+    pk = keep["p_partkey"].to_numpy(np.int64)
+    grp = keep[["p_brand", "p_type", "p_size"]].drop_duplicates() \
+        .sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    grp["g"] = np.arange(len(grp), dtype=np.int64)
+    gid = keep.merge(grp, on=["p_brand", "p_type", "p_size"],
+                     how="left")["g"].to_numpy(np.int64)
+    battr = grp["p_brand"].to_numpy(dtype=object)
+    tattr = grp["p_type"].to_numpy(dtype=object)
+    sattr = grp["p_size"].to_numpy(np.int64)
+    ref = ray.put((pk, gid, battr, tattr, sattr))
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk_, gid_, *_ = ray.get(ref)
+        k = df["l_partkey"].to_numpy(np.int64)
+        ok = _member_mask(pk_, k)
+        pos = np.searchsorted(pk_, k[ok])
+        t = pd.DataFrame({"g": gid_[pos],
+                          "sk": df["l_suppkey"].to_numpy(np.int64)[ok]}) \
+            .drop_duplicates()
+        t["part"] = ((t["g"].to_numpy(np.int64) * 1000003
+                      + t["sk"].to_numpy(np.int64))
+                     % N_JOIN_PARTS).astype(np.int32)
+        return t
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["g", "sk"]].drop_duplicates()
+        c = u.groupby("g", sort=False, as_index=False).size()
+        return pd.DataFrame({"g": c["g"].to_numpy(np.int64),
+                             "n": c["size"].to_numpy(np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, battr_, tattr_, sattr_ = ray.get(ref)
+        g = df["g"].to_numpy(np.int64)
+        return pd.DataFrame({"p_brand": battr_[g], "p_type": tattr_[g],
+                             "p_size": sattr_[g],
+                             "supplier_cnt": df["n"].astype(np.int64)})
+
+    return (lineitem.select_columns(["l_partkey", "l_suppkey"])
+            .map_batches(dedup_partial, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("g").aggregate(Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pandas"))
+
+
+# ---- TPC-H Q19 shape: disjunctive multi-predicate revenue ----
+
+Q19_CASES = (("Brand#1", 1, 11, 1, 5),
+             ("Brand#2", 10, 20, 1, 10),
+             ("Brand#3", 20, 30, 1, 15))
+
+
+def disjunctive_revenue(lineitem: ray.data.Dataset,
+                        part: pd.DataFrame) -> pd.DataFrame:
+    """TPC-H Q19 analogue: one-row discounted revenue over the UNION of
+    three (brand, quantity-band, size-band) predicates — the disjunctive
+    pushdown shape.
+
+    Scale shape: part (brand, size) attributes broadcast once as sorted
+    arrays; each batch probes + evaluates all three predicate branches
+    vectorized and collapses to one partial row → scalar ``Sum``."""
+    ps = part.sort_values("p_partkey")
+    pk = ps["p_partkey"].to_numpy(np.int64)
+    pb = ps["p_brand"].to_numpy(dtype=object)
+    psz = ps["p_size"].to_numpy(np.int64)
+    ref = ray.put((pk, pb, psz))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk_, pb_, psz_ = ray.get(ref)
+        pos = np.searchsorted(pk_, df["l_partkey"].to_numpy(np.int64))
+        pos[pos == len(pk_)] = 0
+        brand = pb_[pos]
+        size = psz_[pos]
+        q = df["l_quantity"].to_numpy(np.float64)
+        hit = np.zeros(len(df), dtype=bool)
+        for b, qlo, qhi, slo, shi in Q19_CASES:
+            hit |= ((brand == b) & (q >= qlo) & (q <= qhi)
+                    & (size >= slo) & (size <= shi))
+        p = _cents(df["l_extendedprice"][hit])
+        d = _cents(df["l_discount"][hit])
+        return pd.DataFrame({"rev_e4": [int((p * (100 - d)).sum())],
+                             "n_lines": [int(hit.sum())]})
+
+    agg = (lineitem.select_columns(
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pandas")
+           .aggregate(Sum("rev_e4", alias_name="rev_e4"),
+                      Sum("n_lines", alias_name="n_lines")))
+    return pd.DataFrame({"revenue": [int(agg["rev_e4"]) / 10000.0],
+                         "n_lines": [int(agg["n_lines"])]})
+
+
+# ---- TPC-H Q20 shape: quantity-threshold supplier semi-join ----
+
+Q20_NAME_SUFFIX = "widget"
+Q20_QTY_FACTOR = 0.5
+
+
+def top_shippers(lineitem: ray.data.Dataset,
+                 part: pd.DataFrame,
+                 supplier: pd.DataFrame) -> pd.DataFrame:
+    """TPC-H Q20 analogue: suppliers whose shipped quantity of
+    ``*widget`` parts exceeds half the global average per-supplier
+    shipped quantity of those parts — the "who can promise excess
+    stock" semi-join, with the availability threshold derived from the
+    fact table itself (the tables carry no partsupp).
+
+    Scale shape: part membership broadcast; per-batch partial groupby by
+    l_suppkey (≤ |suppliers| rows per batch) → ONE tiny hash groupby →
+    driver-side threshold over ≤ |suppliers| rows, supplier names
+    attached from the already-small dimension frame."""
+    pk = np.sort(part.loc[part["p_name"].str.endswith(Q20_NAME_SUFFIX),
+                          "p_partkey"].to_numpy(np.int64))
+    ref = ray.put(pk)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk_ = ray.get(ref)
+        k = df["l_partkey"].to_numpy(np.int64)
+        ok = _member_mask(pk_, k)
+        g = pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy(np.int64)[ok],
+                          "qty_c": _cents(df["l_quantity"][ok])})
+        return g.groupby("s_suppkey", sort=False, as_index=False).sum()
+
+    per_supp = (lineitem.select_columns(
+                    ["l_partkey", "l_suppkey", "l_quantity"])
+                .map_batches(partial, batch_format="pandas")
+                .groupby("s_suppkey")
+                .aggregate(Sum("qty_c", alias_name="qty_c"))
+                .to_pandas())                  # ≤ |suppliers| rows
+    if not len(per_supp):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_qty": pd.Series([], dtype=np.float64)})
+    q = per_supp["qty_c"].to_numpy(np.int64)
+    # threshold: half the mean, in exact integer arithmetic —
+    # 2·n·qty_c > sum(qty_c) avoids any float division on the gate
+    n = len(per_supp)
+    tot = int(q.sum())
+    keep = (2 * n * q) > tot
+    out = per_supp[keep].copy()
+    sn = supplier.set_index("s_suppkey")["s_name"]
+    out["s_name"] = sn.reindex(out["s_suppkey"].to_numpy(np.int64)) \
+        .to_numpy(dtype=object)
+    out["total_qty"] = out.pop("qty_c").to_numpy(np.int64) / 100.0
+    return out.sort_values("s_suppkey").reset_index(drop=True) \
+        [["s_suppkey", "s_name", "total_qty"]]
