@@ -1371,6 +1371,17 @@ def q_event_type_affinity(sf_dir: str) -> pd.DataFrame:
     return ops_events.event_type_affinity(_events(sf_dir))
 
 
+def q_association_rules(sf_dir: str) -> pd.DataFrame:
+    """Directed market-basket rules over per-user event-type baskets."""
+    return ops_events.association_rules(_events(sf_dir))
+
+
+def q_markov_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Top-1 accuracy of the global first-order Markov next-event model
+    (train = transition counts, score = broadcast argmax pass)."""
+    return ops_events.markov_accuracy(_events(sf_dir))
+
+
 def q_part_revenue_share(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q11 shape: parts whose revenue share beats 2× the average
     part — grouped aggregate filtered against a global scalar."""
@@ -4918,6 +4929,52 @@ def _ops_sql() -> dict[str, str]:
             FROM pb
             JOIN tc ta ON ta.event_type = pb.type_a
             JOIN tc tb ON tb.event_type = pb.type_b""",
+        "association_rules": f"""
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            tc AS (SELECT event_type, count(*)::BIGINT AS n
+                   FROM ut GROUP BY 1),
+            u AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM ut),
+            pb AS (SELECT a.event_type AS antecedent,
+                       b.event_type AS consequent,
+                       count(*)::BIGINT AS n_both
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+                   GROUP BY 1, 2)
+            SELECT pb.antecedent, pb.consequent,
+                   ca.n AS n_ante, cb.n AS n_cons, pb.n_both, u.nu AS n_users,
+                   CAST(pb.n_both AS DOUBLE) / CAST(u.nu AS DOUBLE)
+                       AS support,
+                   CAST(pb.n_both AS DOUBLE) / CAST(ca.n AS DOUBLE)
+                       AS confidence,
+                   CAST(pb.n_both * u.nu AS DOUBLE)
+                       / CAST(ca.n * cb.n AS DOUBLE) AS lift
+            FROM pb
+            JOIN tc ca ON ca.event_type = pb.antecedent
+            JOIN tc cb ON cb.event_type = pb.consequent
+            CROSS JOIN u
+            WHERE pb.n_both >= {ops_events.RULE_MIN_BOTH}""",
+        "markov_accuracy": """
+            WITH seq AS (SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS nxt
+               FROM events),
+            pairs AS (SELECT event_type AS prev_type, nxt AS next_type
+                      FROM seq WHERE nxt IS NOT NULL),
+            tc AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+                   FROM pairs GROUP BY 1, 2),
+            am AS (SELECT prev_type, next_type AS pred FROM
+                   (SELECT prev_type, next_type, row_number() OVER
+                      (PARTITION BY prev_type
+                       ORDER BY n DESC, next_type ASC) AS r FROM tc)
+                   WHERE r = 1),
+            sc AS (SELECT count(*)::BIGINT AS n_transitions,
+                 sum(CASE WHEN p.next_type = am.pred
+                     THEN 1 ELSE 0 END)::BIGINT AS n_correct
+               FROM pairs p JOIN am USING (prev_type))
+            SELECT n_transitions, n_correct,
+                CAST(n_correct AS DOUBLE)
+                  / CAST(greatest(n_transitions, 1) AS DOUBLE) AS accuracy
+            FROM sc""",
         "part_revenue_share": f"""
             WITH r AS (SELECT l_partkey,
                  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -5934,6 +5991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_profile": q_burst_profile,
         "langid_kappa": q_langid_kappa,
         "event_type_affinity": q_event_type_affinity,
+        "association_rules": q_association_rules,
+        "markov_accuracy": q_markov_accuracy,
         "part_revenue_share": q_part_revenue_share,
         "crawl_kcore": q_crawl_kcore,
         "crawl_host_bowtie": q_host_bowtie,

@@ -63,7 +63,9 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "nation_trade_volume", "chunk_documents",
                "length_mad_outliers", "returned_item_revenue",
                "embedding_sim_histogram", "cheapest_supplier_per_part",
-               "decayed_user_activity")
+               "decayed_user_activity", "association_rules",
+               "boilerplate_lines", "readability", "nation_year_profit",
+               "parts_supplier_count")
 SCALING_CPUS = (8, 32)
 
 

@@ -1505,3 +1505,161 @@ def user_type_diversity(events: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part").map_groups(fold, batch_format="pandas")
             .select_columns(["user_id", "n_events", "n_types",
                              "simpson_fp"]))
+
+
+# ---- association rules (market-basket over behavior types) ----
+
+RULE_MIN_BOTH = 1
+
+
+def association_rules(events: ray.data.Dataset,
+                      min_both: int = RULE_MIN_BOTH) -> pd.DataFrame:
+    """Directed association rules antecedent→consequent over per-user
+    distinct event-type baskets: (antecedent, consequent, n_ante,
+    n_cons, n_both, n_users, support, confidence, lift) for every
+    ordered type pair co-occurring in ≥ ``min_both`` users — the
+    classic market-basket readout with exact integer counts and one
+    IEEE division per measure (support = n_both/n_users, confidence =
+    n_both/n_ante, lift = n_both·n_users / (n_ante·n_cons)).
+
+    Scale shape = ``event_type_affinity``: per-batch distinct
+    (user, type) combiner → ONE user-hash co-partition (partitions own
+    disjoint users, so partition-local distinct-user and pair counts
+    sum exactly) → ≤ types² + types + 1 partial rows per partition →
+    tiny Sum groupby → driver finish over ≤ types² rows."""
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "event_type"]].drop_duplicates()
+        out = pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "event_type": d["event_type"].to_numpy(object)})
+        out["part"] = (out["user_id"].to_numpy(np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        singles = d.groupby("event_type", sort=False, as_index=False) \
+            .size()
+        singles = pd.DataFrame({
+            "type_a": singles["event_type"].to_numpy(object),
+            "type_b": np.full(len(singles), "", dtype=object),
+            "n": singles["size"].astype(np.int64)})
+        users = pd.DataFrame({
+            "type_a": np.array([""], dtype=object),
+            "type_b": np.array([""], dtype=object),
+            "n": np.array([d["user_id"].nunique()], dtype=np.int64)})
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"], sort=False,
+                          as_index=False).size()
+        pairs = pd.DataFrame({
+            "type_a": pairs["event_type_x"].to_numpy(object),
+            "type_b": pairs["event_type_y"].to_numpy(object),
+            "n": pairs["size"].astype(np.int64)})
+        return pd.concat([users, singles, pairs], ignore_index=True)
+
+    from ray.data.aggregate import Sum
+    rows = (events.select_columns(["user_id", "event_type"])
+            .map_batches(distinct_partial, batch_format="pandas",
+                         batch_size=65536)
+            .groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby(["type_a", "type_b"])           # ≤ types² + types + 1
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    n_users = int(rows.loc[(rows["type_a"] == "") & (rows["type_b"] == ""),
+                           "n"].iloc[0])
+    cnt = {t: int(n) for t, n in
+           rows.loc[(rows["type_b"] == "") & (rows["type_a"] != ""),
+                    ["type_a", "n"]].itertuples(index=False)}
+    pr = rows[(rows["type_a"] != "") & (rows["type_b"] != "")] \
+        .reset_index(drop=True)
+    pr = pr[pr["n"].to_numpy(np.int64) >= min_both].reset_index(drop=True)
+    # both directions from the undirected pair counts (driver-side,
+    # ≤ types² rows)
+    ante = np.concatenate([pr["type_a"].to_numpy(object),
+                           pr["type_b"].to_numpy(object)])
+    cons = np.concatenate([pr["type_b"].to_numpy(object),
+                           pr["type_a"].to_numpy(object)])
+    n_both = np.concatenate([pr["n"].to_numpy(np.int64)] * 2) \
+        if len(pr) else np.empty(0, dtype=np.int64)
+    n_ante = np.array([cnt[t] for t in ante], dtype=np.int64)
+    n_cons = np.array([cnt[t] for t in cons], dtype=np.int64)
+    out = pd.DataFrame({
+        "antecedent": ante, "consequent": cons,
+        "n_ante": n_ante, "n_cons": n_cons, "n_both": n_both,
+        "n_users": np.full(len(ante), n_users, dtype=np.int64),
+        "support": n_both.astype(np.float64) / np.float64(n_users),
+        "confidence": n_both.astype(np.float64)
+        / n_ante.astype(np.float64),
+        "lift": (n_both * n_users).astype(np.float64)
+        / (n_ante * n_cons).astype(np.float64)})
+    return out.sort_values(["antecedent", "consequent"], kind="stable") \
+        .reset_index(drop=True)
+
+
+# ---- Markov next-event prediction accuracy (model eval at scale) ----
+
+def markov_accuracy(events: ray.data.Dataset) -> pd.DataFrame:
+    """One-row (n_transitions, n_correct, accuracy): top-1 accuracy of
+    the global first-order Markov next-event model evaluated over every
+    consecutive event pair — the distributed train-then-score loop in
+    miniature (train = ``event_transitions``' count matrix, score = a
+    second streaming pass against the broadcast argmax table).
+
+    The predictor for prev-type t is the next-type with the highest
+    global count, ties broken lexicographically smallest — mirrored by
+    the SQL ``row_number() ORDER BY n DESC, next_type`` window. In-
+    sample by design (the eval-harness shape, not a generalization
+    claim).
+
+    Scale shape: the transition matrix is ≤ types² rows (driver-small);
+    the argmax table broadcasts via ``ray.put`` as sorted key/value
+    arrays; the scoring pass reuses the user-hash co-partition so each
+    partition scores ALL its users with one vectorized shift + one
+    searchsorted probe, folding to TWO ints per partition."""
+    tm = event_transitions(events).to_pandas()
+    tm = tm.sort_values(["prev_type", "n", "next_type"],
+                        ascending=[True, False, True], kind="stable")
+    am = tm.drop_duplicates("prev_type", keep="first")
+    prev_sorted = am["prev_type"].to_numpy(dtype=object)
+    order = np.argsort(prev_sorted, kind="stable")
+    ref = ray.put((prev_sorted[order],
+                   am["next_type"].to_numpy(dtype=object)[order]))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "event_type"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        pk, pv = ray.get(ref)
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        if len(g) < 2 or len(pk) == 0:
+            return pd.DataFrame({"n_transitions": [0], "n_correct": [0]})
+        same = uid[1:] == uid[:-1]
+        prev = et[:-1][same]
+        actual = et[1:][same]
+        pos = np.searchsorted(pk, prev)
+        pos[pos == len(pk)] = 0
+        pred = pv[pos]
+        known = pk[pos] == prev
+        hits = int(((pred == actual) & known).sum())
+        return pd.DataFrame({"n_transitions": [int(same.sum())],
+                             "n_correct": [hits]})
+
+    from ray.data.aggregate import Sum
+    agg = (events.select_columns(["user_id", "ts", "event_id",
+                                  "event_type"])
+           .map_batches(add_part, batch_format="pandas")
+           .groupby("part").map_groups(score, batch_format="pandas")
+           .aggregate(Sum("n_transitions", alias_name="n_transitions"),
+                      Sum("n_correct", alias_name="n_correct")))
+    n = int(agg["n_transitions"]); c = int(agg["n_correct"])
+    return pd.DataFrame({
+        "n_transitions": [n], "n_correct": [c],
+        "accuracy": [float(c) / float(max(n, 1))]})
