@@ -1576,6 +1576,13 @@ def q_top_shippers(sf_dir: str) -> pd.DataFrame:
     return ops_rel.top_shippers(_table(sf_dir, "lineitem"), part, supplier)
 
 
+def q_top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name"]).to_pandas()
+    return ops_rel.top_supplier_revenue(_table(sf_dir, "lineitem"),
+                                        supplier)
+
+
 def q_customer_running_totals(sf_dir: str) -> ray.data.Dataset:
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -5060,6 +5067,20 @@ def _ops_sql() -> dict[str, str]:
             SELECT COALESCE(sum(p * (100 - d)), 0) / 10000e0 AS revenue,
                 count(*)::BIGINT AS n_lines
             FROM f""",
+        "top_supplier_revenue": """
+            WITH per AS (SELECT l_suppkey AS s_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   ::BIGINT AS rev_e4
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY 1)
+            SELECT per.s_suppkey, s.s_name,
+                per.rev_e4 / 10000e0 AS total_revenue
+            FROM per JOIN supplier s ON per.s_suppkey = s.s_suppkey
+            WHERE per.rev_e4 = (SELECT max(rev_e4) FROM per)
+            ORDER BY per.s_suppkey""",
         "top_shippers": """
             WITH per AS (SELECT l.l_suppkey AS s_suppkey,
                  sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c
@@ -6056,6 +6077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_count": q_parts_supplier_count,
         "disjunctive_revenue": q_disjunctive_revenue,
         "top_shippers": q_top_shippers,
+        "top_supplier_revenue": q_top_supplier_revenue,
     }
 
 

@@ -1818,3 +1818,50 @@ def top_shippers(lineitem: ray.data.Dataset,
     out["total_qty"] = out.pop("qty_c").to_numpy(np.int64) / 100.0
     return out.sort_values("s_suppkey").reset_index(drop=True) \
         [["s_suppkey", "s_name", "total_qty"]]
+
+
+# ---- TPC-H Q15 shape: top supplier by windowed revenue ----
+
+Q15_LO = np.datetime64("1996-01-01", "us")
+Q15_HI = np.datetime64("1996-04-01", "us")
+
+
+def top_supplier_revenue(lineitem: ray.data.Dataset,
+                         supplier: pd.DataFrame) -> pd.DataFrame:
+    """TPC-H Q15 analogue: the supplier(s) achieving the maximum
+    discounted revenue over one ship-quarter — (s_suppkey, s_name,
+    total_revenue), ALL ties kept (the view + max subquery semantics).
+
+    Scale shape: per-batch per-suppkey revenue combiner (≤ |suppliers|
+    rows per batch) → ONE tiny Sum groupby → driver max + tie filter
+    over ≤ |suppliers| rows; revenue exact int64 1e-4 units so the max
+    comparison is integral (no float ties)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        ok = (sd >= Q15_LO) & (sd < Q15_HI)
+        df = df[ok]
+        p = _cents(df["l_extendedprice"])
+        d = _cents(df["l_discount"])
+        g = pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                          "rev_e4": p * (100 - d)})
+        return g.groupby("s_suppkey", sort=False, as_index=False).sum()
+
+    per = (lineitem.select_columns(
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("s_suppkey")
+           .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+           .to_pandas())
+    if not len(per):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series([], dtype=np.float64)})
+    r = per["rev_e4"].to_numpy(np.int64)
+    top = per[r == int(r.max())].copy()
+    sn = supplier.set_index("s_suppkey")["s_name"]
+    top["s_name"] = sn.reindex(top["s_suppkey"].to_numpy(np.int64)) \
+        .to_numpy(dtype=object)
+    top["total_revenue"] = top.pop("rev_e4").to_numpy(np.int64) / 10000.0
+    return top.sort_values("s_suppkey").reset_index(drop=True) \
+        [["s_suppkey", "s_name", "total_revenue"]]

@@ -131,3 +131,45 @@ def test_rolling_hashes_window_count(s, k):
             h2 = _rolling_hashes(tail_units, k)
             if len(h2):
                 assert h[1] == h2[0]
+
+
+# ---- readability kernel (ops/text.readability_batch) ----
+
+doc_text = st.text(alphabet=st.characters(min_codepoint=32,
+                                          max_codepoint=126), max_size=200)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=12))
+def test_readability_counts_and_clamps(texts):
+    from ghcrawler_ray.ops.text import readability_batch
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = readability_batch(df)
+    # counts are non-negative and syllable runs never exceed word chars
+    assert (out["n_words"] >= 0).all()
+    assert (out["n_sentences"] >= 0).all()
+    # every [a-z]+ word contains >= 0 vowel runs; vowel runs can't
+    # outnumber total letter runs * max run splits — weak but real:
+    # syllables == 0 whenever words == 0 and text has no bare vowels
+    noletters = out["n_words"] == 0
+    assert (out.loc[noletters, "n_syllables"] == 0).all()
+    # flesch is finite for every row (clamped denominators)
+    assert np.isfinite(out["flesch"].to_numpy(np.float64)).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=30),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=4))
+def test_member_mask_matches_python_membership(keys, num, den):
+    from ghcrawler_ray.ops.relational import _member_mask
+    table = np.sort(np.unique(np.array(keys[: len(keys) // 2] or [0],
+                                       dtype=np.int64)))
+    probe = np.array(keys, dtype=np.int64)
+    got = _member_mask(table, probe)
+    want = np.isin(probe, table)
+    assert (got == want).all()
+    empty = _member_mask(np.empty(0, dtype=np.int64), probe)
+    assert empty.dtype == bool and not empty.any()
