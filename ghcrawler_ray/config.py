@@ -138,4 +138,16 @@ class CrawlConfig:
     paginated_priority: str = "soon"
     default_link_priority: str = "normal"
 
+    # --- mid-wave fault tolerance: a seen-shard actor dying during a
+    #     wave (node loss on a real cluster) aborts that wave's
+    #     execution; the engine rebuilds the shard pool from the
+    #     wave-START snapshot and re-runs the wave — side outputs are
+    #     idempotent per-group files and claims replay identically from
+    #     the restored state, so a recovered wave is byte-identical
+    #     (the 10^10-scale analogue of the reference's Redis-persisted
+    #     tracker surviving a crawler VM loss). ---
+    wave_max_attempts: int = 3
+    #: test failpoint: "wave=K" kills shard 0 once before wave K runs
+    fail_inject: str = ""
+
     extra: dict = field(default_factory=dict, compare=False)

@@ -137,6 +137,7 @@ class CrawlEngine:
         self.inject = inject or {}
         self._ns = uuid.uuid4().hex[:8]
         self.pool: SeenSetPool | None = None
+        self._fail_fired = False
 
     # ---------- small helpers ----------
 
@@ -265,31 +266,12 @@ class CrawlEngine:
             files, n_rows, min_nb = self._frontier_files(k)
             if not files:
                 break
-            if n_rows <= cfg.local_wave_threshold:
-                n_next, clock, hot = self._run_wave_local(
-                    k, clock, files, robots_ref, hot)
-            else:
-                # PHYSICAL partition count for this wave's shuffles. The
-                # part COLUMN values (polite_part/etag_part/bucket/lpart,
-                # all % cfg.n_polite_parts — the job parameter) are what
-                # semantics key on; the reduce-partition count below only
-                # sets task counts, so it can adapt to the wave size
-                # without touching results (groupby groups by VALUE, and
-                # map_groups splits per value inside a reduce partition).
-                # Profiling (GHCRAWLER_WAVE_TIMING=stats): a sub-100k-row
-                # wave's wall is ~90% scheduling latency of the 4 chained
-                # shuffles' ~512 tasks while all map compute totals
-                # ~0.6 s — halving the task count halves the wave floor.
-                # The n_rows/256k term keeps one slim block ~50 MB.
-                wave_parts = int(min(self.cfg.n_polite_parts,
-                                     max(16, n_rows // 4096)))
-                n_blocks = int(max(wave_parts, -(-n_rows // 262144)))
-                ctx.min_parallelism = wave_parts
-                frontier = ray.data.read_parquet(
-                    files, override_num_blocks=n_blocks)
-                n_next, clock, hot = self._run_wave(k, clock, frontier,
-                                                    robots_ref, hot, min_nb)
-                ctx.min_parallelism = self.cfg.n_polite_parts
+            if cfg.fail_inject == f"wave={k}" and not self._fail_fired:
+                # chaos failpoint (tests): one shard dies mid-crawl
+                self._fail_fired = True
+                ray.kill(self.pool.shards[0], no_restart=True)
+            n_next, clock, hot = self._attempt_wave(
+                k, clock, files, robots_ref, hot, n_rows, min_nb, ctx)
             self._write_manifest(k, {"wave": k, "next_clock": clock,
                                      "next_frontier_rows": n_next,
                                      "hot_hosts": dict(sorted(hot.items()))})
@@ -297,6 +279,72 @@ class CrawlEngine:
             if n_next == 0:
                 break
         return self._finalize(k)
+
+    def _attempt_wave(self, k: int, clock: int, files, robots_ref,
+                      hot: dict, n_rows: int, min_nb, ctx):
+        """Run wave k with mid-wave fault recovery: a dead seen-shard
+        actor (RayError from any claim/bloom/snapshot RPC or from a Ray
+        Data task probing one) rebuilds the pool from the wave-START
+        snapshot and re-runs the wave. Side outputs are cleaned and
+        re-written idempotently by ``_wave_side``; claims replay
+        identically from the restored state (wave-idempotent claim sets
+        reset by ``begin_wave``)."""
+        cfg = self.cfg
+        for attempt in range(cfg.wave_max_attempts):
+            try:
+                return self._dispatch_wave(k, clock, files, robots_ref,
+                                           dict(hot), n_rows, min_nb, ctx)
+            except ray.exceptions.RayError:
+                if attempt + 1 >= cfg.wave_max_attempts:
+                    raise
+                self._recover_pool(k)
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def _dispatch_wave(self, k: int, clock: int, files, robots_ref,
+                       hot: dict, n_rows: int, min_nb, ctx):
+        cfg = self.cfg
+        if n_rows <= cfg.local_wave_threshold:
+            return self._run_wave_local(k, clock, files, robots_ref, hot)
+        # PHYSICAL partition count for this wave's shuffles. The
+        # part COLUMN values (polite_part/etag_part/bucket/lpart,
+        # all % cfg.n_polite_parts — the job parameter) are what
+        # semantics key on; the reduce-partition count below only
+        # sets task counts, so it can adapt to the wave size
+        # without touching results (groupby groups by VALUE, and
+        # map_groups splits per value inside a reduce partition).
+        # Profiling (GHCRAWLER_WAVE_TIMING=stats): a sub-100k-row
+        # wave's wall is ~90% scheduling latency of the 4 chained
+        # shuffles' ~512 tasks while all map compute totals
+        # ~0.6 s — halving the task count halves the wave floor.
+        # The n_rows/256k term keeps one slim block ~50 MB.
+        wave_parts = int(min(self.cfg.n_polite_parts,
+                             max(16, n_rows // 4096)))
+        n_blocks = int(max(wave_parts, -(-n_rows // 262144)))
+        ctx.min_parallelism = wave_parts
+        try:
+            frontier = ray.data.read_parquet(
+                files, override_num_blocks=n_blocks)
+            return self._run_wave(k, clock, frontier, robots_ref,
+                                  hot, min_nb)
+        finally:
+            ctx.min_parallelism = self.cfg.n_polite_parts
+
+    def _recover_pool(self, k: int) -> None:
+        """Rebuild every seen-shard actor and restore the wave-``k``
+        START state (``seen_snapshots/wave=k``; wave 0 starts empty).
+        A fresh actor namespace guarantees ``get_if_exists`` cannot
+        hand back handles to the dead generation."""
+        for s in self.pool.shards:
+            try:
+                ray.kill(s, no_restart=True)
+            except Exception:
+                pass
+        self._ns = uuid.uuid4().hex[:8]
+        self.pool = SeenSetPool(self.cfg.n_shards, self.cfg.seen_mode,
+                                namespace=f"seen-{self._ns}")
+        snap = self.out / "seen_snapshots" / f"wave={k}"
+        if snap.exists():
+            self.pool.load_snapshots(str(snap))
 
     # ---------- one wave: a single streaming execution ----------
 

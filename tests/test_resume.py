@@ -52,3 +52,40 @@ def test_resume_with_no_checkpoint_starts_fresh(tmp_path):
     res = CrawlEngine(web_root, out, CrawlConfig(max_waves=2)).run(resume=True)
     assert res["n_waves"] == 2
     assert (Path(out) / "manifests" / "wave=0.json").exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mid_wave_shard_death_recovers_byte_identical(tmp_path):
+    """Chaos probe: a seen-shard actor dies mid-crawl (the fail_inject
+    failpoint kills shard 0 right before wave 2 executes). The engine
+    must rebuild the pool from the wave-START snapshot, re-run the
+    wave, and produce byte-identical order + seen artifacts."""
+    web_root = ensure_testdata(SF)
+    ref_out = tmp_path / "ref"
+    CrawlEngine(web_root, ref_out, CrawlConfig()).run()
+
+    a = _read_order(ref_out)
+    sa = pq.read_table(str(ref_out / "seen.parquet")).to_pandas()
+    # both execution modes: driver-local waves AND all-distributed waves
+    # recover through the same wave-START snapshot restore
+    for name, thresh in (("chaos_local", 4096), ("chaos_dist", 0)):
+        chaos_out = tmp_path / name
+        CrawlEngine(web_root, chaos_out,
+                    CrawlConfig(fail_inject="wave=2",
+                                local_wave_threshold=thresh)).run()
+        b = _read_order(chaos_out)
+        pd.testing.assert_frame_equal(a, b)
+        sb = pq.read_table(str(chaos_out / "seen.parquet")).to_pandas()
+        pd.testing.assert_frame_equal(sa, sb)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mid_wave_death_exhausting_attempts_raises(tmp_path):
+    """With wave_max_attempts=1 the failpoint death is fatal — the
+    engine must surface the RayError, not silently drop the wave."""
+    import ray as _ray
+    web_root = ensure_testdata(SF)
+    with pytest.raises(_ray.exceptions.RayError):
+        CrawlEngine(web_root, tmp_path / "fatal",
+                    CrawlConfig(fail_inject="wave=2",
+                                wave_max_attempts=1)).run()
