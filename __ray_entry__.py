@@ -531,6 +531,13 @@ def q_frame_samples(sf_dir: str) -> ray.data.Dataset:
     return frame_samples(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_doc_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Batched embedding "inference" over documents (actor-pool stage,
+    deterministic hash model → SQL-recomputable doubles)."""
+    from ghcrawler_ray.ops.multimodal import doc_embeddings
+    return doc_embeddings(_docs(sf_dir))
+
+
 def q_robots_filter(sf_dir: str) -> ray.data.Dataset:
     """Robots disallow-prefix gating (T9) as a standalone checkable op."""
     sf = sf_of_dir(sf_dir)
@@ -5603,6 +5610,17 @@ def _ops_sql() -> dict[str, str]:
             FROM f JOIN d USING (source)
             WHERE f.doc_freq * {ops_contam.BOILER_FRAC_DEN}
                   >= d.n_docs * {ops_contam.BOILER_FRAC_NUM}""",
+        "doc_embeddings": """
+            SELECT doc_id,
+                (('0x' || substr(md5(text), 1, 8))::UBIGINT::BIGINT
+                 - 2147483648) / 2147483648e0 AS e0,
+                (('0x' || substr(md5(text), 9, 8))::UBIGINT::BIGINT
+                 - 2147483648) / 2147483648e0 AS e1,
+                (('0x' || substr(md5(text), 17, 8))::UBIGINT::BIGINT
+                 - 2147483648) / 2147483648e0 AS e2,
+                (('0x' || substr(md5(text), 25, 8))::UBIGINT::BIGINT
+                 - 2147483648) / 2147483648e0 AS e3
+            FROM documents""",
         "readability": """
             WITH c AS (SELECT doc_id,
                  len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT
@@ -5892,6 +5910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_compression": q_url_compression,
         "crawl_host_content_dup": q_host_content_dup,
         "media_resize": q_media_resize,
+        "doc_embeddings": q_doc_embeddings,
         "frame_samples": q_frame_samples,
         "crawl_robots_filter": q_robots_filter,
         "crawl_pages_lang_dist": q_pages_lang_dist,

@@ -170,3 +170,58 @@ def media_features(pages: ray.data.Dataset, payload_col: str = "html",
             "payload_col": payload_col, "id_col": id_col},
         batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, concurrency), num_cpus=0.5)
+
+
+class TextEmbedStage:
+    """Actor-pool batched "model inference" stage: text → fixed-dim
+    embedding. ``mode='hash-v1'`` (default) is the deterministic stub
+    model — each of the ``dim`` components is an 8-hex-digit slice of
+    the text's md5 mapped affinely onto [-1, 1) — so the DuckDB oracle
+    recomputes the exact doubles while ALL the real-model plumbing is
+    exercised: weights "loaded" once per actor in ``__init__``, whole
+    batches pushed through one vectorized call, pool autoscaling with
+    fractional CPUs. ``mode='torch'`` is the real-model gate (absent in
+    this container)."""
+
+    DIM_MAX = 4   # md5 yields 32 hex chars = 4 × 8-hex components
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 dim: int = 4, mode: str = "hash-v1"):
+        if not (1 <= dim <= self.DIM_MAX):
+            raise ValueError(f"dim must be 1..{self.DIM_MAX}")
+        self.text_col, self.id_col, self.dim = text_col, id_col, dim
+        if mode != "hash-v1":
+            try:
+                import torch  # noqa: F401  (absent in this container)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real embedding inference needs a model runtime; "
+                    "use mode='hash-v1'") from e
+        # "model load" happens HERE, once per actor — the expensive part
+        # a per-batch function would re-pay on every batch
+        self.model = mode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[self.text_col].astype(str)
+        digs = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        out = {self.id_col: df[self.id_col].to_numpy()}
+        two31 = float(1 << 31)
+        for j in range(self.dim):
+            words = np.array([int(d[8 * j:8 * j + 8], 16) for d in digs],
+                             dtype=np.int64)
+            # affine map of the unsigned 32-bit word onto [-1, 1):
+            # (w - 2^31) / 2^31 — one IEEE division, oracle-identical
+            out[f"e{j}"] = (words - np.int64(1 << 31)) / two31
+        return pd.DataFrame(out)
+
+
+def doc_embeddings(docs: ray.data.Dataset, dim: int = 4,
+                   concurrency: int = 16) -> ray.data.Dataset:
+    """Batched embedding inference over the documents table (actor
+    pool; model state per actor, vectorized per batch). Output is flat
+    (doc_id, e0..e{dim-1}) columns — the layout the ANN/quantizer ops
+    and a parquet sink both take without list-column repacking."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        TextEmbedStage, fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, concurrency), num_cpus=0.5)

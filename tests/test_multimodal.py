@@ -66,3 +66,40 @@ def test_resize_and_frames_gated():
         MediaResizeStage(mode="pil")
     with pytest.raises(NotImplementedError):
         FrameSampleStage(mode="decord")
+
+
+def test_text_embed_stage_deterministic_and_bounded():
+    """Hash-model embedding stub: deterministic, components in [-1, 1),
+    real-runtime mode import-gated."""
+    import pandas as pd
+    import pytest as _pytest
+    from ghcrawler_ray.ops.multimodal import TextEmbedStage
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["alpha", "beta", "alpha"]})
+    st = TextEmbedStage()
+    a = st(df)
+    b = TextEmbedStage()(df)
+    pd.testing.assert_frame_equal(a, b)
+    for j in range(4):
+        col = a[f"e{j}"]
+        assert ((col >= -1.0) & (col < 1.0)).all()
+    # same text -> same vector; different text -> (md5) different vector
+    assert (a.iloc[0, 1:] == a.iloc[2, 1:]).all()
+    assert (a.iloc[0, 1:] != a.iloc[1, 1:]).any()
+    with _pytest.raises(NotImplementedError):
+        TextEmbedStage(mode="torch")
+    with _pytest.raises(ValueError):
+        TextEmbedStage(dim=9)
+
+
+def test_doc_embeddings_actor_pool(ray_session, tmp_path):
+    """End-to-end actor-pool inference over a Dataset."""
+    import pandas as pd
+    import ray.data
+    from ghcrawler_ray.ops.multimodal import doc_embeddings
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": range(10), "text": [f"doc {i}" for i in range(10)],
+    }))
+    out = doc_embeddings(docs).to_pandas().sort_values("doc_id")
+    assert list(out.columns) == ["doc_id", "e0", "e1", "e2", "e3"]
+    assert len(out) == 10
