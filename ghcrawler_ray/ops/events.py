@@ -1010,7 +1010,10 @@ def event_type_affinity(events: ray.data.Dataset) -> pd.DataFrame:
         d = g.drop_duplicates(["user_id", "event_type"])
         singles = d.groupby("event_type", sort=False, as_index=False) \
             .size().rename(columns={"size": "n"})
+        # kind is the out-of-band row discriminator (1=single, 2=pair)
+        # so an actual "" event_type can never collide with bookkeeping
         singles = pd.DataFrame({
+            "kind": np.full(len(singles), 1, dtype=np.int32),
             "type_a": singles["event_type"].to_numpy(object),
             "type_b": np.full(len(singles), "", dtype=object),
             "n": singles["n"].astype(np.int64)})
@@ -1019,6 +1022,7 @@ def event_type_affinity(events: ray.data.Dataset) -> pd.DataFrame:
         pairs = m.groupby(["event_type_x", "event_type_y"], sort=False,
                           as_index=False).size()
         pairs = pd.DataFrame({
+            "kind": np.full(len(pairs), 2, dtype=np.int32),
             "type_a": pairs["event_type_x"].to_numpy(object),
             "type_b": pairs["event_type_y"].to_numpy(object),
             "n": pairs["size"].astype(np.int64)})
@@ -1029,13 +1033,13 @@ def event_type_affinity(events: ray.data.Dataset) -> pd.DataFrame:
             .map_batches(distinct_partial, batch_format="pandas",
                          batch_size=65536)
             .groupby("part").map_groups(fold, batch_format="pandas")
-            .groupby(["type_a", "type_b"])           # ≤ types² rows
+            .groupby(["kind", "type_a", "type_b"])   # ≤ types² rows
             .aggregate(Sum("n", alias_name="n"))
             .to_pandas())
     cnt = {t: int(n) for t, n in
-           rows.loc[rows["type_b"] == "", ["type_a", "n"]].itertuples(
+           rows.loc[rows["kind"] == 1, ["type_a", "n"]].itertuples(
                index=False)}
-    pr = rows[rows["type_b"] != ""].reset_index(drop=True)
+    pr = rows[rows["kind"] == 2].reset_index(drop=True)
     n_a = pr["type_a"].map(cnt).to_numpy(np.int64)
     n_b = pr["type_b"].map(cnt).to_numpy(np.int64)
     n_both = pr["n"].to_numpy(np.int64)
@@ -1541,11 +1545,15 @@ def association_rules(events: ray.data.Dataset,
         d = g.drop_duplicates(["user_id", "event_type"])
         singles = d.groupby("event_type", sort=False, as_index=False) \
             .size()
+        # kind discriminates row roles out-of-band (0=user total,
+        # 1=single, 2=pair) — a real "" event_type cannot collide
         singles = pd.DataFrame({
+            "kind": np.full(len(singles), 1, dtype=np.int32),
             "type_a": singles["event_type"].to_numpy(object),
             "type_b": np.full(len(singles), "", dtype=object),
             "n": singles["size"].astype(np.int64)})
         users = pd.DataFrame({
+            "kind": np.array([0], dtype=np.int32),
             "type_a": np.array([""], dtype=object),
             "type_b": np.array([""], dtype=object),
             "n": np.array([d["user_id"].nunique()], dtype=np.int64)})
@@ -1554,6 +1562,7 @@ def association_rules(events: ray.data.Dataset,
         pairs = m.groupby(["event_type_x", "event_type_y"], sort=False,
                           as_index=False).size()
         pairs = pd.DataFrame({
+            "kind": np.full(len(pairs), 2, dtype=np.int32),
             "type_a": pairs["event_type_x"].to_numpy(object),
             "type_b": pairs["event_type_y"].to_numpy(object),
             "n": pairs["size"].astype(np.int64)})
@@ -1564,16 +1573,14 @@ def association_rules(events: ray.data.Dataset,
             .map_batches(distinct_partial, batch_format="pandas",
                          batch_size=65536)
             .groupby("part").map_groups(fold, batch_format="pandas")
-            .groupby(["type_a", "type_b"])           # ≤ types² + types + 1
+            .groupby(["kind", "type_a", "type_b"])   # ≤ types² + types + 1
             .aggregate(Sum("n", alias_name="n"))
             .to_pandas())
-    n_users = int(rows.loc[(rows["type_a"] == "") & (rows["type_b"] == ""),
-                           "n"].iloc[0])
+    n_users = int(rows.loc[rows["kind"] == 0, "n"].iloc[0])
     cnt = {t: int(n) for t, n in
-           rows.loc[(rows["type_b"] == "") & (rows["type_a"] != ""),
+           rows.loc[rows["kind"] == 1,
                     ["type_a", "n"]].itertuples(index=False)}
-    pr = rows[(rows["type_a"] != "") & (rows["type_b"] != "")] \
-        .reset_index(drop=True)
+    pr = rows[rows["kind"] == 2].reset_index(drop=True)
     pr = pr[pr["n"].to_numpy(np.int64) >= min_both].reset_index(drop=True)
     # both directions from the undirected pair counts (driver-side,
     # ≤ types² rows)

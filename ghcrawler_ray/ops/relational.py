@@ -1741,8 +1741,13 @@ def disjunctive_revenue(lineitem: ray.data.Dataset,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         pk_, pb_, psz_ = ray.get(ref)
-        pos = np.searchsorted(pk_, df["l_partkey"].to_numpy(np.int64))
+        lpk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk_, lpk)
         pos[pos == len(pk_)] = 0
+        # membership mask: an l_partkey absent from part must drop out
+        # (inner-join semantics), not inherit a neighboring part's
+        # brand/size via the clamped searchsorted probe
+        known = pk_[pos] == lpk
         brand = pb_[pos]
         size = psz_[pos]
         q = df["l_quantity"].to_numpy(np.float64)
@@ -1750,6 +1755,7 @@ def disjunctive_revenue(lineitem: ray.data.Dataset,
         for b, qlo, qhi, slo, shi in Q19_CASES:
             hit |= ((brand == b) & (q >= qlo) & (q <= qhi)
                     & (size >= slo) & (size <= shi))
+        hit &= known
         p = _cents(df["l_extendedprice"][hit])
         d = _cents(df["l_discount"][hit])
         return pd.DataFrame({"rev_e4": [int((p * (100 - d)).sum())],

@@ -69,6 +69,29 @@ from ..state.politeness import ORDER_COLS, salt_map
 from ..state.seen import SeenSetPool
 
 
+def _is_actor_death(e: BaseException) -> bool:
+    """True iff the exception chain bottoms out in an actor-death error
+    (a killed/crashed seen-shard) rather than a deterministic user-code
+    failure. Walks ``cause`` (RayTaskError's wrapped remote exception)
+    plus the standard ``__cause__``/``__context__`` links."""
+    death = tuple(t for t in (
+        getattr(ray.exceptions, "RayActorError", None),
+        getattr(ray.exceptions, "ActorDiedError", None),
+        getattr(ray.exceptions, "ActorUnavailableError", None)) if t)
+    seen: set[int] = set()
+    stack: list[BaseException | None] = [e]
+    while stack:
+        x = stack.pop()
+        if x is None or id(x) in seen:
+            continue
+        seen.add(id(x))
+        if isinstance(x, death):
+            return True
+        stack.extend((getattr(x, "cause", None), x.__cause__,
+                      x.__context__))
+    return False
+
+
 def _discovery_filter(df: pd.DataFrame, pool, blooms,
                       n_shards: int) -> pd.DataFrame:
     """Drop discovered links whose target was claimed BEFORE this wave:
@@ -294,7 +317,13 @@ class CrawlEngine:
             try:
                 return self._dispatch_wave(k, clock, files, robots_ref,
                                            dict(hot), n_rows, min_nb, ctx)
-            except ray.exceptions.RayError:
+            except ray.exceptions.RayError as e:
+                # Recover ONLY for actor-death root causes; a
+                # deterministic user-code bug (RayTaskError wrapping a
+                # plain exception) must surface immediately instead of
+                # burning wave_max_attempts pool rebuilds.
+                if not _is_actor_death(e):
+                    raise
                 if attempt + 1 >= cfg.wave_max_attempts:
                     raise
                 self._recover_pool(k)
