@@ -501,6 +501,18 @@ def q_host_content_dup(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.host_content_dup(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_dust_rules(sf_dir: str) -> ray.data.Dataset:
+    """DUST rewrite-rule mining: same-host identical-content url pairs
+    vote for their first-path-segment substitution (Bar-Yossef 2007)."""
+    return ops_urlstats.dust_rules(_pages_ds(sf_of_dir(sf_dir)))
+
+
+def q_pagination(sf_dir: str) -> ray.data.Dataset:
+    """Pagination-family audit: ?page=N groups with page range + bare
+    base-url presence (Link-header paginator analytical face)."""
+    return ops_urlstats.pagination_families(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_sitemap(sf_dir: str) -> ray.data.Dataset:
     """Sitemap round-trip: build each host's deterministic <urlset>
     document, parse it back to frontier entry rows; the oracle computes
@@ -2462,6 +2474,37 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 ((n_pages - n_distinct) * 1000000) // n_pages
                     AS dup_frac_fp
             FROM a""",
+        # ops/urlstats.dust_rules: same-host byte-identical-content url
+        # pairs vote for their first-path-segment substitution
+        "crawl_dust_rules": f"""
+            WITH p AS (SELECT {ops_urlstats.HOST_SQL} AS host,
+                 md5(decode(html)) AS h,
+                 coalesce(regexp_extract(url,
+                     '{ops_urlstats.SEG_RE}', 1), '') AS seg
+               FROM read_parquet('{pages}'))
+            SELECT a.host, a.seg AS seg_from, b.seg AS seg_to,
+                count(*)::BIGINT AS support
+            FROM p a JOIN p b
+              ON a.host = b.host AND a.h = b.h AND a.seg < b.seg
+            GROUP BY 1, 2, 3""",
+        # ops/urlstats.pagination_families: ?page=N families + base-url
+        # presence semi-join
+        "crawl_pagination": f"""
+            WITH m AS (SELECT
+                 regexp_extract(url, '{ops_urlstats.PAGE_RE}', 1) AS base,
+                 CAST(regexp_extract(url, '{ops_urlstats.PAGE_RE}', 2)
+                      AS BIGINT) AS pg
+               FROM read_parquet('{pages}')
+               WHERE regexp_matches(url, '[?&]page=[0-9]+$')),
+            g AS (SELECT base, count(DISTINCT pg)::BIGINT AS n_pages,
+                 min(pg)::BIGINT AS min_page, max(pg)::BIGINT AS max_page
+               FROM m GROUP BY 1)
+            SELECT lower(regexp_extract(base, '^https?://([^/?#]+)', 1))
+                       AS host,
+                base AS base_url, n_pages, min_page, max_page,
+                EXISTS (SELECT 1 FROM read_parquet('{pages}') p2
+                        WHERE p2.url = g.base) AS has_base
+            FROM g""",
         # sources.sitemap_xml/parse_sitemaps round-trip: the oracle computes
         # the entry rows directly from pages with the same md5 hash rules
         "crawl_sitemap": f"""
@@ -5909,6 +5952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_drain_plan": q_drain_plan,
         "crawl_url_compression": q_url_compression,
         "crawl_host_content_dup": q_host_content_dup,
+        "crawl_dust_rules": q_dust_rules,
+        "crawl_pagination": q_pagination,
         "media_resize": q_media_resize,
         "doc_embeddings": q_doc_embeddings,
         "frame_samples": q_frame_samples,

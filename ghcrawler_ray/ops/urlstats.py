@@ -636,3 +636,151 @@ def depth_quality_correlation(pages: ray.data.Dataset) -> pd.DataFrame:
                                   dtype=np.int64),
         "mean_quality_fp": np.array([sy // max(n, 1)], dtype=np.int64),
         "r": np.array([r], dtype=np.float64)})
+
+
+# ---- DUST rule mining (Bar-Yossef et al., WWW 2007) ----
+
+#: first path segment incl. leading slash — the rule alphabet
+SEG_RE = r"^https?://[^/?#]+(/[^/?#]*)"
+
+
+def dust_rules(pages: ray.data.Dataset,
+               min_support: int = 1) -> ray.data.Dataset:
+    """(host, seg_from, seg_to, support): candidate DUST rewrite rules
+    — Different URLs with Similar (here: byte-identical) Text. For every
+    same-host pair of urls serving identical content (equal md5(html)),
+    the pair votes for the substitution between their first path
+    segments (seg_from < seg_to lexically; equal segments are not a
+    rewrite). support = number of such url pairs. The classic crawler
+    dedup-at-the-frontier move: a high-support rule ("/dup/ ≡ /p/")
+    lets the scheduler canonicalize urls BEFORE fetching ("do not crawl
+    in the DUST", Bar-Yossef et al. 2007 §1; the reference reaches the
+    same state only after fetch via its etag/304 path,
+    `providers/fetcher/githubFetcher.js:26-84`).
+
+    Scale shape: html never shuffles — each batch folds to slim
+    (host, md5, seg) rows; ONE hash(host,md5) co-partition co-locates
+    every content-duplicate cluster (clusters are tiny by nature), the
+    per-cluster segment cross-products fold to rule partials, and a
+    final rule-keyed Sum groupby over rule-cardinality rows finishes."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["url"].astype(str)
+        host = u.str.extract(r"^https?://([^/?#]+)", expand=False) \
+            .fillna("").str.lower()
+        seg = u.str.extract(SEG_RE, expand=False).fillna("")
+        html = df["html"]
+        if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+            ch = [hashlib.md5(b).hexdigest() for b in html]
+        else:
+            ch = [hashlib.md5(str(s).encode()).hexdigest() for s in html]
+        out = pd.DataFrame({"host": host.to_numpy(dtype=object),
+                            "h": np.asarray(ch, dtype=object),
+                            "seg": seg.to_numpy(dtype=object)})
+        out["part"] = (hash64_array(out["host"].str.cat(out["h"]))
+                       % N_URL_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # per (host, content) cluster: segment multiplicities → each
+        # unordered segment pair contributes n_a·n_b url pairs
+        cnt = g.groupby(["host", "h", "seg"], sort=False).size() \
+            .rename("n").reset_index()
+        rows = []
+        for (host, _), sub in cnt.groupby(["host", "h"], sort=False):
+            if len(sub) < 2:
+                continue
+            segs = sub["seg"].to_numpy(dtype=object)
+            ns = sub["n"].to_numpy(np.int64)
+            o = np.argsort(segs)
+            segs, ns = segs[o], ns[o]
+            for i in range(len(segs) - 1):
+                for j in range(i + 1, len(segs)):
+                    rows.append((host, segs[i], segs[j],
+                                 int(ns[i] * ns[j])))
+        return pd.DataFrame(rows, columns=["host", "seg_from", "seg_to",
+                                           "n"]) \
+            .astype({"n": np.int64})
+
+    agg = (pages.select_columns(["url", "html"])
+           .map_batches(slim, batch_format="pandas")
+           .groupby("part")
+           .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                       batch_format="pandas")
+           .groupby(["host", "seg_from", "seg_to"])
+           .aggregate(Sum("n", alias_name="support")))
+    if min_support > 1:
+        agg = agg.filter(expr=f"support >= {min_support}")
+    return agg
+
+
+# ---- pagination family detection (link-header paginator analogue) ----
+
+PAGE_RE = r"^(.*)[?&]page=([0-9]+)$"
+
+
+def pagination_families(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, base_url, n_pages, min_page, max_page, has_base): every
+    pagination family in the corpus — urls ending in ``?page=N`` (or
+    ``&page=N``) grouped by their base url, with the page-number range
+    and whether the bare base url itself was crawled. The analytical
+    face of the reference's Link-header paginator (`providers/fetcher/
+    githubFetcher.js:153-172` collectPages / M6): the crawler's "did I
+    get every page of every listing?" audit (a family with has_base
+    false or a gap in [min,max] is an incomplete traversal).
+
+    Scale shape: one slim projection pass (member rows + url-presence
+    rows, tagged), ONE base-url-hash co-partition; each family resolves
+    vectorized inside its partition; output is family-cardinality."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["url"].astype(str)
+        m = u.str.extract(PAGE_RE)
+        is_m = m[0].notna()
+        members = pd.DataFrame({
+            "base": m.loc[is_m, 0].to_numpy(dtype=object),
+            "pg": m.loc[is_m, 1].astype(np.int64).to_numpy(),
+            "kind": np.int8(1)})
+        present = pd.DataFrame({
+            "base": u.to_numpy(dtype=object),
+            "pg": np.int64(0), "kind": np.int8(0)})
+        out = pd.concat([members, present], ignore_index=True)
+        out["pg"] = out["pg"].astype(np.int64)
+        out["part"] = (hash64_array(out["base"]) % N_URL_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["kind"] == 1]
+        if not len(mem):
+            return pd.DataFrame({
+                "host": pd.Series(dtype=object),
+                "base_url": pd.Series(dtype=object),
+                "n_pages": pd.Series(dtype=np.int64),
+                "min_page": pd.Series(dtype=np.int64),
+                "max_page": pd.Series(dtype=np.int64),
+                "has_base": pd.Series(dtype=bool)})
+        present = set(g.loc[g["kind"] == 0, "base"])
+        agg = mem.groupby("base", sort=False)["pg"] \
+            .agg(n_pages="nunique", min_page="min", max_page="max") \
+            .reset_index()
+        base = agg["base"].astype(str)
+        host = base.str.extract(r"^https?://([^/?#]+)", expand=False) \
+            .fillna("").str.lower()
+        return pd.DataFrame({
+            "host": host.to_numpy(dtype=object),
+            "base_url": agg["base"].to_numpy(dtype=object),
+            "n_pages": agg["n_pages"].to_numpy(np.int64),
+            "min_page": agg["min_page"].to_numpy(np.int64),
+            "max_page": agg["max_page"].to_numpy(np.int64),
+            "has_base": np.fromiter((b in present for b in agg["base"]),
+                                    dtype=bool, count=len(agg))})
+
+    return (pages.select_columns(["url"])
+            .map_batches(slim, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                        batch_format="pandas"))
