@@ -513,6 +513,14 @@ def q_pagination(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.pagination_families(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_warc_index(sf_dir: str) -> ray.data.Dataset:
+    """WARC serialization round-trip index: build each page's ISO-28500
+    response record, parse it straight back, emit the CDX-style index —
+    value-pinned by an oracle recomputing it from pages directly."""
+    from ghcrawler_ray.sources import warc_index
+    return warc_index(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_sitemap(sf_dir: str) -> ray.data.Dataset:
     """Sitemap round-trip: build each host's deterministic <urlset>
     document, parse it back to frontier entry rows; the oracle computes
@@ -2505,6 +2513,17 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 EXISTS (SELECT 1 FROM read_parquet('{pages}') p2
                         WHERE p2.url = g.base) AS has_base
             FROM g""",
+        # sources.warc_index build→parse round-trip: the oracle recomputes
+        # the index from pages (record_id = md5(url); payload = 77-byte
+        # fixed HTTP head + content-length digits + html)
+        "crawl_warc_index": f"""
+            SELECT url, {ops_urlstats.HOST_SQL} AS host,
+                md5(url) AS record_id,
+                strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                (77 + length(CAST(octet_length(html) AS VARCHAR))
+                    + octet_length(html))::BIGINT AS payload_len,
+                octet_length(html)::BIGINT AS html_len
+            FROM read_parquet('{pages}')""",
         # sources.sitemap_xml/parse_sitemaps round-trip: the oracle computes
         # the entry rows directly from pages with the same md5 hash rules
         "crawl_sitemap": f"""
@@ -5954,6 +5973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_content_dup": q_host_content_dup,
         "crawl_dust_rules": q_dust_rules,
         "crawl_pagination": q_pagination,
+        "crawl_warc_index": q_warc_index,
         "media_resize": q_media_resize,
         "doc_embeddings": q_doc_embeddings,
         "frame_samples": q_frame_samples,

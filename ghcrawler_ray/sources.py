@@ -136,3 +136,148 @@ def parse_sitemaps(sitemaps: ray.data.Dataset) -> ray.data.Dataset:
             "host": np.asarray(hosts, dtype=object)})
 
     return sitemaps.map_batches(parse, batch_format="pandas")
+
+
+# ---- WARC (ISO 28500) response records: Common Crawl's native layout ----
+#
+# The engine's pages tables are "Common-Crawl-style" (BASELINE.json
+# input_hint); real Common Crawl ships as WARC response records. These
+# adapters round-trip pages ↔ WARC shards so a user can ingest raw
+# CC segments or export a crawl in the archival format. Records are
+# deterministic: record-id = urn:md5:<md5(url)>, WARC-Date = warc_ts,
+# payload = a minimal HTTP/1.1 200 response head + the html bytes —
+# so the index a parse yields is SQL-recomputable from pages directly
+# (the crawl_warc_index oracle).
+
+_WARC_HEAD_FIXED = 77     # fixed bytes of the HTTP payload head (see below)
+
+
+def _http_head(n_html: int) -> bytes:
+    # 17 + 40 + 16 + digits + 2 + 2 = 77 + digits bytes
+    return (f"HTTP/1.1 200 OK\r\n"
+            f"Content-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {n_html}\r\n\r\n").encode()
+
+
+def _warc_record(url: str, date: str, html: bytes) -> bytes:
+    import hashlib
+    payload = _http_head(len(html)) + html
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:md5:{hashlib.md5(url.encode()).hexdigest()}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _warc_dates(ts: pd.Series) -> list[str]:
+    return pd.to_datetime(ts).dt.strftime("%Y-%m-%dT%H:%M:%SZ").tolist()
+
+
+def warc_bytes(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, record): one serialized WARC response record per page —
+    the streaming serializer ``write_warc`` shards to disk. Stateless
+    map_batches; the html payload never shuffles."""
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        htmls = [b if isinstance(b, (bytes, bytearray)) else
+                 str(b).encode() for b in df["html"]]
+        recs = [_warc_record(u, d, h) for u, d, h in
+                zip(df["url"].astype(str), _warc_dates(df["warc_ts"]),
+                    htmls)]
+        return pd.DataFrame({"url": df["url"].astype(str)
+                             .to_numpy(dtype=object),
+                             "record": pd.Series(recs, dtype=object)})
+
+    return pages.select_columns(["url", "warc_ts", "html"]) \
+        .map_batches(build, batch_format="pandas")
+
+
+def write_warc(pages: ray.data.Dataset, out_dir: str) -> int:
+    """Stream pages out as ``.warc`` shard files (one per batch,
+    content-addressed name → task-retry idempotent, resumable output).
+    Returns the number of records written."""
+    import hashlib
+    from pathlib import Path
+
+    d = Path(out_dir)
+    d.mkdir(parents=True, exist_ok=True)
+
+    def sink(df: pd.DataFrame) -> pd.DataFrame:
+        blob = b"".join(df["record"])
+        name = hashlib.md5(blob).hexdigest()
+        (d / f"shard-{name}.warc").write_bytes(blob)
+        return pd.DataFrame({"n": [len(df)]})
+
+    parts = warc_bytes(pages).map_batches(sink, batch_format="pandas")
+    return int(sum(r["n"] for r in parts.take_all()))
+
+
+def parse_warc_blob(blob: bytes) -> pd.DataFrame:
+    """One WARC shard's bytes → (url, record_id, warc_date, payload_len,
+    html) rows. Sequential scan: header block to the blank line, slice
+    Content-Length payload bytes, skip the record separator."""
+    rows = []
+    i, n = 0, len(blob)
+    while i < n:
+        j = blob.find(b"\r\n\r\n", i)
+        if j < 0:
+            break
+        head = blob[i:j].decode("utf-8", "replace")
+        fields = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(": ")
+            fields[k] = v
+        plen = int(fields.get("Content-Length", "0"))
+        payload = blob[j + 4:j + 4 + plen]
+        i = j + 4 + plen + 4            # skip \r\n\r\n separator
+        sep = payload.find(b"\r\n\r\n")
+        html = payload[sep + 4:] if sep >= 0 else payload
+        rows.append((fields.get("WARC-Target-URI", ""),
+                     fields.get("WARC-Record-ID", "")[len("<urn:md5:"):-1],
+                     fields.get("WARC-Date", ""), plen, html))
+    return pd.DataFrame(rows, columns=["url", "record_id", "warc_date",
+                                       "payload_len", "html"]) \
+        .astype({"payload_len": np.int64})
+
+
+def read_warc(paths: str | list[str]) -> ray.data.Dataset:
+    """``.warc`` shard files → (url, record_id, warc_date, payload_len,
+    html) Dataset — the Common Crawl ingestion path. One binary read
+    per shard, parsed inside ``map_batches`` (records never transit the
+    driver)."""
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([parse_warc_blob(b) for b in df["bytes"]],
+                         ignore_index=True)
+
+    return ray.data.read_binary_files(paths) \
+        .map_batches(parse, batch_format="pandas")
+
+
+def warc_index(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, host, record_id, warc_date, payload_len, html_len): the
+    CDX-style index of the corpus's WARC serialization, produced by
+    building each record and parsing it straight back (an in-stream
+    round-trip, so the serializer and parser are both value-pinned by
+    the SQL oracle that recomputes the index from pages directly)."""
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        htmls = [b if isinstance(b, (bytes, bytearray)) else
+                 str(b).encode() for b in df["html"]]
+        blob = b"".join(_warc_record(u, d, h) for u, d, h in
+                        zip(df["url"].astype(str),
+                            _warc_dates(df["warc_ts"]), htmls))
+        out = parse_warc_blob(blob)
+        host = out["url"].str.extract(r"^https?://([^/?#]+)",
+                                      expand=False).fillna("").str.lower()
+        return pd.DataFrame({
+            "url": out["url"].to_numpy(dtype=object),
+            "host": host.to_numpy(dtype=object),
+            "record_id": out["record_id"].to_numpy(dtype=object),
+            "warc_date": out["warc_date"].to_numpy(dtype=object),
+            "payload_len": out["payload_len"].to_numpy(np.int64),
+            "html_len": np.fromiter((len(h) for h in out["html"]),
+                                    dtype=np.int64, count=len(out))})
+
+    return pages.select_columns(["url", "warc_ts", "html"]) \
+        .map_batches(roundtrip, batch_format="pandas")

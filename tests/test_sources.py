@@ -61,3 +61,34 @@ def test_sitemap_roundtrip(ray_session):
          "http://b.example/x", "http://b.example/y?page=2"])
     assert out["lastmod"].str.match(r"2025-01-\d\d").all()
     assert out["priority_x10"].between(0, 9).all()
+
+
+def test_warc_file_roundtrip(ray_session, tmp_path):
+    """pages → .warc shard files → read_warc → byte-identical (url,
+    html) set, with the index fields parseable and self-consistent."""
+    from ghcrawler_ray.sources import read_warc, write_warc
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    root = ensure_testdata(0.0001)
+    files = sorted(str(p) for p in (root / "pages").glob("bucket=*/part-0.parquet"))
+    pages = ray.data.read_parquet(files)
+    orig = pq.read_table(files).to_pandas()[["url", "html"]]
+
+    out = tmp_path / "warc"
+    n = write_warc(pages, str(out))
+    assert n == len(orig)
+    shards = sorted(str(p) for p in out.glob("shard-*.warc"))
+    assert shards, "no shard files written"
+
+    back = read_warc(shards).to_pandas()
+    assert len(back) == len(orig)
+    merged = orig.merge(back, on="url", suffixes=("_a", "_b"))
+    assert len(merged) == len(orig)
+    assert all(bytes(a) == bytes(b) for a, b in
+               zip(merged["html_a"], merged["html_b"]))
+    # index fields: payload_len = http head + html bytes
+    hl = back["html"].map(len)
+    assert (back["payload_len"] == 77 + hl.astype(str).map(len) + hl).all()
+    import hashlib
+    assert (back["record_id"] == back["url"].map(
+        lambda u: hashlib.md5(u.encode()).hexdigest())).all()
