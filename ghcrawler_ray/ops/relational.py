@@ -1659,7 +1659,7 @@ Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
 
 
 def parts_supplier_count(lineitem: ray.data.Dataset,
-                         part: pd.DataFrame) -> ray.data.Dataset:
+                         part: pd.DataFrame) -> pd.DataFrame:
     """TPC-H Q16 analogue (supplier relationships observed from the fact
     table instead of partsupp): distinct supplier count per
     (p_brand, p_type, p_size) for a size shortlist, excluding one brand.
@@ -1669,7 +1669,7 @@ def parts_supplier_count(lineitem: ray.data.Dataset,
     broadcast, so the distinct unit is exactly Q16's (group, supplier):
     per-batch (gid, suppkey) dedup (the combiner) → ONE co-partition
     shuffle on hash(gid, suppkey) % P with local dedup inside each
-    partition → ≤ |groups| × P counting partials → tiny hash groupby.
+    partition → ≤ |groups| × P counting partials → bounded driver fold.
     The fact rows themselves never shuffle."""
     keep = part[(part["p_brand"] != Q16_EXCLUDE_BRAND)
                 & part["p_size"].isin(Q16_SIZES)].sort_values("p_partkey")
@@ -1703,18 +1703,18 @@ def parts_supplier_count(lineitem: ray.data.Dataset,
         return pd.DataFrame({"g": c["g"].to_numpy(np.int64),
                              "n": c["size"].to_numpy(np.int64)})
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, battr_, tattr_, sattr_ = ray.get(ref)
-        g = df["g"].to_numpy(np.int64)
-        return pd.DataFrame({"p_brand": battr_[g], "p_type": tattr_[g],
-                             "p_size": sattr_[g],
-                             "supplier_cnt": df["n"].astype(np.int64)})
-
-    return (lineitem.select_columns(["l_partkey", "l_suppkey"])
-            .map_batches(dedup_partial, batch_format="pandas")
-            .groupby("part").map_groups(fold, batch_format="pandas")
-            .groupby("g").aggregate(Sum("n", alias_name="n"))
-            .map_batches(finish, batch_format="pandas"))
+    # the per-partition counting partials are ≤ |groups| × P rows — fold
+    # them driver-side (sidecar-aggregate pattern) instead of paying a
+    # second all-to-all barrier for a bounded-size Sum
+    parts = (lineitem.select_columns(["l_partkey", "l_suppkey"])
+             .map_batches(dedup_partial, batch_format="pandas")
+             .groupby("part").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("g", as_index=False)["n"].sum()
+    g = agg["g"].to_numpy(np.int64)
+    return pd.DataFrame({"p_brand": battr[g], "p_type": tattr[g],
+                         "p_size": sattr[g],
+                         "supplier_cnt": agg["n"].astype(np.int64)})
 
 
 # ---- TPC-H Q19 shape: disjunctive multi-predicate revenue ----

@@ -281,3 +281,115 @@ def warc_index(pages: ray.data.Dataset) -> ray.data.Dataset:
 
     return pages.select_columns(["url", "warc_ts", "html"]) \
         .map_batches(roundtrip, batch_format="pandas")
+
+
+def warc_to_web_root(warc_paths: str | list[str], out_root: str,
+                     robots: pd.DataFrame | None = None,
+                     seeds: pd.DataFrame | None = None,
+                     n_buckets: int = 64):
+    """Ingest WARC shards into a crawlable web root — the engine's
+    bucketed ``pages/`` + ``pages_meta/`` + ``seeds.parquet`` +
+    ``robots.parquet`` layout — so a raw Common-Crawl-style archive
+    becomes a CrawlEngine origin directly (the reference can only
+    fetch from live HTTP, `providers/fetcher/githubFetcher.js`; here
+    the archive IS the origin). ``n_buckets`` must match
+    ``CrawlConfig.n_buckets`` (the fetch-join pruning key).
+
+    text is re-extracted with the engine's own extractor and lang
+    re-inferred with the marker classifier (a WARC carries neither);
+    etag = md5(html), the engine's content-etag rule.
+
+    Scale shape: one streaming parse+enrich pass (html never shuffles
+    twice), ONE bucket co-partition writes each bucket's pages + meta
+    files under idempotent names; the seeds/robots defaults come from
+    a bounded per-host fold of the sink tasks' slim outputs.
+
+    Returns (root, n_pages)."""
+    import hashlib
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .ops.text import lang_id_batch
+    from .stages.extract import extract_text_batch
+    from .urls import hash64_array
+
+    root = Path(out_root)
+    root.mkdir(parents=True, exist_ok=True)
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        html = [bytes(b) for b in df["html"]]
+        t = pa.table({"html": pa.array(html, pa.binary())})
+        text = extract_text_batch(t).column("text").to_pandas()
+        lang = lang_id_batch(pd.DataFrame(
+            {"doc_id": np.zeros(len(df), np.int64),
+             "text": text.astype(str)}))["lang_guess"]
+        u = df["url"].astype(str)
+        host = u.str.extract(r"^https?://([^/?#]+)", expand=False) \
+            .fillna("").str.lower()
+        out = pd.DataFrame({
+            "url": u.to_numpy(dtype=object),
+            "warc_ts": pd.to_datetime(df["warc_date"], utc=True)
+            .dt.tz_localize(None).astype("datetime64[us]"),
+            "html": pd.Series(html, dtype=object),
+            "text": text.astype(str).to_numpy(dtype=object),
+            "lang": lang.to_numpy(dtype=object),
+            "etag": [hashlib.md5(b).hexdigest() for b in html],
+            "host": host.to_numpy(dtype=object)})
+        out["bucket"] = (hash64_array(out["url"]) % n_buckets) \
+            .astype(np.int32)
+        return out
+
+    page_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()), ("text", pa.string()),
+        ("lang", pa.string())])
+    meta_schema = pa.schema([
+        ("url", pa.string()), ("etag", pa.string()),
+        ("host", pa.string())])
+
+    def sink(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values("url", kind="stable")
+        d1 = root / "pages" / f"bucket={b}"
+        d2 = root / "pages_meta" / f"bucket={b}"
+        d1.mkdir(parents=True, exist_ok=True)
+        d2.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(
+            g[["url", "warc_ts", "html", "text", "lang"]],
+            schema=page_schema, preserve_index=False),
+            d1 / "part-0.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            g[["url", "etag", "host"]], schema=meta_schema,
+            preserve_index=False), d2 / "part-0.parquet")
+        first = g.groupby("host", as_index=False) \
+            .agg(first_url=("url", "min"), n=("url", "size"))
+        return first
+
+    firsts = (read_warc(warc_paths)
+              .map_batches(enrich, batch_format="pandas")
+              .groupby("bucket").map_groups(sink, batch_format="pandas")
+              .to_pandas())            # ≤ hosts × buckets slim rows
+    n_pages = int(firsts["n"].sum())
+
+    if seeds is None:
+        s = firsts.groupby("host", as_index=False)["first_url"].min() \
+            .sort_values("host")
+        seeds = pd.DataFrame({
+            "url": s["first_url"].to_numpy(dtype=object),
+            "priority": "normal", "policy": "default",
+            "seq": np.arange(len(s), dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(seeds, preserve_index=False),
+                   root / "seeds.parquet")
+
+    if robots is None:
+        hosts = sorted(firsts["host"].unique())
+        robots = pd.DataFrame({
+            "host": np.asarray(hosts, dtype=object),
+            "disallow_prefixes": [[] for _ in hosts],
+            "crawl_delay_ms": np.int64(0),
+            "max_per_window": np.int32(1000)})
+    pq.write_table(pa.Table.from_pandas(robots, preserve_index=False),
+                   root / "robots.parquet")
+    return root, n_pages

@@ -92,3 +92,47 @@ def test_warc_file_roundtrip(ray_session, tmp_path):
     import hashlib
     assert (back["record_id"] == back["url"].map(
         lambda u: hashlib.md5(u.encode()).hexdigest())).all()
+
+
+def test_warc_to_web_root_crawl_parity(ray_session, tmp_path):
+    """End-to-end ingestion: pages → WARC shards → warc_to_web_root →
+    CrawlEngine over the rebuilt root reproduces the original crawl's
+    order log and seen set exactly (same seeds/robots/budgets; text is
+    re-extracted from html, which is byte-identical)."""
+    from ghcrawler_ray.config import CrawlConfig
+    from ghcrawler_ray.pipelines.wave import CrawlEngine
+    from ghcrawler_ray.sources import warc_to_web_root, write_warc
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    root = ensure_testdata(0.0001)
+    files = sorted(str(p) for p in
+                   (root / "pages").glob("bucket=*/part-0.parquet"))
+    warc_dir = tmp_path / "warc"
+    write_warc(ray.data.read_parquet(files), str(warc_dir))
+    shards = sorted(str(p) for p in warc_dir.glob("shard-*.warc"))
+
+    robots = pq.read_table(str(root / "robots.parquet")).to_pandas()
+    seeds = pq.read_table(str(root / "seeds.parquet")).to_pandas()
+    new_root, n_pages = warc_to_web_root(
+        shards, str(tmp_path / "webroot"), robots=robots, seeds=seeds)
+    n_orig = sum(len(pq.read_table(f)) for f in files)
+    assert n_pages == n_orig
+
+    cfg = CrawlConfig(max_waves=4)
+
+    def order_of(out_dir):
+        fs = sorted((out_dir / "order").glob("wave=*.parquet"),
+                    key=lambda p: int(p.stem.split("=")[1]))
+        df = pq.read_table([str(f) for f in fs]).to_pandas()
+        return df.sort_values(["wave", "seq_in_wave", "url"],
+                              kind="stable").reset_index(drop=True)
+
+    CrawlEngine(root, tmp_path / "out_a", cfg).run()
+    CrawlEngine(new_root, tmp_path / "out_b", cfg).run()
+    a, b = order_of(tmp_path / "out_a"), order_of(tmp_path / "out_b")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    sa = pq.read_table(str(tmp_path / "out_a" / "seen.parquet")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    sb = pq.read_table(str(tmp_path / "out_b" / "seen.parquet")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
