@@ -65,7 +65,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "embedding_sim_histogram", "cheapest_supplier_per_part",
                "decayed_user_activity", "association_rules",
                "boilerplate_lines", "readability", "nation_year_profit",
-               "parts_supplier_count")
+               "parts_supplier_count", "crawl_dust_rules",
+               "crawl_pagination", "crawl_warc_index")
 SCALING_CPUS = (8, 32)
 
 

@@ -142,6 +142,35 @@ def _cmd_ops(args) -> int:
     return 0
 
 
+def _cmd_warc(args) -> int:
+    """``warc export``: stream a crawled (or synthetic) pages layout out
+    as ISO-28500 shard files; ``warc ingest``: turn raw WARC shards into
+    a crawlable web root (pages/pages_meta/seeds/robots) — the Common
+    Crawl on-ramp/off-ramp."""
+    _ray_init(args)
+    import ray.data
+
+    from .sources import warc_to_web_root, write_warc
+    if args.action == "export":
+        files = sorted(str(p) for p in
+                       Path(args.web_root).glob("pages/bucket=*/*.parquet"))
+        if not files:
+            print(f"no pages buckets under {args.web_root}",
+                  file=sys.stderr)
+            return 2
+        n = write_warc(ray.data.read_parquet(files), args.out)
+        print(json.dumps({"records": n, "out": args.out}))
+        return 0
+    shards = sorted(str(p) for p in Path(args.warc_dir).glob("*.warc"))
+    if not shards:
+        print(f"no .warc shards under {args.warc_dir}", file=sys.stderr)
+        return 2
+    root, n = warc_to_web_root(shards, args.out,
+                               n_buckets=args.n_buckets)
+    print(json.dumps({"pages": n, "web_root": str(root)}))
+    return 0
+
+
 def _cmd_status(args) -> int:
     out = Path(args.out)
     manifests = sorted(out.glob("manifests/wave=*.json"),
@@ -202,6 +231,15 @@ def main(argv: list[str] | None = None) -> int:
     o.add_argument("--out", help="output parquet directory")
     o.add_argument("--num-cpus", type=int)
     o.set_defaults(fn=_cmd_ops)
+
+    w = sub.add_parser("warc", help="export pages ↔ ingest WARC shards")
+    w.add_argument("action", choices=["export", "ingest"])
+    w.add_argument("--web-root", help="pages layout to export from")
+    w.add_argument("--warc-dir", help="shard dir to ingest from")
+    w.add_argument("--out", required=True)
+    w.add_argument("--n-buckets", type=int, default=64)
+    w.add_argument("--num-cpus", type=int)
+    w.set_defaults(fn=_cmd_warc)
 
     s = sub.add_parser("status", help="manifest summary")
     s.add_argument("--out", required=True)

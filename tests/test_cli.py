@@ -60,3 +60,34 @@ def test_ops_cli_list_and_run(tmp_path, capsys, ray_session):
     t = pq.read_table(str(out2 / "part-0.parquet"))
     assert t.num_rows == res2["rows"] > 0
     assert "merged" in t.column_names
+
+
+def test_warc_cli_export_ingest(tmp_path, capsys, ray_session):
+    """warc export → warc ingest reconstructs a crawlable root with the
+    same page count and byte-identical html."""
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    root = ensure_testdata(0.0001)
+    warc_out = tmp_path / "warc"
+    assert main(["warc", "export", "--web-root", str(root),
+                 "--out", str(warc_out)]) == 0
+    exp = json.loads(capsys.readouterr().out)
+    assert exp["records"] > 0
+
+    web_out = tmp_path / "webroot"
+    assert main(["warc", "ingest", "--warc-dir", str(warc_out),
+                 "--out", str(web_out)]) == 0
+    ing = json.loads(capsys.readouterr().out)
+    assert ing["pages"] == exp["records"]
+    # defaults synthesized when robots/seeds aren't supplied
+    assert (web_out / "seeds.parquet").exists()
+    assert (web_out / "robots.parquet").exists()
+    orig = pq.read_table(sorted(
+        str(p) for p in (root / "pages").glob("bucket=*/part-0.parquet"))) \
+        .to_pandas()[["url", "html"]].sort_values("url")
+    back = pq.read_table(sorted(
+        str(p) for p in (web_out / "pages").glob("bucket=*/part-0.parquet"))) \
+        .to_pandas()[["url", "html"]].sort_values("url")
+    assert orig["url"].tolist() == back["url"].tolist()
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(orig["html"], back["html"]))

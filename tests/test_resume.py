@@ -89,3 +89,39 @@ def test_mid_wave_death_exhausting_attempts_raises(tmp_path):
         CrawlEngine(web_root, tmp_path / "fatal",
                     CrawlConfig(fail_inject="wave=2",
                                 wave_max_attempts=1)).run()
+
+
+def test_user_code_error_fails_fast(ray_session, tmp_path, monkeypatch):
+    """A deterministic user-code bug in a stage must surface immediately
+    (no wave_max_attempts pool-rebuild retries — the recovery path is
+    reserved for actor-death root causes)."""
+    import dataclasses
+
+    import pytest
+    import ray as _ray
+
+    from ghcrawler_ray.config import CrawlConfig
+    from ghcrawler_ray.pipelines import wave as wave_mod
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    root = ensure_testdata(0.0001)
+
+    def broken_stage(*a, **k):
+        def extract_bucket(g):
+            raise ValueError("deterministic user bug")
+        return extract_bucket
+
+    monkeypatch.setattr(wave_mod, "make_extract_stage", broken_stage)
+    recoveries = []
+    orig_recover = wave_mod.CrawlEngine._recover_pool
+    monkeypatch.setattr(
+        wave_mod.CrawlEngine, "_recover_pool",
+        lambda self, k: recoveries.append(k) or orig_recover(self, k))
+
+    eng = wave_mod.CrawlEngine(
+        root, tmp_path / "out",
+        dataclasses.replace(CrawlConfig(), max_waves=2,
+                            local_wave_threshold=0))
+    with pytest.raises(_ray.exceptions.RayError):
+        eng.run()
+    assert recoveries == []     # no pool rebuilds for a user-code error
