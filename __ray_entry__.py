@@ -1455,6 +1455,12 @@ def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
 
 
+def q_ngram_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc first-occurrence shingle novelty (corpus redundancy
+    curve) — distinct k-gram projection, one gram-hash co-partition."""
+    return ops_contam.ngram_novelty(_docs(sf_dir))
+
+
 def q_dedup_spans(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.dedup_spans(_docs(sf_dir))
 
@@ -5616,6 +5622,24 @@ def _ops_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_total
             FROM gs GROUP BY 1
             HAVING count(DISTINCT doc_id) >= {ops_contam.DUP_MIN_DOCS}""",
+        "ngram_novelty": rf"""
+            WITH t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            g AS (SELECT DISTINCT t.doc_id,
+                 ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT AS hu
+               FROM t, LATERAL (SELECT unnest(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DUP_NGRAM_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DUP_NGRAM_K)})) AS gr) u),
+            f AS (SELECT hu, min(doc_id) AS first_doc FROM g GROUP BY hu)
+            SELECT g.doc_id, count(*)::BIGINT AS n_shingles,
+                count(*) FILTER (WHERE f.first_doc = g.doc_id)::BIGINT
+                    AS n_novel,
+                ({ops_contam.NOVELTY_FP}
+                 * count(*) FILTER (WHERE f.first_doc = g.doc_id))
+                    // count(*) AS novelty_fp
+            FROM g JOIN f USING (hu)
+            GROUP BY 1""",
         "dedup_spans": rf"""
             WITH t AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -6139,6 +6163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": q_nation_market_share,
         "weekday_profile": q_weekday_profile,
         "duplicate_ngrams": q_duplicate_ngrams,
+        "ngram_novelty": q_ngram_novelty,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,
         "dedup_lines": q_dedup_lines,

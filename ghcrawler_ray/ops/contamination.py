@@ -711,3 +711,76 @@ def boilerplate_lines(docs: ray.data.Dataset,
             .map_batches(partial, batch_format="pandas")
             .groupby("part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---- per-document n-gram novelty (corpus redundancy curve) ----
+
+NOVELTY_FP = 10 ** 6
+
+
+def ngram_novelty(docs: ray.data.Dataset,
+                  k: int = DUP_NGRAM_K) -> ray.data.Dataset:
+    """(doc_id, n_shingles, n_novel, novelty_fp): among each document's
+    DISTINCT k-token shingles, how many occur in NO document with a
+    smaller doc_id (global first occurrence) — the marginal-information
+    curve of a growing corpus. Averaged over ingestion order this is the
+    diminishing-returns readout ("how much new text does the next crawl
+    snapshot actually add?") that drives stop/continue decisions for a
+    collection run; per-doc it flags boilerplate-heavy documents
+    (novelty → 0) before any pairwise dedup runs.
+
+    novelty_fp = FP·n_novel // n_shingles (docs with < k tokens emit no
+    row — mirrored). Shingle identity = the module's md5-prefix u64 hash
+    (same tokenization as the LSH family; the SQL oracle recomputes the
+    identical hash, so the comparison is exact, not probabilistic).
+
+    Scale shape: per-batch distinct (doc, gram) projection — text never
+    shuffles — ONE gram-hash co-partition makes first-owner-per-gram
+    global and folds to per-doc partials; a doc-keyed Sum finishes
+    (output is doc-cardinality)."""
+    n_parts = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cat, lens = _batch_grams(df["text"].tolist(), k, distinct=True)
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        out = pd.DataFrame({"gram_hash": cat.view(np.int64),
+                            "doc_id": doc})
+        out["part"] = (out["gram_hash"].to_numpy(np.int64)
+                       % n_parts).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("gram_hash", sort=False)["doc_id"] \
+            .transform("min")
+        agg = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "novel": (g["doc_id"].to_numpy(np.int64)
+                      == first.to_numpy(np.int64)).astype(np.int64)}) \
+            .groupby("doc_id", as_index=False) \
+            .agg(n_shingles=("novel", "size"), n_novel=("novel", "sum"))
+        agg = agg.astype({"n_shingles": np.int64, "n_novel": np.int64})
+        # coarse doc co-partition key for the merge fold (a second
+        # int-keyed exchange beats a full-cardinality doc_id Aggregate)
+        agg["dpart"] = (agg["doc_id"].to_numpy(np.int64)
+                        % n_parts).astype(np.int32)
+        return agg
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False) \
+            .agg(n_shingles=("n_shingles", "sum"),
+                 n_novel=("n_novel", "sum"))
+        n = s["n_shingles"].to_numpy(np.int64)
+        v = s["n_novel"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(np.int64),
+            "n_shingles": n, "n_novel": v,
+            "novelty_fp": np.int64(NOVELTY_FP) * v // n})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                        batch_format="pandas")
+            .groupby("dpart")
+            .map_groups(lambda g: finish(g.drop(columns=["dpart"])),
+                        batch_format="pandas"))
