@@ -501,6 +501,13 @@ def q_host_content_dup(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.host_content_dup(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_recrawl_priority(sf_dir: str) -> ray.data.Dataset:
+    """Recrawl scheduler feed: staleness (days vs fixed ref instant) x
+    capped link in-degree, one shared url-hash co-partition join."""
+    return ops_urlstats.recrawl_priority(
+        _pages_ds(sf_of_dir(sf_dir)), _links_ds(sf_dir))
+
+
 def q_dust_rules(sf_dir: str) -> ray.data.Dataset:
     """DUST rewrite-rule mining: same-host identical-content url pairs
     vote for their first-path-segment substitution (Bar-Yossef 2007)."""
@@ -1453,6 +1460,13 @@ def q_vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
 
 def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
+
+
+def q_session_paths(sf_dir: str) -> ray.data.Dataset:
+    """Session behavior-path mining (first-5-type prefix paths rolled
+    up to session/user counts) over gap sessions."""
+    from ghcrawler_ray.ops.events import session_paths
+    return session_paths(_events(sf_dir))
 
 
 def q_ngram_novelty(sf_dir: str) -> ray.data.Dataset:
@@ -2488,6 +2502,24 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 ((n_pages - n_distinct) * 1000000) // n_pages
                     AS dup_frac_fp
             FROM a""",
+        # ops/urlstats.recrawl_priority: staleness x capped in-degree
+        "crawl_recrawl_priority": f"""
+            WITH l AS (SELECT unnest(regexp_extract_all(decode(html),
+                 '{ops_urlstats.ANCHOR_TAG_RE}', 1)) AS u
+               FROM read_parquet('{pages}')),
+            ind AS (SELECT u AS url, count(*)::BIGINT AS indegree
+               FROM l GROUP BY 1),
+            p AS (SELECT url, epoch_us(warc_ts)::BIGINT AS ts_us
+               FROM read_parquet('{pages}'))
+            SELECT p.url,
+                (({ops_urlstats.RECRAWL_REF_US} - p.ts_us)
+                    // {ops_urlstats.DAY_US})::BIGINT AS age_days,
+                coalesce(ind.indegree, 0)::BIGINT AS indegree,
+                ((({ops_urlstats.RECRAWL_REF_US} - p.ts_us)
+                    // {ops_urlstats.DAY_US}) * 10
+                 + least(coalesce(ind.indegree, 0), 100))::BIGINT
+                    AS score_fp
+            FROM p LEFT JOIN ind USING (url)""",
         # ops/urlstats.dust_rules: same-host byte-identical-content url
         # pairs vote for their first-path-segment substitution
         "crawl_dust_rules": f"""
@@ -5292,6 +5324,26 @@ def _ops_sql() -> dict[str, str]:
             FROM events e LEFT JOIN bands b
               ON e.value >= b.lo AND e.value < b.hi""",
         "user_sessions": _sessions_sql(),
+        # ops/events.session_paths: first-5-type prefix path per gap
+        # session → (path, n_sessions, n_users)
+        "session_paths": """
+            WITH o AS (SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+            s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_id FROM o),
+            r AS (SELECT user_id, session_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_id
+                     ORDER BY ts, event_id) AS rn FROM s),
+            p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
+            SELECT path, count(*)::BIGINT AS n_sessions,
+                count(DISTINCT user_id)::BIGINT AS n_users
+            FROM p GROUP BY 1""",
         "cusum_alarms": f"""
             WITH o AS (SELECT user_id, ts, event_id,
                  CAST(floor(value * 1000000 + 0.5) AS BIGINT)
@@ -5996,6 +6048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_compression": q_url_compression,
         "crawl_host_content_dup": q_host_content_dup,
         "crawl_dust_rules": q_dust_rules,
+        "crawl_recrawl_priority": q_recrawl_priority,
         "crawl_pagination": q_pagination,
         "crawl_warc_index": q_warc_index,
         "media_resize": q_media_resize,
@@ -6164,6 +6217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_profile": q_weekday_profile,
         "duplicate_ngrams": q_duplicate_ngrams,
         "ngram_novelty": q_ngram_novelty,
+        "session_paths": q_session_paths,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,
         "dedup_lines": q_dedup_lines,

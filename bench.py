@@ -66,7 +66,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "decayed_user_activity", "association_rules",
                "boilerplate_lines", "readability", "nation_year_profit",
                "parts_supplier_count", "crawl_dust_rules",
-               "crawl_pagination", "crawl_warc_index", "ngram_novelty")
+               "crawl_pagination", "crawl_warc_index", "ngram_novelty",
+               "session_paths", "crawl_recrawl_priority")
 SCALING_CPUS = (8, 32)
 
 

@@ -1670,3 +1670,76 @@ def markov_accuracy(events: ray.data.Dataset) -> pd.DataFrame:
     return pd.DataFrame({
         "n_transitions": [n], "n_correct": [c],
         "accuracy": [float(c) / float(max(n, 1))]})
+
+
+# ---- session path mining (top behavior sequences) ----
+
+SESSION_PATH_LEN = 5
+
+
+def session_paths(events: ray.data.Dataset,
+                  gap_minutes: int = SESSION_GAP_MIN,
+                  max_len: int = SESSION_PATH_LEN) -> ray.data.Dataset:
+    """(path, n_sessions, n_users): behavior-path mining — for every
+    gap-session, path = its first ``max_len`` event types in
+    (ts, event_id) order joined with '>'; rolled up to how many
+    sessions and how many distinct users follow each prefix path. The
+    UX-flow readout ("view>view>purchase vs view>bounce") that sits on
+    top of sessionization the way funnel_conversion sits on ordered
+    pairs.
+
+    Scale shape: slim 4-column projection → ONE user-hash co-partition
+    (a user's events resolve into sessions wholly inside their
+    partition, so per-partition distinct-user counts are exact and sum
+    globally — partitions own disjoint users); session assignment and
+    prefix selection fully vectorized; ≤ |paths| × parts partial rows →
+    small path-keyed fold (path alphabet is types^max_len-bounded)."""
+    from ..urls import hash64_array
+
+    gap = np.timedelta64(gap_minutes * 60_000_000, "us")
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts", "user_id", "event_type"]].copy()
+        out["upart"] = (df["user_id"].to_numpy(dtype=np.int64)
+                        % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        new_user = np.zeros(len(g), dtype=bool)
+        brk = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_user[1:] = uid[1:] != uid[:-1]
+            brk[1:] = ((np.diff(ts) > gap) & ~new_user[1:]) \
+                .astype(np.int64)
+        c = brk.cumsum()
+        starts = np.flatnonzero(np.concatenate([[True], new_user[1:]]))
+        runlen = np.diff(np.concatenate([starts, [len(g)]]))
+        g["session_id"] = c - np.repeat(c[starts], runlen)
+        rn = g.groupby(["user_id", "session_id"], sort=False).cumcount()
+        sub = g[rn.to_numpy() < max_len]
+        p = sub.groupby(["user_id", "session_id"], sort=False) \
+            ["event_type"].agg(">".join).reset_index(name="path")
+        agg = p.groupby("path", as_index=False) \
+            .agg(n_sessions=("user_id", "size"),
+                 n_users=("user_id", "nunique"))
+        agg = agg.astype({"n_sessions": np.int64, "n_users": np.int64})
+        agg["ppart"] = (hash64_array(agg["path"]) % 16).astype(np.int32)
+        return agg
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("path", as_index=False) \
+            .agg(n_sessions=("n_sessions", "sum"),
+                 n_users=("n_users", "sum"))
+        return s.astype({"n_sessions": np.int64, "n_users": np.int64})
+
+    return (events.select_columns(["event_id", "ts", "user_id",
+                                   "event_type"])
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("upart").map_groups(fold, batch_format="pandas")
+            .groupby("ppart")
+            .map_groups(lambda g: finish(g.drop(columns=["ppart"])),
+                        batch_format="pandas"))

@@ -784,3 +784,67 @@ def pagination_families(pages: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("part")
             .map_groups(lambda g: fold(g.drop(columns=["part"])),
                         batch_format="pandas"))
+
+
+# ---- recrawl priority (staleness × authority scheduler feed) ----
+
+RECRAWL_REF_US = 1_751_328_000_000_000    # 2025-07-01T00:00:00Z in epoch µs
+DAY_US = 86_400_000_000
+
+
+def recrawl_priority(pages: ray.data.Dataset,
+                     links: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, age_days, indegree, score_fp): the recrawl scheduler feed —
+    staleness (whole days since the page's warc_ts, against a fixed
+    reference instant) weighted with link authority (in-degree over the
+    extracted link graph, capped at 100 so hubs don't monopolize the
+    budget): score_fp = 10·age_days + min(indegree, 100). The static
+    companion to ``ops/events.revisit_schedule``'s learned change rate —
+    together they are the freshness half of the reference's traversal
+    policies (`lib/traversalPolicy.js` N-days fetch decisions) turned
+    into a rankable column.
+
+    Scale shape: the relational tagged-union join — links fold to
+    per-batch (dst, count) partials, pages to slim (url, ts) rows, ONE
+    shared url-hash co-partition merges them vectorized; neither html
+    nor full link rows shuffle."""
+    def page_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["warc_ts"].astype("datetime64[us]").to_numpy() \
+            .astype(np.int64)
+        out = pd.DataFrame({
+            "url": df["url"].astype(str).to_numpy(dtype=object),
+            "ts_us": ts,
+            "n": np.zeros(len(df), dtype=np.int64),
+            "kind": np.zeros(len(df), dtype=np.int8)})
+        out["part"] = (hash64_array(out["url"]) % N_URL_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def link_rows(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("dst_url", sort=False).size().reset_index(name="n")
+        out = pd.DataFrame({
+            "url": c["dst_url"].astype(str).to_numpy(dtype=object),
+            "ts_us": np.zeros(len(c), dtype=np.int64),
+            "n": c["n"].to_numpy(np.int64),
+            "kind": np.ones(len(c), dtype=np.int8)})
+        out["part"] = (hash64_array(out["url"]) % N_URL_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["kind"] == 0]
+        ind_map = g[g["kind"] == 1].groupby("url")["n"].sum()
+        ind = p["url"].map(ind_map).fillna(0).to_numpy(np.int64)
+        age = (RECRAWL_REF_US - p["ts_us"].to_numpy(np.int64)) // DAY_US
+        return pd.DataFrame({
+            "url": p["url"].to_numpy(dtype=object),
+            "age_days": age, "indegree": ind,
+            "score_fp": age * 10 + np.minimum(ind, 100)})
+
+    return (pages.select_columns(["url", "warc_ts"])
+            .map_batches(page_rows, batch_format="pandas")
+            .union(links.select_columns(["src_url", "dst_url"])
+                   .map_batches(link_rows, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                        batch_format="pandas"))
