@@ -16,7 +16,8 @@ Stages (each is a library call — see COVERAGE.md for the full menu):
      against the corpus's own top-V vocabulary, and learn a small BPE
      merge table from the survivor corpus,
   6. pack the kept docs into fixed-length training sequences,
-  7. write resumable md5-sharded corpus output.
+  7. write resumable md5-sharded corpus output, and export the origin
+     as ISO-28500 WARC shards (the Common Crawl off-ramp).
 """
 
 from __future__ import annotations
@@ -114,6 +115,13 @@ def main() -> None:
 
     manifest = write_corpus_shards(survivors, f"{args.out}/shards",
                                    n_shards=8)
+
+    # 7b. archival off-ramp: the origin pages as WARC shard files
+    from ghcrawler_ray.sources import write_warc
+    page_files = sorted(
+        str(p) for p in (web_root / "pages").glob("bucket=*/part-0.parquet"))
+    n_warc = write_warc(ray.data.read_parquet(page_files),
+                        f"{args.out}/warc")
     print(json.dumps({
         "bpe_merges": merges["merged"].tolist(),
         "curate_kept": kept.count(),
@@ -123,6 +131,7 @@ def main() -> None:
         "encoded_token_ids": n_ids,
         "packed_sequences": n_seqs,
         "shards_written": int((~manifest["skipped"]).sum()),
+        "warc_records": n_warc,
     }))
     ray.shutdown()
 
