@@ -558,6 +558,13 @@ def q_frame_samples(sf_dir: str) -> ray.data.Dataset:
     return frame_samples(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_audio_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Overlapping fixed-rate audio windowing (actor-pool stage; one
+    row per chunk; Whisper-style segmentation over opaque binary)."""
+    from ghcrawler_ray.ops.multimodal import audio_chunks
+    return audio_chunks(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_doc_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Batched embedding "inference" over documents (actor-pool stage,
     deterministic hash model → SQL-recomputable doubles)."""
@@ -3062,6 +3069,22 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             SELECT url, i AS frame_index, (i * n) // 4 AS "offset",
                    md5(substring(h, CAST((i * n) // 4 AS INT) + 1, 64))
                      AS frame_md5
+            FROM x""",
+        "audio_chunks": f"""
+            -- fixed-rate PCM stand-in: 8 bytes/ms, 100 ms windows at a
+            -- 75 ms hop; payloads are ASCII so decode+substring mirrors
+            -- the python byte slices
+            WITH f AS (SELECT url, decode(html) AS h,
+                 octet_length(html) // 8 AS dur
+               FROM read_parquet('{pages}')),
+            x AS (SELECT url, h, dur, unnest(range(
+                 greatest(1, 1 + (greatest(dur - 100, 0) + 74) // 75)))
+                 AS i FROM f)
+            SELECT url, i AS chunk_index, (i * 75)::BIGINT AS start_ms,
+                least(i * 75 + 100, dur)::BIGINT AS end_ms,
+                md5(substring(h, CAST(i * 75 * 8 AS INT) + 1,
+                    CAST((least(i * 75 + 100, dur) - i * 75) * 8 AS INT)))
+                    AS chunk_md5
             FROM x""",
         "crawl_robots_filter": f"""
             WITH p AS (SELECT url,
@@ -6054,6 +6077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": q_media_resize,
         "doc_embeddings": q_doc_embeddings,
         "frame_samples": q_frame_samples,
+        "audio_chunks": q_audio_chunks,
         "crawl_robots_filter": q_robots_filter,
         "crawl_pages_lang_dist": q_pages_lang_dist,
         "crawl_host_stats": q_host_stats,

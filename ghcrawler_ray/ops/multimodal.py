@@ -225,3 +225,60 @@ def doc_embeddings(docs: ray.data.Dataset, dim: int = 4,
         TextEmbedStage, fn_constructor_kwargs={"dim": dim},
         batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, concurrency), num_cpus=0.5)
+
+
+class AudioChunkStage:
+    """Actor-pool audio chunker: the ASR-preprocessing analogue over an
+    opaque binary column. The payload is treated as fixed-rate PCM
+    (``BYTES_PER_MS`` bytes/ms — a real decoder would read the container
+    header); it is cut into overlapping windows (``chunk_ms`` long,
+    ``hop_ms`` apart — the Whisper-style segmentation), one row per
+    (payload, chunk_index) with the window's byte-span md5 standing in
+    for the decoded samples. mode='fake' is the deterministic stand-in;
+    real decode is gated like the other media stages."""
+
+    BYTES_PER_MS = 8
+    CHUNK_MS = 100
+    HOP_MS = 75
+
+    def __init__(self, payload_col: str = "html", id_col: str = "url",
+                 mode: str = "fake"):
+        self.payload_col, self.id_col = payload_col, id_col
+        if mode != "fake":
+            raise NotImplementedError(
+                "real audio decode needs an audio library; use mode='fake'")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, starts, ends, md5s = [], [], [], [], []
+        bpm, chunk, hop = self.BYTES_PER_MS, self.CHUNK_MS, self.HOP_MS
+        for key, b in zip(df[self.id_col].astype(str), df[self.payload_col]):
+            b = bytes(b)
+            dur = len(b) // bpm
+            n_chunks = max(1, 1 + (max(dur - chunk, 0) + hop - 1) // hop)
+            for i in range(n_chunks):
+                s = i * hop
+                e = min(s + chunk, dur)
+                ids.append(key)
+                idxs.append(i)
+                starts.append(s)
+                ends.append(e)
+                md5s.append(hashlib.md5(b[s * bpm:e * bpm]).hexdigest())
+        return pd.DataFrame({
+            self.id_col: pd.Series(ids, dtype=str),
+            "chunk_index": np.array(idxs, dtype=np.int64),
+            "start_ms": np.array(starts, dtype=np.int64),
+            "end_ms": np.array(ends, dtype=np.int64),
+            "chunk_md5": pd.Series(md5s, dtype=str),
+        })
+
+
+def audio_chunks(pages: ray.data.Dataset, payload_col: str = "html",
+                 id_col: str = "url",
+                 concurrency: int = 16) -> ray.data.Dataset:
+    """Overlapping fixed-rate audio windowing over a binary column
+    (actor pool, small batches); one row per chunk."""
+    return pages.select_columns([id_col, payload_col]).map_batches(
+        AudioChunkStage, fn_constructor_kwargs={
+            "payload_col": payload_col, "id_col": id_col},
+        batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, concurrency), num_cpus=0.5)

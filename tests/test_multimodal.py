@@ -103,3 +103,35 @@ def test_doc_embeddings_actor_pool(ray_session, tmp_path):
     out = doc_embeddings(docs).to_pandas().sort_values("doc_id")
     assert list(out.columns) == ["doc_id", "e0", "e1", "e2", "e3"]
     assert len(out) == 10
+
+
+def test_audio_chunk_windows(ray_session):
+    """Chunk boundaries: 100 ms windows at 75 ms hop over an 8 B/ms
+    payload; last window clamps to the duration; md5 matches the span."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from ghcrawler_ray.ops.multimodal import AudioChunkStage, audio_chunks
+
+    payload = bytes(range(256)) * 8          # 2048 B → 256 ms
+    df = pd.DataFrame({"url": ["u1"], "html": [payload]})
+    out = audio_chunks(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("chunk_index").reset_index(drop=True)
+    # dur=256: n = 1 + ceil((256-100)/75) = 1 + ceil(156/75) = 4
+    assert out["chunk_index"].tolist() == [0, 1, 2, 3]
+    assert out["start_ms"].tolist() == [0, 75, 150, 225]
+    assert out["end_ms"].tolist() == [100, 175, 250, 256]
+    exp = hashlib.md5(payload[225 * 8:256 * 8]).hexdigest()
+    assert out["chunk_md5"].iloc[3] == exp
+
+    # short payload → exactly one clamped chunk
+    short = pd.DataFrame({"url": ["u2"], "html": [b"abcd" * 10]})  # 5 ms
+    o2 = audio_chunks(ray.data.from_pandas(short)).to_pandas()
+    assert len(o2) == 1 and o2["end_ms"].iloc[0] == 5
+
+    # real-decode gate
+    import pytest
+    with pytest.raises(NotImplementedError):
+        AudioChunkStage(mode="real")
