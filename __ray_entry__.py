@@ -508,6 +508,12 @@ def q_recrawl_priority(sf_dir: str) -> ray.data.Dataset:
         _pages_ds(sf_of_dir(sf_dir)), _links_ds(sf_dir))
 
 
+def q_canonical_map(sf_dir: str) -> ray.data.Dataset:
+    """Content-identity canonical rewrite map (loser url → min-url
+    winner per md5 group)."""
+    return ops_urlstats.canonical_url_map(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_dust_rules(sf_dir: str) -> ray.data.Dataset:
     """DUST rewrite-rule mining: same-host identical-content url pairs
     vote for their first-path-segment substitution (Bar-Yossef 2007)."""
@@ -1467,6 +1473,13 @@ def q_vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
 
 def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
+
+
+def q_dwell_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type post-event dwell (gap to the user's next event
+    attributed to the preceding type), exact integer microseconds."""
+    from ghcrawler_ray.ops.events import dwell_by_type
+    return dwell_by_type(_events(sf_dir))
 
 
 def q_session_paths(sf_dir: str) -> ray.data.Dataset:
@@ -2509,6 +2522,17 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 ((n_pages - n_distinct) * 1000000) // n_pages
                     AS dup_frac_fp
             FROM a""",
+        # ops/urlstats.canonical_url_map: loser → min-url winner per
+        # md5 content group
+        "crawl_canonical_map": f"""
+            WITH p AS (SELECT url, md5(decode(html)) AS h
+               FROM read_parquet('{pages}')),
+            g AS (SELECT h, min(url) AS canonical_url,
+                 count(*)::BIGINT AS group_size
+               FROM p GROUP BY h)
+            SELECT p.url, g.canonical_url, g.group_size
+            FROM p JOIN g USING (h)
+            WHERE p.url <> g.canonical_url""",
         # ops/urlstats.recrawl_priority: staleness x capped in-degree
         "crawl_recrawl_priority": f"""
             WITH l AS (SELECT unnest(regexp_extract_all(decode(html),
@@ -5347,6 +5371,19 @@ def _ops_sql() -> dict[str, str]:
             FROM events e LEFT JOIN bands b
               ON e.value >= b.lo AND e.value < b.hi""",
         "user_sessions": _sessions_sql(),
+        # ops/events.dwell_by_type: gap to next same-user event,
+        # attributed to the preceding type; integer-µs floor mean
+        "dwell_by_type": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                 lead(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nts
+               FROM events)
+            SELECT event_type, count(nts)::BIGINT AS n_gaps,
+                coalesce(sum(epoch_us(nts) - epoch_us(ts)), 0)::BIGINT
+                    AS total_dwell_us,
+                (coalesce(sum(epoch_us(nts) - epoch_us(ts)), 0)
+                 // greatest(count(nts), 1))::BIGINT AS mean_dwell_us
+            FROM o GROUP BY 1""",
         # ops/events.session_paths: first-5-type prefix path per gap
         # session → (path, n_sessions, n_users)
         "session_paths": """
@@ -6071,6 +6108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_compression": q_url_compression,
         "crawl_host_content_dup": q_host_content_dup,
         "crawl_dust_rules": q_dust_rules,
+        "crawl_canonical_map": q_canonical_map,
         "crawl_recrawl_priority": q_recrawl_priority,
         "crawl_pagination": q_pagination,
         "crawl_warc_index": q_warc_index,
@@ -6242,6 +6280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngrams": q_duplicate_ngrams,
         "ngram_novelty": q_ngram_novelty,
         "session_paths": q_session_paths,
+        "dwell_by_type": q_dwell_by_type,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,
         "dedup_lines": q_dedup_lines,

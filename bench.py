@@ -67,7 +67,8 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "boilerplate_lines", "readability", "nation_year_profit",
                "parts_supplier_count", "crawl_dust_rules",
                "crawl_pagination", "crawl_warc_index", "ngram_novelty",
-               "session_paths", "crawl_recrawl_priority", "audio_chunks")
+               "session_paths", "crawl_recrawl_priority", "audio_chunks",
+               "crawl_canonical_map", "dwell_by_type")
 SCALING_CPUS = (8, 32)
 
 

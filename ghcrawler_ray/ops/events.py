@@ -1743,3 +1743,59 @@ def session_paths(events: ray.data.Dataset,
             .groupby("ppart")
             .map_groups(lambda g: finish(g.drop(columns=["ppart"])),
                         batch_format="pandas"))
+
+
+# ---- dwell time attributed to the preceding event type ----
+
+def dwell_by_type(events: ray.data.Dataset) -> pd.DataFrame:
+    """(event_type, n_gaps, total_dwell_us, mean_dwell_us): how long
+    users linger AFTER each event type — every consecutive same-user
+    event pair (ordered by ts, event_id) attributes its gap to the
+    FIRST event's type. The per-state companion to
+    ``inter_event_gaps``'s global histogram: "users sit 40 s on a view
+    but bounce 2 s after an error" is this table. Types whose events
+    are always stream-final appear with n_gaps 0. Exact integer µs;
+    mean = total // max(n, 1), mirrored.
+
+    Scale shape: slim 4-column projection → ONE user-hash co-partition
+    (a user's stream is wholly inside its partition, so adjacent-row
+    gaps are exact); one vectorized diff per partition → ≤ types ×
+    parts partial rows → bounded driver fold."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "event_type"]].copy()
+        out["part"] = (df["user_id"].to_numpy(dtype=np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").to_numpy().astype(np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        has_next = np.zeros(len(g), dtype=bool)
+        gap = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            has_next[:-1] = same
+            gap[:-1] = np.where(same, ts[1:] - ts[:-1], 0)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(dtype=object),
+            "n": has_next.astype(np.int64),
+            "dwell": gap}).groupby("event_type", as_index=False).sum()
+
+    parts = (events.select_columns(["user_id", "ts", "event_id",
+                                    "event_type"])
+             .map_batches(add_part, batch_format="pandas")
+             .groupby("part")
+             .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                         batch_format="pandas")
+             .to_pandas())               # ≤ types × parts rows
+    s = parts.groupby("event_type", as_index=False).sum()
+    n = s["n"].to_numpy(np.int64)
+    tot = s["dwell"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "event_type": s["event_type"].to_numpy(dtype=object),
+        "n_gaps": n, "total_dwell_us": tot,
+        "mean_dwell_us": tot // np.maximum(n, 1)}) \
+        .sort_values("event_type", kind="stable").reset_index(drop=True)

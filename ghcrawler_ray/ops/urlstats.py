@@ -848,3 +848,46 @@ def recrawl_priority(pages: ray.data.Dataset,
             .groupby("part")
             .map_groups(lambda g: fold(g.drop(columns=["part"])),
                         batch_format="pandas"))
+
+
+# ---- content-identity canonical url rewrite map ----
+
+def canonical_url_map(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, canonical_url, group_size): the rewrite map content dedup
+    implies — for every url whose bytes duplicate another page's, the
+    lexicographically-smallest url of its md5 group and the group size.
+    ``crawl_pages_exact_dedup`` keeps the winners; this emits the
+    losers WITH their winner — the table a frontier canonicalizer (or a
+    301-style redirect layer) actually consumes, and the per-url
+    application of the segment-level ``dust_rules``.
+
+    Scale shape: html folds to slim (md5, url) rows in the map pass;
+    ONE content-hash co-partition resolves each duplicate group's min
+    and size vectorized; output is duplicate-cardinality (empty on a
+    dup-free corpus)."""
+    import hashlib
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        ch = [hashlib.md5(bytes(b)).hexdigest() for b in df["html"]]
+        out = pd.DataFrame({
+            "h": np.asarray(ch, dtype=object),
+            "url": df["url"].astype(str).to_numpy(dtype=object)})
+        out["part"] = (hash64_array(out["h"]) % N_URL_PARTS) \
+            .astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("h", sort=False)["url"] \
+            .agg(canonical_url="min", group_size="size").reset_index()
+        m = g.merge(grp, on="h")
+        m = m[m["url"] != m["canonical_url"]]
+        return pd.DataFrame({
+            "url": m["url"].to_numpy(dtype=object),
+            "canonical_url": m["canonical_url"].to_numpy(dtype=object),
+            "group_size": m["group_size"].to_numpy(np.int64)})
+
+    return (pages.select_columns(["url", "html"])
+            .map_batches(slim, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: fold(g.drop(columns=["part"])),
+                        batch_format="pandas"))
