@@ -666,7 +666,16 @@ class CrawlEngine:
             claimed = log[log["newly_claimed"]][["url", "wave"]] \
                 .rename(columns={"wave": "first_wave"}) \
                 .drop_duplicates("url", keep="first")
-            etags = (log[log["found"] & (log["etag"] != "")]
+            # etag only for rows actually PROCESSED (fetched / 304-
+            # validated) — the partition stage probes etags before the
+            # politeness admission, so deferred rows carry a probe etag
+            # in the golden log; a claim still pending when max_waves
+            # truncates must have NO etag in the seen artifact (the
+            # reference's etag index records fetch-time state,
+            # `providers/storage/storageDocStore.js:81-93`; the oracle's
+            # seen_etag is only set on the admitted-and-found branch)
+            proc = log["outcome"].isin(("fetched", "not_modified"))
+            etags = (log[proc & (log["etag"] != "")]
                      [["url", "etag"]].drop_duplicates("url"))
             seen = claimed.merge(etags, on="url", how="left") \
                 .sort_values("url").reset_index(drop=True)

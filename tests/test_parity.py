@@ -135,3 +135,27 @@ def test_delta_log_matches_store(engine_out):
     pd.testing.assert_frame_equal(
         _norm(delta.sort_values(cols), cols),
         _norm(pages.sort_values(cols), cols))
+
+
+def test_truncated_crawl_seen_etag_parity(web_root, ray_session, tmp_path):
+    """max_waves truncation with deferrals still pending: a url CLAIMED
+    but never admitted must appear in seen.parquet with first_wave set
+    and NO etag (the partition stage probes etags before politeness
+    admission; that probe must not leak into the seen artifact — the
+    etag index records fetch-time state only)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CrawlConfig(), max_waves=3,
+                              local_wave_threshold=0)
+    golden = SequentialOracle(load_web(web_root), cfg).run()
+    res = CrawlEngine(web_root, tmp_path / "out", cfg).run()
+    seen = pq.read_table(str(Path(res["out_dir"]) / "seen.parquet")) \
+        .to_pandas()
+    gs = golden["seen"]
+    cols = ["url", "first_wave", "etag"]
+    pd.testing.assert_frame_equal(
+        _norm(seen.sort_values("url"), cols),
+        _norm(gs.sort_values("url"), cols))
+    # the scenario is non-degenerate: some claims must still be pending
+    assert seen["etag"].fillna("").eq("").any(), \
+        "fixture has no pending claims at truncation — shrink max_waves"
