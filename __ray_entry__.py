@@ -1026,6 +1026,12 @@ def q_ann_recall_eval(sf_dir: str) -> pd.DataFrame:
     return ops_ann.ann_recall_eval(_emb(sf_dir))
 
 
+def q_pq_recall_eval(sf_dir: str) -> pd.DataFrame:
+    """PQ-ADC recall@k vs exact cosine top-k (quantization-loss gate)."""
+    from ghcrawler_ray.ops.ann import pq_recall_eval
+    return pq_recall_eval(_emb(sf_dir))
+
+
 def q_hard_negatives(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.hard_negatives(_emb(sf_dir))
 
@@ -1976,6 +1982,34 @@ def _pq_topk_sql() -> str:
                 ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
             adc_dist
         FROM adc QUALIFY rank <= {PQ_TOPK}"""
+
+
+def _pq_recall_sql() -> str:
+    """PQ-ADC recall mirror (ops/ann.pq_recall_eval): exact cosine top-k
+    CTE vs the full PQ chain as a subquery, hit-counted per query."""
+    from ghcrawler_ray.ops.ann import ANN_EVAL_FP, N_QUERIES, PQ_TOPK
+    return f"""
+        WITH ex AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_cosine_similarity(q.qv, e.ev) DESC,
+                           e.vec_id) AS rank
+            FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev
+                        FROM embeddings) e
+            WHERE e.vec_id != q.qid) WHERE rank <= {PQ_TOPK}),
+        ap AS (SELECT query_id, neighbor_id
+               FROM ({_pq_topk_sql()}) a),
+        h AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+              FROM ex e JOIN ap USING (query_id, neighbor_id)
+              GROUP BY 1),
+        ne AS (SELECT query_id, count(*)::BIGINT AS n_exact
+               FROM ex GROUP BY 1)
+        SELECT ne.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+            (coalesce(h.n_hit, 0) * {ANN_EVAL_FP}) // ne.n_exact
+                AS recall_fp
+        FROM ne LEFT JOIN h USING (query_id)"""
 
 
 def _ann_recall_sql() -> str:
@@ -4001,6 +4035,7 @@ def _ops_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_sql(),
         "mmr_select": _mmr_sql(),
         "ann_recall_eval": _ann_recall_sql(),
+        "pq_recall_eval": _pq_recall_sql(),
         "props_key_stats": r"""
             WITH x AS (SELECT event_type,
                  coalesce(try_cast(regexp_extract(props, '"k":\s*(\d+)', 1)
@@ -6192,6 +6227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": q_pq_topk,
         "mmr_select": q_mmr_select,
         "ann_recall_eval": q_ann_recall_eval,
+        "pq_recall_eval": q_pq_recall_eval,
         "hard_negatives": q_hard_negatives,
         "props_key_stats": q_props_key_stats,
         "cdc_dedup_stats": q_cdc_dedup_stats,

@@ -1538,3 +1538,29 @@ def embedding_coverage(docs: ray.data.Dataset,
                        Sum("n_with_embedding",
                            alias_name="n_with_embedding"))
             .map_batches(finish, batch_format="pandas"))
+
+
+def pq_recall_eval(emb: ray.data.Dataset,
+                   k: int = PQ_TOPK) -> pd.DataFrame:
+    """(query_id, n_hit, recall_fp): per-query recall@k of the PQ-ADC
+    code search (:func:`pq_topk`) against the exact brute-force cosine
+    top-k (:func:`ann_topk`) — the QUANTIZATION-loss regression gate,
+    companion to :func:`ann_recall_eval`'s cell-boundary-loss gate (a
+    production index retrains codebooks and cells independently; each
+    needs its own recall alarm).
+
+    Both sides are k·Q-row bounded result sets, so the hit count is a
+    driver-side merge — the expensive work is inside the two searches,
+    each already scale-shaped."""
+    exact = ann_topk(emb, k=k).to_pandas()[["query_id", "neighbor_id"]]
+    approx = pq_topk(emb, topk=k)[["query_id", "neighbor_id"]]
+    hit = exact.merge(approx, on=["query_id", "neighbor_id"])
+    per_q = (exact.groupby("query_id").size().rename("n_exact")
+             .to_frame()
+             .join(hit.groupby("query_id").size().rename("n_hit"))
+             .fillna(0).reset_index())
+    return pd.DataFrame({
+        "query_id": per_q["query_id"].to_numpy(np.int64),
+        "n_hit": per_q["n_hit"].to_numpy(np.int64),
+        "recall_fp": (per_q["n_hit"].to_numpy(np.int64) * ANN_EVAL_FP)
+        // per_q["n_exact"].to_numpy(np.int64)})

@@ -393,3 +393,21 @@ def warc_to_web_root(warc_paths: str | list[str], out_root: str,
     pq.write_table(pa.Table.from_pandas(robots, preserve_index=False),
                    root / "robots.parquet")
     return root, n_pages
+
+
+def seeds_from_sitemaps(sitemaps: ray.data.Dataset) -> pd.DataFrame:
+    """Sitemap entries → seed frame for ``frontier.seeds_to_frontier`` /
+    ``admin.inject_seeds`` — the bootstrap path real crawls use (the
+    reference can only seed via REST request lists,
+    `routes/requests.js:55-80`). Sitemap priority maps to the queue
+    priority the reference's weighted queues encode: priority ≥ 0.7 →
+    ``soon``, else ``normal``; entries are ordered (host, url) so the
+    seed sequence is deterministic."""
+    rows = parse_sitemaps(sitemaps).to_pandas() \
+        .sort_values(["host", "url"], kind="stable").reset_index(drop=True)
+    return pd.DataFrame({
+        "url": rows["url"].astype(str).to_numpy(dtype=object),
+        "priority": np.where(rows["priority_x10"].to_numpy(np.int64) >= 7,
+                             "soon", "normal").astype(object),
+        "policy": "default",
+        "seq": np.arange(len(rows), dtype=np.int64)})

@@ -80,3 +80,23 @@ def test_bm25_ranks_higher_tf_and_penalizes_length(ray_session):
     assert by_id.loc[2, "score"] > by_id.loc[4, "score"]
     assert by_id.loc[3, "score"] == 0.0
     assert by_id.loc[3, "rank"] == 4
+
+
+def test_ngram_novelty_extremes(ray_session):
+    """All-unique corpus → novelty 1.0 everywhere; an exact duplicate of
+    an earlier doc → novelty 0 for the copy."""
+    import pandas as pd
+    import ray.data
+
+    from ghcrawler_ray.ops.contamination import NOVELTY_FP, ngram_novelty
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [t1, t2, t1]})   # doc 3 copies doc 1
+    out = ngram_novelty(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "novelty_fp"] == NOVELTY_FP
+    assert out.loc[1, "novelty_fp"] == NOVELTY_FP
+    assert out.loc[2, "novelty_fp"] == 0
+    assert out.loc[2, "n_shingles"] == out.loc[0, "n_shingles"]

@@ -91,3 +91,22 @@ def test_minhash_recall_equals_exact_on_separated_data(ray_session):
     mh_pairs = set(map(tuple, mh2.values.tolist()))
     assert exact_pairs <= mh_pairs
     assert (mh["jaccard"] >= 0.5).all()
+
+
+def test_session_paths_cross_consistency(ray_session):
+    """Σ n_sessions over all paths == total session count from
+    sessionize, and Σ (n_gaps over dwell_by_type) == total events −
+    total per-user streams (every non-final event has exactly one
+    gap)."""
+    import __ray_entry__ as em
+    from ghcrawler_ray.ops.events import dwell_by_type, session_paths, \
+        sessionize
+
+    ev = em._events(SF_DIR)
+    n_sessions = sessionize(ev).count()
+    paths = session_paths(ev).to_pandas()
+    assert int(paths["n_sessions"].sum()) == n_sessions
+
+    dw = dwell_by_type(ev)
+    ed = ev.to_pandas()
+    assert int(dw["n_gaps"].sum()) == len(ed) - ed["user_id"].nunique()

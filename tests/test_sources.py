@@ -136,3 +136,23 @@ def test_warc_to_web_root_crawl_parity(ray_session, tmp_path):
     sb = pq.read_table(str(tmp_path / "out_b" / "seen.parquet")) \
         .to_pandas().sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
+
+
+def test_seeds_from_sitemaps(ray_session):
+    """Sitemap → seeds: deterministic order, priority mapped from the
+    sitemap's own priority digit, frontier-compatible frame."""
+    from ghcrawler_ray.frontier import seeds_to_frontier
+    from ghcrawler_ray.sources import (seeds_from_sitemaps, sitemap_xml)
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    root = ensure_testdata(0.0001)
+    files = sorted(str(p) for p in
+                   (root / "pages").glob("bucket=*/part-0.parquet"))
+    pages = ray.data.read_parquet(files)
+    seeds = seeds_from_sitemaps(sitemap_xml(pages))
+    n_pages = sum(len(pq.read_table(f)) for f in files)
+    assert len(seeds) == n_pages
+    assert set(seeds["priority"]) <= {"soon", "normal"}
+    assert seeds["seq"].tolist() == list(range(len(seeds)))
+    fr = seeds_to_frontier(seeds)
+    assert len(fr) == len(seeds) and (fr["depth"] == 0).all()

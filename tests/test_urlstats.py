@@ -175,3 +175,44 @@ def test_waterfill_level_remainder_and_saturation(ray_session):
                                budget=100).set_index("host")
     assert out["allocated"].tolist() == [5, 10]
     assert int(out["allocated"].sum()) == 15
+
+
+def test_dust_rules_support_is_pair_count(ray_session):
+    """support(host, a, b) = n_a·n_b per content cluster, summed across
+    clusters — pinned on a hand-built corpus."""
+    import pandas as pd
+    import ray.data
+
+    from ghcrawler_ray.ops.urlstats import dust_rules
+
+    h = b"<html>same</html>"
+    rows = [("http://h.example/p/1", h), ("http://h.example/p/2", h),
+            ("http://h.example/dup/1", h), ("http://h.example/dup/2", h),
+            ("http://h.example/alt/1", h),
+            ("http://h.example/p/9", b"<html>other</html>"),
+            ("http://other.example/p/1", h)]   # other host: no pair
+    df = pd.DataFrame(rows, columns=["url", "html"])
+    out = dust_rules(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values(["host", "seg_from", "seg_to"]).reset_index(drop=True)
+    got = {(r.host, r.seg_from, r.seg_to): r.support
+           for r in out.itertuples()}
+    assert got == {("h.example", "/alt", "/dup"): 2,
+                   ("h.example", "/alt", "/p"): 2,
+                   ("h.example", "/dup", "/p"): 4}
+
+
+def test_canonical_map_losers_only(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from ghcrawler_ray.ops.urlstats import canonical_url_map
+
+    h = b"<html>x</html>"
+    df = pd.DataFrame({
+        "url": ["http://a/2", "http://a/1", "http://a/3", "http://b/1"],
+        "html": [h, h, h, b"<html>y</html>"]})
+    out = canonical_url_map(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert out["url"].tolist() == ["http://a/2", "http://a/3"]
+    assert (out["canonical_url"] == "http://a/1").all()
+    assert (out["group_size"] == 3).all()
