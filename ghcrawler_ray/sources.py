@@ -411,3 +411,57 @@ def seeds_from_sitemaps(sitemaps: ray.data.Dataset) -> pd.DataFrame:
                              "soon", "normal").astype(object),
         "policy": "default",
         "seq": np.arange(len(rows), dtype=np.int64)})
+
+
+# ---- robots.txt text format (REP; serialize <-> parse round-trip) ----
+
+def robots_txt(robots: pd.DataFrame) -> pd.DataFrame:
+    """(host, body): serialize the structured robots table to the REP
+    text format a web server actually serves — one document per host
+    with User-agent/Disallow/Crawl-delay lines (RFC 9309 §2.2; the
+    engine-side extension directive ``Max-per-window`` carries the
+    politeness budget the reference keeps in queue config,
+    `lib/crawlerFactory.js:74-76`)."""
+    rows = []
+    for r in robots.sort_values("host").itertuples():
+        lines = ["User-agent: *"]
+        lines += [f"Disallow: {p}" for p in sorted(r.disallow_prefixes)]
+        if int(r.crawl_delay_ms):
+            lines.append(f"Crawl-delay: {int(r.crawl_delay_ms) / 1000:g}")
+        lines.append(f"Max-per-window: {int(r.max_per_window)}")
+        rows.append((r.host, "\n".join(lines) + "\n"))
+    return pd.DataFrame(rows, columns=["host", "body"])
+
+
+def parse_robots_txt(docs: pd.DataFrame,
+                     default_max_per_window: int = 1000) -> pd.DataFrame:
+    """(host, disallow_prefixes, crawl_delay_ms, max_per_window): parse
+    REP text bodies back to the structured robots table the engine
+    consumes — the ingestion path for real fetched robots.txt files.
+    Unknown directives are ignored (RFC 9309 §2.2.4); a missing
+    Crawl-delay means 0; group handling keeps the ``*`` agent group
+    (the only group the engine models)."""
+    out = []
+    for r in docs.itertuples():
+        dis, delay_ms, mpw = [], 0, default_max_per_window
+        in_star = False
+        for raw in str(r.body).splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                in_star = val == "*"
+            elif in_star and key == "disallow" and val:
+                dis.append(val)
+            elif in_star and key == "crawl-delay":
+                delay_ms = int(float(val) * 1000)
+            elif in_star and key == "max-per-window":
+                mpw = int(val)
+        out.append((r.host, sorted(dis), delay_ms, mpw))
+    df = pd.DataFrame(out, columns=["host", "disallow_prefixes",
+                                    "crawl_delay_ms", "max_per_window"])
+    df["crawl_delay_ms"] = df["crawl_delay_ms"].astype(np.int64)
+    df["max_per_window"] = df["max_per_window"].astype(np.int32)
+    return df.sort_values("host").reset_index(drop=True)

@@ -156,3 +156,39 @@ def test_seeds_from_sitemaps(ray_session):
     assert seeds["seq"].tolist() == list(range(len(seeds)))
     fr = seeds_to_frontier(seeds)
     assert len(fr) == len(seeds) and (fr["depth"] == 0).all()
+
+
+def test_robots_txt_roundtrip(ray_session):
+    """Structured robots table → REP text → parse → identical table,
+    and the parsed table drives the same crawl (robots loading is by
+    value)."""
+    from ghcrawler_ray.sources import parse_robots_txt, robots_txt
+    from ghcrawler_ray.testgen import ensure_testdata
+
+    root = ensure_testdata(0.0001)
+    robots = pq.read_table(str(root / "robots.parquet")).to_pandas()
+    txt = robots_txt(robots)
+    assert (txt["body"].str.startswith("User-agent: *\n")).all()
+    back = parse_robots_txt(txt)
+    orig = robots.sort_values("host").reset_index(drop=True)
+    orig["disallow_prefixes"] = orig["disallow_prefixes"] \
+        .map(lambda x: sorted(list(x)))
+    back2 = back.copy()
+    back2["disallow_prefixes"] = back2["disallow_prefixes"] \
+        .map(lambda x: sorted(list(x)))
+    pd.testing.assert_frame_equal(
+        back2.reset_index(drop=True)[orig.columns], orig,
+        check_dtype=False)
+    # comments / unknown directives / foreign groups are ignored
+    messy = pd.DataFrame({"host": ["m.example"], "body": ["""
+# banner comment
+User-agent: gptbot
+Disallow: /everything
+User-agent: *
+Disallow: /private  # trailing comment
+Crawl-delay: 1.5
+Sitemap: http://m.example/sitemap.xml
+"""]})
+    p = parse_robots_txt(messy)
+    assert p.iloc[0]["disallow_prefixes"] == ["/private"]
+    assert p.iloc[0]["crawl_delay_ms"] == 1500
