@@ -34,8 +34,12 @@ def canon(df):
     df = df[sorted(df.columns)]
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
+import re as _re
+_sf = float(_re.search(r"sf([0-9.]+)", SF_DIR).group(1))
 qs = E.queries()
-sqls = E.oracle_sql()
+# scale-matched mirrors: the crawl-family SQL embeds the synthesized-web
+# paths for ONE sf; oracle_sql() hardcodes the driver's 0.01
+sqls = dict(E._ops_sql()); sqls.update(E._crawl_sql(_sf))
 bad, ok = [], 0
 for name in qs:
     if name not in sqls: continue
