@@ -5256,6 +5256,61 @@ def _ops_sql() -> dict[str, str]:
             SELECT COALESCE(sum(p * (100 - d)), 0) / 10000e0 AS revenue,
                 count(*)::BIGINT AS n_lines
             FROM f""",
+        # ops/relational.local_supplier_volume: TPC-H Q5 shape (same
+        # 1e-4 fixed-point revenue as nation_trade_volume)
+        "local_supplier_volume": f"""
+            SELECT n.n_name AS n_name,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)))::BIGINT AS revenue_e4,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = '{ops_rel.Q5_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1""",
+        # ops/relational.shipping_delay_profile: Q12 CASE-count shape
+        # over ship-delay bands (day-resolution timestamps make the
+        # integer day-diff banding exact)
+        "shipping_delay_profile": """
+            WITH j AS (SELECT
+                   CASE WHEN l.l_shipdate < o.o_orderdate THEN 'early'
+                        WHEN l.l_shipdate < o.o_orderdate
+                             + INTERVAL 30 DAY THEN '0-29'
+                        WHEN l.l_shipdate < o.o_orderdate
+                             + INTERVAL 90 DAY THEN '30-89'
+                        ELSE '90+' END AS delay_band,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS hi
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT delay_band, sum(hi)::BIGINT AS high_line_count,
+                   sum(1 - hi)::BIGINT AS low_line_count,
+                   count(*)::BIGINT AS n_lines
+            FROM j GROUP BY 1""",
+        # ops/relational.waiting_suppliers: Q21 sole-late-supplier shape
+        # (late = shipped > 90 days after the order date)
+        "waiting_suppliers": """
+            WITH l AS (SELECT l.l_orderkey AS k, l.l_suppkey AS s,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+                     AS late
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 WHERE o.o_orderstatus = 'F'),
+            per AS (SELECT k, count(DISTINCT s) AS n_supp,
+                   count(DISTINCT CASE WHEN late THEN s END) AS n_late,
+                   max(CASE WHEN late THEN s END) AS late_s
+                 FROM l GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+            FROM per JOIN supplier s ON s.s_suppkey = per.late_s
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY 1, 2""",
         "top_supplier_revenue": """
             WITH per AS (SELECT l_suppkey AS s_suppkey,
                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -6087,6 +6142,38 @@ def q_user_type_diversity(sf_dir: str) -> ray.data.Dataset:
     return ops_events.user_type_diversity(_events(sf_dir))
 
 
+def q_local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 shape: intra-nation revenue per nation of one region
+    over one order-year (four broadcast dims + one orderkey
+    co-partition join)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    return ops_rel.local_supplier_volume(_table(sf_dir, "orders"),
+                                         _table(sf_dir, "lineitem"),
+                                         cust, supp, nat, reg)
+
+
+def q_shipping_delay_profile(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12 shape: lineitem counts per ship-delay band split by
+    order priority (one orderkey co-partition, CASE-count fold)."""
+    return ops_rel.shipping_delay_profile(_table(sf_dir, "orders"),
+                                          _table(sf_dir, "lineitem"))
+
+
+def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole late shipper on
+    finished multi-supplier orders (per-order EXISTS/NOT-EXISTS tests
+    made partition-local by the orderkey co-partition)."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    return ops_rel.waiting_suppliers(_table(sf_dir, "orders"),
+                                     _table(sf_dir, "lineitem"), supp)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 
@@ -6340,6 +6427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "top_shippers": q_top_shippers,
         "top_supplier_revenue": q_top_supplier_revenue,
+        "local_supplier_volume": q_local_supplier_volume,
+        "shipping_delay_profile": q_shipping_delay_profile,
+        "waiting_suppliers": q_waiting_suppliers,
     }
 
 

@@ -1871,3 +1871,273 @@ def top_supplier_revenue(lineitem: ray.data.Dataset,
     top["total_revenue"] = top.pop("rev_e4").to_numpy(np.int64) / 10000.0
     return top.sort_values("s_suppkey").reset_index(drop=True) \
         [["s_suppkey", "s_name", "total_revenue"]]
+
+
+# ---- TPC-H Q5 shape: local (intra-nation) supplier volume ----
+
+Q5_LO = np.datetime64("1996-01-01", "us")
+Q5_HI = np.datetime64("1997-01-01", "us")
+Q5_REGION = "ASIA"
+
+
+def local_supplier_volume(orders: ray.data.Dataset,
+                          lineitem: ray.data.Dataset,
+                          customer: pd.DataFrame,
+                          supplier: pd.DataFrame,
+                          nation: pd.DataFrame,
+                          region: pd.DataFrame) -> ray.data.Dataset:
+    """(n_name, revenue_e4, n_lines): revenue where the customer and the
+    line's supplier sit in the SAME nation of one region, over one
+    order-year — the TPC-H Q5 "local supplier volume" six-table shape
+    (region/nation/customer/supplier are dimension lookups; the
+    orders×lineitem big×big join carries the filter).
+
+    Scale shape: region→nations, custkey→nationkey and suppkey→nationkey
+    broadcast once via ``ray.put`` (sorted key arrays, searchsorted
+    probes); both fact streams pre-filter to in-region rows BEFORE the
+    ONE orderkey co-partition shuffle (orders also date-pruned at the
+    tag), each partition folds to ≤ |nations| partials, and the final
+    hash groupby touches only those. Revenue exact int64 1e-4 units."""
+    rk = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"] \
+        .to_numpy(np.int64)
+    nat = nation[nation["n_regionkey"].isin(rk)].sort_values("n_nationkey")
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    nname = nat["n_name"].to_numpy(dtype=object)
+    cs = customer.sort_values("c_custkey")
+    ck = cs["c_custkey"].to_numpy(np.int64)
+    cnat = cs["c_nationkey"].to_numpy(np.int64)
+    ss = supplier.sort_values("s_suppkey")
+    sk = ss["s_suppkey"].to_numpy(np.int64)
+    snat = ss["s_nationkey"].to_numpy(np.int64)
+    ref = ray.put((ck, cnat, sk, snat, nk))
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ck_, cnat_, _, _, nk_ = ray.get(ref)
+        d = df["o_orderdate"].to_numpy()
+        df = df[(d >= Q5_LO) & (d < Q5_HI)]
+        k = df["o_orderkey"].to_numpy(np.int64)
+        cu = df["o_custkey"].to_numpy(np.int64)
+        known = _member_mask(ck_, cu)
+        cn = cnat_[np.minimum(np.searchsorted(ck_, cu),
+                              max(len(ck_) - 1, 0))] if len(ck_) else \
+            np.zeros(len(cu), np.int64)
+        keep = known & _member_mask(nk_, cn)
+        k, cn = k[keep], cn[keep]
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(k), dtype=np.int8),
+            "nat": cn, "v": np.zeros(len(k), dtype=np.int64)})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, sk_, snat_, nk_ = ray.get(ref)
+        k = df["l_orderkey"].to_numpy(np.int64)
+        su = df["l_suppkey"].to_numpy(np.int64)
+        known = _member_mask(sk_, su)
+        sn = snat_[np.minimum(np.searchsorted(sk_, su),
+                              max(len(sk_) - 1, 0))] if len(sk_) else \
+            np.zeros(len(su), np.int64)
+        keep = known & _member_mask(nk_, sn)
+        p = _cents(df["l_extendedprice"][keep])
+        d = _cents(df["l_discount"][keep])
+        k, sn = k[keep], sn[keep]
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "nat": sn, "v": p * (100 - d)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        m = l.merge(o[["k", "nat"]].rename(columns={"nat": "cn"}),
+                    on="k", how="inner")
+        m = m[m["cn"].to_numpy(np.int64) == m["nat"].to_numpy(np.int64)]
+        agg = m.groupby("nat", sort=False).agg(
+            revenue_e4=("v", "sum"), n_lines=("v", "size")).reset_index()
+        return pd.DataFrame({
+            "nat": agg["nat"].to_numpy(np.int64),
+            "revenue_e4": agg["revenue_e4"].to_numpy(np.int64),
+            "n_lines": agg["n_lines"].to_numpy(np.int64)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pos = np.searchsorted(nk, df["nat"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "n_name": nname[pos],
+            "revenue_e4": df["revenue_e4"].to_numpy(np.int64),
+            "n_lines": df["n_lines"].to_numpy(np.int64)})
+
+    tagged = (orders.select_columns(
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(tag_orders, batch_format="pandas",
+                           batch_size=65536)
+              .union(lineitem.select_columns(
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+                  .map_batches(tag_lines, batch_format="pandas",
+                               batch_size=65536)))
+    return (tagged.groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("nat")
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                       Sum("n_lines", alias_name="n_lines"))
+            .map_batches(finish, batch_format="pandas"))
+
+
+# ---- TPC-H Q12 shape: shipping-delay bands x order priority ----
+
+DELAY_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+_DELAY_BAND_EDGES = (0, 30, 90)          # days, band = [edge_i, edge_i+1)
+_DELAY_BAND_NAMES = ("early", "0-29", "30-89", "90+")
+
+
+def shipping_delay_profile(orders: ray.data.Dataset,
+                           lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(delay_band, high_line_count, low_line_count, n_lines): lineitem
+    counts per ship-delay band (days from o_orderdate to l_shipdate;
+    'early' = shipped before the order date, which the synthetic tables
+    do contain), split into high-priority (1-URGENT/2-HIGH) vs other
+    orders — the TPC-H Q12 shipmode/priority CASE-count shape, with the
+    delay band standing in for l_shipmode (the tables carry none).
+
+    Scale shape: both sides slim-tag (key, one int64 timestamp, one
+    int8 flag) and co-partition ONCE by orderkey; each partition folds
+    to ≤ |bands| partial rows via one vectorized date diff + select;
+    the final hash groupby touches ≤ bands × P rows."""
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        hi = df["o_orderpriority"].isin(DELAY_HIGH_PRIORITIES) \
+            .to_numpy().astype(np.int8)
+        od = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(k), dtype=np.int8), "hi": hi, "t": od})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(np.int64)
+        sd = df["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "hi": np.zeros(len(k), dtype=np.int8), "t": sd})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        m = l[["k", "t"]].merge(
+            o[["k", "hi", "t"]].rename(columns={"t": "od"}),
+            on="k", how="inner")
+        delay = (m["t"].to_numpy(np.int64)
+                 - m["od"].to_numpy(np.int64)) // _DAY_US
+        band = np.select(
+            [delay < _DELAY_BAND_EDGES[0], delay < _DELAY_BAND_EDGES[1],
+             delay < _DELAY_BAND_EDGES[2]],
+            _DELAY_BAND_NAMES[:3], default=_DELAY_BAND_NAMES[3])
+        hi = m["hi"].to_numpy(np.int8).astype(np.int64)
+        agg = pd.DataFrame({"delay_band": band, "hi": hi,
+                            "n": np.ones(len(m), dtype=np.int64)}) \
+            .groupby("delay_band", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "delay_band": agg["delay_band"].to_numpy(dtype=object),
+            "high_line_count": agg["hi"].to_numpy(np.int64),
+            "low_line_count": (agg["n"] - agg["hi"]).to_numpy(np.int64),
+            "n_lines": agg["n"].to_numpy(np.int64)})
+
+    tagged = (orders.select_columns(
+                  ["o_orderkey", "o_orderpriority", "o_orderdate"])
+              .map_batches(tag_orders, batch_format="pandas",
+                           batch_size=65536)
+              .union(lineitem.select_columns(["l_orderkey", "l_shipdate"])
+                     .map_batches(tag_lines, batch_format="pandas",
+                                  batch_size=65536)))
+    return (tagged.groupby("part").map_groups(fold, batch_format="pandas")
+            .groupby("delay_band")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count"),
+                       Sum("n_lines", alias_name="n_lines")))
+
+
+# ---- TPC-H Q21 shape: sole-late supplier on multi-supplier orders ----
+
+WAIT_LATE_DAYS = 90
+
+
+def waiting_suppliers(orders: ray.data.Dataset,
+                      lineitem: ray.data.Dataset,
+                      supplier: pd.DataFrame) -> pd.DataFrame:
+    """(s_suppkey, s_name, numwait): for FINISHED orders (o_orderstatus
+    'F') involving at least two distinct suppliers, counts per supplier
+    the orders where that supplier was the ONLY one shipping late
+    (l_shipdate > o_orderdate + WAIT_LATE_DAYS days) — the TPC-H Q21
+    "suppliers who kept orders waiting" EXISTS + NOT-EXISTS correlated
+    shape, with ship-date lag standing in for the receipt/commit delta
+    (the tables carry neither).
+
+    Scale shape: the status filter rides the orders tag (slim (key,
+    orderdate) rows), lineitem tags (key, suppkey, shipdate); ONE
+    orderkey co-partition makes every per-order existence test
+    partition-local (an order's lines co-locate), folded vectorized to
+    per-supplier partial counts; the final groupby and name attach
+    touch ≤ |suppliers| rows."""
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] == "F"]
+        k = df["o_orderkey"].to_numpy(np.int64)
+        od = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(k), dtype=np.int8),
+            "s": np.zeros(len(k), dtype=np.int64), "t": od})
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(np.int64)
+        sd = df["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8),
+            "s": df["l_suppkey"].to_numpy(np.int64), "t": sd})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        m = l[["k", "s", "t"]].merge(
+            o[["k", "t"]].rename(columns={"t": "od"}), on="k", how="inner")
+        late = m["t"].to_numpy(np.int64) > (
+            m["od"].to_numpy(np.int64) + WAIT_LATE_DAYS * _DAY_US)
+        ks = m[["k", "s"]].drop_duplicates()
+        n_supp = ks.groupby("k", sort=False).size()
+        kl = m.loc[late, ["k", "s"]].drop_duplicates()
+        n_late = kl.groupby("k", sort=False).size()
+        late_s = kl.groupby("k", sort=False)["s"].max()
+        sel = late_s.index[(n_late.reindex(late_s.index) == 1)
+                           & (n_supp.reindex(late_s.index) >= 2)]
+        cnt = late_s.loc[sel].value_counts()
+        return pd.DataFrame({
+            "s_suppkey": cnt.index.to_numpy(np.int64),
+            "numwait": cnt.to_numpy(np.int64)})
+
+    per = (orders.select_columns(
+               ["o_orderkey", "o_orderstatus", "o_orderdate"])
+           .map_batches(tag_orders, batch_format="pandas",
+                        batch_size=65536)
+           .union(lineitem.select_columns(
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+               .map_batches(tag_lines, batch_format="pandas",
+                            batch_size=65536))
+           .groupby("part").map_groups(fold, batch_format="pandas")
+           .groupby("s_suppkey")
+           .aggregate(Sum("numwait", alias_name="numwait"))
+           .to_pandas())                     # <= |suppliers| rows
+    if not len(per):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    sn = supplier.set_index("s_suppkey")["s_name"]
+    per = per.copy()
+    per["s_name"] = sn.reindex(per["s_suppkey"].to_numpy(np.int64)) \
+        .to_numpy(dtype=object)
+    per["numwait"] = per["numwait"].astype(np.int64)
+    return per.sort_values("s_suppkey").reset_index(drop=True) \
+        [["s_suppkey", "s_name", "numwait"]]

@@ -73,3 +73,91 @@ def test_order_revenue_join_across_partitions(ray_session):
     assert out.loc[k1, "gross_revenue"] == 45.0 + 30.0
     assert out.loc[k2, "gross_revenue"] == 150.0
     assert out.loc[k2, "o_totalprice"] == 200.0
+
+
+def test_local_supplier_volume_q5_semantics(ray_session):
+    from ghcrawler_ray.ops.relational import local_supplier_volume
+    D = lambda s: np.datetime64(s, "us")
+    region = pd.DataFrame({"r_regionkey": [0, 1],
+                           "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame({"n_nationkey": [10, 11, 20],
+                           "n_name": ["JAPAN", "INDIA", "FRANCE"],
+                           "n_regionkey": [0, 0, 1]})
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3],
+                         "c_nationkey": [10, 11, 20]})
+    supp = pd.DataFrame({"s_suppkey": [5, 6, 7],
+                         "s_nationkey": [10, 11, 20]})
+    orders = pd.DataFrame({
+        "o_orderkey": [100, 101, 102, 103],
+        "o_custkey": [1, 2, 3, 1],
+        "o_orderdate": [D("1996-06-01"), D("1996-06-01"),
+                        D("1996-06-01"), D("1995-06-01")]})  # 103: off-year
+    li = pd.DataFrame({
+        "l_orderkey": [100, 100, 101, 102, 103],
+        "l_suppkey": [5, 6, 6, 7, 5],
+        "l_extendedprice": [100.0, 100.0, 50.0, 80.0, 999.0],
+        "l_discount": [0.10, 0.0, 0.0, 0.0, 0.0]})
+    # 100/5: JAPAN cust+supp same nation → 90.0 counts for JAPAN
+    # 100/6: supplier INDIA ≠ cust JAPAN → dropped
+    # 101/6: INDIA == INDIA → 50.0 for INDIA
+    # 102/7: FRANCE but region EUROPE → dropped (region filter)
+    # 103: order-year 1995 → dropped
+    out = local_supplier_volume(
+        ray.data.from_pandas(orders), ray.data.from_pandas(li),
+        cust, supp, nation, region).to_pandas().set_index("n_name")
+    assert set(out.index) == {"JAPAN", "INDIA"}
+    assert out.loc["JAPAN", "revenue_e4"] == 100_00 * 90   # 90.00 in 1e-4
+    assert out.loc["JAPAN", "n_lines"] == 1
+    assert out.loc["INDIA", "revenue_e4"] == 50_00 * 100
+    assert out.loc["INDIA", "n_lines"] == 1
+
+
+def test_shipping_delay_profile_bands(ray_session):
+    from ghcrawler_ray.ops.relational import shipping_delay_profile
+    D = lambda s: np.datetime64(s, "us")
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_orderpriority": ["1-URGENT", "5-LOW"],
+        "o_orderdate": [D("1996-01-10"), D("1996-01-10")]})
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 2],
+        "l_shipdate": [D("1996-01-09"),   # -1d → early
+                       D("1996-01-10"),   # 0d  → 0-29
+                       D("1996-02-09"),   # 30d → 30-89
+                       D("1996-04-09"),   # 90d → 90+
+                       D("1996-02-08")]}) # 29d → 0-29
+    out = shipping_delay_profile(
+        ray.data.from_pandas(orders),
+        ray.data.from_pandas(li)).to_pandas().set_index("delay_band")
+    assert out.loc["early", "high_line_count"] == 1
+    assert out.loc["early", "low_line_count"] == 0
+    assert out.loc["0-29", "high_line_count"] == 1
+    assert out.loc["0-29", "low_line_count"] == 1
+    assert out.loc["30-89", "n_lines"] == 1
+    assert out.loc["90+", "low_line_count"] == 1
+    assert out["n_lines"].sum() == 5
+
+
+def test_waiting_suppliers_sole_late_rule(ray_session):
+    from ghcrawler_ray.ops.relational import waiting_suppliers
+    D = lambda s: np.datetime64(s, "us")
+    OD, LATE, OK = D("1996-01-01"), D("1996-06-01"), D("1996-02-01")
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_orderstatus": ["F", "F", "F", "O"],
+        "o_orderdate": [OD] * 4})
+    li = pd.DataFrame({
+        # order 1: supp 10 late, supp 11 on time → 10 gets a wait fault
+        # order 2: both 10 and 11 late → nobody (NOT-EXISTS fails)
+        # order 3: single-supplier late → nobody (EXISTS fails)
+        # order 4: status O → excluded even though sole-late
+        "l_orderkey": [1, 1, 2, 2, 3, 4, 4],
+        "l_suppkey": [10, 11, 10, 11, 12, 10, 11],
+        "l_shipdate": [LATE, OK, LATE, LATE, LATE, LATE, OK]})
+    supp = pd.DataFrame({"s_suppkey": [10, 11, 12],
+                         "s_name": ["S10", "S11", "S12"]})
+    out = waiting_suppliers(ray.data.from_pandas(orders),
+                            ray.data.from_pandas(li), supp)
+    assert list(out["s_suppkey"]) == [10]
+    assert list(out["s_name"]) == ["S10"]
+    assert list(out["numwait"]) == [1]
