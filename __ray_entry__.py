@@ -1006,6 +1006,12 @@ def q_emb_lsh(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.embedding_lsh_pairs(_emb(sf_dir))
 
 
+def q_nearest_centroid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-class-mean linear-probe confusion matrix (exact
+    fixed-point centroids + int64 distance argmin)."""
+    return ops_ann.nearest_centroid_confusion(_emb(sf_dir))
+
+
 def q_kmeans(sf_dir: str) -> pd.DataFrame:
     return ops_ann.kmeans_fit(_emb(sf_dir))
 
@@ -1479,6 +1485,13 @@ def q_vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
 
 def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
+
+
+def q_late_event_stats(sf_dir: str) -> ray.data.Dataset:
+    """Watermark late-event accounting: per-type count of events whose
+    event time lags the running arrival-order max beyond the allowed
+    delay (two-pass block prefix-max, integer µs exact)."""
+    return ops_events.late_event_stats(_events(sf_dir))
 
 
 def q_dwell_by_type(sf_dir: str) -> pd.DataFrame:
@@ -4029,6 +4042,27 @@ def _ops_sql() -> dict[str, str]:
                 (sum_fp::DOUBLE / {ops_ann.CENTROID_FP}e0) / n_vecs
                   AS centroid
             FROM a""",
+        # ops/ann.nearest_centroid_confusion: floored fixed-point class
+        # means (posmod → floor division, matching numpy //) + int64
+        # distance argmin with lowest-label tie-break
+        "nearest_centroid_confusion": f"""
+            WITH x AS (SELECT vec_id, label, CAST(r.i AS BIGINT) AS dim,
+                 CAST(floor(embedding[CAST(r.i AS INT) + 1]::DOUBLE
+                            * {ops_ann.CENTROID_FP}e0) AS BIGINT) AS fp
+               FROM embeddings CROSS JOIN range({ops_ann.EMB_DIM}) r(i)),
+            a AS (SELECT label, dim, sum(fp)::BIGINT AS s,
+                 count(*)::BIGINT AS n FROM x GROUP BY 1, 2),
+            mu AS (SELECT label AS cand, dim,
+                 (s - (((s % n) + n) % n)) // n AS m FROM a),
+            d AS (SELECT x.vec_id, x.label, mu.cand,
+                 sum((x.fp - mu.m) * (x.fp - mu.m))::BIGINT AS d2
+               FROM x JOIN mu USING (dim) GROUP BY 1, 2, 3),
+            p AS (SELECT vec_id, label,
+                 (array_agg(cand ORDER BY d2 ASC, cand ASC))[1] AS pred
+               FROM d GROUP BY 1, 2)
+            SELECT label, pred AS pred_label,
+                count(*)::BIGINT AS n_vecs
+            FROM p GROUP BY 1, 2""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
         "pq_codes": _pq_sql(),
@@ -5463,6 +5497,23 @@ def _ops_sql() -> dict[str, str]:
         "user_sessions": _sessions_sql(),
         # ops/events.dwell_by_type: gap to next same-user event,
         # attributed to the preceding type; integer-µs floor mean
+        # ops/events.late_event_stats: arrival order = event_id, late =
+        # event time > WATERMARK_DELAY_MIN behind the running max over
+        # all earlier arrivals (exclusive window max; integer µs exact)
+        "late_event_stats": f"""
+            WITH w AS (SELECT event_type,
+                 greatest(coalesce(
+                     epoch_us(max(ts) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)), 0) - epoch_us(ts),
+                     0)::BIGINT AS lateness
+               FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                sum(CASE WHEN lateness >
+                    {ops_events.WATERMARK_DELAY_MIN}::BIGINT * 60000000
+                    THEN 1 ELSE 0 END)::BIGINT AS n_late,
+                max(lateness)::BIGINT AS max_lateness_us
+            FROM w GROUP BY 1""",
         "dwell_by_type": """
             WITH o AS (SELECT user_id, ts, event_id, event_type,
                  lead(ts) OVER (PARTITION BY user_id
@@ -6307,6 +6358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_ivf,
         "embedding_dup_pairs": q_emb_dup,
         "embedding_centroids": q_emb_centroids,
+        "nearest_centroid_confusion": q_nearest_centroid_confusion,
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
         "kmeans_purity": q_kmeans_purity,
@@ -6404,6 +6456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q_ngram_novelty,
         "session_paths": q_session_paths,
         "dwell_by_type": q_dwell_by_type,
+        "late_event_stats": q_late_event_stats,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,
         "dedup_lines": q_dedup_lines,

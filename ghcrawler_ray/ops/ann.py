@@ -1564,3 +1564,55 @@ def pq_recall_eval(emb: ray.data.Dataset,
         "n_hit": per_q["n_hit"].to_numpy(np.int64),
         "recall_fp": (per_q["n_hit"].to_numpy(np.int64) * ANN_EVAL_FP)
         // per_q["n_exact"].to_numpy(np.int64)})
+
+
+# ---- nearest-class-mean probe (linear-probe label-quality eval) ----
+
+def nearest_centroid_confusion(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """(label, pred_label, n_vecs): confusion matrix of the
+    nearest-class-mean classifier — train = per-label mean vector
+    (exact fixed-point sums via :func:`embedding_centroids`), predict =
+    argmin squared distance to the class means, ties to the lowest
+    label. The standard cheap "linear probe": how separable the label
+    classes are in embedding space, and which pairs confuse — the
+    label-quality / embedding-quality eval a curation pipeline runs
+    before trusting either for filtering.
+
+    Exactness: class means are floored fixed-point integers
+    (``sum_fp // n``, numpy floor division mirrored by an explicit
+    posmod floor in SQL), vectors quantize at the same power-of-two
+    scale (the float64 multiply is exact), and all distances are int64
+    (max |x_fp| ~ 2^20 → d² ≤ dim·2^42 — no overflow), so the argmin
+    and its tie-break are bit-deterministic.
+
+    Scale shape: pass 1 is the centroids' partial-sum reduce; the ≤
+    labels×dim mean matrix broadcasts via ``ray.put``; pass 2 is a
+    map-only scoring stream (int64 matmul per batch, B×L distances)
+    folding to ≤ labels² partial count rows per batch → tiny Sum."""
+    from ray.data.aggregate import Sum
+
+    cent = embedding_centroids(emb).to_pandas()     # ≤ labels×dim rows
+    cent = cent.sort_values(["label", "dim"])
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    dim = int(cent["dim"].max()) + 1
+    s = cent["sum_fp"].to_numpy(np.int64).reshape(len(labels), dim)
+    n = cent["n_vecs"].to_numpy(np.int64).reshape(len(labels), dim)
+    mu = s // n                                     # floor division
+    ref = ray.put((labels, mu))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        labels_, mu_ = ray.get(ref)
+        x = np.floor(_mat(df) * float(CENTROID_FP)).astype(np.int64)
+        xx = (x * x).sum(axis=1)                    # (B,)
+        cc = (mu_ * mu_).sum(axis=1)                # (L,)
+        d2 = xx[:, None] + cc[None, :] - 2 * (x @ mu_.T)
+        pred = labels_[np.argmin(d2, axis=1)]       # first min = lowest
+        g = pd.DataFrame({"label": df["label"].to_numpy(np.int64),
+                          "pred_label": pred,
+                          "n_vecs": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(["label", "pred_label"], as_index=False).sum()
+
+    return (emb.select_columns(["label", "embedding"])
+            .map_batches(score, batch_format="pandas")
+            .groupby(["label", "pred_label"])
+            .aggregate(Sum("n_vecs", alias_name="n_vecs")))

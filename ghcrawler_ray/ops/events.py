@@ -1799,3 +1799,100 @@ def dwell_by_type(events: ray.data.Dataset) -> pd.DataFrame:
         "n_gaps": n, "total_dwell_us": tot,
         "mean_dwell_us": tot // np.maximum(n, 1)}) \
         .sort_values("event_type", kind="stable").reset_index(drop=True)
+
+
+# ---- watermark / late-event accounting (stream out-of-orderness) ----
+
+WATERMARK_DELAY_MIN = 60       # allowed event-time lag behind the watermark
+LATE_BLOCK = 4096              # arrival-order block = event_id // LATE_BLOCK
+
+
+def late_event_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n_events, n_late, max_lateness_us): out-of-order
+    accounting under a bounded watermark — ``event_id`` is the ARRIVAL
+    order (the stream position a queue would deliver in), ``ts`` the
+    event time; an event is LATE when its event time lags the maximum
+    event time over ALL earlier-arriving events by more than
+    ``WATERMARK_DELAY_MIN`` minutes. The streaming-ingestion health
+    readout: how much state a windowed operator must retain, per type.
+
+    Scale shape: the running max over arrival order is a classic
+    two-pass prefix scan — (1) per-arrival-block partial ``max(ts)``
+    rows (≤ #blocks, block = ``event_id // LATE_BLOCK``) folded
+    driver-side into an EXCLUSIVE prefix-max per block and broadcast;
+    (2) slim (event_id, ts_us, type) rows co-partition ONCE by block,
+    each partition seeds its numpy running max with the broadcast
+    prefix and folds to ≤ |types| partial rows. Driver state is
+    O(#blocks); raw events shuffle once. All integer µs — exact."""
+    _NEG = np.int64(np.iinfo(np.int64).min // 4)   # "-inf" seed, no overflow
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["event_id"].to_numpy(np.int64) // LATE_BLOCK
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        agg = pd.DataFrame({"b": b, "t": t}).groupby("b", as_index=False) \
+            .max()
+        return pd.DataFrame({"b": agg["b"].to_numpy(np.int64),
+                             "t": agg["t"].to_numpy(np.int64)})
+
+    blocks = (events.select_columns(["event_id", "ts"])
+              .map_batches(block_max, batch_format="pandas",
+                           batch_size=65536)
+              .to_pandas().groupby("b", as_index=False)["t"].max()
+              .sort_values("b"))                       # ≤ #blocks rows
+    bs = blocks["b"].to_numpy(np.int64)
+    # exclusive prefix: seed for block b = max over blocks < b
+    pref = np.concatenate([[_NEG],
+                           np.maximum.accumulate(
+                               blocks["t"].to_numpy(np.int64))[:-1]])
+    seed_ref = ray.put((bs, pref))
+
+    thresh = np.int64(WATERMARK_DELAY_MIN) * 60_000_000
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        b = eid // LATE_BLOCK
+        # COARSE partition (block % P), never one Ray group per block:
+        # a block's rows still co-locate, the per-block seed scan runs
+        # vectorized inside the partition fold
+        return pd.DataFrame({
+            "part": (b % N_USER_PARTS).astype(np.int32),
+            "b": b, "eid": eid,
+            "t": df["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64),
+            "event_type": df["event_type"].to_numpy(dtype=object)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        bs_, pref_ = ray.get(seed_ref)
+        out = []
+        for b, sub in g.groupby("b", sort=False):
+            sub = sub.sort_values("eid", kind="stable")
+            t = sub["t"].to_numpy(np.int64)
+            seed = pref_[np.searchsorted(bs_, b)]
+            prev_max = np.maximum.accumulate(
+                np.concatenate([[seed], t[:-1]]))
+            lateness = np.maximum(prev_max - t, 0)
+            d = pd.DataFrame({
+                "event_type": sub["event_type"].to_numpy(dtype=object),
+                "late": (lateness > thresh).astype(np.int64),
+                "lateness": lateness})
+            agg = d.groupby("event_type", sort=False).agg(
+                n_events=("late", "size"), n_late=("late", "sum"),
+                max_lateness_us=("lateness", "max")).reset_index()
+            out.append(agg)
+        res = pd.concat(out, ignore_index=True)
+        return pd.DataFrame({
+            "event_type": res["event_type"].to_numpy(dtype=object),
+            "n_events": res["n_events"].to_numpy(np.int64),
+            "n_late": res["n_late"].to_numpy(np.int64),
+            "max_lateness_us": res["max_lateness_us"].to_numpy(np.int64)})
+
+    from ray.data.aggregate import Max, Sum
+    return (events.select_columns(["event_id", "ts", "event_type"])
+            .map_batches(tag, batch_format="pandas", batch_size=65536)
+            .groupby("part").map_groups(
+                lambda g: fold(g.drop(columns=["part"])),
+                batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_late", alias_name="n_late"),
+                       Max("max_lateness_us", alias_name="max_lateness_us")))
