@@ -316,6 +316,15 @@ def q_crawl_pagerank(sf_dir: str) -> ray.data.Dataset:
     return pagerank(_links_ds(sf_dir), nodes)
 
 
+def q_crawl_page_hits(sf_dir: str) -> ray.data.Dataset:
+    """Page-level HITS hubs/authorities — dual-orientation shard
+    actors, deterministic integer rescale, unrolled-CTE mirrored."""
+    from ghcrawler_ray.ops.graph import page_hits
+    sf = sf_of_dir(sf_dir)
+    nodes = _pages_ds(sf).select_columns(["url"])
+    return page_hits(_links_ds(sf_dir), nodes)
+
+
 def q_crawl_lineage(sf_dir: str) -> ray.data.Dataset:
     """Discovery-lineage BFS (J5/L1 history semi-join): shortest path
     from the seed list over the extracted link graph, min-parent
@@ -1730,6 +1739,42 @@ def _pagerank_sql(pages: str) -> str:
         FROM {prev}"""
 
 
+def _page_hits_sql(pages: str) -> str:
+    """Unrolled integer HITS mirror for the PAGE-level shard-actor op
+    (ops/graph.page_hits): each half-round is a join-sum followed by
+    the deterministic rescale ``x // (max(x) // SCALE + 1)`` — all
+    BIGINT floor arithmetic, bit-exact vs the numpy loop."""
+    from ghcrawler_ray.ops.graph import PHITS_ITERS, PHITS_SCALE
+    prev, blocks = "h0", []
+    for i in range(1, PHITS_ITERS + 1):
+        blocks.append(f"""
+        ar{i} AS MATERIALIZED (SELECT e.dst AS url, sum({prev}.v)::BIGINT AS raw
+               FROM e JOIN {prev} ON {prev}.url = e.src GROUP BY 1),
+        az{i} AS MATERIALIZED (SELECT n.url, coalesce(ar{i}.raw, 0)::BIGINT AS raw
+               FROM nodes n LEFT JOIN ar{i} USING (url)),
+        a{i} AS MATERIALIZED (SELECT url, raw // ((SELECT max(raw) FROM az{i})
+                      // {PHITS_SCALE} + 1) AS v FROM az{i}),
+        hr{i} AS MATERIALIZED (SELECT e.src AS url, sum(a{i}.v)::BIGINT AS raw
+               FROM e JOIN a{i} ON a{i}.url = e.dst GROUP BY 1),
+        hz{i} AS MATERIALIZED (SELECT n.url, coalesce(hr{i}.raw, 0)::BIGINT AS raw
+               FROM nodes n LEFT JOIN hr{i} USING (url)),
+        h{i} AS MATERIALIZED (SELECT url, raw // ((SELECT max(raw) FROM hz{i})
+                      // {PHITS_SCALE} + 1) AS v FROM hz{i})""")
+        prev = f"h{i}"
+    k = PHITS_ITERS
+    return rf"""
+        WITH nodes AS MATERIALIZED (SELECT url FROM read_parquet('{pages}')),
+        l AS (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+        e AS MATERIALIZED (SELECT l.src, l.dst FROM l JOIN nodes n ON l.dst = n.url),
+        h0 AS MATERIALIZED (SELECT url, CAST(1 AS BIGINT) AS v
+               FROM nodes),{",".join(blocks)}
+        SELECT n.url, h{k}.v AS hub_fp, a{k}.v AS auth_fp
+        FROM nodes n JOIN h{k} USING (url) JOIN a{k} USING (url)"""
+
+
 def _hits_sql(pages: str) -> str:
     """Unrolled integer fixed-point HITS mirror (ops/graph.host_hits):
     auth from hub then hub from the UPDATED auth, L1-normalized with
@@ -2700,6 +2745,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                     AS n_blocked
             FROM v GROUP BY 1""",
         "crawl_pagerank": _pagerank_sql(pages),
+        "crawl_page_hits": _page_hits_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6251,6 +6297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_link_rels": q_link_rels,
         "crawl_lineage": q_crawl_lineage,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_page_hits": q_crawl_page_hits,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

@@ -1086,3 +1086,227 @@ def host_bowtie(links: ray.data.Dataset) -> pd.DataFrame:
     return pd.DataFrame({
         "host": hosts, "region": region,
         "region_size": pd.Series(region).map(cnt).to_numpy(np.int64)})
+
+
+# ---- page-level HITS (hubs & authorities, Kleinberg 1999) ----
+
+PHITS_ITERS = 4
+PHITS_SCALE = 10 ** 9         # post-iteration rescale ceiling
+
+
+@ray.remote(num_cpus=0)
+class _HitsShard:
+    """One HITS partition: FORWARD edges whose src hashes here (grouped
+    by dst-part for the authority scatter), REVERSE edges whose dst
+    hashes here (grouped by src-part for the hub scatter), and the hub/
+    authority integer scores of the nodes this shard owns. Both
+    orientations are stored so each half-iteration is a local gather +
+    O(V)-sized partial scatter — no per-iteration edge re-shuffle and
+    no whole-score broadcast (the kcore/pagerank shard discipline)."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+        self._pending: list[tuple[np.ndarray, np.ndarray]] = []
+        self._fwd_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._node_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self.nids = np.empty(0, dtype=np.int64)
+
+    def add_pending(self, src: np.ndarray, dst: np.ndarray) -> int:
+        """Raw edges routed by hash(dst)%P — membership filter runs
+        here, where this shard's node set lives."""
+        self._pending.append((np.asarray(src, np.int64),
+                              np.asarray(dst, np.int64)))
+        return len(src)
+
+    def add_nodes(self, nids: np.ndarray, urls: np.ndarray) -> int:
+        self._node_chunks.append((np.asarray(nids, np.int64),
+                                  np.asarray(urls, dtype=object)))
+        return len(nids)
+
+    def seal_nodes(self) -> None:
+        if self._node_chunks:
+            nid = np.concatenate([c[0] for c in self._node_chunks])
+            url = np.concatenate([c[1] for c in self._node_chunks])
+            order = np.argsort(nid, kind="stable")
+            keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+            self.nids = nid[order][keep]
+            self.urls = url[order][keep]
+        else:
+            self.urls = np.empty(0, dtype=object)
+        self._node_chunks = []
+
+    def filter_keep_rev(self) -> dict:
+        """Drop pending edges whose dst was never fetched, KEEP the
+        survivors as this shard's reverse store (dst-local), and
+        re-scatter them to their hash(src)%P shard for the forward
+        store: {src_part: ObjectRef of (src, dst) slices}."""
+        if self._pending:
+            src = np.concatenate([c[0] for c in self._pending])
+            dst = np.concatenate([c[1] for c in self._pending])
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        self._pending = []
+        if len(self.nids) and len(dst):
+            pos = np.searchsorted(self.nids, dst)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == dst
+            src, dst = src[ok], dst[ok]
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        spart = (src % self.n_parts).astype(np.int64)
+        order = np.argsort(spart, kind="stable")
+        self.rsrc, self.rdst = src[order], dst[order]
+        self._rbounds = np.searchsorted(spart[order],
+                                        np.arange(self.n_parts + 1))
+        return {p: ray.put((s, d)) for p, s, d in
+                _slice_by_part(spart, self.n_parts, src, dst)}
+
+    def recv_fwd(self, refs: list) -> None:
+        for s, d in ray.get(list(refs)):
+            self._fwd_chunks.append((s, d))
+
+    def seal(self) -> None:
+        if self._fwd_chunks:
+            src = np.concatenate([c[0] for c in self._fwd_chunks])
+            dst = np.concatenate([c[1] for c in self._fwd_chunks])
+        else:
+            src = np.empty(0, dtype=np.int64)
+            dst = np.empty(0, dtype=np.int64)
+        self._fwd_chunks = []
+        dpart = (dst % self.n_parts).astype(np.int64)
+        order = np.argsort(dpart, kind="stable")
+        self.fsrc, self.fdst = src[order], dst[order]
+        self._fbounds = np.searchsorted(dpart[order],
+                                        np.arange(self.n_parts + 1))
+        self.h = np.ones(len(self.nids), dtype=np.int64)
+        self.a = np.zeros(len(self.nids), dtype=np.int64)
+
+    def auth_refs(self) -> dict:
+        """Authority half-scatter: per-dst sums of h(src) over the
+        forward edges, sliced per destination shard."""
+        hv = self.h[np.searchsorted(self.nids, self.fsrc)]
+        out = {}
+        for p in range(self.n_parts):
+            lo, hi = self._fbounds[p], self._fbounds[p + 1]
+            if lo != hi:
+                k, v = _sum_by_key(self.fdst[lo:hi], hv[lo:hi])
+                out[p] = ray.put((k, v))
+        return out
+
+    def apply_auth(self, refs: list) -> int:
+        """Fold inbound authority partials; return the shard max (the
+        driver folds the global max for the deterministic rescale)."""
+        self.a = np.zeros(len(self.nids), dtype=np.int64)
+        if refs:
+            parts = ray.get(list(refs))
+            k = np.concatenate([p[0] for p in parts])
+            v = np.concatenate([p[1] for p in parts])
+            uk, sv = _sum_by_key(k, v)
+            self.a[np.searchsorted(self.nids, uk)] = sv
+        return int(self.a.max()) if len(self.a) else 0
+
+    def rescale_auth(self, gmax: int) -> None:
+        self.a //= (gmax // PHITS_SCALE + 1)
+
+    def hub_refs(self) -> dict:
+        """Hub half-scatter: per-src sums of a(dst) over the REVERSE
+        edges (a(dst) is local here), sliced per source shard."""
+        av = self.a[np.searchsorted(self.nids, self.rdst)]
+        out = {}
+        for p in range(self.n_parts):
+            lo, hi = self._rbounds[p], self._rbounds[p + 1]
+            if lo != hi:
+                k, v = _sum_by_key(self.rsrc[lo:hi], av[lo:hi])
+                out[p] = ray.put((k, v))
+        return out
+
+    def apply_hub(self, refs: list) -> int:
+        self.h = np.zeros(len(self.nids), dtype=np.int64)
+        if refs and len(self.nids):
+            parts = ray.get(list(refs))
+            k = np.concatenate([p[0] for p in parts])
+            v = np.concatenate([p[1] for p in parts])
+            uk, sv = _sum_by_key(k, v)
+            # sums keyed by src: only srcs that are owned nodes score
+            pos = np.searchsorted(self.nids, uk)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == uk
+            self.h[pos[ok]] = sv[ok]
+        return int(self.h.max()) if len(self.h) else 0
+
+    def rescale_hub(self, gmax: int) -> None:
+        self.h //= (gmax // PHITS_SCALE + 1)
+
+    def result_arrow(self) -> pa.Table:
+        return pa.table({
+            "url": pa.array(self.urls, type=pa.string()),
+            "hub_fp": pa.array(self.h, type=pa.int64()),
+            "auth_fp": pa.array(self.a, type=pa.int64())})
+
+
+def page_hits(links: ray.data.Dataset, nodes: ray.data.Dataset,
+              iters: int = PHITS_ITERS) -> ray.data.Dataset:
+    """(url, hub_fp, auth_fp): ``iters`` rounds of Kleinberg's HITS on
+    the directed page link graph — nodes = fetched pages, edges whose
+    dst was never fetched are dropped (same closure as ``pagerank``).
+    Each round: authority = Σ hub over in-edges, then hub = Σ authority
+    over out-edges, each followed by the deterministic integer rescale
+    ``x //= (max(x) // PHITS_SCALE + 1)`` (all-int64, so the scores are
+    bit-identical to the unrolled SQL mirror — no float normalization).
+
+    Scale shape: edges are stored in BOTH orientations, each keyed by
+    the endpoint whose score that half-iteration reads (forward at
+    hash(src)%P for the authority scatter, reverse at hash(dst)%P for
+    the hub scatter), so each half-round exchanges only O(V) id-keyed
+    integer partials plus P shard maxima — the edge arrays never move
+    after setup. Citations: reference has host-level analytics only
+    (SURVEY.md §2.5); this is the page-level companion of
+    ``host_hits``."""
+    n = nodes.count()
+    P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
+    shards = [_HitsShard.remote(p, P) for p in range(P)]
+
+    def scatter_edges(df: pd.DataFrame) -> pd.DataFrame:
+        sid = hash64_array(df["src_url"].astype(str))
+        did = hash64_array(df["dst_url"].astype(str))
+        refs = [shards[p].add_pending.remote(s, d) for p, s, d in
+                _slice_by_part((did % P).astype(np.int64), P, sid, did)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
+
+    def scatter_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str).to_numpy(dtype=object)
+        nid = hash64_array(df["url"])
+        refs = [shards[p].add_nodes.remote(i, u) for p, i, u in
+                _slice_by_part((nid % P).astype(np.int64), P, nid, urls)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
+
+    links.map_batches(scatter_edges, batch_format="pandas").materialize()
+    nodes.map_batches(scatter_nodes, batch_format="pandas").materialize()
+
+    ray.get([s.seal_nodes.remote() for s in shards])
+    outs = ray.get([s.filter_keep_rev.remote() for s in shards])
+    ray.get([shards[q].recv_fwd.remote(
+        [outs[p][q] for p in range(P) if q in outs[p]])
+        for q in range(P)])
+    ray.get([s.seal.remote() for s in shards])
+
+    for _ in range(iters):
+        outs = ray.get([s.auth_refs.remote() for s in shards])
+        maxes = ray.get([shards[q].apply_auth.remote(
+            [outs[p][q] for p in range(P) if q in outs[p]])
+            for q in range(P)])
+        ray.get([s.rescale_auth.remote(max(maxes)) for s in shards])
+        outs = ray.get([s.hub_refs.remote() for s in shards])
+        maxes = ray.get([shards[q].apply_hub.remote(
+            [outs[p][q] for p in range(P) if q in outs[p]])
+            for q in range(P)])
+        ray.get([s.rescale_hub.remote(max(maxes)) for s in shards])
+
+    out = ray.data.from_arrow_refs(
+        [s.result_arrow.remote() for s in shards]).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
