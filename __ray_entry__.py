@@ -325,6 +325,15 @@ def q_crawl_page_hits(sf_dir: str) -> ray.data.Dataset:
     return page_hits(_links_ds(sf_dir), nodes)
 
 
+def q_crawl_page_components(sf_dir: str) -> ray.data.Dataset:
+    """Page-level weakly-connected components — bounded-round min-label
+    propagation on edge-static shard actors (md5-u64 labels)."""
+    from ghcrawler_ray.ops.graph import page_components
+    sf = sf_of_dir(sf_dir)
+    nodes = _pages_ds(sf).select_columns(["url"])
+    return page_components(_links_ds(sf_dir), nodes)
+
+
 def q_crawl_lineage(sf_dir: str) -> ray.data.Dataset:
     """Discovery-lineage BFS (J5/L1 history semi-join): shortest path
     from the seed list over the extracted link graph, min-parent
@@ -1775,6 +1784,40 @@ def _page_hits_sql(pages: str) -> str:
         FROM nodes n JOIN h{k} USING (url) JOIN a{k} USING (url)"""
 
 
+def _page_cc_sql(pages: str) -> str:
+    """Unrolled min-label propagation mirror (ops/graph.page_components):
+    labels are the md5-prefix u64 primitive, each round one
+    MATERIALIZED neighbor-min + least() fold — bit-exact."""
+    from ghcrawler_ray.ops.graph import CC_ROUNDS
+    prev, blocks = "l0", []
+    for i in range(1, CC_ROUNDS + 1):
+        blocks.append(f"""
+        nb{i} AS MATERIALIZED (SELECT u.b AS url, min({prev}.v) AS mv
+               FROM und u JOIN {prev} ON {prev}.url = u.a GROUP BY 1),
+        l{i} AS MATERIALIZED (SELECT {prev}.url,
+                 least({prev}.v, coalesce(nb{i}.mv, {prev}.v)) AS v
+               FROM {prev} LEFT JOIN nb{i} USING (url))""")
+        prev = f"l{i}"
+    return rf"""
+        WITH nodes AS MATERIALIZED (SELECT url
+               FROM read_parquet('{pages}')),
+        l AS (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+        e AS MATERIALIZED (SELECT DISTINCT l.src, l.dst FROM l
+               JOIN nodes n ON l.dst = n.url WHERE l.src <> l.dst),
+        und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+               UNION ALL SELECT dst, src FROM e),
+        l0 AS MATERIALIZED (SELECT url,
+                 {_MD5U64.format('url')} AS v
+               FROM nodes),{",".join(blocks)}
+        SELECT url, (CASE WHEN v > 9223372036854775807
+                     THEN v::HUGEINT - {_U64}::HUGEINT
+                     ELSE v::HUGEINT END)::BIGINT AS comp_fp
+        FROM {prev}"""
+
+
 def _hits_sql(pages: str) -> str:
     """Unrolled integer fixed-point HITS mirror (ops/graph.host_hits):
     auth from hub then hub from the UPDATED auth, L1-normalized with
@@ -2746,6 +2789,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
             FROM v GROUP BY 1""",
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_page_hits": _page_hits_sql(pages),
+        "crawl_page_components": _page_cc_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6298,6 +6342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage": q_crawl_lineage,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_page_hits": q_crawl_page_hits,
+        "crawl_page_components": q_crawl_page_components,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

@@ -1310,3 +1310,177 @@ def page_hits(links: ray.data.Dataset, nodes: ray.data.Dataset,
     for s in shards:
         ray.kill(s)
     return out
+
+
+# ---- page-level connected components (bounded-round min-label) ----
+
+CC_ROUNDS = 8
+
+
+def _min_by_key(keys: np.ndarray, vals: np.ndarray):
+    """Vectorized groupby-min over int64 keys: sort + minimum.reduceat."""
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = vals[order]
+    if len(k) == 0:
+        return k, v
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    return k[starts], np.minimum.reduceat(v, starts)
+
+
+@ray.remote(num_cpus=0)
+class _CCShard:
+    """One components partition: undirected edge rows whose a-endpoint
+    hashes here (both orientations exist somewhere, so every neighbor
+    push is computable locally), the (nid → url, label) state for owned
+    nodes. Labels are md5-u64 url hashes — the one string-hash primitive
+    the SQL mirror reproduces exactly."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+        self._ab: list[tuple[np.ndarray, np.ndarray]] = []
+        self._nu: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def add_edges(self, a: np.ndarray, b: np.ndarray) -> int:
+        self._ab.append((np.asarray(a, np.int64), np.asarray(b, np.int64)))
+        return len(a)
+
+    def add_nodes(self, nid: np.ndarray, url: np.ndarray,
+                  hu: np.ndarray) -> int:
+        self._nu.append((np.asarray(nid, np.int64),
+                         np.asarray(url, dtype=object),
+                         np.asarray(hu, np.uint64)))
+        return len(nid)
+
+    def seal(self) -> None:
+        a = (np.concatenate([c[0] for c in self._ab])
+             if self._ab else np.empty(0, np.int64))
+        b = (np.concatenate([c[1] for c in self._ab])
+             if self._ab else np.empty(0, np.int64))
+        self._ab = []
+        nid = (np.concatenate([c[0] for c in self._nu])
+               if self._nu else np.empty(0, np.int64))
+        url = (np.concatenate([c[1] for c in self._nu])
+               if self._nu else np.empty(0, object))
+        hu = (np.concatenate([c[2] for c in self._nu])
+              if self._nu else np.empty(0, np.uint64))
+        self._nu = []
+        order = np.argsort(nid, kind="stable")
+        keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+        self.nids = nid[order][keep]
+        self.urls = url[order][keep]
+        self.lab = hu[order][keep].copy()
+        # restrict to fetched nodes: the a-endpoint is checkable here
+        # (its owner shard is this one); an unfetched b is masked at
+        # the receiving shard's apply_min
+        if len(a) and len(self.nids):
+            pos = np.searchsorted(self.nids, a)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == a
+            a, b = a[ok], b[ok]
+        else:
+            a = b = np.empty(0, np.int64)
+        bpart = (b % self.n_parts).astype(np.int64)
+        order = np.argsort(bpart, kind="stable")
+        self.a, self.b = a[order], b[order]
+        self._bounds = np.searchsorted(bpart[order],
+                                       np.arange(self.n_parts + 1))
+
+    def push_refs(self) -> dict:
+        """One round's neighbor push: per-b mins of label(a) (a local),
+        sliced per destination shard — O(V)-sized uint64 partials."""
+        la = self.lab[np.searchsorted(self.nids, self.a)]
+        out = {}
+        for p in range(self.n_parts):
+            lo, hi = self._bounds[p], self._bounds[p + 1]
+            if lo != hi:
+                k, v = _min_by_key(self.b[lo:hi], la[lo:hi])
+                out[p] = ray.put((k, v))
+        return out
+
+    def apply_min(self, refs: list) -> int:
+        """Fold inbound label mins; returns #changed for early exit."""
+        if not refs or not len(self.nids):
+            return 0
+        parts = ray.get(list(refs))
+        k = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts])
+        uk, mv = _min_by_key(k, v)
+        idx = np.searchsorted(self.nids, uk)
+        np.minimum(idx, len(self.nids) - 1, out=idx)
+        owned = self.nids[idx] == uk           # mask unfetched targets
+        idx, mv = idx[owned], mv[owned]
+        old = self.lab[idx]
+        new = np.minimum(old, mv)
+        changed = int((new < old).sum())
+        self.lab[idx] = new
+        return changed
+
+    def result_arrow(self) -> pa.Table:
+        return pa.table({
+            "url": pa.array(self.urls, type=pa.string()),
+            "comp_fp": pa.array(self.lab.view(np.int64), type=pa.int64())})
+
+
+def page_components(links: ray.data.Dataset, nodes: ray.data.Dataset,
+                    rounds: int = CC_ROUNDS) -> ray.data.Dataset:
+    """(url, comp_fp): weakly-connected components of the page link
+    graph by ``rounds`` of undirected min-label propagation — comp_fp =
+    the int64 view of the minimum md5-u64 url hash reachable within
+    ``rounds`` hops (= the true component label whenever the component
+    diameter ≤ rounds; converged shards stop exchanging early, which
+    cannot change the fixed-round result). Page-level companion of
+    ``host_components``: the island/continent map of the fetched web —
+    orphaned islands signal seed-list or scope-filter gaps.
+
+    Scale shape: edges scatter ONCE by hash(a)%P in both orientations
+    (a node's full neighbor push is shard-local); each round exchanges
+    only per-node uint64 label-min partials (output-sized, shrinking to
+    zero at convergence); edges never re-shuffle. Labels are the
+    md5-prefix primitive (`ops/dedup._hash64_str`) so the unrolled SQL
+    mirror reproduces the values bit-for-bit."""
+    from .dedup import _hash64_str
+    n = nodes.count()
+    P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
+    shards = [_CCShard.remote(p, P) for p in range(P)]
+
+    def scatter_edges(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["src_url", "dst_url"]].drop_duplicates()
+        e = e[e["src_url"] != e["dst_url"]]
+        s = hash64_array(e["src_url"].astype(str))
+        d = hash64_array(e["dst_url"].astype(str))
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        refs = [shards[p].add_edges.remote(aa, bb) for p, aa, bb in
+                _slice_by_part((a % P).astype(np.int64), P, a, b)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(e)]})
+
+    def scatter_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str).to_numpy(dtype=object)
+        nid = hash64_array(df["url"])
+        hu = _hash64_str(list(urls))
+        refs = [shards[p].add_nodes.remote(i, u, h) for p, i, u, h in
+                _slice_by_part((nid % P).astype(np.int64), P,
+                               nid, urls, hu)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
+
+    links.map_batches(scatter_edges, batch_format="pandas").materialize()
+    nodes.map_batches(scatter_nodes, batch_format="pandas").materialize()
+    ray.get([s.seal.remote() for s in shards])
+
+    for _ in range(rounds):
+        outs = ray.get([s.push_refs.remote() for s in shards])
+        changed = ray.get([shards[q].apply_min.remote(
+            [outs[p][q] for p in range(P) if q in outs[p]])
+            for q in range(P)])
+        if sum(changed) == 0:
+            break
+
+    out = ray.data.from_arrow_refs(
+        [s.result_arrow.remote() for s in shards]).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
