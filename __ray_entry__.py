@@ -325,6 +325,15 @@ def q_crawl_page_hits(sf_dir: str) -> ray.data.Dataset:
     return page_hits(_links_ds(sf_dir), nodes)
 
 
+def q_crawl_walk_corpus(sf_dir: str) -> ray.data.Dataset:
+    """DeepWalk-style seeded-hash walk corpus over the fetched page
+    graph — static edge shards, O(#walks) state exchange per hop."""
+    from ghcrawler_ray.ops.graph import walk_corpus
+    sf = sf_of_dir(sf_dir)
+    nodes = _pages_ds(sf).select_columns(["url"])
+    return walk_corpus(_links_ds(sf_dir), nodes)
+
+
 def q_crawl_page_components(sf_dir: str) -> ray.data.Dataset:
     """Page-level weakly-connected components — bounded-round min-label
     propagation on edge-static shard actors (md5-u64 labels)."""
@@ -1818,6 +1827,47 @@ def _page_cc_sql(pages: str) -> str:
         FROM {prev}"""
 
 
+def _walk_corpus_sql(pages: str) -> str:
+    """Seeded-hash random-walk mirror (ops/graph.walk_corpus): per step
+    one MATERIALIZED join picking neighbor rank
+    1 + md5_u64(url#walk#step) % outdeg over the md5-sorted adjacency —
+    RNG-free, so the corpus rows compare exactly."""
+    from ghcrawler_ray.ops.graph import WALK_LEN, WALKS_PER_NODE
+    blocks, prev = [], "w0"
+    for i in range(1, WALK_LEN + 1):
+        blocks.append(f"""
+        w{i} AS MATERIALIZED (SELECT w.start_url, w.walk,
+                 CAST({i} AS BIGINT) AS step, nb.dst AS url
+               FROM {prev} w JOIN nb ON nb.src = w.url
+                AND nb.rn = CAST(1 + ('0x' || substr(md5(w.url || '#' ||
+                      CAST(w.walk AS VARCHAR) || '#' ||
+                      CAST({i} AS VARCHAR)), 1, 16))::UBIGINT
+                      % CAST(nb.deg AS UBIGINT) AS BIGINT))""")
+        prev = f"w{i}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{i}" for i in range(WALK_LEN + 1))
+    return rf"""
+        WITH nodes AS MATERIALIZED (SELECT url
+               FROM read_parquet('{pages}')),
+        l AS (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+        e AS MATERIALIZED (SELECT DISTINCT l.src, l.dst FROM l
+               JOIN nodes n ON l.dst = n.url WHERE l.src <> l.dst),
+        nb AS MATERIALIZED (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src
+                     ORDER BY {_MD5U64.format('dst')}) AS rn,
+                 count(*) OVER (PARTITION BY src) AS deg
+               FROM e),
+        w0 AS MATERIALIZED (SELECT n.url AS start_url,
+                 CAST(r.i AS BIGINT) AS walk, CAST(0 AS BIGINT) AS step,
+                 n.url AS url
+               FROM nodes n
+               CROSS JOIN range({WALKS_PER_NODE}) r(i)),{",".join(blocks)}
+        {union}"""
+
+
 def _hits_sql(pages: str) -> str:
     """Unrolled integer fixed-point HITS mirror (ops/graph.host_hits):
     auth from hub then hub from the UPDATED auth, L1-normalized with
@@ -2790,6 +2840,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_pagerank": _pagerank_sql(pages),
         "crawl_page_hits": _page_hits_sql(pages),
         "crawl_page_components": _page_cc_sql(pages),
+        "crawl_walk_corpus": _walk_corpus_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6343,6 +6394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_page_hits": q_crawl_page_hits,
         "crawl_page_components": q_crawl_page_components,
+        "crawl_walk_corpus": q_crawl_walk_corpus,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

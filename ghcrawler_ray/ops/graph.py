@@ -1484,3 +1484,234 @@ def page_components(links: ray.data.Dataset, nodes: ray.data.Dataset,
     for s in shards:
         ray.kill(s)
     return out
+
+
+# ---- deterministic random-walk corpus (DeepWalk-style, Perozzi 2014) ----
+
+WALKS_PER_NODE = 2
+WALK_LEN = 6                 # hops per walk (emits steps 0..WALK_LEN)
+
+
+@ray.remote(num_cpus=0)
+class _WalkShard:
+    """One walk partition: out-edges of the srcs that hash here, each
+    src's neighbors sorted by md5-u64(dst url) (the SQL-reproducible
+    order), plus (nid → url) for owned nodes. Walk states visit the
+    shard owning their current node; each round the shard emits the
+    corpus rows for resident walks and scatters the advanced states."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+        self._pending: list[tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] = []
+        self._ed: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._nu: list[tuple[np.ndarray, np.ndarray]] = []
+        self._rows: list[pd.DataFrame] = []
+        self._states: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def add_pending(self, src: np.ndarray, dst: np.ndarray,
+                    hdst: np.ndarray) -> int:
+        """Raw edges routed by hash(dst)%P — dst-membership filter runs
+        here before the re-scatter to the src-owner shard."""
+        self._pending.append((np.asarray(src, np.int64),
+                              np.asarray(dst, np.int64),
+                              np.asarray(hdst, np.uint64)))
+        return len(src)
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray,
+                  hdst: np.ndarray) -> int:
+        self._ed.append((np.asarray(src, np.int64),
+                         np.asarray(dst, np.int64),
+                         np.asarray(hdst, np.uint64)))
+        return len(src)
+
+    def add_nodes(self, nid: np.ndarray, url: np.ndarray) -> int:
+        self._nu.append((np.asarray(nid, np.int64),
+                         np.asarray(url, dtype=object)))
+        return len(nid)
+
+    def seal_nodes(self) -> None:
+        nid = (np.concatenate([c[0] for c in self._nu])
+               if self._nu else np.empty(0, np.int64))
+        url = (np.concatenate([c[1] for c in self._nu])
+               if self._nu else np.empty(0, object))
+        self._nu = []
+        order = np.argsort(nid, kind="stable")
+        keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+        self.nids = nid[order][keep]
+        self.urls = url[order][keep]
+
+    def filter_scatter(self) -> dict:
+        """Drop pending edges whose dst was never fetched; re-scatter
+        survivors to their hash(src)%P shard."""
+        if self._pending:
+            src = np.concatenate([c[0] for c in self._pending])
+            dst = np.concatenate([c[1] for c in self._pending])
+            hd = np.concatenate([c[2] for c in self._pending])
+        else:
+            src = dst = np.empty(0, np.int64)
+            hd = np.empty(0, np.uint64)
+        self._pending = []
+        if len(self.nids) and len(dst):
+            pos = np.searchsorted(self.nids, dst)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == dst
+            src, dst, hd = src[ok], dst[ok], hd[ok]
+        else:
+            src = dst = np.empty(0, np.int64)
+            hd = np.empty(0, np.uint64)
+        return {p: ray.put((s, d, h)) for p, s, d, h in
+                _slice_by_part((src % self.n_parts).astype(np.int64),
+                               self.n_parts, src, dst, hd)}
+
+    def recv_edges(self, refs: list) -> None:
+        for s, d, h in ray.get(list(refs)):
+            self._ed.append((s, d, h))
+
+    def seal(self) -> None:
+        src = (np.concatenate([c[0] for c in self._ed])
+               if self._ed else np.empty(0, np.int64))
+        dst = (np.concatenate([c[1] for c in self._ed])
+               if self._ed else np.empty(0, np.int64))
+        hd = (np.concatenate([c[2] for c in self._ed])
+              if self._ed else np.empty(0, np.uint64))
+        self._ed = []
+        # distinct (src, dst), sorted by (src, hu(dst)) — the pick order
+        order = np.lexsort((hd, src))
+        src, dst, hd = src[order], dst[order], hd[order]
+        if len(src):
+            keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            src, dst, hd = src[keep], dst[keep], hd[keep]
+        self.esrc, self.edst = src, dst
+        self._lo = np.searchsorted(self.esrc, self.nids, side="left")
+        self._hi = np.searchsorted(self.esrc, self.nids, side="right")
+
+    def start_walks(self, walks_per_node: int) -> None:
+        """Seed walks for owned nodes: state = (start_url, walk, cur)."""
+        n = len(self.nids)
+        if n:
+            su = np.repeat(self.urls, walks_per_node)
+            wk = np.tile(np.arange(walks_per_node, dtype=np.int64), n)
+            cur = np.repeat(self.nids, walks_per_node)
+            self._states.append((su, wk, cur))
+
+    def step(self, rnd: int) -> dict:
+        """Emit corpus rows for resident walks (step = rnd), advance
+        each along its md5-picked out-edge, scatter the survivors:
+        {next_part: ObjectRef of (start_url, walk, next_nid) slices}."""
+        from .dedup import _hash64_str
+        if self._states:
+            su = np.concatenate([s[0] for s in self._states])
+            wk = np.concatenate([s[1] for s in self._states])
+            cur = np.concatenate([s[2] for s in self._states])
+        else:
+            su = np.empty(0, object)
+            wk = cur = np.empty(0, np.int64)
+        self._states = []
+        pos = np.searchsorted(self.nids, cur)
+        curl = self.urls[pos] if len(self.nids) else \
+            np.empty(0, object)
+        self._rows.append(pd.DataFrame({
+            "start_url": su, "walk": wk,
+            "step": np.full(len(su), rnd, dtype=np.int64),
+            "url": curl}))
+        lo, hi = self._lo[pos], self._hi[pos]
+        deg = hi - lo
+        alive = deg > 0
+        if not alive.any():
+            return {}
+        su, wk, lo, deg = su[alive], wk[alive], lo[alive], deg[alive]
+        curl = curl[alive]
+        keys = [f"{u}#{w}#{rnd + 1}" for u, w in zip(curl, wk)]
+        idx = (_hash64_str(keys) % deg.astype(np.uint64)).astype(np.int64)
+        nxt = self.edst[lo + idx]
+        return {p: ray.put((s, w, c)) for p, s, w, c in
+                _slice_by_part((nxt % self.n_parts).astype(np.int64),
+                               self.n_parts, su, wk, nxt)}
+
+    def recv_states(self, refs: list) -> None:
+        for s, w, c in ray.get(list(refs)):
+            self._states.append((s, w, c))
+
+    def rows_arrow(self) -> pa.Table:
+        df = pd.concat(self._rows, ignore_index=True) if self._rows else \
+            pd.DataFrame({"start_url": [], "walk": [], "step": [],
+                          "url": []})
+        return pa.table({
+            "start_url": pa.array(df["start_url"].astype(str),
+                                  type=pa.string()),
+            "walk": pa.array(df["walk"].astype(np.int64),
+                             type=pa.int64()),
+            "step": pa.array(df["step"].astype(np.int64),
+                             type=pa.int64()),
+            "url": pa.array(df["url"].astype(str), type=pa.string())})
+
+
+def walk_corpus(links: ray.data.Dataset, nodes: ray.data.Dataset,
+                walks_per_node: int = WALKS_PER_NODE,
+                walk_len: int = WALK_LEN) -> ray.data.Dataset:
+    """(start_url, walk, step, url): a DeepWalk-style random-walk corpus
+    over the fetched page graph — ``walks_per_node`` walks from every
+    page, each taking ``walk_len`` hops (steps 0..walk_len; a walk ends
+    early at a sink page). The next hop is DETERMINISTIC: neighbors
+    sort by md5-u64(dst url) and the pick index is
+    ``md5_u64(cur_url + '#' + walk + '#' + step) % outdeg`` — a seeded
+    hash walk, so the corpus is reproducible AND SQL-mirrorable (no
+    RNG state). This is the graph-embedding training-data generator
+    (DeepWalk / node2vec with p=q=1): feed (url, context) pairs from
+    the walks into any skip-gram trainer.
+
+    Scale shape: out-edges scatter ONCE by hash(src)%P and never move;
+    walk STATES are the only per-round exchange — O(#walks) slim rows
+    routed to the shard owning their current node (the natural random
+    cut of the graph); corpus rows accumulate shard-locally and stream
+    out once at the end. Driver traffic per round is O(P²) object
+    refs."""
+    from .dedup import _hash64_str
+    n = nodes.count()
+    P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
+    shards = [_WalkShard.remote(p, P) for p in range(P)]
+
+    def scatter_edges(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["src_url", "dst_url"]].drop_duplicates()
+        e = e[e["src_url"] != e["dst_url"]]
+        s = hash64_array(e["src_url"].astype(str))
+        d = hash64_array(e["dst_url"].astype(str))
+        hd = _hash64_str(list(e["dst_url"].astype(str)))
+        refs = [shards[p].add_pending.remote(ss, dd, hh)
+                for p, ss, dd, hh
+                in _slice_by_part((d % P).astype(np.int64), P, s, d, hd)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(e)]})
+
+    def scatter_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str).to_numpy(dtype=object)
+        nid = hash64_array(df["url"])
+        refs = [shards[p].add_nodes.remote(i, u) for p, i, u in
+                _slice_by_part((nid % P).astype(np.int64), P, nid, urls)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
+
+    links.map_batches(scatter_edges, batch_format="pandas").materialize()
+    nodes.map_batches(scatter_nodes, batch_format="pandas").materialize()
+    ray.get([s.seal_nodes.remote() for s in shards])
+    outs = ray.get([s.filter_scatter.remote() for s in shards])
+    ray.get([shards[q].recv_edges.remote(
+        [outs[p][q] for p in range(P) if q in outs[p]])
+        for q in range(P)])
+    ray.get([s.seal.remote() for s in shards])
+    ray.get([s.start_walks.remote(walks_per_node) for s in shards])
+
+    for rnd in range(walk_len + 1):
+        outs = ray.get([s.step.remote(rnd) for s in shards])
+        if rnd < walk_len:
+            ray.get([shards[q].recv_states.remote(
+                [outs[p][q] for p in range(P) if q in outs[p]])
+                for q in range(P)])
+
+    out = ray.data.from_arrow_refs(
+        [s.rows_arrow.remote() for s in shards]).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
