@@ -334,6 +334,14 @@ def q_crawl_walk_corpus(sf_dir: str) -> ray.data.Dataset:
     return walk_corpus(_links_ds(sf_dir), nodes)
 
 
+def q_crawl_walk_skipgrams(sf_dir: str) -> ray.data.Dataset:
+    """Skip-gram (center, context) pair counts over the walk corpus —
+    the SGNS training distribution (walk-key co-partition, windowed
+    self-merge, pre-combined pair counts)."""
+    from ghcrawler_ray.ops.graph import walk_skipgram_counts
+    return walk_skipgram_counts(q_crawl_walk_corpus(sf_dir))
+
+
 def q_crawl_page_components(sf_dir: str) -> ray.data.Dataset:
     """Page-level weakly-connected components — bounded-round min-label
     propagation on edge-static shard actors (md5-u64 labels)."""
@@ -1868,6 +1876,21 @@ def _walk_corpus_sql(pages: str) -> str:
         {union}"""
 
 
+def _walk_skipgram_sql(pages: str) -> str:
+    """Skip-gram pair counts over the walk corpus: the corpus CTE chain
+    nested MATERIALIZED + one windowed self-join (ops/graph.
+    walk_skipgram_counts)."""
+    from ghcrawler_ray.ops.graph import WALK_WINDOW
+    return f"""
+        WITH corpus AS MATERIALIZED ({_walk_corpus_sql(pages)}),
+        p AS (SELECT a.url AS center_url, b.url AS context_url
+           FROM corpus a JOIN corpus b
+             ON a.start_url = b.start_url AND a.walk = b.walk
+            AND abs(a.step - b.step) BETWEEN 1 AND {WALK_WINDOW})
+        SELECT center_url, context_url, count(*)::BIGINT AS n_pairs
+        FROM p GROUP BY 1, 2"""
+
+
 def _hits_sql(pages: str) -> str:
     """Unrolled integer fixed-point HITS mirror (ops/graph.host_hits):
     auth from hub then hub from the UPDATED auth, L1-normalized with
@@ -2841,6 +2864,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_page_hits": _page_hits_sql(pages),
         "crawl_page_components": _page_cc_sql(pages),
         "crawl_walk_corpus": _walk_corpus_sql(pages),
+        "crawl_walk_skipgrams": _walk_skipgram_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6395,6 +6419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_page_hits": q_crawl_page_hits,
         "crawl_page_components": q_crawl_page_components,
         "crawl_walk_corpus": q_crawl_walk_corpus,
+        "crawl_walk_skipgrams": q_crawl_walk_skipgrams,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

@@ -1715,3 +1715,80 @@ def walk_corpus(links: ray.data.Dataset, nodes: ray.data.Dataset,
     for s in shards:
         ray.kill(s)
     return out
+
+
+# ---- skip-gram pair counts over the walk corpus (word2vec prep) ----
+
+WALK_WINDOW = 2
+
+
+def walk_skipgram_counts(corpus: ray.data.Dataset,
+                         window: int = WALK_WINDOW) -> ray.data.Dataset:
+    """(center_url, context_url, n_pairs): directional skip-gram
+    co-occurrence counts over a :func:`walk_corpus` output — for every
+    walk, every ordered pair of positions at distance 1..``window``
+    (both directions, the word2vec convention). The final prep step of
+    the DeepWalk pipeline: these counts ARE the training distribution a
+    skip-gram/SGNS embedding trainer consumes.
+
+    Scale shape: corpus rows slim-tag and co-partition ONCE by
+    hash(start_url, walk) (a walk's ≤ walk_len+1 rows co-locate);
+    pair generation is ``window`` vectorized self-merges per partition;
+    partial (center, context, n) counts pre-combine in-partition, then
+    ONE int pair-hash co-partition completes the sums — raw pair rows
+    never shuffle and no multi-string-key Ray groupby runs."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        wkey = (hash64_array(df["start_url"].astype(str))
+                + df["walk"].to_numpy(np.int64)).astype(np.int64)
+        return pd.DataFrame({
+            "part": (wkey % N_GRAPH_PARTS).astype(np.int32),
+            "wkey": wkey,
+            "step": df["step"].to_numpy(np.int64),
+            "url": df["url"].to_numpy(dtype=object)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for d in range(1, window + 1):
+            rhs = g[["wkey", "step", "url"]].copy()
+            rhs["step"] = rhs["step"] - d
+            m = g[["wkey", "step", "url"]].merge(
+                rhs, on=["wkey", "step"], suffixes=("_a", "_b"))
+            if len(m):
+                outs.append(pd.DataFrame({
+                    "center_url": m["url_a"].to_numpy(dtype=object),
+                    "context_url": m["url_b"].to_numpy(dtype=object)}))
+                outs.append(pd.DataFrame({
+                    "center_url": m["url_b"].to_numpy(dtype=object),
+                    "context_url": m["url_a"].to_numpy(dtype=object)}))
+        if not outs:
+            return pd.DataFrame({
+                "center_url": pd.Series([], dtype=object),
+                "context_url": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "ppart": pd.Series([], dtype=np.int32)})
+        allp = pd.concat(outs, ignore_index=True)
+        allp["n_pairs"] = np.int64(1)
+        agg = allp.groupby(["center_url", "context_url"],
+                           as_index=False, sort=False).sum()
+        # int pair-hash co-partition key for the global fold — never a
+        # multi-string-key Ray groupby (the per-group pathological shape)
+        agg["ppart"] = ((hash64_array(agg["center_url"].astype(str))
+                         + hash64_array(agg["context_url"].astype(str)))
+                        % N_GRAPH_PARTS).astype(np.int32)
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["center_url", "context_url"],
+                        as_index=False, sort=False)["n_pairs"].sum()
+        agg["n_pairs"] = agg["n_pairs"].astype(np.int64)
+        return agg
+
+    return (corpus.map_batches(tag, batch_format="pandas",
+                               batch_size=65536)
+            .groupby("part").map_groups(
+                lambda g: fold(g.drop(columns=["part"])),
+                batch_format="pandas")
+            .groupby("ppart").map_groups(
+                lambda g: final(g.drop(columns=["ppart"])),
+                batch_format="pandas"))
