@@ -68,7 +68,11 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "parts_supplier_count", "crawl_dust_rules",
                "crawl_pagination", "crawl_warc_index", "ngram_novelty",
                "session_paths", "crawl_recrawl_priority", "audio_chunks",
-               "crawl_canonical_map", "dwell_by_type", "pq_recall_eval")
+               "crawl_canonical_map", "dwell_by_type", "pq_recall_eval",
+               "crawl_page_hits", "crawl_page_components",
+               "crawl_walk_skipgrams", "late_event_stats",
+               "local_supplier_volume", "waiting_suppliers",
+               "nearest_centroid_confusion")
 SCALING_CPUS = (8, 32)
 
 
