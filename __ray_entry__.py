@@ -334,6 +334,15 @@ def q_crawl_walk_corpus(sf_dir: str) -> ray.data.Dataset:
     return walk_corpus(_links_ds(sf_dir), nodes)
 
 
+def q_crawl_neighborhood_fn(sf_dir: str) -> ray.data.Dataset:
+    """HyperANF hop-plot: per-page HLL reach sketches over 0..4 out-link
+    hops (dst-keyed edge shards, O(V·m) register exchange/round)."""
+    from ghcrawler_ray.ops.graph import neighborhood_function
+    sf = sf_of_dir(sf_dir)
+    nodes = _pages_ds(sf).select_columns(["url"])
+    return neighborhood_function(_links_ds(sf_dir), nodes)
+
+
 def q_crawl_walk_skipgrams(sf_dir: str) -> ray.data.Dataset:
     """Skip-gram (center, context) pair counts over the walk corpus —
     the SGNS training distribution (walk-key co-partition, windowed
@@ -1891,6 +1900,58 @@ def _walk_skipgram_sql(pages: str) -> str:
         FROM p GROUP BY 1, 2"""
 
 
+def _anf_sql(pages: str) -> str:
+    """Unrolled HyperANF mirror (ops/graph.neighborhood_function): HLL
+    registers as (url, j, v) rows, per round one MATERIALIZED
+    neighbor-max + greatest() merge; sreg is an exact BIGINT sum of
+    power-of-two terms and est_raw ONE IEEE division with the identical
+    operand order — every column bit-exact."""
+    from ghcrawler_ray.ops.graph import (ANF_ALPHA_M2, ANF_M, ANF_RHO_CAP,
+                                         ANF_ROUNDS)
+    num = repr(ANF_ALPHA_M2) + "e0 * " + repr(float(1 << ANF_RHO_CAP)) \
+        .replace("e+", "e")
+    prev, blocks = "m0", []
+    for r in range(1, ANF_ROUNDS + 1):
+        blocks.append(f"""
+        nb{r} AS MATERIALIZED (SELECT e.src AS url, m.j, max(m.v) AS v
+               FROM e JOIN {prev} m ON m.url = e.dst GROUP BY 1, 2),
+        m{r} AS MATERIALIZED (SELECT s.url, s.j,
+                 greatest(s.v, coalesce(nb{r}.v, 0)) AS v
+               FROM {prev} s LEFT JOIN nb{r} USING (url, j))""")
+        prev = f"m{r}"
+    snaps = " UNION ALL ".join(f"""
+        SELECT url, CAST({r} AS BIGINT) AS round,
+               sum(CASE WHEN v > 0 THEN 1::BIGINT << ({ANF_RHO_CAP} - v)
+                   ELSE 1::BIGINT << {ANF_RHO_CAP} END)::BIGINT AS sreg,
+               sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS nzero,
+               ({num}) / sum(CASE WHEN v > 0
+                   THEN 1::BIGINT << ({ANF_RHO_CAP} - v)
+                   ELSE 1::BIGINT << {ANF_RHO_CAP} END)::DOUBLE AS est_raw
+        FROM m{r} GROUP BY url""" for r in range(ANF_ROUNDS + 1))
+    return rf"""
+        WITH nodes AS MATERIALIZED (SELECT url
+               FROM read_parquet('{pages}')),
+        l AS (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+        e AS MATERIALIZED (SELECT DISTINCT l.src, l.dst FROM l
+               JOIN nodes n ON l.dst = n.url WHERE l.src <> l.dst),
+        hsh AS (SELECT url, {_MD5U64.format('url')} AS h FROM nodes),
+        ini AS (SELECT url, CAST(h % {ANF_M} AS BIGINT) AS idx,
+                 CAST(h // {ANF_M} AS BIGINT) AS w FROM hsh),
+        rho AS (SELECT url, idx,
+                 least(CASE WHEN w = 0 THEN 61
+                       ELSE CAST(log2((w & (-w))::DOUBLE) AS BIGINT) + 1
+                       END, {ANF_RHO_CAP}) AS rho
+               FROM ini),
+        m0 AS MATERIALIZED (SELECT rho.url, CAST(r.i AS BIGINT) AS j,
+                 CASE WHEN CAST(r.i AS BIGINT) = rho.idx THEN rho.rho
+                      ELSE 0 END AS v
+               FROM rho CROSS JOIN range({ANF_M}) r(i)),{",".join(blocks)}
+        {snaps}"""
+
+
 def _hits_sql(pages: str) -> str:
     """Unrolled integer fixed-point HITS mirror (ops/graph.host_hits):
     auth from hub then hub from the UPDATED auth, L1-normalized with
@@ -2865,6 +2926,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_page_components": _page_cc_sql(pages),
         "crawl_walk_corpus": _walk_corpus_sql(pages),
         "crawl_walk_skipgrams": _walk_skipgram_sql(pages),
+        "crawl_neighborhood_fn": _anf_sql(pages),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6420,6 +6482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_page_components": q_crawl_page_components,
         "crawl_walk_corpus": q_crawl_walk_corpus,
         "crawl_walk_skipgrams": q_crawl_walk_skipgrams,
+        "crawl_neighborhood_fn": q_crawl_neighborhood_fn,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

@@ -1792,3 +1792,213 @@ def walk_skipgram_counts(corpus: ray.data.Dataset,
             .groupby("ppart").map_groups(
                 lambda g: final(g.drop(columns=["ppart"])),
                 batch_format="pandas"))
+
+
+# ---- HyperANF neighborhood function (Palmer ANF / Boldi-Vigna) ----
+
+ANF_M = 16                   # HLL registers per node (p = 4)
+ANF_ROUNDS = 4               # hop-plot depth
+ANF_RHO_CAP = 50             # register cap: keeps the 2^(cap-M) sum in
+                             # int64 (16·2^50 = 2^54), error ≤ 2^-50
+ANF_ALPHA_M2 = 172.288       # alpha_16 * 16^2 (Flajolet HLL constant)
+
+
+@ray.remote(num_cpus=0)
+class _AnfShard:
+    """One ANF partition: edges whose dst hashes here (dst registers
+    are local, so the per-round pull "src gathers its out-neighbors'
+    registers" becomes a local per-src max + O(V·m) scatter), plus the
+    (nid → url, registers) state of owned nodes."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.part = part
+        self.n_parts = n_parts
+        self._ed: list[tuple[np.ndarray, np.ndarray]] = []
+        self._nu: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._rows: list[pa.Table] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self._ed.append((np.asarray(src, np.int64),
+                         np.asarray(dst, np.int64)))
+        return len(src)
+
+    def add_nodes(self, nid: np.ndarray, url: np.ndarray,
+                  hu: np.ndarray) -> int:
+        self._nu.append((np.asarray(nid, np.int64),
+                         np.asarray(url, dtype=object),
+                         np.asarray(hu, np.uint64)))
+        return len(nid)
+
+    def seal(self) -> None:
+        nid = (np.concatenate([c[0] for c in self._nu])
+               if self._nu else np.empty(0, np.int64))
+        url = (np.concatenate([c[1] for c in self._nu])
+               if self._nu else np.empty(0, object))
+        hu = (np.concatenate([c[2] for c in self._nu])
+              if self._nu else np.empty(0, np.uint64))
+        self._nu = []
+        order = np.argsort(nid, kind="stable")
+        keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+        self.nids = nid[order][keep]
+        self.urls = url[order][keep]
+        hu = hu[order][keep]
+        # HLL init: register idx = h % m, rho = ntz(h >> p) + 1
+        self.regs = np.zeros((len(self.nids), ANF_M), dtype=np.int64)
+        if len(hu):
+            idx = (hu % np.uint64(ANF_M)).astype(np.int64)
+            w = (hu >> np.uint64(4)).astype(np.int64)
+            t = w & -w
+            rho = np.where(w == 0, np.int64(61),
+                           np.log2(np.maximum(t, 1)).astype(np.int64) + 1)
+            rho = np.minimum(rho, ANF_RHO_CAP)
+            self.regs[np.arange(len(hu)), idx] = rho
+        # edges: keep only fetched dsts (local check), group by src part
+        src = (np.concatenate([c[0] for c in self._ed])
+               if self._ed else np.empty(0, np.int64))
+        dst = (np.concatenate([c[1] for c in self._ed])
+               if self._ed else np.empty(0, np.int64))
+        self._ed = []
+        if len(dst) and len(self.nids):
+            pos = np.searchsorted(self.nids, dst)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == dst
+            src, dst = src[ok], dst[ok]
+        else:
+            src = dst = np.empty(0, np.int64)
+        spart = (src % self.n_parts).astype(np.int64)
+        order = np.lexsort((src, spart))
+        self.esrc, self.edst = src[order], dst[order]
+        self._bounds = np.searchsorted(spart[order],
+                                       np.arange(self.n_parts + 1))
+
+    def snapshot(self, rnd: int) -> None:
+        """Append this round's (url, round, sreg, nzero, est_raw) rows —
+        sreg = Σ_{M>0} 2^(CAP − M) + nzero·2^CAP exactly (int64), the
+        raw HLL indicator scaled by 2^CAP; est_raw = the one IEEE
+        division alpha·m²·2^CAP / sreg (identical operand order in the
+        SQL mirror → bit-equal doubles)."""
+        m = self.regs
+        nzero = (m == 0).sum(axis=1).astype(np.int64)
+        pw = np.where(m > 0, np.int64(1) << np.maximum(
+            ANF_RHO_CAP - m, 0), np.int64(1) << np.int64(ANF_RHO_CAP))
+        sreg = pw.sum(axis=1).astype(np.int64)
+        est = (ANF_ALPHA_M2 * float(1 << ANF_RHO_CAP)) \
+            / sreg.astype(np.float64)
+        self._rows.append(pa.table({
+            "url": pa.array(self.urls, type=pa.string()),
+            "round": pa.array(np.full(len(self.urls), rnd, np.int64),
+                              type=pa.int64()),
+            "sreg": pa.array(sreg, type=pa.int64()),
+            "nzero": pa.array(nzero, type=pa.int64()),
+            "est_raw": pa.array(est, type=pa.float64())}))
+
+    def push_refs(self) -> dict:
+        """Per-src elementwise-max of the LOCAL dst registers over this
+        shard's edges, sliced per src-owner shard."""
+        out = {}
+        if not len(self.esrc):
+            return out
+        dpos = np.searchsorted(self.nids, self.edst)
+        er = self.regs[dpos]                   # (E, m) dst registers
+        for p in range(self.n_parts):
+            lo, hi = self._bounds[p], self._bounds[p + 1]
+            if lo == hi:
+                continue
+            k = self.esrc[lo:hi]
+            v = er[lo:hi]
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            out[p] = ray.put((k[starts],
+                              np.maximum.reduceat(v, starts, axis=0)))
+        return out
+
+    def apply_max(self, refs: list) -> None:
+        if not refs or not len(self.nids):
+            return
+        parts = ray.get(list(refs))
+        k = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts], axis=0)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uk = k[starts]
+        mv = np.maximum.reduceat(v, starts, axis=0)
+        pos = np.searchsorted(self.nids, uk)
+        np.minimum(pos, len(self.nids) - 1, out=pos)
+        ok = self.nids[pos] == uk
+        pos, mv = pos[ok], mv[ok]
+        self.regs[pos] = np.maximum(self.regs[pos], mv)
+
+    def rows_arrow(self) -> pa.Table:
+        return pa.concat_tables(self._rows) if self._rows else pa.table({
+            "url": pa.array([], type=pa.string()),
+            "round": pa.array([], type=pa.int64()),
+            "sreg": pa.array([], type=pa.int64()),
+            "nzero": pa.array([], type=pa.int64()),
+            "est_raw": pa.array([], type=pa.float64())})
+
+
+def neighborhood_function(links: ray.data.Dataset,
+                          nodes: ray.data.Dataset,
+                          rounds: int = ANF_ROUNDS) -> ray.data.Dataset:
+    """(url, round, sreg, nzero, est_raw): the HyperANF neighborhood
+    function — per page, an HLL sketch of how many pages are reachable
+    within ``round`` out-link hops (round 0 = the page itself). The
+    hop-plot / effective-diameter analytic of Palmer's ANF and
+    Boldi-Vigna's HyperANF: per-node reach curves expose crawl-depth
+    payoff (how much of the web each additional hop unlocks) and
+    dense-core membership. est_raw is the raw HLL estimate
+    alpha·m²/Σ2^-M (no small-range correction — apply linear counting
+    downstream using nzero if needed).
+
+    Exactness: registers are integers; sreg = Σ 2^(CAP−M) is an exact
+    int64 (register values capped at CAP=50, error ≤ 2^-50); est_raw is
+    ONE IEEE division with identical operand order in the SQL mirror,
+    so even the float column compares bit-equal.
+
+    Scale shape: edges scatter ONCE keyed by hash(dst)%P (dst registers
+    are local to the pull), each round exchanges per-src register-max
+    partials — O(V·m) bytes, the HyperANF cost model — and edges never
+    re-shuffle. Union-of-sketches is associative+idempotent, so the
+    fold is partition-count-invariant."""
+    from .dedup import _hash64_str
+    n = nodes.count()
+    P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
+    shards = [_AnfShard.remote(p, P) for p in range(P)]
+
+    def scatter_edges(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["src_url", "dst_url"]].drop_duplicates()
+        e = e[e["src_url"] != e["dst_url"]]
+        s = hash64_array(e["src_url"].astype(str))
+        d = hash64_array(e["dst_url"].astype(str))
+        refs = [shards[p].add_edges.remote(ss, dd) for p, ss, dd in
+                _slice_by_part((d % P).astype(np.int64), P, s, d)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(e)]})
+
+    def scatter_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str).to_numpy(dtype=object)
+        nid = hash64_array(df["url"])
+        hu = _hash64_str(list(urls))
+        refs = [shards[p].add_nodes.remote(i, u, h) for p, i, u, h in
+                _slice_by_part((nid % P).astype(np.int64), P,
+                               nid, urls, hu)]
+        ray.get(refs)
+        return pd.DataFrame({"n": [len(df)]})
+
+    links.map_batches(scatter_edges, batch_format="pandas").materialize()
+    nodes.map_batches(scatter_nodes, batch_format="pandas").materialize()
+    ray.get([s.seal.remote() for s in shards])
+    ray.get([s.snapshot.remote(0) for s in shards])
+
+    for rnd in range(1, rounds + 1):
+        outs = ray.get([s.push_refs.remote() for s in shards])
+        ray.get([shards[q].apply_max.remote(
+            [outs[p][q] for p in range(P) if q in outs[p]])
+            for q in range(P)])
+        ray.get([s.snapshot.remote(rnd) for s in shards])
+
+    out = ray.data.from_arrow_refs(
+        [s.rows_arrow.remote() for s in shards]).materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
