@@ -1367,7 +1367,8 @@ class _CCShard:
               if self._nu else np.empty(0, np.uint64))
         self._nu = []
         order = np.argsort(nid, kind="stable")
-        keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+        keep = (np.r_[True, nid[order][1:] != nid[order][:-1]]
+                if len(nid) else np.empty(0, dtype=bool))
         self.nids = nid[order][keep]
         self.urls = url[order][keep]
         self.lab = hu[order][keep].copy()
@@ -1538,7 +1539,8 @@ class _WalkShard:
                if self._nu else np.empty(0, object))
         self._nu = []
         order = np.argsort(nid, kind="stable")
-        keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+        keep = (np.r_[True, nid[order][1:] != nid[order][:-1]]
+                if len(nid) else np.empty(0, dtype=bool))
         self.nids = nid[order][keep]
         self.urls = url[order][keep]
 
@@ -1838,7 +1840,8 @@ class _AnfShard:
               if self._nu else np.empty(0, np.uint64))
         self._nu = []
         order = np.argsort(nid, kind="stable")
-        keep = np.r_[True, nid[order][1:] != nid[order][:-1]]
+        keep = (np.r_[True, nid[order][1:] != nid[order][:-1]]
+                if len(nid) else np.empty(0, dtype=bool))
         self.nids = nid[order][keep]
         self.urls = url[order][keep]
         hu = hu[order][keep]
