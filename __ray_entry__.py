@@ -1050,6 +1050,12 @@ def q_emb_lsh(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.embedding_lsh_pairs(_emb(sf_dir))
 
 
+def q_ann_label_mrr(sf_dir: str) -> pd.DataFrame:
+    """Label-MRR retrieval eval over exact cosine top-k (bounded k·Q
+    result; labels attach via broadcast-id filtered stream)."""
+    return ops_ann.ann_label_mrr(_emb(sf_dir))
+
+
 def q_nearest_centroid_confusion(sf_dir: str) -> ray.data.Dataset:
     """Nearest-class-mean linear-probe confusion matrix (exact
     fixed-point centroids + int64 distance argmin)."""
@@ -4290,6 +4296,33 @@ def _ops_sql() -> dict[str, str]:
             SELECT label, pred AS pred_label,
                 count(*)::BIGINT AS n_vecs
             FROM p GROUP BY 1, 2""",
+        # ops/ann.ann_label_mrr: exact-topk CTE (the ann_topk ordering)
+        # + label join, integer reciprocal ranks
+        "ann_label_mrr": f"""
+            WITH ex AS (SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(q.qv, e.ev) DESC,
+                               e.vec_id) AS rank
+                FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}) q
+                CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev
+                            FROM embeddings) e
+                WHERE e.vec_id != q.qid) WHERE rank <= {ops_ann.TOPK}),
+            ql AS (SELECT vec_id AS query_id,
+                     CAST(label AS BIGINT) AS qlab
+                   FROM embeddings WHERE vec_id < {ops_ann.N_QUERIES}),
+            j AS (SELECT ex.query_id, ex.rank
+                  FROM ex JOIN embeddings nb ON nb.vec_id = ex.neighbor_id
+                  JOIN ql USING (query_id)
+                  WHERE CAST(nb.label AS BIGINT) = ql.qlab),
+            f AS (SELECT query_id, min(rank)::BIGINT AS r
+                  FROM j GROUP BY 1)
+            SELECT ql.query_id, ql.qlab AS query_label,
+                coalesce(f.r, 0)::BIGINT AS first_hit_rank,
+                (CASE WHEN f.r IS NULL THEN 0
+                 ELSE {ops_ann.ANN_EVAL_FP} // f.r END)::BIGINT AS mrr_fp
+            FROM ql LEFT JOIN f USING (query_id)""",
         "embedding_lsh_pairs": _emb_lsh_sql(),
         "kmeans_fit": _kmeans_sql(),
         "pq_codes": _pq_sql(),
@@ -6591,6 +6624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_emb_dup,
         "embedding_centroids": q_emb_centroids,
         "nearest_centroid_confusion": q_nearest_centroid_confusion,
+        "ann_label_mrr": q_ann_label_mrr,
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
         "kmeans_purity": q_kmeans_purity,

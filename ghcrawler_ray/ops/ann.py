@@ -1616,3 +1616,61 @@ def nearest_centroid_confusion(emb: ray.data.Dataset) -> ray.data.Dataset:
             .map_batches(score, batch_format="pandas")
             .groupby(["label", "pred_label"])
             .aggregate(Sum("n_vecs", alias_name="n_vecs")))
+
+
+# ---- label-MRR retrieval eval (embedding + label quality gate) ----
+
+def ann_label_mrr(emb: ray.data.Dataset, k: int = TOPK,
+                  n_queries: int = N_QUERIES) -> pd.DataFrame:
+    """(query_id, query_label, first_hit_rank, mrr_fp): for each query
+    vector, the rank of the FIRST exact-cosine top-``k`` neighbor that
+    shares the query's label (0 = no hit in the top-k), and the
+    fixed-point reciprocal rank ``ANN_EVAL_FP // rank``. The standard
+    retrieval eval (MRR) against labels-as-relevance: dropping MRR
+    flags embedding OR label degradation before either gates a
+    curation run — companion to :func:`ann_recall_eval` (index loss)
+    and :func:`nearest_centroid_confusion` (separability).
+
+    Scale shape: the expensive work is :func:`ann_topk`'s distributed
+    search (bounded k·Q result); labels attach via a broadcast-id
+    filtered stream (≤ Q·(k+1) slim rows — never a whole-table label
+    pull); the fold is a driver-side merge over the bounded set.
+    Integer reciprocal ranks — exact."""
+    topk = ann_topk(emb, k=k, n_queries=n_queries).to_pandas()
+    ids = np.sort(np.unique(np.concatenate(
+        [topk["query_id"].to_numpy(np.int64),
+         topk["neighbor_id"].to_numpy(np.int64)]))) if len(topk) else \
+        np.empty(0, np.int64)
+    ids_ref = ray.put(ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids_ = ray.get(ids_ref)
+        v = df["vec_id"].to_numpy(np.int64)
+        if not len(ids_):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "label": pd.Series([], dtype=np.int64)})
+        pos = np.searchsorted(ids_, v)
+        np.minimum(pos, len(ids_) - 1, out=pos)
+        ok = ids_[pos] == v
+        return pd.DataFrame({"vec_id": v[ok],
+                             "label": df["label"].to_numpy(np.int64)[ok]})
+
+    lab = (emb.select_columns(["vec_id", "label"])
+           .map_batches(pick, batch_format="pandas").to_pandas())
+    lmap = lab.set_index("vec_id")["label"]
+    qids = np.sort(topk["query_id"].unique()) if len(topk) else \
+        np.empty(0, np.int64)
+    m = topk.copy()
+    m["qlab"] = lmap.reindex(m["query_id"].to_numpy(np.int64)) \
+        .to_numpy(np.int64)
+    m["nlab"] = lmap.reindex(m["neighbor_id"].to_numpy(np.int64)) \
+        .to_numpy(np.int64)
+    hit = m[m["qlab"] == m["nlab"]]
+    first = hit.groupby("query_id")["rank"].min()
+    r = first.reindex(qids).fillna(0).to_numpy(np.int64)
+    return pd.DataFrame({
+        "query_id": qids,
+        "query_label": lmap.reindex(qids).to_numpy(np.int64),
+        "first_hit_rank": r,
+        "mrr_fp": np.where(r > 0, ANN_EVAL_FP // np.maximum(r, 1), 0)
+        .astype(np.int64)})
