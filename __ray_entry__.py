@@ -334,6 +334,18 @@ def q_crawl_walk_corpus(sf_dir: str) -> ray.data.Dataset:
     return walk_corpus(_links_ds(sf_dir), nodes)
 
 
+def q_crawl_seed_ppr(sf_dir: str) -> ray.data.Dataset:
+    """Seed-personalized PageRank: teleport mass on the crawl's seed
+    list only — page-level trust propagation (same shard machinery as
+    pagerank, per-node base vector)."""
+    from ghcrawler_ray.ops.graph import pagerank
+    sf = sf_of_dir(sf_dir)
+    nodes = _pages_ds(sf).select_columns(["url"])
+    seeds = pq.read_table(_seeds_path(sf), columns=["url"])["url"] \
+        .to_pylist()
+    return pagerank(_links_ds(sf_dir), nodes, seed_urls=seeds)
+
+
 def q_crawl_neighborhood_fn(sf_dir: str) -> ray.data.Dataset:
     """HyperANF hop-plot: per-page HLL reach sketches over 0..4 out-link
     hops (dst-keyed edge shards, O(V·m) register exchange/round)."""
@@ -1780,6 +1792,48 @@ def _pagerank_sql(pages: str) -> str:
         FROM {prev}"""
 
 
+def _ppr_sql(pages: str, seeds: str) -> str:
+    """Seed-personalized PageRank mirror (ops/graph.pagerank with
+    seed_urls): identical unrolled integer chain, but r0/base mass only
+    on fetched seed-set members."""
+    from ghcrawler_ray.ops.graph import PR_ITERS, PR_TOTAL
+    prev, its = "r0", []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+        i{i} AS (SELECT n.url,
+                 CAST((CASE WHEN fs.url IS NOT NULL
+                       THEN (SELECT basev FROM c0) ELSE 0 END)
+                      + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM nodes n
+               LEFT JOIN fs ON fs.url = n.url
+               LEFT JOIN (
+                 SELECT e.dst, sum({prev}.r // deg.d) AS c
+                 FROM e JOIN deg USING (src)
+                 JOIN {prev} ON {prev}.url = e.src
+                 GROUP BY 1) s ON s.dst = n.url)""")
+        prev = f"i{i}"
+    return rf"""
+        WITH nodes AS (SELECT url FROM read_parquet('{pages}')),
+        l AS (SELECT url AS src,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a href="([^"]+)"', 1)) AS dst
+               FROM read_parquet('{pages}')),
+        e AS (SELECT l.src, l.dst FROM l JOIN nodes n ON l.dst = n.url),
+        deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        sd AS (SELECT DISTINCT url FROM read_parquet('{seeds}')),
+        fs AS MATERIALIZED (SELECT n.url FROM nodes n
+               JOIN sd USING (url)),
+        c0 AS (SELECT {PR_TOTAL} // count(*) AS r0v,
+                 (15 * ({PR_TOTAL} // count(*))) // 100 AS basev
+               FROM fs),
+        r0 AS (SELECT n.url,
+                 CAST(CASE WHEN fs.url IS NOT NULL
+                      THEN (SELECT r0v FROM c0) ELSE 0 END AS BIGINT) AS r
+               FROM nodes n LEFT JOIN fs ON fs.url = n.url),{",".join(its)}
+        SELECT url, r AS rank_fp, r / 1000000000000.0e0 AS score
+        FROM {prev}"""
+
+
 def _page_hits_sql(pages: str) -> str:
     """Unrolled integer HITS mirror for the PAGE-level shard-actor op
     (ops/graph.page_hits): each half-round is a join-sum followed by
@@ -2933,6 +2987,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_walk_corpus": _walk_corpus_sql(pages),
         "crawl_walk_skipgrams": _walk_skipgram_sql(pages),
         "crawl_neighborhood_fn": _anf_sql(pages),
+        "crawl_seed_ppr": _ppr_sql(pages, seeds),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6516,6 +6571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_walk_corpus": q_crawl_walk_corpus,
         "crawl_walk_skipgrams": q_crawl_walk_skipgrams,
         "crawl_neighborhood_fn": q_crawl_neighborhood_fn,
+        "crawl_seed_ppr": q_crawl_seed_ppr,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

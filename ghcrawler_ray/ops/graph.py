@@ -105,10 +105,32 @@ class _GraphShard:
         self.n_parts = n_parts
         self.base = base
         self.r0 = r0
+        self._basev: np.ndarray | None = None   # per-node base (PPR mode)
         self._pending: list[tuple[np.ndarray, np.ndarray]] = []
         self._edge_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._node_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self.nids = np.empty(0, dtype=np.int64)
+
+    def count_seeds(self, seeds_sorted: np.ndarray) -> int:
+        """#owned nodes present in the sorted seed-nid array."""
+        if not len(self.nids) or not len(seeds_sorted):
+            return 0
+        pos = np.searchsorted(seeds_sorted, self.nids)
+        np.minimum(pos, len(seeds_sorted) - 1, out=pos)
+        return int((seeds_sorted[pos] == self.nids).sum())
+
+    def personalize(self, seeds_sorted: np.ndarray, base: int,
+                    r0: int) -> None:
+        """Switch to seed-personalized teleport (PPR): base/r0 mass
+        only on owned nodes in the seed set; call after ``seal``."""
+        if len(self.nids) and len(seeds_sorted):
+            pos = np.searchsorted(seeds_sorted, self.nids)
+            np.minimum(pos, len(seeds_sorted) - 1, out=pos)
+            sel = seeds_sorted[pos] == self.nids
+        else:
+            sel = np.zeros(len(self.nids), dtype=bool)
+        self._basev = np.where(sel, np.int64(base), np.int64(0))
+        self.r = np.where(sel, np.int64(r0), np.int64(0))
 
     def add_pending(self, src: np.ndarray, dst: np.ndarray) -> int:
         """Receive raw edges routed by hash(dst)%P (membership filter
@@ -210,7 +232,8 @@ class _GraphShard:
             uk, sv = _sum_by_key(k, v)
             idx = np.searchsorted(self.nids, uk)
             ins[idx] = sv
-        self.r = self.base + (85 * ins) // 100
+        base = self._basev if self._basev is not None else self.base
+        self.r = base + (85 * ins) // 100
 
     def ranks_arrow(self) -> pa.Table:
         return pa.table({
@@ -224,12 +247,20 @@ def _part_of(urls: pd.Series) -> np.ndarray:
 
 
 def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
-             iters: int = PR_ITERS) -> ray.data.Dataset:
+             iters: int = PR_ITERS,
+             seed_urls: list | None = None) -> ray.data.Dataset:
     """(url, rank_fp, score) after ``iters`` damped power iterations.
     ``links`` = (src_url, dst_url) rows (multi-edges count once each);
     ``nodes`` = (url) rows; edges whose dst is not a node are dropped
     (rank flows only within the fetched page set). rank_fp is the exact
-    int64 fixed-point mass (1e-12 units), score = rank_fp / 1e12."""
+    int64 fixed-point mass (1e-12 units), score = rank_fp / 1e12.
+
+    ``seed_urls`` switches to seed-personalized PageRank (the
+    TrustRank/PPR shape at page level): ALL teleport mass concentrates
+    on the fetched members of the seed set (base = 15%·(TOTAL//n_seeds)
+    on seeds, 0 elsewhere) — authority relative to the crawl's trusted
+    entry points; pages unreachable from any seed score exactly 0. The
+    shard machinery is identical; only the base vector changes."""
     n = nodes.count()
     base = (15 * (PR_TOTAL // n)) // 100
     r0 = PR_TOTAL // n
@@ -275,6 +306,17 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
         [outs[p][q] for p in range(P) if q in outs[p]])
         for q in range(P)])
     ray.get([s.seal.remote() for s in shards])
+
+    if seed_urls is not None:
+        sids = np.sort(np.unique(hash64_array(
+            pd.Series(sorted(set(map(str, seed_urls)))))))
+        ns = sum(ray.get([s.count_seeds.remote(sids) for s in shards]))
+        if ns:
+            r0s = PR_TOTAL // ns
+            ray.get([s.personalize.remote(sids, (15 * r0s) // 100, r0s)
+                     for s in shards])
+        else:                     # no fetched seed → all-zero ranks
+            ray.get([s.personalize.remote(sids, 0, 0) for s in shards])
 
     # ---- iterate: scatter/gather of O(V)-sized rank partials only ----
     for _ in range(iters):
