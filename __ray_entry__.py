@@ -1549,6 +1549,12 @@ def q_duplicate_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ops_contam.duplicate_ngrams(_docs(sf_dir))
 
 
+def q_concurrent_sessions_peak(sf_dir: str) -> ray.data.Dataset:
+    """Peak concurrent gap-sessions per day (two-pass day-prefix
+    interval-overlap scan over session endpoints)."""
+    return ops_events.concurrent_sessions_peak(_events(sf_dir))
+
+
 def q_late_event_stats(sf_dir: str) -> ray.data.Dataset:
     """Watermark late-event accounting: per-type count of events whose
     event time lags the running arrival-order max beyond the allowed
@@ -5829,6 +5835,38 @@ def _ops_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END)::BIGINT AS n_late,
                 max(lateness)::BIGINT AS max_lateness_us
             FROM w GROUP BY 1""",
+        # ops/events.concurrent_sessions_peak: gap sessions → ±1
+        # endpoint scan, deterministic tie order (t, kind, user,
+        # session); peak of the global running count per epoch-day
+        "concurrent_sessions_peak": f"""
+            WITH o AS (SELECT ts, event_id, user_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id)
+                      > INTERVAL {ops_events.SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+            s AS (SELECT user_id, ts,
+                 CAST(sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+               FROM o),
+            g AS (SELECT user_id, session_id,
+                 epoch_us(min(ts))::BIGINT AS t0,
+                 epoch_us(max(ts))::BIGINT AS t1
+               FROM s GROUP BY 1, 2),
+            ep AS (SELECT t0 AS t, 0 AS kind, user_id, session_id,
+                     1 AS delta FROM g
+                   UNION ALL
+                   SELECT t1, 1, user_id, session_id, -1 FROM g),
+            r AS (SELECT t // 86400000000 AS day, kind,
+                 sum(delta) OVER (ORDER BY t, kind, user_id, session_id
+                     ROWS UNBOUNDED PRECEDING) AS run
+               FROM ep)
+            SELECT day::BIGINT AS day,
+                sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_starts,
+                max(run)::BIGINT AS peak_concurrent
+            FROM r GROUP BY 1""",
         "dwell_by_type": """
             WITH o AS (SELECT user_id, ts, event_id, event_type,
                  lead(ts) OVER (PARTITION BY user_id
@@ -6779,6 +6817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": q_session_paths,
         "dwell_by_type": q_dwell_by_type,
         "late_event_stats": q_late_event_stats,
+        "concurrent_sessions_peak": q_concurrent_sessions_peak,
         "dedup_spans": q_dedup_spans,
         "duplicate_lines": q_duplicate_lines,
         "dedup_lines": q_dedup_lines,

@@ -1896,3 +1896,92 @@ def late_event_stats(events: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("n_late", alias_name="n_late"),
                        Max("max_lateness_us", alias_name="max_lateness_us")))
+
+
+# ---- peak concurrent sessions (global interval-overlap scan) ----
+
+_DAY_US_EV = 86_400_000_000
+
+
+def concurrent_sessions_peak(events: ray.data.Dataset,
+                             gap_minutes: int = SESSION_GAP_MIN
+                             ) -> ray.data.Dataset:
+    """(day, n_starts, peak_concurrent): per epoch-day, how many gap
+    sessions started and the PEAK number of simultaneously-open
+    sessions — the interval-overlap capacity readout (connection-pool /
+    rate-limit sizing; the crawl analogue is peak concurrent polite
+    hosts). A session is open from its first to its last event
+    (inclusive); the running count is evaluated at endpoint instants
+    with the deterministic tie order (ts, kind start<end, user_id,
+    session_id).
+
+    Scale shape: sessions come from :func:`sessionize` (ONE user-hash
+    co-partition); each session folds to two ±1 endpoint rows; the
+    global running count is a two-pass prefix scan — per-day net sums
+    (≤ #days rows) fold driver-side into an EXCLUSIVE day prefix,
+    broadcast; endpoints then co-partition ONCE by day (coarse
+    day-hash groups, vectorized per-day scan inside) and each day
+    emits one output row. Driver state is O(#days)."""
+    sess = sessionize(events, gap_minutes)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        ts0 = df["t_start"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ts1 = df["t_end"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        sid = df["session_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "t": np.concatenate([ts0, ts1]),
+            "kind": np.concatenate([np.zeros(len(df), np.int64),
+                                    np.ones(len(df), np.int64)]),
+            "user_id": np.concatenate([uid, uid]),
+            "session_id": np.concatenate([sid, sid]),
+            "delta": np.concatenate([np.ones(len(df), np.int64),
+                                     np.full(len(df), -1, np.int64)])})
+
+    ep = sess.map_batches(endpoints, batch_format="pandas",
+                          batch_size=65536).materialize()
+
+    def day_net(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["t"].to_numpy(np.int64) // _DAY_US_EV
+        agg = pd.DataFrame({"day": d, "net": df["delta"]
+                            .to_numpy(np.int64)}) \
+            .groupby("day", as_index=False).sum()
+        return agg
+
+    nets = (ep.map_batches(day_net, batch_format="pandas")
+            .to_pandas().groupby("day", as_index=False)["net"].sum()
+            .sort_values("day"))                    # ≤ #days rows
+    days = nets["day"].to_numpy(np.int64)
+    pref = np.concatenate([[0], np.cumsum(nets["net"]
+                                          .to_numpy(np.int64))[:-1]])
+    seed_ref = ray.put((days, pref))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["day"] = out["t"].to_numpy(np.int64) // _DAY_US_EV
+        out["part"] = (out["day"].to_numpy(np.int64)
+                       % N_USER_PARTS).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        days_, pref_ = ray.get(seed_ref)
+        rows = []
+        for day, sub in g.groupby("day", sort=False):
+            sub = sub.sort_values(["t", "kind", "user_id", "session_id"],
+                                  kind="stable")
+            run = pref_[np.searchsorted(days_, day)] \
+                + np.cumsum(sub["delta"].to_numpy(np.int64))
+            rows.append((int(day),
+                         int((sub["kind"].to_numpy(np.int64) == 0).sum()),
+                         int(run.max())))
+        return pd.DataFrame(rows, columns=["day", "n_starts",
+                                           "peak_concurrent"]) \
+            .astype({"day": np.int64, "n_starts": np.int64,
+                     "peak_concurrent": np.int64})
+
+    return (ep.map_batches(tag, batch_format="pandas")
+            .groupby("part").map_groups(
+                lambda g: fold(g.drop(columns=["part"])),
+                batch_format="pandas"))
