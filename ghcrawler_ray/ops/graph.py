@@ -92,6 +92,12 @@ def _slice_by_part(part: np.ndarray, n_parts: int, *cols: np.ndarray):
             yield p, *(c[lo:hi] for c in cols)
 
 
+def _empty_graph_table(**cols) -> "ray.data.Dataset":
+    """Typed empty result for the zero-node/zero-edge degenerate case."""
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array([], type=t) for k, t in cols.items()}))
+
+
 @ray.remote(num_cpus=0)
 class _GraphShard:
     """One graph partition: static (src, dst, outdeg) edge arrays, the
@@ -262,6 +268,9 @@ def pagerank(links: ray.data.Dataset, nodes: ray.data.Dataset,
     entry points; pages unreachable from any seed score exactly 0. The
     shard machinery is identical; only the base vector changes."""
     n = nodes.count()
+    if n == 0:
+        return _empty_graph_table(url=pa.string(), rank_fp=pa.int64(),
+                                  score=pa.float64())
     base = (15 * (PR_TOTAL // n)) // 100
     r0 = PR_TOTAL // n
     # Shard count scales with |V| (~25k nodes/shard, ≥4, capped at
@@ -1306,6 +1315,9 @@ def page_hits(links: ray.data.Dataset, nodes: ray.data.Dataset,
     (SURVEY.md §2.5); this is the page-level companion of
     ``host_hits``."""
     n = nodes.count()
+    if n == 0:
+        return _empty_graph_table(url=pa.string(), hub_fp=pa.int64(),
+                                  auth_fp=pa.int64())
     P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
     shards = [_HitsShard.remote(p, P) for p in range(P)]
 
@@ -1485,6 +1497,8 @@ def page_components(links: ray.data.Dataset, nodes: ray.data.Dataset,
     mirror reproduces the values bit-for-bit."""
     from .dedup import _hash64_str
     n = nodes.count()
+    if n == 0:
+        return _empty_graph_table(url=pa.string(), comp_fp=pa.int64())
     P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
     shards = [_CCShard.remote(p, P) for p in range(P)]
 
@@ -1714,6 +1728,10 @@ def walk_corpus(links: ray.data.Dataset, nodes: ray.data.Dataset,
     refs."""
     from .dedup import _hash64_str
     n = nodes.count()
+    if n == 0:
+        return _empty_graph_table(start_url=pa.string(),
+                                  walk=pa.int64(), step=pa.int64(),
+                                  url=pa.string())
     P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
     shards = [_WalkShard.remote(p, P) for p in range(P)]
 
@@ -2007,6 +2025,10 @@ def neighborhood_function(links: ray.data.Dataset,
     fold is partition-count-invariant."""
     from .dedup import _hash64_str
     n = nodes.count()
+    if n == 0:
+        return _empty_graph_table(url=pa.string(), round=pa.int64(),
+                                  sreg=pa.int64(), nzero=pa.int64(),
+                                  est_raw=pa.float64())
     P = max(4, min(N_GRAPH_PARTS, n // 25_000 + 1))
     shards = [_AnfShard.remote(p, P) for p in range(P)]
 

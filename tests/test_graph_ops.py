@@ -102,3 +102,16 @@ def test_neighborhood_function_monotone_reach(ray_session):
     # the sink's sketch never changes
     tail = out[out["url"] == urls[-1]]
     assert tail["sreg"].nunique() == 1
+
+
+def test_graph_ops_empty_inputs(ray_session):
+    empty_links = ray.data.from_pandas(pd.DataFrame(
+        {"src_url": pd.Series([], dtype=object),
+         "dst_url": pd.Series([], dtype=object)}))
+    empty_nodes = ray.data.from_pandas(pd.DataFrame(
+        {"url": pd.Series([], dtype=object)}))
+    from ghcrawler_ray.ops.graph import pagerank
+    for op in (pagerank, page_hits, page_components, walk_corpus,
+               neighborhood_function):
+        out = op(empty_links, empty_nodes)
+        assert out.count() == 0, op.__name__
