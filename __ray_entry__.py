@@ -6658,6 +6658,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
+        # zlib isn't SQL-expressible — deliberately no oracle_sql entry
+        # (rows-only at the driver; value pinned by pytest)
+        "compression_ratio": lambda sf_dir: ops_text.compression_ratio(
+            _docs(sf_dir)),
         "lang_id": q_lang_id,
         "langid_confusion": q_langid_confusion,
         "doc_fingerprints": q_fingerprints,

@@ -1042,3 +1042,45 @@ def readability(docs: ray.data.Dataset) -> ray.data.Dataset:
     corpus filtering."""
     return (docs.select_columns(["doc_id", "text"])
             .map_batches(readability_batch, batch_format="pandas"))
+
+
+# ---- compression-ratio quality signal (Gopher-style) ----
+
+ZRATIO_FP = 10 ** 6
+ZRATIO_LEVEL = 6             # zlib level pinned — ratios are stable
+ZRATIO_LO_FP = 300_000       # < 0.30 → highly repetitive (template/spam)
+ZRATIO_HI_FP = 900_000       # > 0.90 → near-random (binary junk/encoded)
+
+
+def compression_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bytes, z_bytes, ratio_fp, verdict): zlib-compressed
+    size over raw UTF-8 size per document — the Gopher-report
+    compressibility filter: highly compressible text is boilerplate /
+    template spam (repeated n-grams), incompressible text is encoded
+    junk; natural prose sits between. verdict ∈ {repetitive, ok,
+    random}. zlib is deterministic at a pinned level, so the column is
+    reproducible (but not SQL-expressible — this op is pytest-pinned,
+    rows-only at the driver).
+
+    Scale shape: map-only; the per-doc zlib call is the C kernel doing
+    the work (like model inference — per-payload compute, not a
+    Python-loop smell); nothing shuffles."""
+    import zlib
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in df["text"].astype(str)]
+        nb = np.fromiter((len(b) for b in raw), dtype=np.int64,
+                         count=len(raw))
+        zb = np.fromiter(
+            (len(zlib.compress(b, ZRATIO_LEVEL)) for b in raw),
+            dtype=np.int64, count=len(raw))
+        ratio = ZRATIO_FP * zb // np.maximum(nb, 1)
+        verdict = np.where(ratio < ZRATIO_LO_FP, "repetitive",
+                           np.where(ratio > ZRATIO_HI_FP, "random", "ok"))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bytes": nb, "z_bytes": zb, "ratio_fp": ratio,
+            "verdict": verdict.astype(object)})
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(score, batch_format="pandas", batch_size=4096))

@@ -1216,3 +1216,28 @@ def test_decayed_activity_shift_clamp(ray_session):
     full = 1 << DECAY_FP_SHIFT
     assert out.loc[1, "score_fp"] == full + (full >> 1)
     assert out.loc[2, "score_fp"] == 0
+
+
+def test_compression_ratio_separates_repetition(ray_session):
+    import ray.data as rd
+    from ghcrawler_ray.ops.text import (ZRATIO_FP, ZRATIO_LEVEL,
+                                        compression_ratio)
+    import zlib
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam ham " * 400,                    # repetitive
+                 ("the quick brown fox jumps over the lazy dog while "
+                  "seven wizards briskly mixed pale quartz goblets; "
+                  "every journal kept amazing chronicles of voyages "
+                  "across frozen plateaus and humid deltas alike."),
+                 "k9#pQ2$vX8!mZ4&wL7*jD5@tF3^yH6%rB1(nG0)sC"],
+    })
+    out = compression_ratio(rd.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "verdict"] == "repetitive"
+    assert out.loc[2, "verdict"] == "ok"
+    # exact reproducibility of the pinned-level zlib size
+    want = len(zlib.compress(docs["text"][0].encode(), ZRATIO_LEVEL))
+    assert out.loc[1, "z_bytes"] == want
+    assert out.loc[1, "ratio_fp"] == ZRATIO_FP * want // out.loc[1, "n_bytes"]
+    assert (out["ratio_fp"] > 0).all()
