@@ -1062,6 +1062,12 @@ def q_emb_lsh(sf_dir: str) -> ray.data.Dataset:
     return ops_ann.embedding_lsh_pairs(_emb(sf_dir))
 
 
+def q_ivf_cell_balance(sf_dir: str) -> pd.DataFrame:
+    """IVF cell-size balance audit (per-cell count partials → exact
+    integer Gini over ≤ #cells driver rows)."""
+    return ops_ann.ivf_cell_balance(_emb(sf_dir))
+
+
 def q_ann_label_mrr(sf_dir: str) -> pd.DataFrame:
     """Label-MRR retrieval eval over exact cosine top-k (bounded k·Q
     result; labels attach via broadcast-id filtered stream)."""
@@ -4357,6 +4363,20 @@ def _ops_sql() -> dict[str, str]:
             SELECT label, pred AS pred_label,
                 count(*)::BIGINT AS n_vecs
             FROM p GROUP BY 1, 2""",
+        # ops/ann.ivf_cell_balance: exact integer Gini over ascending
+        # cell sizes (the host_indegree_gini formula)
+        "ivf_cell_balance": f"""
+            WITH c AS (SELECT label, count(*)::BIGINT AS n
+                   FROM embeddings GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n, label)
+                     AS i, count(*) OVER () AS nc,
+                     sum(n) OVER () AS tot
+                  FROM c)
+            SELECT max(nc)::BIGINT AS n_cells, max(tot)::BIGINT AS n_vecs,
+                max(n)::BIGINT AS max_cell, min(n)::BIGINT AS min_cell,
+                ({ops_ann.CELL_GINI_FP} * sum((2 * i - nc - 1) * n)
+                 // (max(nc) * max(tot)))::BIGINT AS gini_fp
+            FROM r""",
         # ops/ann.ann_label_mrr: exact-topk CTE (the ann_topk ordering)
         # + label join, integer reciprocal ranks
         "ann_label_mrr": f"""
@@ -6723,6 +6743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_emb_centroids,
         "nearest_centroid_confusion": q_nearest_centroid_confusion,
         "ann_label_mrr": q_ann_label_mrr,
+        "ivf_cell_balance": q_ivf_cell_balance,
         "embedding_lsh_pairs": q_emb_lsh,
         "kmeans_fit": q_kmeans,
         "kmeans_purity": q_kmeans_purity,

@@ -1674,3 +1674,50 @@ def ann_label_mrr(emb: ray.data.Dataset, k: int = TOPK,
         "first_hit_rank": r,
         "mrr_fp": np.where(r > 0, ANN_EVAL_FP // np.maximum(r, 1), 0)
         .astype(np.int64)})
+
+
+# ---- IVF cell-balance audit (index-health readout) ----
+
+CELL_GINI_FP = 10 ** 6
+
+
+def ivf_cell_balance(emb: ray.data.Dataset) -> pd.DataFrame:
+    """(n_cells, n_vecs, max_cell, min_cell, gini_fp): balance audit of
+    the IVF coarse cells (the ``label`` column = cell id, as in
+    :func:`ann_topk_ivf`): a skewed cell-size distribution means the
+    partitioned search degenerates to brute force on hot cells and the
+    per-cell top-k loses recall on starved ones — the index-health gate
+    to run after (re)training cells. gini_fp uses the same exact
+    integer Gini as ``graph.host_indegree_gini``:
+    GINI_FP·Σᵢ(2i−n−1)·xᵢ // (n·Σx) over ascending cell sizes.
+
+    Scale shape: per-batch per-cell count partials → ≤ #cells rows to
+    the driver, where the rank sum is one vectorized pass. The vectors
+    themselves never move."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"label": df["label"].to_numpy(np.int64),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return g.groupby("label", as_index=False).sum()
+
+    per = (emb.select_columns(["label"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("label").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                       # <= #cells rows
+    if not len(per):
+        return pd.DataFrame({"n_cells": [0], "n_vecs": [0],
+                             "max_cell": [0], "min_cell": [0],
+                             "gini_fp": [0]}).astype(np.int64)
+    x = np.sort(per["n"].to_numpy(np.int64))
+    n = len(x)
+    tot = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini = int(CELL_GINI_FP * int(((2 * i - n - 1) * x).sum())
+               // (n * tot)) if tot else 0
+    return pd.DataFrame({
+        "n_cells": np.array([n], np.int64),
+        "n_vecs": np.array([tot], np.int64),
+        "max_cell": np.array([int(x[-1])], np.int64),
+        "min_cell": np.array([int(x[0])], np.int64),
+        "gini_fp": np.array([gini], np.int64)})
