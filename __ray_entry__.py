@@ -1582,6 +1582,12 @@ def q_session_paths(sf_dir: str) -> ray.data.Dataset:
     return session_paths(_events(sf_dir))
 
 
+def q_source_overlap_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Source×source shared-shingle matrix (who-copies-whom provenance;
+    gram-hash co-partition, df-capped pair fan-out)."""
+    return ops_contam.source_overlap_matrix(_docs(sf_dir))
+
+
 def q_ngram_novelty(sf_dir: str) -> ray.data.Dataset:
     """Per-doc first-occurrence shingle novelty (corpus redundancy
     curve) — distinct k-gram projection, one gram-hash co-partition."""
@@ -6248,6 +6254,24 @@ def _ops_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_total
             FROM gs GROUP BY 1
             HAVING count(DISTINCT doc_id) >= {ops_contam.DUP_MIN_DOCS}""",
+        # ops/contamination.source_overlap_matrix: distinct (gram,
+        # source) projection, df∈[2,CAP] gate, ordered source pairs
+        "source_overlap_matrix": rf"""
+            WITH t AS (SELECT source,
+                 regexp_extract_all(lower(text), '[^\s]+') AS tk
+               FROM documents),
+            g AS (SELECT DISTINCT t.source,
+                 ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT AS hu
+               FROM t, LATERAL (SELECT unnest(list_transform(
+                 range(1, greatest(len(tk)-{ops_contam.DUP_NGRAM_K - 2}, 1)),
+                 i -> {_gram_concat_sql(ops_contam.DUP_NGRAM_K)})) AS gr) u),
+            c AS (SELECT hu, count(*) AS df FROM g GROUP BY 1),
+            p AS (SELECT a.source AS source_a, b.source AS source_b
+                  FROM g a JOIN g b USING (hu) JOIN c USING (hu)
+                  WHERE a.source < b.source
+                    AND c.df BETWEEN 2 AND {ops_contam.SRC_OVERLAP_DF_CAP})
+            SELECT source_a, source_b, count(*)::BIGINT AS n_shared_grams
+            FROM p GROUP BY 1, 2""",
         "ngram_novelty": rf"""
             WITH t AS (SELECT doc_id,
                  regexp_extract_all(lower(text), '[^\s]+') AS tk
@@ -6789,6 +6813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_sessions,
         "decontaminate": q_decontaminate,
         "contamination_by_source": q_contamination_by_source,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "vocab_coverage_curve": q_vocab_coverage_curve,
         "inter_event_gaps": q_inter_event_gaps,
         "token_frequency_spectrum": q_token_frequency_spectrum,

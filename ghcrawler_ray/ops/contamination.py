@@ -784,3 +784,84 @@ def ngram_novelty(docs: ray.data.Dataset,
             .groupby("dpart")
             .map_groups(lambda g: finish(g.drop(columns=["dpart"])),
                         batch_format="pandas"))
+
+
+# ---- source x source shared-shingle overlap matrix (provenance) ----
+
+SRC_OVERLAP_DF_CAP = 16      # ignore grams shared by > CAP sources
+                             # (stop-phrase hubs would emit O(CAP²) pairs)
+
+
+def source_overlap_matrix(docs: ray.data.Dataset,
+                          k: int = DUP_NGRAM_K) -> ray.data.Dataset:
+    """(source_a, source_b, n_shared_grams): for every ordered source
+    pair (a < b), how many DISTINCT k-token shingles appear in both —
+    the who-copies-whom provenance matrix (syndication rings, mirror
+    feeds, cross-source template reuse) that decides which sources
+    dedup against each other before mixing. Grams shared by more than
+    ``SRC_OVERLAP_DF_CAP`` sources are stop-phrases and are excluded
+    (mirrored in SQL), which also bounds the per-gram pair fan-out.
+
+    Scale shape: per-batch distinct (gram-hash, source) projection —
+    text never shuffles; ONE gram-hash co-partition makes the
+    (gram, source) set global, emits each qualifying gram's ≤ CAP²/2
+    source pairs ONCE, and pre-combines pair counts; a final int
+    pair-hash co-partition completes the sums (no multi-string-key Ray
+    groupby). Driver never holds gram state."""
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        cat, lens = _batch_grams(df["text"].astype(str).tolist(), k, True)
+        src = np.repeat(df["source"].to_numpy(dtype=object), lens)
+        out = pd.DataFrame({"h": cat.view(np.int64), "source": src}) \
+            .drop_duplicates()
+        out["gpart"] = (out["h"].to_numpy(np.int64)
+                        % OVERLAP_PARTS).astype(np.int32)
+        return out
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "source"]) \
+            .sort_values(["h", "source"], kind="stable")
+        h = g["h"].to_numpy(np.int64)
+        src = g["source"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        rows_a, rows_b = [], []
+        for lo, hi in zip(starts, ends):
+            d = hi - lo
+            if 2 <= d <= SRC_OVERLAP_DF_CAP:
+                s = src[lo:hi]
+                ia, ib = np.triu_indices(d, 1)
+                rows_a.append(s[ia])
+                rows_b.append(s[ib])
+        if not rows_a:
+            return pd.DataFrame({
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "n_shared_grams": pd.Series([], dtype=np.int64),
+                "ppart": pd.Series([], dtype=np.int32)})
+        pa_ = np.concatenate(rows_a)
+        pb_ = np.concatenate(rows_b)
+        agg = pd.DataFrame({"source_a": pa_, "source_b": pb_,
+                            "n_shared_grams": np.ones(len(pa_),
+                                                      dtype=np.int64)}) \
+            .groupby(["source_a", "source_b"], as_index=False,
+                     sort=False).sum()
+        agg["ppart"] = ((_hash64_str(list(agg["source_a"].astype(str)))
+                         + _hash64_str(list(agg["source_b"].astype(str))))
+                        .view(np.int64) % OVERLAP_PARTS).astype(np.int32)
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source_a", "source_b"], as_index=False,
+                        sort=False)["n_shared_grams"].sum()
+        agg["n_shared_grams"] = agg["n_shared_grams"].astype(np.int64)
+        return agg
+
+    return (docs.select_columns(["source", "text"])
+            .map_batches(slim, batch_format="pandas", batch_size=4096)
+            .groupby("gpart").map_groups(
+                lambda g: per_gram(g.drop(columns=["gpart"])),
+                batch_format="pandas")
+            .groupby("ppart").map_groups(
+                lambda g: final(g.drop(columns=["ppart"])),
+                batch_format="pandas"))
