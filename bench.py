@@ -72,7 +72,10 @@ OPS_QUERIES = ("doc_exact_dedup", "quality_scores", "minhash_lsh_pairs",
                "crawl_page_hits", "crawl_page_components",
                "crawl_walk_skipgrams", "late_event_stats",
                "local_supplier_volume", "waiting_suppliers",
-               "nearest_centroid_confusion")
+               "nearest_centroid_confusion", "crawl_neighborhood_fn",
+               "crawl_seed_ppr", "concurrent_sessions_peak",
+               "source_overlap_matrix", "ivf_cell_balance",
+               "compression_ratio", "ann_label_mrr")
 SCALING_CPUS = (8, 32)
 
 
