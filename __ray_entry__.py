@@ -346,6 +346,22 @@ def q_crawl_seed_ppr(sf_dir: str) -> ray.data.Dataset:
     return pagerank(_links_ds(sf_dir), nodes, seed_urls=seeds)
 
 
+def q_crawl_graph_report(sf_dir: str) -> ray.data.Dataset:
+    """Composed per-host graph report: pagerank + seed-PPR + components
+    + k-core rolled up under ONE host-hash co-partition."""
+    from ghcrawler_ray.ops.graph import (host_graph_report, kcore,
+                                         page_components, pagerank)
+    sf = sf_of_dir(sf_dir)
+    links = _links_ds(sf_dir)
+    nodes = _pages_ds(sf).select_columns(["url"])
+    seeds = pq.read_table(_seeds_path(sf), columns=["url"])["url"] \
+        .to_pylist()
+    return host_graph_report(pagerank(links, nodes),
+                             pagerank(links, nodes, seed_urls=seeds),
+                             page_components(links, nodes),
+                             kcore(links))
+
+
 def q_crawl_neighborhood_fn(sf_dir: str) -> ray.data.Dataset:
     """HyperANF hop-plot: per-page HLL reach sketches over 0..4 out-link
     hops (dst-keyed edge shards, O(V·m) register exchange/round)."""
@@ -1852,6 +1868,40 @@ def _ppr_sql(pages: str, seeds: str) -> str:
         FROM {prev}"""
 
 
+def _graph_report_sql(pages: str, seeds: str) -> str:
+    """Composed per-host graph-report mirror: the four analytic mirrors
+    as MATERIALIZED subqueries, one host rollup (ops/graph.
+    host_graph_report)."""
+    from ghcrawler_ray.ops.graph import (KCORE_K, KCORE_MAX_ROUNDS,
+                                         REPORT_FP)
+    from ghcrawler_ray.ops.urlstats import HOST_SQL
+    return f"""
+        WITH pr AS MATERIALIZED ({_pagerank_sql(pages)}),
+        pprx AS MATERIALIZED ({_ppr_sql(pages, seeds)}),
+        ccx AS MATERIALIZED ({_page_cc_sql(pages)}),
+        kcx AS MATERIALIZED ({_kcore_sql(pages, KCORE_K,
+                                         KCORE_MAX_ROUNDS)}),
+        nodes AS (SELECT url FROM read_parquet('{pages}')),
+        h AS (SELECT pr.url, {HOST_SQL} AS host,
+              pr.rank_fp AS prv, pprx.rank_fp AS pprv, ccx.comp_fp
+              FROM pr JOIN pprx USING (url) JOIN ccx USING (url)),
+        k2 AS (SELECT kcx.url, kcx.in_kcore
+               FROM kcx JOIN nodes n ON kcx.url = n.url),
+        agg AS (SELECT host, count(*)::BIGINT AS n_pages,
+              sum(prv)::BIGINT AS pr_mass_fp,
+              sum(pprv)::BIGINT AS ppr_mass_fp,
+              count(DISTINCT comp_fp)::BIGINT AS n_components
+              FROM h GROUP BY 1),
+        kagg AS (SELECT {HOST_SQL} AS host,
+              sum(CASE WHEN in_kcore THEN 1 ELSE 0 END)::BIGINT AS n_core
+              FROM k2 GROUP BY 1)
+        SELECT a.host, a.n_pages, a.pr_mass_fp, a.ppr_mass_fp,
+            a.n_components,
+            ({REPORT_FP} * coalesce(kagg.n_core, 0)
+             // a.n_pages)::BIGINT AS kcore_rate_fp
+        FROM agg a LEFT JOIN kagg USING (host)"""
+
+
 def _page_hits_sql(pages: str) -> str:
     """Unrolled integer HITS mirror for the PAGE-level shard-actor op
     (ops/graph.page_hits): each half-round is a join-sum followed by
@@ -3006,6 +3056,7 @@ def _crawl_sql(sf: float) -> dict[str, str]:
         "crawl_walk_skipgrams": _walk_skipgram_sql(pages),
         "crawl_neighborhood_fn": _anf_sql(pages),
         "crawl_seed_ppr": _ppr_sql(pages, seeds),
+        "crawl_graph_report": _graph_report_sql(pages, seeds),
         "crawl_host_hits": _hits_sql(pages),
         "crawl_trustrank": _trustrank_sql(pages, seeds),
         # ops/urlstats.host_fairness: Jain index, one IEEE division
@@ -6654,6 +6705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_walk_skipgrams": q_crawl_walk_skipgrams,
         "crawl_neighborhood_fn": q_crawl_neighborhood_fn,
         "crawl_seed_ppr": q_crawl_seed_ppr,
+        "crawl_graph_report": q_crawl_graph_report,
         "crawl_host_components": q_host_components,
         "crawl_host_closeness": q_host_closeness,
         "crawl_host_triangles": q_host_triangles,

@@ -2069,3 +2069,85 @@ def neighborhood_function(links: ray.data.Dataset,
     for s in shards:
         ray.kill(s)
     return out
+
+
+# ---- composed per-host web-graph report (capstone rollup) ----
+
+REPORT_FP = 10 ** 6
+REPORT_PARTS = 64
+
+
+def host_graph_report(pr: ray.data.Dataset, ppr: ray.data.Dataset,
+                      cc: ray.data.Dataset,
+                      kc: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, n_pages, pr_mass_fp, ppr_mass_fp, n_components,
+    kcore_rate_fp): one per-host readout composed from four graph
+    analytics — total PageRank mass (site authority), seed-personalized
+    mass (authority reachable from the crawl's trusted seeds), the
+    number of distinct weak components the host's pages fall into
+    (intra-site fragmentation), and the fraction of its pages inside
+    the k-core (template/dense-cluster exposure). The one-table site
+    triage a crawl operator reads before rebudgeting.
+
+    Inputs are the OUTPUTS of :func:`pagerank`, :func:`pagerank`
+    (seeded), :func:`page_components`, :func:`kcore` — all url-keyed
+    and already scale-shaped; this op only slim-tags them and folds
+    under ONE host-hash co-partition (kcore rows restricted to fetched
+    pages inside the fold, since kcore's node set is edge endpoints).
+    All-integer outputs — exact."""
+
+    def _tag(kind: int, vcol: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            host = (df["url"].astype(str)
+                    .str.extract(r"^https?://([^/?#]+)", expand=False)
+                    .fillna("").str.lower())
+            return pd.DataFrame({
+                "part": (hash64_array(host) % REPORT_PARTS)
+                .astype(np.int32),
+                "host": host.to_numpy(dtype=object),
+                "url": df["url"].astype(str).to_numpy(dtype=object),
+                "kind": np.full(len(df), kind, dtype=np.int8),
+                "v": df[vcol].to_numpy(np.int64)})
+        return tag
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, sub in g.groupby("host", sort=False):
+            kind = sub["kind"].to_numpy(np.int8)
+            pages = sub.loc[kind == 0, "url"]
+            n_pages = len(pages)
+            if n_pages == 0:
+                continue                 # kcore-only endpoints, no pages
+            fetched = set(pages)
+            kcsub = sub[kind == 3]
+            in_core = int(kcsub.loc[kcsub["url"].isin(fetched), "v"]
+                          .sum())
+            rows.append((
+                host, n_pages,
+                int(sub.loc[kind == 0, "v"].sum()),
+                int(sub.loc[kind == 1, "v"].sum()),
+                int(sub.loc[kind == 2, "v"].nunique()),
+                REPORT_FP * in_core // n_pages))
+        return pd.DataFrame(rows, columns=[
+            "host", "n_pages", "pr_mass_fp", "ppr_mass_fp",
+            "n_components", "kcore_rate_fp"]) \
+            .astype({"n_pages": np.int64, "pr_mass_fp": np.int64,
+                     "ppr_mass_fp": np.int64, "n_components": np.int64,
+                     "kcore_rate_fp": np.int64})
+
+    tagged = (pr.select_columns(["url", "rank_fp"])
+              .map_batches(_tag(0, "rank_fp"), batch_format="pandas")
+              .union(ppr.select_columns(["url", "rank_fp"])
+                     .map_batches(_tag(1, "rank_fp"),
+                                  batch_format="pandas"))
+              .union(cc.select_columns(["url", "comp_fp"])
+                     .map_batches(_tag(2, "comp_fp"),
+                                  batch_format="pandas"))
+              .union(kc.map_batches(
+                  lambda df: _tag(3, "in_kcore")(pd.DataFrame({
+                      "url": df["url"],
+                      "in_kcore": df["in_kcore"].astype(np.int64)})),
+                  batch_format="pandas")))
+    return (tagged.groupby("part").map_groups(
+        lambda g: fold(g.drop(columns=["part"])),
+        batch_format="pandas"))
