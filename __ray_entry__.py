@@ -620,6 +620,14 @@ def q_anchor_text(sf_dir: str) -> ray.data.Dataset:
     return ops_urlstats.anchor_text_agg(_pages_ds(sf_of_dir(sf_dir)))
 
 
+def q_media_header_dims(sf_dir: str) -> ray.data.Dataset:
+    """Real container-format header parse (PNG IHDR / GIF screen /
+    JPEG SOF) over every payload — actor-pool byte-scan stage; html
+    payloads classify as 'none'."""
+    from ghcrawler_ray.ops.multimodal import media_header_dims
+    return media_header_dims(_pages_ds(sf_of_dir(sf_dir)))
+
+
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return media_features(_pages_ds(sf_of_dir(sf_dir)))
 
@@ -6758,6 +6766,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only at the driver; value pinned by pytest)
         "compression_ratio": lambda sf_dir: ops_text.compression_ratio(
             _docs(sf_dir)),
+        # real PNG/GIF/JPEG header parsing — byte-scan semantics pinned
+        # by pytest with genuine header fixtures; rows-only at the
+        # driver (no SQL mirror of the marker walk)
+        "media_header_dims": q_media_header_dims,
         "lang_id": q_lang_id,
         "langid_confusion": q_langid_confusion,
         "doc_fingerprints": q_fingerprints,

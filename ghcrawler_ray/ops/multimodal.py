@@ -282,3 +282,77 @@ def audio_chunks(pages: ray.data.Dataset, payload_col: str = "html",
             "payload_col": payload_col, "id_col": id_col},
         batch_format="pandas", batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, concurrency), num_cpus=0.5)
+
+
+# ---- real container-format header parsing (no decoder libs needed) ----
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_media_dims(b: bytes) -> tuple[str, int, int]:
+    """(format, width, height) parsed from REAL container headers —
+    PNG IHDR, GIF87a/89a logical screen, JPEG SOF scan — pure byte
+    arithmetic, no image library (the metadata step of an ingest
+    pipeline is header parsing, which needs no decoder; pixel decode
+    stays behind the ``mode='pil'`` gate). Unknown/opaque payloads →
+    ('none', 0, 0); truncated containers of a known type parse as far
+    as the header allows or fall back to 'none'."""
+    n = len(b)
+    if n >= 24 and b[:8] == _PNG_MAGIC and b[12:16] == b"IHDR":
+        return ("png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"))
+    if n >= 4 and b[0] == 0xFF and b[1] == 0xD8:
+        i = 2
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in _SOF_MARKERS:
+                return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"))
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg = int.from_bytes(b[i + 2:i + 4], "big")
+            if seg < 2:
+                break
+            i += 2 + seg
+        return ("none", 0, 0)
+    return ("none", 0, 0)
+
+
+class MediaHeaderStage:
+    """Actor-pool stage: payload bytes → (format, width, height) via
+    :func:`parse_media_dims` — REAL header parsing (not the 'fake'
+    byte-length rule), dependency-free. Per-payload work is C-level
+    byte slicing; the stage shape (init-once class, small batches)
+    matches the other media stages."""
+
+    def __init__(self, payload_col: str = "html", id_col: str = "url"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        parsed = [parse_media_dims(bytes(b)) for b in df[self.payload_col]]
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].astype(str),
+            "media_format": np.array([p[0] for p in parsed], dtype=object),
+            "width": np.array([p[1] for p in parsed], dtype=np.int64),
+            "height": np.array([p[2] for p in parsed], dtype=np.int64)})
+
+
+def media_header_dims(pages: ray.data.Dataset,
+                      payload_col: str = "html",
+                      id_col: str = "url") -> ray.data.Dataset:
+    """(url, media_format, width, height) for every payload — real
+    PNG/GIF/JPEG header parsing as an actor-pool `map_batches` stage;
+    html payloads correctly classify as 'none'. The ingest-side media
+    inventory: which fetched blobs are images at all, and their pixel
+    dims, without any decode dependency."""
+    return pages.select_columns([id_col, payload_col]).map_batches(
+        MediaHeaderStage(payload_col, id_col),
+        batch_size=MEDIA_BATCH_SIZE, concurrency=4)

@@ -135,3 +135,41 @@ def test_audio_chunk_windows(ray_session):
     import pytest
     with pytest.raises(NotImplementedError):
         AudioChunkStage(mode="real")
+
+
+def test_parse_media_dims_real_headers():
+    from ghcrawler_ray.ops.multimodal import parse_media_dims
+    # real PNG header: magic + IHDR chunk (len=13) + 640x480 dims
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x02\x00\x00\x00")
+    assert parse_media_dims(png) == ("png", 640, 480)
+    # GIF89a logical screen 320x200 (little-endian)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_media_dims(gif) == ("gif", 320, 200)
+    # JPEG: SOI + APP0 segment, then SOF0 with 240 high x 360 wide
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (240).to_bytes(2, "big") + (360).to_bytes(2, "big")
+            + b"\x03" + b"\x00" * 9)
+    assert parse_media_dims(jpeg) == ("jpeg", 360, 240)
+    # html / junk / truncated → none
+    assert parse_media_dims(b"<html><body>x</body></html>") == ("none", 0, 0)
+    assert parse_media_dims(b"") == ("none", 0, 0)
+    assert parse_media_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) == ("none", 0, 0)
+
+
+def test_media_header_stage_over_dataset(ray_session):
+    import ray.data
+    from ghcrawler_ray.ops.multimodal import media_header_dims
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (64).to_bytes(4, "big") + (32).to_bytes(4, "big") + b"\x00" * 5)
+    df = pd.DataFrame({"url": ["http://a/img.png", "http://a/page.html"],
+                       "html": [png, b"<html></html>"]})
+    out = media_header_dims(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("url")
+    assert out.loc["http://a/img.png", "media_format"] == "png"
+    assert out.loc["http://a/img.png", "width"] == 64
+    assert out.loc["http://a/img.png", "height"] == 32
+    assert out.loc["http://a/page.html", "media_format"] == "none"
