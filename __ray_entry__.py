@@ -5751,6 +5751,34 @@ def _ops_sql() -> dict[str, str]:
             FROM per JOIN supplier s ON s.s_suppkey = per.late_s
             WHERE n_supp >= 2 AND n_late = 1
             GROUP BY 1, 2""",
+        # ops/relational.fk_integrity_audit: LEFT-JOIN-IS-NULL orphan
+        # counts per foreign key
+        "fk_integrity_audit": """
+            SELECT * FROM (
+            SELECT 'lineitem.l_orderkey->orders' AS constraint,
+                   count(*)::BIGINT AS n_child_rows,
+                   sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_orphans
+            FROM lineitem l LEFT JOIN orders o
+              ON o.o_orderkey = l.l_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier', count(*)::BIGINT,
+                   sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT
+            FROM lineitem l LEFT JOIN supplier s
+              ON s.s_suppkey = l.l_suppkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part', count(*)::BIGINT,
+                   sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT
+            FROM lineitem l LEFT JOIN part p
+              ON p.p_partkey = l.l_partkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer', count(*)::BIGINT,
+                   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT
+            FROM orders o LEFT JOIN customer c
+              ON c.c_custkey = o.o_custkey)""",
         "top_supplier_revenue": """
             WITH per AS (SELECT l_suppkey AS s_suppkey,
                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -6649,6 +6677,20 @@ def q_user_type_diversity(sf_dir: str) -> ray.data.Dataset:
     return ops_events.user_type_diversity(_events(sf_dir))
 
 
+def q_fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table FK orphan audit (broadcast probes for the small
+    dims, one orderkey co-partition anti-join for the big×big check)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey"]).to_pandas()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey"]).to_pandas()
+    return ops_rel.fk_integrity_audit(_table(sf_dir, "lineitem"),
+                                      _table(sf_dir, "orders"),
+                                      cust, supp, part)
+
+
 def q_local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q5 shape: intra-nation revenue per nation of one region
     over one order-year (four broadcast dims + one orderkey
@@ -6956,6 +6998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_shippers": q_top_shippers,
         "top_supplier_revenue": q_top_supplier_revenue,
         "local_supplier_volume": q_local_supplier_volume,
+        "fk_integrity_audit": q_fk_integrity_audit,
         "shipping_delay_profile": q_shipping_delay_profile,
         "waiting_suppliers": q_waiting_suppliers,
     }

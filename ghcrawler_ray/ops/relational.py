@@ -2141,3 +2141,101 @@ def waiting_suppliers(orders: ray.data.Dataset,
     per["numwait"] = per["numwait"].astype(np.int64)
     return per.sort_values("s_suppkey").reset_index(drop=True) \
         [["s_suppkey", "s_name", "numwait"]]
+
+
+# ---- cross-table referential-integrity audit ----
+
+def fk_integrity_audit(lineitem: ray.data.Dataset,
+                       orders: ray.data.Dataset,
+                       customer: pd.DataFrame,
+                       supplier: pd.DataFrame,
+                       part: pd.DataFrame) -> pd.DataFrame:
+    """(constraint, n_child_rows, n_orphans): foreign-key audit across
+    the fact tables — lineitem→orders / supplier / part and
+    orders→customer — the cross-table companion of the row-local
+    ``ops/corpus.data_quality_audit`` (Deequ's referential constraint
+    check). Non-zero orphans on ingest = a broken upstream export.
+
+    Scale shape: small dimensions (customer/supplier/part) broadcast
+    once as sorted key arrays and probed per batch (counts fold to one
+    partial row per batch); the big×big lineitem→orders check rides
+    ONE orderkey co-partition (slim tagged keys only). All counts
+    int64-exact."""
+    from ray.data.aggregate import Sum
+
+    ck = np.sort(customer["c_custkey"].to_numpy(np.int64))
+    sk = np.sort(supplier["s_suppkey"].to_numpy(np.int64))
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    ref = ray.put((ck, sk, pk))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, sk_, pk_ = ray.get(ref)
+        su = df["l_suppkey"].to_numpy(np.int64)
+        pa_ = df["l_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [len(df)],
+            "supp_orph": [int((~_member_mask(sk_, su)).sum())],
+            "part_orph": [int((~_member_mask(pk_, pa_)).sum())]})
+
+    li = (lineitem.select_columns(["l_suppkey", "l_partkey"])
+          .map_batches(li_partial, batch_format="pandas",
+                       batch_size=65536)
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("supp_orph", alias_name="supp_orph"),
+                     Sum("part_orph", alias_name="part_orph")))
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck_, _, _ = ray.get(ref)
+        cu = df["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [len(df)],
+            "cust_orph": [int((~_member_mask(ck_, cu)).sum())]})
+
+    od = (orders.select_columns(["o_custkey"])
+          .map_batches(o_partial, batch_format="pandas",
+                       batch_size=65536)
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("cust_orph", alias_name="cust_orph")))
+
+    # big x big: lineitem.l_orderkey ∖ orders.o_orderkey (co-partition)
+    def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.zeros(len(k), dtype=np.int8)})
+
+    def tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": k, "part": (k % N_JOIN_PARTS).astype(np.int32),
+            "side": np.ones(len(k), dtype=np.int8)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        li_k = g.loc[g["side"] == 0, "k"].to_numpy(np.int64)
+        ok = np.sort(g.loc[g["side"] == 1, "k"].unique())
+        return pd.DataFrame({
+            "orph": [int((~_member_mask(ok, li_k)).sum())]})
+
+    ord_orph = (lineitem.select_columns(["l_orderkey"])
+                .map_batches(tag_l, batch_format="pandas",
+                             batch_size=65536)
+                .union(orders.select_columns(["o_orderkey"])
+                       .map_batches(tag_o, batch_format="pandas",
+                                    batch_size=65536))
+                .groupby("part").map_groups(
+                    lambda g: anti(g.drop(columns=["part"])),
+                    batch_format="pandas")
+                .aggregate(Sum("orph", alias_name="orph")))
+
+    n_li = int(li["n"])
+    n_o = int(od["n"])
+    return pd.DataFrame({
+        "constraint": ["lineitem.l_orderkey->orders",
+                       "lineitem.l_suppkey->supplier",
+                       "lineitem.l_partkey->part",
+                       "orders.o_custkey->customer"],
+        "n_child_rows": np.array([n_li, n_li, n_li, n_o], np.int64),
+        "n_orphans": np.array([int(ord_orph["orph"]),
+                               int(li["supp_orph"]),
+                               int(li["part_orph"]),
+                               int(od["cust_orph"])], np.int64)})
