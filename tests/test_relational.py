@@ -161,3 +161,24 @@ def test_waiting_suppliers_sole_late_rule(ray_session):
     assert list(out["s_suppkey"]) == [10]
     assert list(out["s_name"]) == ["S10"]
     assert list(out["numwait"]) == [1]
+
+
+def test_fk_integrity_audit_counts_orphans(ray_session):
+    from ghcrawler_ray.ops.relational import fk_integrity_audit
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 99],       # 99 has no order header
+        "l_suppkey": [10, 10, 77, 10],     # 77 unknown supplier
+        "l_partkey": [5, 88, 5, 5]})       # 88 unknown part
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [7, 7, 555]})         # 555 unknown customer
+    out = fk_integrity_audit(
+        ray.data.from_pandas(li), ray.data.from_pandas(orders),
+        pd.DataFrame({"c_custkey": [7]}),
+        pd.DataFrame({"s_suppkey": [10]}),
+        pd.DataFrame({"p_partkey": [5]})).set_index("constraint")
+    assert out.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+    assert out.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 1
+    assert out.loc["lineitem.l_partkey->part", "n_orphans"] == 1
+    assert out.loc["orders.o_custkey->customer", "n_orphans"] == 1
+    assert (out["n_child_rows"] == [4, 4, 4, 3]).all()
