@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Driver-faithful oracle sweep: run EVERY queries() pipeline AND its DuckDB
 mirror at the given sf dir (default sf0.01 — the driver's comparison scale),
-compare value-exact after canonicalization. Round 3: 245/245 OK at sf0.01.
+compare value-exact after canonicalization. Round 3: 246/246 OK at sf0.01.
 
     PYTHONPATH=. python tools/check_oracles.py [/root/testdata/sf0.01]
 """
