@@ -2802,9 +2802,10 @@ def _crawl_sql(sf: float) -> dict[str, str]:
                 sum(n_bytes)::BIGINT AS raw_bytes,
                 (sum(n_bytes - shared) + 2 * count(*))::BIGINT
                     AS coded_bytes,
-                (greatest(sum(n_bytes)
+                CAST((greatest(sum(n_bytes)
                           - (sum(n_bytes - shared) + 2 * count(*)), 0)
-                 * {ops_urlstats.FC_FP}) // sum(n_bytes) AS savings_fp
+                 * {ops_urlstats.FC_FP}) // sum(n_bytes)
+                    AS BIGINT) AS savings_fp
             FROM s GROUP BY 1""",
         # ops/urlstats.depth_quality_correlation: exact HUGEINT moments
         # → one IEEE division chain (assortativity convention)
