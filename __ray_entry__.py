@@ -1865,8 +1865,10 @@ def _ppr_sql(pages: str, seeds: str) -> str:
         sd AS (SELECT DISTINCT url FROM read_parquet('{seeds}')),
         fs AS MATERIALIZED (SELECT n.url FROM nodes n
                JOIN sd USING (url)),
-        c0 AS (SELECT {PR_TOTAL} // count(*) AS r0v,
-                 (15 * ({PR_TOTAL} // count(*))) // 100 AS basev
+        c0 AS (SELECT
+                 coalesce({PR_TOTAL} // nullif(count(*), 0), 0) AS r0v,
+                 coalesce((15 * ({PR_TOTAL} // nullif(count(*), 0)))
+                          // 100, 0) AS basev
                FROM fs),
         r0 AS (SELECT n.url,
                  CAST(CASE WHEN fs.url IS NOT NULL
@@ -5934,13 +5936,16 @@ def _ops_sql() -> dict[str, str]:
         # attributed to the preceding type; integer-µs floor mean
         # ops/events.late_event_stats: arrival order = event_id, late =
         # event time > WATERMARK_DELAY_MIN behind the running max over
-        # all earlier arrivals (exclusive window max; integer µs exact)
+        # all earlier arrivals (exclusive window max; integer µs exact;
+        # first-row watermark seeds at int64-min//4 = ops/events._NEG,
+        # so pre-1970 events don't read as spuriously late)
         "late_event_stats": f"""
             WITH w AS (SELECT event_type,
                  greatest(coalesce(
                      epoch_us(max(ts) OVER (ORDER BY event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING)), 0) - epoch_us(ts),
+                         AND 1 PRECEDING)),
+                     -2305843009213693952) - epoch_us(ts),
                      0)::BIGINT AS lateness
                FROM events)
             SELECT event_type, count(*)::BIGINT AS n_events,

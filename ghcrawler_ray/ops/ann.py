@@ -1646,20 +1646,23 @@ def ann_label_mrr(emb: ray.data.Dataset, k: int = TOPK,
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         ids_ = ray.get(ids_ref)
         v = df["vec_id"].to_numpy(np.int64)
-        if not len(ids_):
-            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
-                                 "label": pd.Series([], dtype=np.int64)})
-        pos = np.searchsorted(ids_, v)
-        np.minimum(pos, len(ids_) - 1, out=pos)
-        ok = ids_[pos] == v
+        # always keep the query-id domain (vec_id < n_queries) so every
+        # query appears in the output even with zero top-k rows — the
+        # SQL mirror LEFT JOINs over the full query domain
+        ok = v < n_queries
+        if len(ids_):
+            pos = np.searchsorted(ids_, v)
+            np.minimum(pos, len(ids_) - 1, out=pos)
+            ok = ok | (ids_[pos] == v)
         return pd.DataFrame({"vec_id": v[ok],
                              "label": df["label"].to_numpy(np.int64)[ok]})
 
     lab = (emb.select_columns(["vec_id", "label"])
            .map_batches(pick, batch_format="pandas").to_pandas())
     lmap = lab.set_index("vec_id")["label"]
-    qids = np.sort(topk["query_id"].unique()) if len(topk) else \
-        np.empty(0, np.int64)
+    qids = np.sort(
+        lab.loc[lab["vec_id"] < n_queries, "vec_id"].unique()) \
+        .astype(np.int64)
     m = topk.copy()
     m["qlab"] = lmap.reindex(m["query_id"].to_numpy(np.int64)) \
         .to_numpy(np.int64)

@@ -186,6 +186,15 @@ N_BUCKET_PARTS = 64      # coarse shuffle key: bucket-hash % parts
 #: streaming path below remains the scale path.
 VERIFY_LOCAL_MAX_DOCS = 100_000
 
+#: Candidate-pair driver ceiling. The pair list is output-sized in the
+#: common case, but on a duplication-heavy crawl it is the LARGEST
+#: intermediate — above this bound the candidates never leave the
+#: cluster: cross-band dedup happens via a (doc_a, doc_b) AGGREGATE and
+#: a tagged-union co-partition join on doc_id feeds the streaming
+#: verify with no driver round-trip (``_minhash_verify_streaming``).
+#: ``test_scale_paths`` pins the dormant path output-equal.
+PAIR_LOCAL_MAX = 5_000_000
+
 
 @ray.remote
 def _verify_pairs_local(pairs: np.ndarray, threshold: float,
@@ -276,13 +285,123 @@ def lsh_candidate_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
             .aggregate(Count(alias_name="n_bands")))
 
 
+def _pair_vpart(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic coarse verify partition for a (doc_a, doc_b) pair —
+    an int mix (golden-ratio multiply + xor-shift) so hot doc_a values
+    don't skew one partition."""
+    x = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+        ^ b.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(N_BUCKET_PARTS)).astype(np.int32)
+
+
+def _minhash_verify_streaming(docs: ray.data.Dataset,
+                              cand_ds: ray.data.Dataset,
+                              threshold: float) -> ray.data.Dataset:
+    """Dormant scale path of :func:`minhash_lsh_pairs` (pair count >
+    ``PAIR_LOCAL_MAX``): candidates never leave the cluster. Cross-band
+    pair dedup is a (doc_a, doc_b) AGGREGATE; then a tagged-union
+    co-partition on ``doc_id % N_BUCKET_PARTS`` joins each candidate
+    doc's shingle hashes onto its pair sides (pairs × shingles merge
+    per partition, vectorized), and the verify regroups by pair
+    (``_pair_vpart``) running the identical duplicated-count
+    inter/union math keyed by (doc_a, doc_b) — bit-identical jaccard.
+    Non-candidate docs' shingle rows are dropped at the join; on a
+    dup-heavy corpus (the only regime that reaches this path) the
+    candidate docs dominate, so the extra shuffled volume is small."""
+    pairs = cand_ds.groupby(["doc_a", "doc_b"]) \
+        .aggregate(Count(alias_name="n_bands"))
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        did = np.concatenate([a, b])
+        return pd.DataFrame({
+            "dpart": (did % N_BUCKET_PARTS).astype(np.int32),
+            "doc_id": did,
+            "doc_a": np.concatenate([a, a]),
+            "doc_b": np.concatenate([b, b]),
+            "kind": np.zeros(len(did), np.int8),
+            "sh_hash": np.zeros(len(did), np.int64)})
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, hs_out = [], []
+        for doc_id, text in zip(df["doc_id"].astype(np.int64),
+                                df["text"].astype(str)):
+            sh = sorted(shingle_set(text))
+            if not sh:
+                continue
+            hs = _hash64_str(sh).view(np.int64)
+            ids_out.append(np.full(len(hs), doc_id, np.int64))
+            hs_out.append(hs)
+        did = np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+        hs = np.concatenate(hs_out) if hs_out else np.empty(0, np.int64)
+        return pd.DataFrame({
+            "dpart": (did % N_BUCKET_PARTS).astype(np.int32),
+            "doc_id": did,
+            "doc_a": np.zeros(len(did), np.int64),
+            "doc_b": np.zeros(len(did), np.int64),
+            "kind": np.ones(len(did), np.int8),
+            "sh_hash": hs})
+
+    tagged = pairs.map_batches(sides, batch_format="pandas").union(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(shingles, batch_format="pandas"))
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        side = g[g["kind"] == 0]
+        sh = g[g["kind"] == 1]
+        if not len(side) or not len(sh):
+            return pd.DataFrame({"vpart": np.empty(0, np.int32),
+                                 "doc_a": np.empty(0, np.int64),
+                                 "doc_b": np.empty(0, np.int64),
+                                 "sh_hash": np.empty(0, np.int64)})
+        m = side[["doc_id", "doc_a", "doc_b"]].merge(
+            sh[["doc_id", "sh_hash"]], on="doc_id")
+        a = m["doc_a"].to_numpy(np.int64)
+        b = m["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"vpart": _pair_vpart(a, b),
+                             "doc_a": a, "doc_b": b,
+                             "sh_hash": m["sh_hash"].to_numpy(np.int64)})
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Same math as the broadcast path's verify_part, keyed by the
+        pair itself instead of a driver-assigned pair_id."""
+        inter_hit = g.duplicated(["doc_a", "doc_b", "sh_hash"]).to_numpy()
+        per = pd.DataFrame({"doc_a": g["doc_a"].to_numpy(np.int64),
+                            "doc_b": g["doc_b"].to_numpy(np.int64),
+                            "inter": inter_hit.astype(np.int64)}) \
+            .groupby(["doc_a", "doc_b"], sort=False).agg(
+                inter=("inter", "sum"), total=("inter", "size"))
+        inter = per["inter"].to_numpy(dtype=np.int64)
+        union = per["total"].to_numpy(dtype=np.int64) - inter
+        ok = union > 0
+        j = np.zeros(len(per), dtype=np.float64)
+        j[ok] = inter[ok] / union[ok]
+        keep = ok & (j >= threshold)
+        idx = per.index.to_frame(index=False)
+        return pd.DataFrame({
+            "doc_a": idx["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": idx["doc_b"].to_numpy(np.int64)[keep],
+            "jaccard": j[keep]})
+
+    return (tagged.groupby("dpart")
+            .map_groups(join_part, batch_format="pandas")
+            .groupby("vpart")
+            .map_groups(verify_part, batch_format="pandas"))
+
+
 def minhash_lsh_pairs(docs: ray.data.Dataset,
                       threshold: float = JACCARD_THRESHOLD) -> ray.data.Dataset:
     """(doc_a, doc_b, jaccard) pairs with exact-verified 3-token-shingle
     Jaccard ≥ threshold, candidates from 8x8 MinHash-LSH banding.
 
     Scale shape: the only driver-side materialization is the candidate
-    PAIR LIST (output-sized). Shingle sets are never collected: documents
+    PAIR LIST — output-sized in the common case, and GATED by
+    ``PAIR_LOCAL_MAX``: above the bound the pairs stay a Dataset and
+    :func:`_minhash_verify_streaming` runs the whole op cluster-side
+    (aggregate dedup + co-partition join), no driver round-trip.
+    Shingle sets are never collected: documents
     stream once more, emitting (pair_id, shingle_hash) rows only for docs
     that appear in a candidate pair; ONE co-partitioned group pass
     (``pair_id % N_BUCKET_PARTS``) then computes |A∩B| (hashes seen from
@@ -292,13 +411,16 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
     the already-materialized candidate list (a set-dedup of output-sized
     data), so the whole op is exactly two shuffle executions: the LSH
     bucket groupby and the verify groupby."""
-    cand = (docs.select_columns(["doc_id", "text"])
-            .map_batches(_band_rows, batch_format="pandas")
-            .map_batches(_add_bpart, batch_format="pandas")
-            .materialize()          # see lsh_candidate_pairs note
-            .groupby("bpart")
-            .map_groups(_bucket_part_pairs, batch_format="pandas")
-            .take_all())
+    cand_ds = (docs.select_columns(["doc_id", "text"])
+               .map_batches(_band_rows, batch_format="pandas")
+               .map_batches(_add_bpart, batch_format="pandas")
+               .materialize()       # see lsh_candidate_pairs note
+               .groupby("bpart")
+               .map_groups(_bucket_part_pairs, batch_format="pandas")
+               .materialize())
+    if cand_ds.count() > PAIR_LOCAL_MAX:
+        return _minhash_verify_streaming(docs, cand_ds, threshold)
+    cand = cand_ds.take_all()
     if not cand:
         return ray.data.from_pandas(pd.DataFrame(
             {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
@@ -313,6 +435,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
         ids_ref = ray.put(cand_ids)
 
         def keep_cand(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):      # empty block: skip (and silence the
+                return df[["doc_id", "text"]]  # size-0 vectorize warn)
             ids = ray.get(ids_ref)
             d = df["doc_id"].to_numpy(np.int64)
             pos = np.searchsorted(ids, d)

@@ -601,6 +601,8 @@ def host_closeness(links: ray.data.Dataset) -> pd.DataFrame:
     hosts = np.unique(np.concatenate([a[keep], b[keep]]))
     pos = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
+    if n > HOST_DENSE_MAX:
+        return _host_closeness_anf(a[keep], b[keep], hosts)
     adj = np.zeros((n, n), dtype=bool)
     ai = np.fromiter((pos[x] for x in a[keep]), dtype=np.int64)
     bi = np.fromiter((pos[x] for x in b[keep]), dtype=np.int64)
@@ -668,6 +670,139 @@ def host_edges(links: ray.data.Dataset) -> pd.DataFrame:
     ``_host_pairs_raw`` for the collapse's scale/perf shape."""
     e = _host_pairs_raw(links)
     return e[e["a"] != e["b"]].reset_index(drop=True)
+
+
+# ---- scale paths for the all-pairs host analytics ----
+
+#: Dense-matrix ceiling for the all-pairs host ops (closeness,
+#: eccentricity, SCC, bow-tie): an n×n boolean closure is fine for a
+#: bounded job parameter (n ≈ 10⁵ hosts → ~1.25 GB of bits) but a
+#: 100 TB crawl has 10⁷–10⁸ hosts, where n² is impossible. Above this
+#: bound the SAME results come from edge-list machinery: SCC/bow-tie
+#: via exact Orzan-coloring label rounds + frontier BFS (the delta-BSP
+#: shape — each round is one vectorized edge gather, mapping 1:1 onto
+#: ``_cc_labels``-style co-partition exchanges when the edge list
+#: outgrows one machine), closeness/eccentricity via the HyperANF
+#: register machinery (``neighborhood_function`` run on the host
+#: graph — per-host HLL registers, O(V·m) bytes per round).
+#: ``test_scale_paths`` pins both alternates against the dense path.
+HOST_DENSE_MAX = 65_536
+
+#: HyperANF rounds for the approximate closeness/eccentricity path —
+#: covers the effective diameter of web host graphs (≈16 hops, Broder
+#: WWW 2000); hosts farther out contribute ≤ 1/24 per pair to harmonic
+#: centrality, inside the HLL error band anyway.
+HOST_ANF_ROUNDS = 24
+
+
+def _edge_reach(seed: np.ndarray, ai: np.ndarray, bi: np.ndarray,
+                n: int) -> np.ndarray:
+    """Boolean reach-from-seed-set over the edge LIST (ai → bi), one
+    vectorized frontier gather per BFS level — O(E) per round, never
+    an n×n matrix."""
+    reach = seed.copy()
+    frontier = seed.copy()
+    while frontier.any():
+        nxt = np.zeros(n, dtype=bool)
+        m = frontier[ai]
+        nxt[bi[m]] = True
+        frontier = nxt & ~reach
+        reach |= frontier
+    return reach
+
+
+def _scc_labels_edge(ai: np.ndarray, bi: np.ndarray,
+                     n: int) -> np.ndarray:
+    """Exact SCC labels (label = min member index) over the edge list —
+    Orzan's coloring algorithm (the standard Pregel/BSP SCC): forward
+    min-label propagation to fixpoint, then backward reach within each
+    color from its root extracts that root's SCC, peel, repeat. Every
+    inner step is a vectorized edge gather; phase count is bounded by
+    the graph's SCC-condensation depth (shallow for web host graphs).
+    Label equivalence with the dense path: a root r has color[r]==r,
+    so no smaller-index alive node reaches r; any SCC member both
+    reaches and is reached by r, hence r is the component's min index."""
+    comp = np.full(n, -1, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    ea, eb = ai, bi
+    while alive.any():
+        keep = alive[ea] & alive[eb]
+        ea, eb = ea[keep], eb[keep]
+        color = np.arange(n, dtype=np.int64)
+        while True:
+            prev = color.copy()
+            np.minimum.at(color, eb, color[ea])
+            if np.array_equal(prev, color):
+                break
+        in_scc = alive & (color == np.arange(n))
+        same = color[ea] == color[eb]
+        while True:
+            add = same & in_scc[eb] & ~in_scc[ea]
+            if not add.any():
+                break
+            in_scc[ea[add]] = True
+        comp[in_scc] = color[in_scc]
+        alive &= ~in_scc
+    return comp
+
+
+def _host_anf_curves(a: np.ndarray, b: np.ndarray, hosts: np.ndarray,
+                     rounds: int) -> tuple[np.ndarray, np.ndarray]:
+    """Run the distributed HyperANF machinery on the UNDIRECTED host
+    graph; return (B, S): per-host × per-round reach-count estimates
+    (linear-counting-corrected HLL, monotone-clamped) and the exact
+    integer register indicators sreg (for change detection). Row order
+    = the ``hosts`` argument's order."""
+    links_h = ray.data.from_pandas(pd.DataFrame({
+        "src_url": np.concatenate([a, b]).astype(str),
+        "dst_url": np.concatenate([b, a]).astype(str)}))
+    nodes_h = ray.data.from_pandas(
+        pd.DataFrame({"url": hosts.astype(str)}))
+    nf = neighborhood_function(links_h, nodes_h, rounds=rounds) \
+        .to_pandas()
+    piv_s = nf.pivot(index="url", columns="round", values="sreg") \
+        .reindex(hosts.astype(str))
+    piv_z = nf.pivot(index="url", columns="round", values="nzero") \
+        .reindex(hosts.astype(str))
+    S = piv_s.to_numpy(dtype=np.int64)
+    Z = piv_z.to_numpy(dtype=np.int64)
+    raw = (ANF_ALPHA_M2 * float(1 << ANF_RHO_CAP)) / S.astype(np.float64)
+    lc = ANF_M * np.log(ANF_M / np.maximum(Z, 1).astype(np.float64))
+    B = np.where((raw <= 2.5 * ANF_M) & (Z > 0), lc, raw)
+    return np.maximum.accumulate(B, axis=1), S
+
+
+def _host_closeness_anf(a: np.ndarray, b: np.ndarray,
+                        hosts: np.ndarray) -> pd.DataFrame:
+    """Approximate harmonic centrality from the HyperANF curves:
+    frontier size at depth d ≈ B(d) − B(d−1); same integer HC_FP // d
+    weights as the dense path (Boldi & Vigna 2014's own estimator)."""
+    B, _ = _host_anf_curves(a, b, hosts, HOST_ANF_ROUNDS)
+    delta = np.maximum(np.rint(np.diff(B, axis=1)), 0).astype(np.int64)
+    w = np.array([np.int64(HC_FP) // np.int64(d)
+                  for d in range(1, B.shape[1])], dtype=np.int64)
+    return pd.DataFrame({
+        "host": hosts.astype(object),
+        "n_reachable": np.maximum(
+            np.rint(B[:, -1]).astype(np.int64) - 1, 0),
+        "harmonic_fp": (delta * w[None, :]).sum(axis=1)})
+
+
+def _host_eccentricity_anf(a: np.ndarray, b: np.ndarray,
+                           hosts: np.ndarray) -> pd.DataFrame:
+    """Approximate eccentricity: the last depth whose register
+    indicator sreg still changed (registers are a deterministic
+    function of the reachable set, so a changed sreg proves new hosts
+    entered; an unchanged one may rarely hide them → the estimate
+    never exceeds the true eccentricity)."""
+    B, S = _host_anf_curves(a, b, hosts, HOST_ANF_ROUNDS)
+    changed = S[:, 1:] != S[:, :-1]
+    d = np.arange(1, S.shape[1], dtype=np.int64)
+    return pd.DataFrame({
+        "host": hosts.astype(object),
+        "n_reachable": np.maximum(
+            np.rint(B[:, -1]).astype(np.int64) - 1, 0),
+        "eccentricity": np.where(changed, d[None, :], 0).max(axis=1)})
 
 
 # ---- TrustRank: seed-biased PageRank over the host graph ----
@@ -768,17 +903,22 @@ def host_scc(links: ray.data.Dataset) -> pd.DataFrame:
     hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
     pos = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
-    adj = np.zeros((n, n), dtype=bool)
-    adj[e["a"].map(pos).to_numpy(np.int64),
-        e["b"].map(pos).to_numpy(np.int64)] = True
-    reach = np.eye(n, dtype=bool)
-    frontier = reach.copy()
-    while frontier.any():
-        frontier = (frontier @ adj) & ~reach
-        reach |= frontier
-    same = reach & reach.T                    # mutual reachability
-    comp = np.array([hosts[np.flatnonzero(same[i])[0]] for i in range(n)],
-                    dtype=object)             # min index = min host (sorted)
+    ai = e["a"].map(pos).to_numpy(np.int64)
+    bi = e["b"].map(pos).to_numpy(np.int64)
+    if n > HOST_DENSE_MAX:
+        comp = hosts[_scc_labels_edge(ai, bi, n)]
+    else:
+        adj = np.zeros((n, n), dtype=bool)
+        adj[ai, bi] = True
+        reach = np.eye(n, dtype=bool)
+        frontier = reach.copy()
+        while frontier.any():
+            frontier = (frontier @ adj) & ~reach
+            reach |= frontier
+        same = reach & reach.T                # mutual reachability
+        comp = np.array([hosts[np.flatnonzero(same[i])[0]]
+                         for i in range(n)],
+                        dtype=object)         # min index = min host
     sizes = pd.Series(comp).map(pd.Series(comp).value_counts())
     return pd.DataFrame({"host": hosts, "component": comp,
                          "scc_size": sizes.to_numpy(np.int64)})
@@ -923,6 +1063,10 @@ def host_eccentricity(links: ray.data.Dataset) -> pd.DataFrame:
                                       e["b"].to_numpy(dtype=object)]))
     pos = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
+    if n > HOST_DENSE_MAX:
+        return _host_eccentricity_anf(e["a"].to_numpy(dtype=object),
+                                      e["b"].to_numpy(dtype=object),
+                                      hosts)
     adj = np.zeros((n, n), dtype=bool)
     ai = e["a"].map(pos).to_numpy(np.int64)
     bi = e["b"].map(pos).to_numpy(np.int64)
@@ -1104,29 +1248,43 @@ def host_bowtie(links: ray.data.Dataset) -> pd.DataFrame:
     hosts = np.array(sorted(set(e["a"]) | set(e["b"])), dtype=object)
     pos = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
-    adj = np.zeros((n, n), dtype=bool)
-    adj[e["a"].map(pos).to_numpy(np.int64),
-        e["b"].map(pos).to_numpy(np.int64)] = True
-    reach = np.eye(n, dtype=bool)
-    frontier = reach.copy()
-    while frontier.any():
-        frontier = (frontier @ adj) & ~reach
-        reach |= frontier
-    same = reach & reach.T
-    comp = np.array([np.flatnonzero(same[i])[0] for i in range(n)],
-                    dtype=np.int64)          # min-index SCC label
-    sizes = np.bincount(comp, minlength=n)
-    core_lbl = int(np.flatnonzero(sizes == sizes.max())[0])
-    core = comp == core_lbl
-    in_set = ~core & reach[:, core].any(axis=1)
-    out_set = ~core & reach[core, :].any(axis=0)
-    uadj = adj | adj.T
-    wreach = np.eye(n, dtype=bool)
-    frontier = wreach.copy()
-    while frontier.any():
-        frontier = (frontier @ uadj) & ~wreach
-        wreach |= frontier
-    weak_core = wreach[:, core].any(axis=1)
+    ai = e["a"].map(pos).to_numpy(np.int64)
+    bi = e["b"].map(pos).to_numpy(np.int64)
+    if n > HOST_DENSE_MAX:
+        # edge-list decomposition: exact SCC labels from the coloring
+        # rounds, then three frontier BFS sweeps (fwd / bwd / weak)
+        # from the core set — O(E) per level, no n×n closure
+        comp = _scc_labels_edge(ai, bi, n)
+        sizes = np.bincount(comp, minlength=n)
+        core_lbl = int(np.flatnonzero(sizes == sizes.max())[0])
+        core = comp == core_lbl
+        in_set = ~core & _edge_reach(core, bi, ai, n)
+        out_set = ~core & _edge_reach(core, ai, bi, n)
+        weak_core = _edge_reach(core, np.concatenate([ai, bi]),
+                                np.concatenate([bi, ai]), n)
+    else:
+        adj = np.zeros((n, n), dtype=bool)
+        adj[ai, bi] = True
+        reach = np.eye(n, dtype=bool)
+        frontier = reach.copy()
+        while frontier.any():
+            frontier = (frontier @ adj) & ~reach
+            reach |= frontier
+        same = reach & reach.T
+        comp = np.array([np.flatnonzero(same[i])[0] for i in range(n)],
+                        dtype=np.int64)      # min-index SCC label
+        sizes = np.bincount(comp, minlength=n)
+        core_lbl = int(np.flatnonzero(sizes == sizes.max())[0])
+        core = comp == core_lbl
+        in_set = ~core & reach[:, core].any(axis=1)
+        out_set = ~core & reach[core, :].any(axis=0)
+        uadj = adj | adj.T
+        wreach = np.eye(n, dtype=bool)
+        frontier = wreach.copy()
+        while frontier.any():
+            frontier = (frontier @ uadj) & ~wreach
+            wreach |= frontier
+        weak_core = wreach[:, core].any(axis=1)
     region = np.where(core, "core",
                       np.where(in_set, "in",
                                np.where(out_set, "out",
@@ -1225,6 +1383,14 @@ class _HitsShard:
             src = np.empty(0, dtype=np.int64)
             dst = np.empty(0, dtype=np.int64)
         self._fwd_chunks = []
+        # ownership mask: auth_refs indexes h by searchsorted(nids, fsrc)
+        # unmasked, so unowned srcs must never survive past seal (same
+        # invariant apply_hub enforces on its fold keys)
+        if len(self.nids) and len(src):
+            pos = np.searchsorted(self.nids, src)
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            ok = self.nids[pos] == src
+            src, dst = src[ok], dst[ok]
         dpart = (dst % self.n_parts).astype(np.int64)
         order = np.argsort(dpart, kind="stable")
         self.fsrc, self.fdst = src[order], dst[order]
@@ -1668,6 +1834,13 @@ class _WalkShard:
             wk = cur = np.empty(0, np.int64)
         self._states = []
         pos = np.searchsorted(self.nids, cur)
+        if len(self.nids):
+            # same clamp+ownership mask as the HITS shards: a scattered
+            # walk whose node isn't resident (edge to an unfetched dst)
+            # must not read another node's slot
+            np.minimum(pos, len(self.nids) - 1, out=pos)
+            own = self.nids[pos] == cur
+            su, wk, cur, pos = su[own], wk[own], cur[own], pos[own]
         curl = self.urls[pos] if len(self.nids) else \
             np.empty(0, object)
         self._rows.append(pd.DataFrame({

@@ -310,6 +310,12 @@ def parse_media_dims(b: bytes) -> tuple[str, int, int]:
         while i + 9 <= n:
             if b[i] != 0xFF:
                 break
+            # legal 0xFF fill/padding bytes may precede any marker
+            # (ITU T.81 B.1.1.2) — skip them before classifying
+            while i + 9 <= n and b[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > n:
+                break
             marker = b[i + 1]
             if marker in _SOF_MARKERS:
                 return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),

@@ -49,6 +49,79 @@ def test_minhash_streaming_verify_equals_local(ray_session, monkeypatch):
                                   rtol=0, atol=0)
 
 
+def test_minhash_candidate_dataset_path_equals_takeall(ray_session,
+                                                       monkeypatch):
+    """PAIR_LOCAL_MAX gate: above the bound the candidate pairs never
+    reach the driver — aggregate dedup + co-partition doc↔pair join
+    feed the streaming verify (_minhash_verify_streaming). Pin it
+    output-equal to the take_all path."""
+    docs = entrymod._docs(SF_DIR)
+    fast = _canon(_pd(ops_dedup.minhash_lsh_pairs(docs)))
+    monkeypatch.setattr(ops_dedup, "PAIR_LOCAL_MAX", -1)
+    slow = _canon(_pd(ops_dedup.minhash_lsh_pairs(docs)))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
+                                  rtol=0, atol=0)
+
+
+def test_host_scc_edge_list_equals_dense(ray_session, monkeypatch):
+    """HOST_DENSE_MAX gate: above the bound, SCC labels come from
+    Orzan-coloring edge-list rounds instead of the n×n boolean
+    closure — EXACT, so pin full equality."""
+    from ghcrawler_ray.ops import graph as ops_graph
+    links = entrymod._links_ds(SF_DIR)
+    dense = _canon(_pd(ops_graph.host_scc(links)))
+    monkeypatch.setattr(ops_graph, "HOST_DENSE_MAX", -1)
+    edge = _canon(_pd(ops_graph.host_scc(links)))
+    pd.testing.assert_frame_equal(dense, edge, check_dtype=False)
+
+
+def test_host_bowtie_edge_list_equals_dense(ray_session, monkeypatch):
+    """Edge-list bow-tie (coloring SCC + three frontier BFS sweeps)
+    is exact — pin full equality with the matrix-closure path."""
+    from ghcrawler_ray.ops import graph as ops_graph
+    links = entrymod._links_ds(SF_DIR)
+    dense = _canon(_pd(ops_graph.host_bowtie(links)))
+    monkeypatch.setattr(ops_graph, "HOST_DENSE_MAX", -1)
+    edge = _canon(_pd(ops_graph.host_bowtie(links)))
+    pd.testing.assert_frame_equal(dense, edge, check_dtype=False)
+
+
+def test_host_closeness_anf_within_hll_tolerance(ray_session, monkeypatch):
+    """Above HOST_DENSE_MAX, closeness runs on the HyperANF register
+    machinery — approximate but deterministic. m=16 registers on a
+    10-host fixture carry real small-range HLL bias, so pin a generous
+    relative band plus schema/rowcount, and pin determinism."""
+    from ghcrawler_ray.ops import graph as ops_graph
+    links = entrymod._links_ds(SF_DIR)
+    dense = _pd(ops_graph.host_closeness(links))
+    monkeypatch.setattr(ops_graph, "HOST_DENSE_MAX", -1)
+    anf = _pd(ops_graph.host_closeness(links))
+    anf2 = _pd(ops_graph.host_closeness(links))
+    pd.testing.assert_frame_equal(_canon(anf), _canon(anf2))  # determinism
+    m = dense.merge(anf, on="host", suffixes=("_d", "_a"))
+    assert len(m) == len(dense)
+    rel = (m["n_reachable_a"] - m["n_reachable_d"]).abs() \
+        / m["n_reachable_d"].clip(lower=1)
+    assert float(rel.max()) <= 0.6
+    hrel = (m["harmonic_fp_a"] - m["harmonic_fp_d"]).abs() \
+        / m["harmonic_fp_d"].clip(lower=1)
+    assert float(hrel.max()) <= 0.6
+
+
+def test_host_eccentricity_anf_within_tolerance(ray_session, monkeypatch):
+    """Eccentricity from register-change depth never exceeds the true
+    value; pin ≤ plus a ±1 band on the fixture."""
+    from ghcrawler_ray.ops import graph as ops_graph
+    links = entrymod._links_ds(SF_DIR)
+    dense = _pd(ops_graph.host_eccentricity(links))
+    monkeypatch.setattr(ops_graph, "HOST_DENSE_MAX", -1)
+    anf = _pd(ops_graph.host_eccentricity(links))
+    m = dense.merge(anf, on="host", suffixes=("_d", "_a"))
+    assert len(m) == len(dense)
+    assert bool((m["eccentricity_a"] <= m["eccentricity_d"]).all())
+    assert int((m["eccentricity_d"] - m["eccentricity_a"]).max()) <= 1
+
+
 def test_dedup_spans_distributed_equals_broadcast(ray_session, monkeypatch):
     docs = entrymod._docs(SF_DIR)
     fast = _canon(_pd(ops_contam.dedup_spans(docs)))
