@@ -134,6 +134,47 @@ def q_crawl_deadletter(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+_CRED_RUNS: dict[float, Path] = {}
+
+
+def _cred_out(sf: float) -> Path:
+    """Run (once per process/scale) the credential-class crawl — the
+    token trait-set / privileged-retry analogue
+    (`providers/fetcher/tokenFactory.js:41-70` _traitsMatch;
+    `providers/fetcher/githubFetcher.js:67-72` admin-token retry):
+    /p/3 and /p/7 pages are auth-gated, the elevated class has a
+    per-host window of 2."""
+    if sf in _CRED_RUNS:
+        return _CRED_RUNS[sf]
+    root = ensure_testdata(sf)
+    out = Path(f"/tmp/ghcrawler_ray_runs/{GENVER}-sf{sf}-cred")
+    if not (out / "SUMMARY.json").exists():
+        cfg = CrawlConfig(protected_url_regex=r"/p/(?:3|7)$",
+                          elevated_max_per_window=2)
+        CrawlEngine(root, out, cfg).run()
+    _CRED_RUNS[sf] = out
+    return out
+
+
+def q_crawl_credential_retry(sf_dir: str) -> pd.DataFrame:
+    """Order-log history of every url that hit the auth gate at least
+    once — shows the public-denial → elevated-retry → fetched path and
+    the scarcer elevated budget (deferred elevated rows). Iterative
+    crawl artifact → rows-only at the driver; engine↔oracle parity is
+    pinned by tests/test_credentials.py."""
+    out = _cred_out(sf_of_dir(sf_dir))
+    files = sorted((out / "order").glob("wave=*.parquet"),
+                   key=lambda p: int(p.stem.split("=")[1]))
+    cols = ["wave", "seq_in_wave", "url", "host", "outcome", "attempt"]
+    df = pq.read_table([str(f) for f in files], columns=cols).to_pandas()
+    denied = set(df.loc[df["outcome"] == "auth_denied", "url"])
+    df = df[df["url"].isin(denied)][cols]
+    for c in ("wave", "seq_in_wave", "attempt"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["url", "wave", "seq_in_wave"],
+                          kind="stable").reset_index(drop=True)
+
+
 def q_crawl_metrics(sf_dir: str) -> pd.DataFrame:
     out = _crawl_out(sf_of_dir(sf_dir))
     df = _read_tree(out / "metrics")
@@ -6750,6 +6791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": q_crawl_order,
         "crawl_deadletter": q_crawl_deadletter,
         "crawl_metrics": q_crawl_metrics,
+        "crawl_credential_retry": q_crawl_credential_retry,
         "crawl_extract_text": q_extract_text,
         "crawl_extract_links": q_extract_links,
         "crawl_link_rels": q_link_rels,
@@ -7014,7 +7056,7 @@ def oracle_sql() -> dict[str, str]:
     """SQL mirrors for every SQL-expressible query. Omitted on purpose
     (genuinely iterative/stateful → rows-only check, parity instead
     pinned by pytest engine↔oracle tests): crawl_seen, crawl_order,
-    crawl_deadletter, crawl_metrics."""
+    crawl_deadletter, crawl_metrics, crawl_credential_retry."""
     out = dict(_ops_sql())
     out.update(_crawl_sql(0.01))   # driver correctness runs at sf=0.01
     return out

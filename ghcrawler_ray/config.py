@@ -138,6 +138,26 @@ class CrawlConfig:
     paginated_priority: str = "soon"
     default_link_priority: str = "normal"
 
+    # --- credential classes (token trait-set analogue): the reference's
+    #     token factory matches tokens to requests by trait set
+    #     (`providers/fetcher/tokenFactory.js:41-70` _traitsMatch) and on
+    #     401/403 retries the fetch once under an elevated/admin token
+    #     (`providers/fetcher/githubFetcher.js:67-72`). Analogue: every
+    #     frontier row carries a ``cred`` class ('public' default); urls
+    #     matching ``protected_url_regex`` are only fetchable by the
+    #     'elevated' class — a public probe gets outcome 'auth_denied'
+    #     and (when ``elevated_retry``) requeues ONCE with
+    #     cred='elevated' at the normal requeue delay, keeping its
+    #     attempt count (the immediate-admin-retry, wave-quantized).
+    #     The elevated class has its own, scarcer per-host budget
+    #     window (``elevated_max_per_window`` — admin tokens are rarer
+    #     than public ones), enforced per (host, salt, cred) group in
+    #     the politeness ledger. Empty regex = feature off (identical
+    #     behavior to pre-credential engines). ---
+    protected_url_regex: str = ""
+    elevated_retry: bool = True
+    elevated_max_per_window: int = 10
+
     # --- mid-wave fault tolerance: a seen-shard actor dying during a
     #     wave (node loss on a real cluster) aborts that wave's
     #     execution; the engine rebuilds the shard pool from the

@@ -24,7 +24,7 @@ from .config import PRIORITY_RANK, CrawlConfig
 from .urls import hash64_array, normalize_series
 
 FRONTIER_COLS = ["url", "priority", "rank", "seq", "attempt", "not_before",
-                 "depth", "claimed", "discovered_from", "policy"]
+                 "depth", "claimed", "discovered_from", "policy", "cred"]
 
 
 def seeds_to_frontier(seeds: pd.DataFrame) -> pd.DataFrame:
@@ -39,6 +39,9 @@ def seeds_to_frontier(seeds: pd.DataFrame) -> pd.DataFrame:
         "claimed": np.zeros(len(seeds), dtype=bool),
         "discovered_from": "",
         "policy": seeds.get("policy", pd.Series(["default"] * len(seeds))).astype(str),
+        # credential class (token trait-set analogue): seeds may pin an
+        # elevated class; everything else starts public
+        "cred": seeds.get("cred", pd.Series(["public"] * len(seeds))).astype(str),
     })[FRONTIER_COLS]
 
 
@@ -75,6 +78,9 @@ def links_to_frontier(links: pd.DataFrame, parent_depth: pd.Series,
         "claimed": np.zeros(len(links), dtype=bool),
         "discovered_from": links["src_url"].astype(str).to_numpy(),
         "policy": child_policy,
+        # privilege does NOT inherit: the reference's admin retry covers
+        # one request (`githubFetcher.js:67-72`), not the subgraph
+        "cred": "public",
     })
     # per-page dedup only here (deterministic: one page's links always
     # share a batch). Cross-page dedup is GLOBAL and happens in

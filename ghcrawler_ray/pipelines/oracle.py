@@ -68,6 +68,8 @@ class SequentialOracle:
             for r in web["robots"].itertuples()
         }
         self.deny_re = re.compile(self.cfg.deny_url_regex)
+        self.prot_re = re.compile(self.cfg.protected_url_regex) \
+            if self.cfg.protected_url_regex else None
 
     def _robots_denied(self, host: str, path: str) -> bool:
         rule = self.robots.get(host)
@@ -75,9 +77,13 @@ class SequentialOracle:
             return False
         return any(path.startswith(p) for p in rule[2])
 
-    def _budget(self, host: str) -> int:
+    def _budget(self, host: str, cred: str = "public") -> int:
         delay, maxw, _ = self.robots.get(
             host, (self.cfg.default_crawl_delay_ms, self.cfg.default_max_per_window, ()))
+        if cred == "elevated":
+            # elevated class: same robots delay, scarcer window (token
+            # trait-set analogue — see CrawlConfig.protected_url_regex)
+            maxw = self.cfg.elevated_max_per_window
         return host_budget(delay, maxw, self.cfg.wave_ms)
 
     def run(self) -> dict[str, pd.DataFrame]:
@@ -151,14 +157,24 @@ class SequentialOracle:
                     ns = hot_prev.get(h, 1)
                     cand.loc[g.index, "salt"] = polite_salt(
                         g["url_hash"].to_numpy(), ns > 1, ns)
-                for (h, s), g in cand.groupby(["host", "salt"], sort=False):
+                for (h, s, c), g in cand.groupby(["host", "salt", "cred"],
+                                                 sort=False):
                     ns = hot_prev.get(h, 1)
-                    b = group_budget(self._budget(h), ns > 1, ns, int(s))
+                    b = group_budget(self._budget(h, str(c)), ns > 1, ns,
+                                     int(s))
                     mask = admit_first_n(g, b)
                     deferred_idx.extend(g.index[~mask])
             cur.loc[deferred_idx, "outcome"] = "deferred"
             hot_prev = salt_map(cand.groupby("host").size(), cfg) \
                 if len(cand) else {}
+
+            # auth gate (401/403 analogue): protected urls reject the
+            # public class before the fetch probe
+            adm = cur[(cur["outcome"] == "") & cur["claimed"]]
+            if self.prot_re is not None and len(adm):
+                pmask = adm["url"].str.contains(self.prot_re) \
+                    & (adm["cred"] != "elevated")
+                cur.loc[adm.index[pmask], "outcome"] = "auth_denied"
 
             # fetch probe against the pages table
             adm = cur[(cur["outcome"] == "") & cur["claimed"]]
@@ -227,6 +243,17 @@ class SequentialOracle:
                 if len(retry):
                     retry["not_before"] = clock + cfg.requeue_delay_ms * retry["attempt"]
                     carries.append(retry[FRONTIER_COLS])
+            ad = cur[cur["outcome"] == "auth_denied"].copy()
+            if len(ad):
+                if cfg.elevated_retry:
+                    # one privileged retry, same attempt count
+                    ad["cred"] = "elevated"
+                    ad["not_before"] = clock + cfg.requeue_delay_ms
+                    carries.append(ad[FRONTIER_COLS])
+                else:
+                    for r in ad.itertuples():
+                        dead_rows.append((r.url, "auth_denied",
+                                          int(r.attempt), wave))
             for r in cur[cur["outcome"] == "malformed"].itertuples():
                 dead_rows.append((r.url, "malformed", int(r.attempt), wave))
             if len(new_frontier):

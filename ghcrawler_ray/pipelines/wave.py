@@ -628,6 +628,14 @@ class CrawlEngine:
                                           "reason": "attempt_cap",
                                           "attempt": bumped[over],
                                           "wave": np.int32(k)}))
+        if not self.cfg.elevated_retry:
+            ad = pdf[pdf["outcome"] == "auth_denied"]
+            if len(ad):
+                dead.append(pd.DataFrame({"url": ad["url"],
+                                          "reason": "auth_denied",
+                                          "attempt": ad["attempt"]
+                                          .astype(np.int32),
+                                          "wave": np.int32(k)}))
         if dead:
             d = self.out / "deadletter"
             d.mkdir(parents=True, exist_ok=True)

@@ -104,13 +104,13 @@ def _meta_series(path: str) -> pd.Series:
 
 #: columns a frontier row carries between waves (checkpoint schema)
 FRONTIER_COLS = ["url", "priority", "rank", "seq", "attempt", "not_before",
-                 "depth", "claimed", "discovered_from", "policy"]
+                 "depth", "claimed", "discovered_from", "policy", "cred"]
 
 FRONTIER_SCHEMA = pa.schema([
     ("url", pa.string()), ("priority", pa.string()), ("rank", pa.int8()),
     ("seq", pa.int64()), ("attempt", pa.int32()), ("not_before", pa.int64()),
     ("depth", pa.int32()), ("claimed", pa.bool_()), ("discovered_from", pa.string()),
-    ("policy", pa.string()),
+    ("policy", pa.string()), ("cred", pa.string()),
 ])
 
 #: columns after PrepareBatch (frontier + derived + routing)
@@ -119,7 +119,8 @@ TAGGED_COLS = FRONTIER_COLS + ["host", "path", "url_hash", "bucket",
 
 #: slim per-row record for the golden order log (order sidecars + local path)
 ORDER_META = ["url", "host", "priority", "outcome", "attempt", "rank", "seq",
-              "depth", "discovered_from", "bucket", "newly_claimed", "etag", "found"]
+              "depth", "discovered_from", "bucket", "newly_claimed", "etag", "found",
+              "cred"]
 
 #: columns the partition stage forwards for candidates (the etag shuffle)
 CAND_COLS = ORDER_META + ["url_hash", "etag_hash", "etag_part", "policy"]
@@ -288,6 +289,8 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
     holder: dict = {}
 
     salts = _as_salt_map(hot_hosts, cfg)
+    prot_re = re.compile(cfg.protected_url_regex) \
+        if cfg.protected_url_regex else None
 
     def _budgets(robots: dict) -> dict:
         wave_ms = cfg.wave_ms
@@ -299,6 +302,15 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
             holder["budgets"] = _budgets(robots)
             holder["default_budget"] = host_budget(
                 cfg.default_crawl_delay_ms, cfg.default_max_per_window,
+                cfg.wave_ms)
+            # elevated-class ledger: same robots crawl-delay, scarcer
+            # window (tokenFactory trait-set analogue — see config)
+            holder["budgets_elev"] = {
+                h: host_budget(r[0], cfg.elevated_max_per_window,
+                               cfg.wave_ms)
+                for h, r in ray.get(robots_ref).items()}
+            holder["default_budget_elev"] = host_budget(
+                cfg.default_crawl_delay_ms, cfg.elevated_max_per_window,
                 cfg.wave_ms)
         g = g.reset_index(drop=True)
         elig = (g["outcome"] == "") & ~g["claimed"]
@@ -333,10 +345,19 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
                  "n": hc.to_numpy(dtype=np.int64)}))
         if cand.any():
             order = g[cand].sort_values(ORDER_COLS, kind="stable")
-            pos = order.groupby(["host", "salt"], sort=False).cumcount() \
-                .to_numpy()
-            hb = order["host"].map(holder["budgets"]) \
+            # politeness groups are per (host, salt, CRED): each
+            # credential class has its own bench (trait-set analogue);
+            # with the feature off every row is 'public' and the
+            # grouping/budgets reduce to the host-only ledger
+            pos = order.groupby(["host", "salt", "cred"], sort=False) \
+                .cumcount().to_numpy()
+            hb_pub = order["host"].map(holder["budgets"]) \
                 .fillna(holder["default_budget"]).to_numpy(dtype=np.int64)
+            hb_elev = order["host"].map(holder["budgets_elev"]) \
+                .fillna(holder["default_budget_elev"]) \
+                .to_numpy(dtype=np.int64)
+            hb = np.where(order["cred"].to_numpy() == "elevated",
+                          hb_elev, hb_pub)
             if salts:
                 ns = order["host"].map(salts).fillna(1) \
                     .to_numpy(dtype=np.int64)
@@ -348,6 +369,13 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
             deferred = order.index[pos >= b_vec]
             g.loc[deferred, "outcome"] = "deferred"
             adm = (g["outcome"] == "") & g["claimed"]
+            if prot_re is not None:
+                # 401/403 analogue: protected urls reject the public
+                # class before any content question is asked
+                pmask = g["url"].str.contains(prot_re) \
+                    & (g["cred"] != "elevated")
+                g.loc[adm & pmask, "outcome"] = "auth_denied"
+                adm = (g["outcome"] == "") & g["claimed"]
             g.loc[adm & ~g["found"], "outcome"] = "fetch_error"
         if side is None:
             return g
@@ -392,9 +420,12 @@ def write_deadletters(dead_dir: str, name: str, done: pd.DataFrame,
     attempt-capped fetch errors with the bumped attempt count."""
     mal = done[done["outcome"] == "malformed"]
     err = done[done["outcome"] == "fetch_error"]
+    # auth_denied rows deadletter only when the privileged retry is off
+    ad = done[done["outcome"] == "auth_denied"] if not cfg.elevated_retry \
+        else done.iloc[0:0]
     bumped = err["attempt"].astype(np.int32) + 1
     over = bumped > cfg.attempt_cap
-    if len(mal) or bool(over.any()):
+    if len(mal) or len(ad) or bool(over.any()):
         dead = pd.concat([
             pd.DataFrame({"url": mal["url"].astype(str),
                           "reason": "malformed",
@@ -402,6 +433,9 @@ def write_deadletters(dead_dir: str, name: str, done: pd.DataFrame,
             pd.DataFrame({"url": err.loc[over, "url"].astype(str),
                           "reason": "attempt_cap",
                           "attempt": bumped[over]}),
+            pd.DataFrame({"url": ad["url"].astype(str),
+                          "reason": "auth_denied",
+                          "attempt": ad["attempt"].astype(np.int32)}),
         ], ignore_index=True)
         dead["wave"] = np.int32(wave)
         _write_sidecar(dead_dir, name, dead)
@@ -430,6 +464,15 @@ def route_next_frontier(df: pd.DataFrame, cfg: CrawlConfig,
         if len(err):
             err["not_before"] = clock + cfg.requeue_delay_ms * err["attempt"]
             parts.append(err[FRONTIER_COLS])
+    if cfg.elevated_retry:
+        ad = df[df["outcome"] == "auth_denied"]
+        if len(ad):
+            # one privileged retry (`githubFetcher.js:67-72` analogue):
+            # same attempt count, elevated class, normal requeue delay
+            ad = ad.copy()
+            ad["cred"] = "elevated"
+            ad["not_before"] = clock + cfg.requeue_delay_ms
+            parts.append(ad[FRONTIER_COLS])
     merged = pd.concat(parts, ignore_index=True) if parts else \
         pd.DataFrame(columns=FRONTIER_COLS)
     return frontier_table(merged)
