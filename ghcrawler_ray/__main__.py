@@ -77,9 +77,11 @@ def _cmd_inject_seeds(args) -> int:
     import pyarrow.parquet as pq
     from . import admin
     seeds = pq.read_table(args.seeds).to_pandas()
-    n = admin.inject_seeds(args.out, seeds, args.wave)
+    n = admin.inject_seeds(args.out, seeds, args.wave,
+                           secret=args.secret or None,
+                           signature=args.signature or None)
     print(json.dumps({"injected": n, "wave": args.wave}))
-    return 0
+    return 0 if (n or not args.secret) else 1
 
 
 def _cmd_store(args) -> int:
@@ -212,6 +214,12 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--out", required=True)
     i.add_argument("--seeds", required=True, help="seed parquet path")
     i.add_argument("--wave", type=int, required=True)
+    i.add_argument("--secret", default="",
+                   help="HMAC shared secret (webhook-auth analogue); "
+                        "requires a matching --signature")
+    i.add_argument("--signature", default="",
+                   help="hex HMAC-SHA1 of the seeds payload "
+                        "(admin.webhook_signature)")
     i.set_defaults(fn=_cmd_inject_seeds)
 
     st = sub.add_parser("store", help="doc-store get/etag/list/delete/count")

@@ -23,6 +23,8 @@ and appends frontier rows that ``run(resume=True)`` then processes.
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import json
 from pathlib import Path
 
@@ -159,11 +161,55 @@ def requeue_deadletters(web_root: str | Path, out_dir: str | Path,
     return int(len(req))
 
 
-def inject_seeds(out_dir: str | Path, seeds: pd.DataFrame, wave: int) -> int:
+def webhook_signature(seeds: pd.DataFrame, secret: str) -> str:
+    """HMAC-SHA1 signature of an injected-seeds payload — the webhook
+    authenticity check (`routes/webhook.js:34-38`:
+    ``crypto.createHmac('sha1', secret)`` over the raw body +
+    ``timingSafeEqual``). The "body" here is the canonical seed
+    serialization: one ``url\tpriority\tseq\tpolicy`` line per seed,
+    sorted, so the signature is row-order invariant (parquet/DataFrame
+    round-trips don't change it)."""
+    pol = seeds["policy"].astype(str) if "policy" in seeds else \
+        pd.Series(["default"] * len(seeds))
+    lines = sorted(
+        f"{u}\t{p}\t{int(q)}\t{o}"
+        for u, p, q, o in zip(seeds["url"].astype(str),
+                              seeds["priority"].astype(str),
+                              seeds["seq"].astype(np.int64), pol))
+    body = "\n".join(lines).encode()
+    return hmac.new(secret.encode(), body, hashlib.sha1).hexdigest()
+
+
+def inject_seeds(out_dir: str | Path, seeds: pd.DataFrame, wave: int,
+                 secret: str | None = None,
+                 signature: str | None = None) -> int:
     """Webhook-analogue seed injection into a CHECKPOINTED crawl: append
     seed rows to frontier/wave={wave} before that wave runs (between
     engine runs; for in-process injection use CrawlEngine(inject=...)).
-    ``seeds`` needs columns (url, priority, seq[, policy])."""
+    ``seeds`` needs columns (url, priority, seq[, policy]).
+
+    With ``secret`` set, the payload must carry a valid
+    :func:`webhook_signature` (`routes/webhook.js:22-38` analogue —
+    constant-time compare); on a missing/bad signature NOTHING is
+    enqueued and the rejected seeds are deadlettered with
+    reason='bad_signature' (the auditable analogue of the webhook's
+    400 response), returning 0."""
+    if secret:
+        expected = webhook_signature(seeds, secret)
+        if signature is None or not hmac.compare_digest(
+                signature, expected):
+            d = Path(out_dir) / "deadletter" / f"wave={wave}"
+            d.mkdir(parents=True, exist_ok=True)
+            n = len(list(d.glob("badsig-*.parquet")))
+            dead = pd.DataFrame({
+                "url": seeds["url"].astype(str).to_numpy(),
+                "reason": "bad_signature",
+                "attempt": np.zeros(len(seeds), dtype=np.int32),
+                "wave": np.int32(wave)})
+            pq.write_table(pa.Table.from_pandas(dead[DEAD_COLS],
+                                                preserve_index=False),
+                           d / f"badsig-{n}.parquet")
+            return 0
     rows = seeds_to_frontier(seeds)
     d = Path(out_dir) / "frontier" / f"wave={wave}"
     d.mkdir(parents=True, exist_ok=True)

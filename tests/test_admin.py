@@ -120,3 +120,76 @@ def test_deadletter_admin_roundtrip(tmp_path):
     # seen set is stable: the url keeps its original first_wave
     seen = pq.read_table(str(out / "seen.parquet")).to_pandas()
     assert not seen["url"].duplicated().any()
+
+
+def test_webhook_signature_accept_reject(tmp_path):
+    """HMAC webhook-auth analogue (`routes/webhook.js:22-38`): a valid
+    signature enqueues; a bad/missing one enqueues NOTHING and
+    deadletters the payload with reason='bad_signature'."""
+    from ghcrawler_ray.admin import webhook_signature
+
+    seeds = _inject_seeds_df()
+    secret = "s3cret"
+    sig = webhook_signature(seeds, secret)
+    # row-order invariance (parquet round-trips reorder nothing, but a
+    # replayed payload might)
+    assert sig == webhook_signature(
+        seeds.iloc[::-1].reset_index(drop=True), secret)
+
+    out = tmp_path / "out"
+    n = inject_seeds(out, seeds, wave=2, secret=secret, signature=sig)
+    assert n == len(seeds)
+    assert (out / "frontier" / "wave=2" / "injected-0.parquet").exists()
+
+    # bad signature → rejected + deadlettered
+    n = inject_seeds(out, seeds, wave=3, secret=secret,
+                     signature="0" * 40)
+    assert n == 0
+    assert not (out / "frontier" / "wave=3").exists()
+    dead = list_deadletters(out, reason="bad_signature")
+    assert set(dead["url"]) == set(seeds["url"])
+    assert (dead["wave"] == 3).all()
+
+    # missing signature with a secret configured → same rejection
+    n = inject_seeds(out, seeds, wave=4, secret=secret)
+    assert n == 0
+    assert len(list_deadletters(out, reason="bad_signature")) \
+        == 2 * len(seeds)
+
+    # no secret → unauthenticated legacy path still works
+    n = inject_seeds(out, seeds, wave=5)
+    assert n == len(seeds)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_signed_injection_end_to_end(tmp_path):
+    """A correctly signed injection into a checkpointed crawl behaves
+    exactly like the unauthenticated one (full order parity), and the
+    rejected payload changes nothing when the crawl resumes."""
+    from ghcrawler_ray.admin import webhook_signature
+
+    web_root = ensure_testdata(SF)
+    inject = {2: _inject_seeds_df()}
+    ref = CrawlEngine(web_root, tmp_path / "ref", CrawlConfig(),
+                      inject=inject)
+    ref.run()
+
+    eng = CrawlEngine(web_root, tmp_path / "out", CrawlConfig(max_waves=2))
+    eng.run()
+    seeds = _inject_seeds_df()
+    secret = "hook-secret"
+    # a tampered payload is rejected first...
+    bad = seeds.copy()
+    bad.loc[0, "url"] = "http://evil.example/x"
+    assert inject_seeds(tmp_path / "out", bad, wave=2, secret=secret,
+                        signature=webhook_signature(seeds, secret)) == 0
+    # ...then the authentic one lands
+    assert inject_seeds(tmp_path / "out", seeds, wave=2, secret=secret,
+                        signature=webhook_signature(seeds, secret)) \
+        == len(seeds)
+    CrawlEngine(web_root, tmp_path / "out", CrawlConfig()).run(resume=True)
+    pd.testing.assert_frame_equal(
+        _norm(_read_order(tmp_path / "out"), ORDER_COLS),
+        _norm(_read_order(tmp_path / "ref"), ORDER_COLS))
+    dead = list_deadletters(tmp_path / "out", reason="bad_signature")
+    assert (dead["url"] == "http://evil.example/x").any()
