@@ -84,6 +84,29 @@ def _cmd_inject_seeds(args) -> int:
     return 0 if (n or not args.secret) else 1
 
 
+def _cmd_patch_config(args) -> int:
+    """Hot-config channel (`lib/crawlerFactory.js:194-251` redis-pubsub
+    analogue): write {out}/config_patches/wave=K.json; the engine reads
+    it before wave K runs (live for a running crawl, replayed on
+    resume). Only live-tunable fields are accepted."""
+    from pathlib import Path
+
+    from .pipelines.wave import PATCHABLE_FIELDS
+    patch = json.loads(args.patch)
+    bad = set(patch) - PATCHABLE_FIELDS
+    if bad:
+        print(json.dumps({"error": f"non-patchable fields: {sorted(bad)}"}))
+        return 1
+    d = Path(args.out) / "config_patches"
+    d.mkdir(parents=True, exist_ok=True)
+    f = d / f"wave={args.wave}.json"
+    merged = json.loads(f.read_text()) if f.exists() else {}
+    merged.update(patch)
+    f.write_text(json.dumps(merged))
+    print(json.dumps({"patched": merged, "wave": args.wave}))
+    return 0
+
+
 def _cmd_store(args) -> int:
     from .state.store import PagesDocStore
     store = PagesDocStore(args.out, n_buckets=args.n_buckets)
@@ -221,6 +244,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="hex HMAC-SHA1 of the seeds payload "
                         "(admin.webhook_signature)")
     i.set_defaults(fn=_cmd_inject_seeds)
+
+    pc_ = sub.add_parser("patch-config",
+                         help="hot-config: patch live-tunable fields "
+                              "before a wave (pubsub analogue)")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--wave", type=int, required=True)
+    pc_.add_argument("--patch", required=True,
+                     help='JSON object, e.g. \'{"wave_ms": 20000}\'')
+    pc_.set_defaults(fn=_cmd_patch_config)
 
     st = sub.add_parser("store", help="doc-store get/etag/list/delete/count")
     st.add_argument("action", choices=["get", "etag", "count", "list",

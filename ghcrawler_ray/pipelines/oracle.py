@@ -58,8 +58,10 @@ def load_web(root: str | Path) -> dict[str, pd.DataFrame]:
 
 class SequentialOracle:
     def __init__(self, web: dict[str, pd.DataFrame], cfg: CrawlConfig | None = None,
-                 inject: dict[int, pd.DataFrame] | None = None):
+                 inject: dict[int, pd.DataFrame] | None = None,
+                 patches: dict[int, dict] | None = None):
         self.inject = inject or {}
+        self.patches = {int(k): dict(v) for k, v in (patches or {}).items()}
         self.cfg = cfg or CrawlConfig()
         self.pages = web["pages"].set_index("url", drop=False)
         self.seeds = web["seeds"]
@@ -97,6 +99,17 @@ class SequentialOracle:
         order_rows, dead_rows, link_frames, page_rows, metric_rows = [], [], [], [], []
 
         while wave < cfg.max_waves:
+            if wave in self.patches:
+                # hot-config hook (engine: CrawlEngine(patches=...) /
+                # the config_patches file channel)
+                import dataclasses as _dc
+                patch = {k: (tuple(v) if isinstance(
+                    getattr(cfg, k), tuple) and not isinstance(v, tuple)
+                    else v) for k, v in self.patches[wave].items()}
+                self.cfg = cfg = _dc.replace(cfg, **patch)
+                self.deny_re = re.compile(cfg.deny_url_regex)
+                self.prot_re = re.compile(cfg.protected_url_regex) \
+                    if cfg.protected_url_regex else None
             if wave in self.inject:
                 # webhook-analogue mid-crawl seed injection (identical
                 # hook on the engine: CrawlEngine(inject=...))

@@ -44,6 +44,7 @@ counters analogue).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import shutil
 import uuid
@@ -146,21 +147,93 @@ def _make_link_sink(nf_dir: str, cfg: CrawlConfig, pool=None,
     return link_sink
 
 
+#: Config fields the hot-config channel may patch between waves — the
+#: live-tunable subset (`lib/crawlerFactory.js:194-251` patches queue
+#: weights / loop counts / delays over redis pub-sub without restart).
+#: Structural fields (shard/bucket/partition counts, seen_mode) are
+#: deliberately NOT patchable: they shape on-disk layout and actor
+#: state, which a running crawl cannot re-key.
+PATCHABLE_FIELDS = frozenset({
+    "wave_ms", "requeue_delay_ms", "attempt_cap",
+    "default_crawl_delay_ms", "default_max_per_window",
+    "salt_threshold", "salt_factor", "salt_cap",
+    "local_wave_threshold", "max_waves", "emit_order_log",
+    "deny_url_regex", "allowed_host_suffixes",
+    "paginated_priority", "default_link_priority",
+    "discovery_seen_filter", "wave_max_attempts",
+    "protected_url_regex", "elevated_retry", "elevated_max_per_window",
+})
+
+#: tuple-typed CrawlConfig fields (JSON patches arrive as lists)
+_TUPLE_FIELDS = frozenset({"allowed_host_suffixes"})
+
+
 class CrawlEngine:
     def __init__(self, web_root: str | Path, out_dir: str | Path,
                  cfg: CrawlConfig | None = None,
-                 inject: dict[int, pd.DataFrame] | None = None):
+                 inject: dict[int, pd.DataFrame] | None = None,
+                 patches: dict[int, dict] | None = None):
         """``inject`` maps wave number → seed DataFrame (url, priority,
         seq[, policy]) unioned into that wave's frontier before it runs —
         the webhook event-source analogue (`routes/webhook.js:14-60`).
-        The sequential oracle takes the identical hook."""
+        The sequential oracle takes the identical hook.
+
+        ``patches`` maps wave number → {field: value} applied to the
+        config BEFORE that wave runs — the hot/live-config analogue
+        (`lib/crawlerFactory.js:194-251` redis-pubsub patching of
+        weights/delays/loop counts mid-run). Only ``PATCHABLE_FIELDS``
+        may appear. The same channel exists file-based for running /
+        checkpointed crawls: ``{out}/config_patches/wave=K.json`` is
+        read before wave K (CLI ``patch-config`` writes it — the
+        pub-sub analogue an operator uses from outside the process);
+        applied patches are persisted there too, so ``resume`` replays
+        them deterministically. The sequential oracle takes the
+        identical ``patches`` hook."""
         self.web_root = str(web_root)
         self.out = Path(out_dir)
         self.cfg = cfg or CrawlConfig()
         self.inject = inject or {}
+        self.patches = {int(k): dict(v) for k, v in (patches or {}).items()}
         self._ns = uuid.uuid4().hex[:8]
         self.pool: SeenSetPool | None = None
         self._fail_fired = False
+
+    # ---------- hot config (live patch channel) ----------
+
+    def _apply_patch_dict(self, patch: dict) -> None:
+        bad = set(patch) - PATCHABLE_FIELDS
+        if bad:
+            raise ValueError(f"non-patchable config fields: {sorted(bad)}")
+        patch = {k: (tuple(v) if k in _TUPLE_FIELDS and not
+                     isinstance(v, tuple) else v)
+                 for k, v in patch.items()}
+        self.cfg = dataclasses.replace(self.cfg, **patch)
+
+    def _apply_patches(self, k: int) -> None:
+        """Merge the in-process patch for wave k with the file channel
+        (file wins — it is the operator's out-of-band override), apply,
+        and persist the merged patch for deterministic resume."""
+        patch = dict(self.patches.get(k, {}))
+        f = self.out / "config_patches" / f"wave={k}.json"
+        if f.exists():
+            patch.update(json.loads(f.read_text()))
+        if not patch:
+            return
+        self._apply_patch_dict(patch)
+        f.parent.mkdir(parents=True, exist_ok=True)
+        f.write_text(json.dumps(patch))
+
+    def _replay_patches_below(self, k: int) -> None:
+        """Resume path: re-apply every persisted patch for waves < k in
+        wave order, so the resumed config equals the mid-run config."""
+        d = self.out / "config_patches"
+        if not d.exists():
+            return
+        for j in sorted(int(p.stem.split("=")[1])
+                        for p in d.glob("wave=*.json")):
+            if j < k:
+                self._apply_patch_dict(
+                    json.loads((d / f"wave={j}.json").read_text()))
 
     # ---------- small helpers ----------
 
@@ -277,10 +350,15 @@ class CrawlEngine:
         robots_ref = ray.put(self._robots)
         if resume and (self.out / "manifests").exists():
             k, clock, hot = self._resume_point()
+            self._replay_patches_below(k)
         else:
             k, clock, hot = self._fresh_start()
 
-        while k < cfg.max_waves:
+        while k < self.cfg.max_waves:
+            # hot-config channel: apply this wave's patch (in-process
+            # and/or file-based) before anything else reads cfg
+            self._apply_patches(k)
+            cfg = self.cfg
             if k in self.inject:
                 d = self.out / "frontier" / f"wave={k}"
                 d.mkdir(parents=True, exist_ok=True)
