@@ -1637,6 +1637,14 @@ def ann_label_mrr(emb: ray.data.Dataset, k: int = TOPK,
     pull); the fold is a driver-side merge over the bounded set.
     Integer reciprocal ranks — exact."""
     topk = ann_topk(emb, k=k, n_queries=n_queries).to_pandas()
+    if not len(topk):
+        # an empty map_groups output loses its schema — normalize so the
+        # zero-top-k degenerate case (single-vector table) still yields
+        # the full query-id domain below
+        topk = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "cos": pd.Series([], dtype=np.float64)})
     ids = np.sort(np.unique(np.concatenate(
         [topk["query_id"].to_numpy(np.int64),
          topk["neighbor_id"].to_numpy(np.int64)]))) if len(topk) else \

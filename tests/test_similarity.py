@@ -77,3 +77,24 @@ def test_dedup_eval_perfect_on_exact_dups():
     assert (row.n_truth, row.n_hit) == (1, 1)
     assert row.recall_fp == DEDUP_EVAL_FP
     assert row.n_pred >= 1 and row.precision_fp <= DEDUP_EVAL_FP
+
+
+def test_ann_label_mrr_zero_topk_query(ray_session):
+    """A query with zero top-k rows (single-vector table) must still
+    appear with first_hit_rank 0 — qids come from the query-id DOMAIN
+    (vec_id < n_queries present in emb), matching the SQL mirror's
+    LEFT JOIN over the query ids (round-3 advice)."""
+    import pandas as pd
+    import ray.data
+
+    from ghcrawler_ray.ops.ann import ann_label_mrr
+
+    emb = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0], "label": [5],
+        "embedding": [[1.0, 0.0]]}))
+    out = ann_label_mrr(emb, k=3, n_queries=8)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert list(df["query_id"]) == [0]
+    assert list(df["query_label"]) == [5]
+    assert list(df["first_hit_rank"]) == [0]
+    assert list(df["mrr_fp"]) == [0]
