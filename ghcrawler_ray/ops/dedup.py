@@ -39,6 +39,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
@@ -434,14 +435,23 @@ def minhash_lsh_pairs(docs: ray.data.Dataset,
     if len(cand_ids) <= VERIFY_LOCAL_MAX_DOCS:
         ids_ref = ray.put(cand_ids)
 
-        def keep_cand(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):      # empty block: skip (and silence the
-                return df[["doc_id", "text"]]  # size-0 vectorize warn)
-            ids = ray.get(ids_ref)
-            d = df["doc_id"].to_numpy(np.int64)
-            pos = np.searchsorted(ids, d)
-            np.minimum(pos, len(ids) - 1, out=pos)
-            return df.loc[ids[pos] == d, ["doc_id", "text"]]
+        def keep_cand(df: pd.DataFrame):
+            # return a typed Arrow table: Ray's pandas block-size
+            # estimator np.vectorize()s object columns and warns on
+            # every empty (fully filtered) block; Arrow sizing is exact
+            if len(df):
+                ids = ray.get(ids_ref)
+                d = df["doc_id"].to_numpy(np.int64)
+                pos = np.searchsorted(ids, d)
+                np.minimum(pos, len(ids) - 1, out=pos)
+                df = df.loc[ids[pos] == d]
+            else:
+                df = df.iloc[0:0]
+            return pa.table({
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64),
+                                   type=pa.int64()),
+                "text": pa.array(df["text"].astype(str).tolist(),
+                                 type=pa.string())})
 
         blocks = (docs.select_columns(["doc_id", "text"])
                   .map_batches(keep_cand, batch_format="pandas")
