@@ -105,6 +105,26 @@ def main():
     pd.testing.assert_frame_equal(metrics("/tmp/probe_parity_exact64"),
                                   metrics("/tmp/probe_scalemode"))
     print(f"PROBE scale-mode metrics sf{args.sf} OK", flush=True)
+
+    # round-4 feature probe: credential classes + hot-config patches
+    # TOGETHER on the all-distributed path — auth_denied outcomes, the
+    # elevated retry, per-class budgets, and a mid-crawl throttle patch
+    # must reproduce the sequential oracle at this scale too
+    fcfg = dataclasses.replace(
+        base, protected_url_regex=r"/p/(?:3|7)$", elevated_max_per_window=2)
+    patches = {2: {"wave_ms": 5_000}}
+    golden = SequentialOracle(load_web(root), fcfg, patches=patches).run()
+    out = "/tmp/probe_features"
+    shutil.rmtree(out, ignore_errors=True)
+    CrawlEngine(root, out, fcfg, patches=patches).run()
+    order, g = order_of(out), golden["order"]
+    pd.testing.assert_frame_equal(
+        canon(order[g.columns], list(g.columns)),
+        canon(g, list(g.columns)), check_dtype=False)
+    n_auth = int((order["outcome"] == "auth_denied").sum())
+    assert n_auth > 0, "feature probe produced no auth_denied outcomes"
+    print(f"PROBE features sf{args.sf} (cred+hot-config): order "
+          f"{len(order)} auth_denied {n_auth} OK", flush=True)
     ray.shutdown()
 
 
