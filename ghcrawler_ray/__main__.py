@@ -80,8 +80,11 @@ def _cmd_inject_seeds(args) -> int:
     n = admin.inject_seeds(args.out, seeds, args.wave,
                            secret=args.secret or None,
                            signature=args.signature or None)
-    print(json.dumps({"injected": n, "wave": args.wave}))
-    return 0 if (n or not args.secret) else 1
+    # -1 = rejected signature (exit 1); 0 = validly-signed EMPTY payload
+    # (a successful no-op, exit 0) — the two must not be conflated
+    print(json.dumps({"injected": max(n, 0), "wave": args.wave,
+                      "rejected": n < 0}))
+    return 1 if n < 0 else 0
 
 
 def _cmd_patch_config(args) -> int:
@@ -91,11 +94,14 @@ def _cmd_patch_config(args) -> int:
     resume). Only live-tunable fields are accepted."""
     from pathlib import Path
 
-    from .pipelines.wave import PATCHABLE_FIELDS
+    from .pipelines.wave import coerce_patch
     patch = json.loads(args.patch)
-    bad = set(patch) - PATCHABLE_FIELDS
-    if bad:
-        print(json.dumps({"error": f"non-patchable fields: {sorted(bad)}"}))
+    try:
+        # full name + value-type validation (shared with the engine), so
+        # a mistyped patch fails HERE instead of wedging the target crawl
+        patch = coerce_patch(patch)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
         return 1
     d = Path(args.out) / "config_patches"
     d.mkdir(parents=True, exist_ok=True)
@@ -196,6 +202,25 @@ def _cmd_warc(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """HTTP admin service over a crawl out_dir (`app.js:24-33` express
+    routes analogue): GET /status, GET/DELETE /deadletters,
+    POST /requests (HMAC-checked when --secret), PATCH /config."""
+    from .httpadmin import make_server
+    srv = make_server(args.out, host=args.host, port=args.port,
+                      secret=args.secret or None)
+    host, port = srv.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}",
+                      "out": args.out}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
 def _cmd_status(args) -> int:
     out = Path(args.out)
     manifests = sorted(out.glob("manifests/wave=*.json"),
@@ -253,6 +278,15 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--patch", required=True,
                      help='JSON object, e.g. \'{"wave_ms": 20000}\'')
     pc_.set_defaults(fn=_cmd_patch_config)
+
+    sv = sub.add_parser("serve", help="HTTP admin service over a crawl "
+                                      "out_dir (express-routes analogue)")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--secret", default="",
+                    help="HMAC shared secret for POST /requests")
+    sv.set_defaults(fn=_cmd_serve)
 
     st = sub.add_parser("store", help="doc-store get/etag/list/delete/count")
     st.add_argument("action", choices=["get", "etag", "count", "list",

@@ -166,13 +166,18 @@ def webhook_signature(seeds: pd.DataFrame, secret: str) -> str:
     authenticity check (`routes/webhook.js:34-38`:
     ``crypto.createHmac('sha1', secret)`` over the raw body +
     ``timingSafeEqual``). The "body" here is the canonical seed
-    serialization: one ``url\tpriority\tseq\tpolicy`` line per seed,
-    sorted, so the signature is row-order invariant (parquet/DataFrame
-    round-trips don't change it)."""
+    serialization: one JSON-encoded ``[url, priority, seq, policy]``
+    line per seed, sorted, so the signature is row-order invariant
+    (parquet/DataFrame round-trips don't change it) AND the
+    payload → signed-body mapping is injective — a raw tab/newline
+    join would let two different payloads containing those separator
+    characters canonicalize identically (the reference signs the raw
+    request body, `routes/webhook.js:34-38`, so it has no such
+    ambiguity)."""
     pol = seeds["policy"].astype(str) if "policy" in seeds else \
         pd.Series(["default"] * len(seeds))
     lines = sorted(
-        f"{u}\t{p}\t{int(q)}\t{o}"
+        json.dumps([u, p, int(q), o], separators=(",", ":"))
         for u, p, q, o in zip(seeds["url"].astype(str),
                               seeds["priority"].astype(str),
                               seeds["seq"].astype(np.int64), pol))
@@ -193,7 +198,9 @@ def inject_seeds(out_dir: str | Path, seeds: pd.DataFrame, wave: int,
     constant-time compare); on a missing/bad signature NOTHING is
     enqueued and the rejected seeds are deadlettered with
     reason='bad_signature' (the auditable analogue of the webhook's
-    400 response), returning 0."""
+    400 response), returning -1. The -1 is deliberate: a VALIDLY
+    signed empty payload returns 0, so callers (and the CLI exit
+    code) can tell authentication failure from a signed no-op."""
     if secret:
         expected = webhook_signature(seeds, secret)
         if signature is None or not hmac.compare_digest(
@@ -209,7 +216,7 @@ def inject_seeds(out_dir: str | Path, seeds: pd.DataFrame, wave: int,
             pq.write_table(pa.Table.from_pandas(dead[DEAD_COLS],
                                                 preserve_index=False),
                            d / f"badsig-{n}.parquet")
-            return 0
+            return -1
     rows = seeds_to_frontier(seeds)
     d = Path(out_dir) / "frontier" / f"wave={wave}"
     d.mkdir(parents=True, exist_ok=True)

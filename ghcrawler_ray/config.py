@@ -158,6 +158,25 @@ class CrawlConfig:
     elevated_retry: bool = True
     elevated_max_per_window: int = 10
 
+    # --- generalized trait-set credentials: the reference matches tokens
+    #     to requests by ARBITRARY trait arrays (`providers/fetcher/
+    #     tokenFactory.js:41-70` _traitsMatch — e.g. ['admin','push']),
+    #     not a fixed public/elevated pair. Analogue: ``cred`` is an OPEN
+    #     string class.
+    #     * ``cred_rules``: ((url_regex, required_cred), ...) — a url
+    #       matching a rule is fetchable only by that class; any other
+    #       class gets 'auth_denied' and (when ``elevated_retry``) ONE
+    #       requeue carrying the rule's required class. First matching
+    #       rule wins. ``protected_url_regex`` is sugar for a leading
+    #       ``(protected_url_regex, "elevated")`` rule.
+    #     * ``cred_windows``: ((cred, max_per_window), ...) per-class
+    #       politeness windows (class-specific token scarcity,
+    #       `tokenFactory.js:81-93` benching per token). 'elevated'
+    #       defaults to ``elevated_max_per_window``; a class with no
+    #       entry (incl. 'public') uses the host's robots window. ---
+    cred_rules: tuple[tuple[str, str], ...] = ()
+    cred_windows: tuple[tuple[str, int], ...] = ()
+
     # --- mid-wave fault tolerance: a seen-shard actor dying during a
     #     wave (node loss on a real cluster) aborts that wave's
     #     execution; the engine rebuilds the shard pool from the
@@ -171,3 +190,24 @@ class CrawlConfig:
     fail_inject: str = ""
 
     extra: dict = field(default_factory=dict, compare=False)
+
+    # --- credential-class helpers (shared by engine + oracle so the two
+    #     sides cannot drift) ---
+
+    def effective_cred_rules(self) -> tuple[tuple[str, str], ...]:
+        """Auth rules in match order: the ``protected_url_regex`` sugar
+        (→ 'elevated') first, then ``cred_rules``. Empty = feature off."""
+        rules = tuple((str(rx), str(c)) for rx, c in self.cred_rules)
+        if self.protected_url_regex:
+            rules = ((self.protected_url_regex, "elevated"),) + rules
+        return rules
+
+    def cred_window(self, cred: str) -> int | None:
+        """Per-class max_per_window override, or None = use the host's
+        robots window (the 'public' default)."""
+        for c, w in self.cred_windows:
+            if str(c) == cred:
+                return int(w)
+        if cred == "elevated":
+            return self.elevated_max_per_window
+        return None

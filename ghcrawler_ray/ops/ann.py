@@ -143,9 +143,17 @@ def ann_topk_ivf(emb: ray.data.Dataset, k: int = 5,
 #: rows the driver may hold at once for the block-broadcast exact join
 DUP_CHUNK = 4096
 
+#: route-by-default guard: above this row count the exact-quadratic op
+#: refuses to run blind (n/DUP_CHUNK streaming passes over n rows — at
+#: corpus scale that is months of matmuls) and points at the
+#: sub-quadratic :func:`embedding_lsh_pairs`; ``force=True`` overrides
+#: for a deliberate exact run
+EXACT_PAIRS_MAX = 1 << 17
+
 
 def embedding_dup_pairs(emb: ray.data.Dataset,
-                        threshold: float = DUP_COS_THRESHOLD) -> ray.data.Dataset:
+                        threshold: float = DUP_COS_THRESHOLD,
+                        force: bool = False) -> ray.data.Dataset:
     """(vec_a, vec_b, cos ≥ threshold), vec_a < vec_b — exact all-pairs as
     a block-broadcast nested-loop join: vectors are hash-split into chunks
     of ≤DUP_CHUNK rows; each chunk is broadcast once (``ray.put``) and the
@@ -155,8 +163,16 @@ def embedding_dup_pairs(emb: ray.data.Dataset,
     contains ``a`` (the broadcast-side id must be the smaller one).
 
     Exact quadratic work is inherent to the op: n/DUP_CHUNK streaming
-    passes. The sub-quadratic scale path is :func:`embedding_lsh_pairs`."""
+    passes. The sub-quadratic scale path is :func:`embedding_lsh_pairs`;
+    above ``EXACT_PAIRS_MAX`` rows this op refuses to run unless
+    ``force=True`` so it cannot be invoked blind at corpus scale."""
     n = emb.count()
+    if n > EXACT_PAIRS_MAX and not force:
+        raise ValueError(
+            f"embedding_dup_pairs is exact-quadratic and the input has "
+            f"{n:,} rows (> EXACT_PAIRS_MAX={EXACT_PAIRS_MAX:,}): use "
+            f"embedding_lsh_pairs (sub-quadratic LSH-bucketed scale "
+            f"path), or pass force=True for a deliberate exact run")
     n_chunks = max(1, -(-n // DUP_CHUNK))
     parts = []
     for c in range(n_chunks):

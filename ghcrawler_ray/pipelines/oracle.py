@@ -70,8 +70,8 @@ class SequentialOracle:
             for r in web["robots"].itertuples()
         }
         self.deny_re = re.compile(self.cfg.deny_url_regex)
-        self.prot_re = re.compile(self.cfg.protected_url_regex) \
-            if self.cfg.protected_url_regex else None
+        self.cred_rules = [(re.compile(rx), str(c))
+                           for rx, c in self.cfg.effective_cred_rules()]
 
     def _robots_denied(self, host: str, path: str) -> bool:
         rule = self.robots.get(host)
@@ -82,10 +82,11 @@ class SequentialOracle:
     def _budget(self, host: str, cred: str = "public") -> int:
         delay, maxw, _ = self.robots.get(
             host, (self.cfg.default_crawl_delay_ms, self.cfg.default_max_per_window, ()))
-        if cred == "elevated":
-            # elevated class: same robots delay, scarcer window (token
-            # trait-set analogue — see CrawlConfig.protected_url_regex)
-            maxw = self.cfg.elevated_max_per_window
+        w = self.cfg.cred_window(cred)
+        if w is not None:
+            # non-public class: same robots delay, class-specific window
+            # (token trait-set analogue — see CrawlConfig.cred_windows)
+            maxw = w
         return host_budget(delay, maxw, self.cfg.wave_ms)
 
     def run(self) -> dict[str, pd.DataFrame]:
@@ -108,8 +109,8 @@ class SequentialOracle:
                     else v) for k, v in self.patches[wave].items()}
                 self.cfg = cfg = _dc.replace(cfg, **patch)
                 self.deny_re = re.compile(cfg.deny_url_regex)
-                self.prot_re = re.compile(cfg.protected_url_regex) \
-                    if cfg.protected_url_regex else None
+                self.cred_rules = [(re.compile(rx), str(c))
+                                   for rx, c in cfg.effective_cred_rules()]
             if wave in self.inject:
                 # webhook-analogue mid-crawl seed injection (identical
                 # hook on the engine: CrawlEngine(inject=...))
@@ -181,13 +182,23 @@ class SequentialOracle:
             hot_prev = salt_map(cand.groupby("host").size(), cfg) \
                 if len(cand) else {}
 
-            # auth gate (401/403 analogue): protected urls reject the
-            # public class before the fetch probe
-            adm = cur[(cur["outcome"] == "") & cur["claimed"]]
-            if self.prot_re is not None and len(adm):
-                pmask = adm["url"].str.contains(self.prot_re) \
-                    & (adm["cred"] != "elevated")
-                cur.loc[adm.index[pmask], "outcome"] = "auth_denied"
+            # auth gate (401/403 analogue): the FIRST matching rule
+            # defines a url's required credential class; any other class
+            # is rejected before the fetch probe (tokenFactory trait-set
+            # semantics — shared rule order with the engine)
+            cur["need_cred"] = ""
+            if self.cred_rules and len(cur):
+                req = np.full(len(cur), "", dtype=object)
+                unmatched = np.ones(len(cur), dtype=bool)
+                for rx, need in self.cred_rules:
+                    m = unmatched & cur["url"].str.contains(rx).to_numpy()
+                    req[m] = need
+                    unmatched &= ~m
+                cur["need_cred"] = req
+                deny = pd.Series((req != "") & (cur["cred"].to_numpy() != req),
+                                 index=cur.index)
+                cur.loc[(cur["outcome"] == "") & cur["claimed"] & deny,
+                        "outcome"] = "auth_denied"
 
             # fetch probe against the pages table
             adm = cur[(cur["outcome"] == "") & cur["claimed"]]
@@ -259,8 +270,10 @@ class SequentialOracle:
             ad = cur[cur["outcome"] == "auth_denied"].copy()
             if len(ad):
                 if cfg.elevated_retry:
-                    # one privileged retry, same attempt count
-                    ad["cred"] = "elevated"
+                    # one privileged retry, same attempt count, the
+                    # rule's required class
+                    nc = ad["need_cred"].astype(str)
+                    ad["cred"] = nc.where(nc != "", "elevated")
                     ad["not_before"] = clock + cfg.requeue_delay_ms
                     carries.append(ad[FRONTIER_COLS])
                 else:

@@ -162,10 +162,79 @@ PATCHABLE_FIELDS = frozenset({
     "paginated_priority", "default_link_priority",
     "discovery_seen_filter", "wave_max_attempts",
     "protected_url_regex", "elevated_retry", "elevated_max_per_window",
+    "cred_rules", "cred_windows",
 })
 
-#: tuple-typed CrawlConfig fields (JSON patches arrive as lists)
-_TUPLE_FIELDS = frozenset({"allowed_host_suffixes"})
+#: tuple-typed CrawlConfig fields (JSON patches arrive as lists) →
+#: element validator: (inner shape, scalar types per slot)
+_TUPLE_FIELDS = {
+    "allowed_host_suffixes": (str,),
+    "cred_rules": ((str, str),),
+    "cred_windows": ((str, int),),
+}
+
+#: regex-valued fields: compiled at patch time so a malformed pattern
+#: fails the patch, not the next wave
+_REGEX_FIELDS = frozenset({"deny_url_regex", "protected_url_regex"})
+
+_CFG_DEFAULTS = CrawlConfig()
+
+
+def _coerce_patch_value(k: str, v):
+    """Validate one hot-config patch value against the CrawlConfig field
+    type; JSON lists become tuples. Raises ValueError on mismatch so a
+    mistyped patch (e.g. {"wave_ms": "5000"}) is rejected AT PATCH TIME
+    instead of being persisted and crash-looping the engine on resume."""
+    import re as _re
+
+    def _chk(val, want, where):
+        if want is bool:
+            ok = isinstance(val, bool)
+        elif want is int:
+            ok = isinstance(val, int) and not isinstance(val, bool)
+        else:
+            ok = isinstance(val, want)
+        if not ok:
+            raise ValueError(
+                f"config patch {where}: expected {want.__name__}, "
+                f"got {type(val).__name__} ({val!r})")
+        return val
+
+    spec = _TUPLE_FIELDS.get(k)
+    if spec is not None:
+        if not isinstance(v, (list, tuple)):
+            raise ValueError(f"config patch {k!r}: expected a list, "
+                             f"got {type(v).__name__}")
+        inner = spec[0]
+        out = []
+        for i, el in enumerate(v):
+            if isinstance(inner, tuple):   # pair-shaped elements
+                if not isinstance(el, (list, tuple)) or len(el) != len(inner):
+                    raise ValueError(
+                        f"config patch {k}[{i}]: expected a "
+                        f"{len(inner)}-element pair, got {el!r}")
+                el = tuple(_chk(x, t, f"{k}[{i}][{j}]")
+                           for j, (x, t) in enumerate(zip(el, inner)))
+                if k == "cred_rules":
+                    _re.compile(el[0])     # malformed regex → fail now
+            else:
+                _chk(el, inner, f"{k}[{i}]")
+            out.append(el)
+        return tuple(out)
+    want = type(getattr(_CFG_DEFAULTS, k))
+    _chk(v, want, k)
+    if k in _REGEX_FIELDS and v:
+        _re.compile(v)
+    return v
+
+
+def coerce_patch(patch: dict) -> dict:
+    """Field-name + value-type validation for a hot-config patch (shared
+    by the engine channel and the ``patch-config`` CLI)."""
+    bad = set(patch) - PATCHABLE_FIELDS
+    if bad:
+        raise ValueError(f"non-patchable config fields: {sorted(bad)}")
+    return {k: _coerce_patch_value(k, v) for k, v in patch.items()}
 
 
 class CrawlEngine:
@@ -201,13 +270,7 @@ class CrawlEngine:
     # ---------- hot config (live patch channel) ----------
 
     def _apply_patch_dict(self, patch: dict) -> None:
-        bad = set(patch) - PATCHABLE_FIELDS
-        if bad:
-            raise ValueError(f"non-patchable config fields: {sorted(bad)}")
-        patch = {k: (tuple(v) if k in _TUPLE_FIELDS and not
-                     isinstance(v, tuple) else v)
-                 for k, v in patch.items()}
-        self.cfg = dataclasses.replace(self.cfg, **patch)
+        self.cfg = dataclasses.replace(self.cfg, **coerce_patch(patch))
 
     def _apply_patches(self, k: int) -> None:
         """Merge the in-process patch for wave k with the file channel

@@ -55,9 +55,26 @@ class SinkProtocol(Protocol):
     def __call__(self, ds, root: str, **kwargs) -> pd.DataFrame: ...
 
 
+@runtime_checkable
+class DocStoreProtocol(Protocol):
+    """The reference's 7-method storage-provider interface
+    (`providers/storage/storageDocStore.js:33-189`; alternative concrete
+    providers `mongodocstore.js:1-104`, `googleCloudStorage.js`):
+    upsert-by-url with version history, point get/etag, list-by-prefix,
+    live/raw counts, delete."""
+
+    def get(self, url: str) -> dict | None: ...
+    def etag(self, url: str) -> str | None: ...
+    def list(self, prefix: str = "", limit: int | None = None): ...
+    def count(self, live_only: bool = True) -> int: ...
+    def delete(self, url: str) -> int: ...
+    def upsert(self, docs) -> int: ...
+
+
 _SEEN_FILTERS: dict[str, Callable[[int], object]] = {}
 _SEEN_LOADERS: dict[str, Callable[[dict], object]] = {}
 _SINKS: dict[str, SinkProtocol] = {}
+_DOC_STORES: dict[str, Callable[..., DocStoreProtocol]] = {}
 
 
 def register_seen_filter(name: str, factory: Callable[[int], object],
@@ -118,6 +135,32 @@ def register_sink(name: str, fn: SinkProtocol) -> None:
     _SINKS[name] = fn
 
 
+def register_doc_store(name: str,
+                       factory: Callable[..., DocStoreProtocol]) -> None:
+    """Register a doc-store backend: ``factory(root, n_buckets=...) ->
+    store`` satisfying ``DocStoreProtocol``. Built-ins: parquet
+    (state.store.PagesDocStore), jsonl (state.jsonl_store.JsonlDocStore)
+    — the provider-by-name analogue of `crawlerFactory.js:479-506`."""
+    _DOC_STORES[name] = factory
+
+
+def make_doc_store(name: str, root, **kwargs) -> DocStoreProtocol:
+    if name not in _DOC_STORES and ":" in name:
+        # dynamic provider loading (`require('ghcrawler-'+name)`)
+        import importlib
+        mod, attr = name.split(":", 1)
+        register_doc_store(name, getattr(importlib.import_module(mod), attr))
+    try:
+        return _DOC_STORES[name](root, **kwargs)
+    except KeyError:
+        raise ValueError(f"unknown doc store {name!r}; registered: "
+                         f"{sorted(_DOC_STORES)}") from None
+
+
+def doc_store_names() -> list[str]:
+    return sorted(_DOC_STORES)
+
+
 def get_sink(name: str) -> SinkProtocol:
     try:
         return _SINKS[name]
@@ -129,10 +172,14 @@ def get_sink(name: str) -> SinkProtocol:
 def _register_builtins() -> None:
     from .ops.sink import write_corpus_shards
     from .state.cuckoo import CuckooFilter
+    from .state.jsonl_store import JsonlDocStore
     from .state.seen import _Exact64
+    from .state.store import PagesDocStore
     register_seen_filter("exact64", _Exact64)
     register_seen_filter("cuckoo", CuckooFilter)
     register_sink("corpus_shards", write_corpus_shards)
+    register_doc_store("parquet", PagesDocStore)
+    register_doc_store("jsonl", JsonlDocStore)
 
 
 _register_builtins()

@@ -289,29 +289,36 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
     holder: dict = {}
 
     salts = _as_salt_map(hot_hosts, cfg)
-    prot_re = re.compile(cfg.protected_url_regex) \
-        if cfg.protected_url_regex else None
+    # trait-set auth rules (tokenFactory.js:41-70 _traitsMatch analogue):
+    # first matching rule DEFINES a url's required credential class
+    cred_rules = [(re.compile(rx), str(need))
+                  for rx, need in cfg.effective_cred_rules()]
 
     def _budgets(robots: dict) -> dict:
         wave_ms = cfg.wave_ms
         return {h: host_budget(r[0], r[1], wave_ms) for h, r in robots.items()}
 
+    def _class_budgets(c: str):
+        """Lazily-built per-credential-class budget map (None = the class
+        has no window override → use the host's robots/public budget)."""
+        cls = holder["cls"]
+        if c not in cls:
+            w = cfg.cred_window(c)
+            cls[c] = None if w is None else (
+                {h: host_budget(r[0], w, cfg.wave_ms)
+                 for h, r in holder["robots"].items()},
+                host_budget(cfg.default_crawl_delay_ms, w, cfg.wave_ms))
+        return cls[c]
+
     def partition_stage(g: pd.DataFrame) -> pd.DataFrame:
         if "budgets" not in holder:
             robots = ray.get(robots_ref)
+            holder["robots"] = robots
             holder["budgets"] = _budgets(robots)
             holder["default_budget"] = host_budget(
                 cfg.default_crawl_delay_ms, cfg.default_max_per_window,
                 cfg.wave_ms)
-            # elevated-class ledger: same robots crawl-delay, scarcer
-            # window (tokenFactory trait-set analogue — see config)
-            holder["budgets_elev"] = {
-                h: host_budget(r[0], cfg.elevated_max_per_window,
-                               cfg.wave_ms)
-                for h, r in ray.get(robots_ref).items()}
-            holder["default_budget_elev"] = host_budget(
-                cfg.default_crawl_delay_ms, cfg.elevated_max_per_window,
-                cfg.wave_ms)
+            holder["cls"] = {}
         g = g.reset_index(drop=True)
         elig = (g["outcome"] == "") & ~g["claimed"]
         if elig.any():
@@ -346,18 +353,28 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
         if cand.any():
             order = g[cand].sort_values(ORDER_COLS, kind="stable")
             # politeness groups are per (host, salt, CRED): each
-            # credential class has its own bench (trait-set analogue);
-            # with the feature off every row is 'public' and the
-            # grouping/budgets reduce to the host-only ledger
-            pos = order.groupby(["host", "salt", "cred"], sort=False) \
-                .cumcount().to_numpy()
-            hb_pub = order["host"].map(holder["budgets"]) \
+            # credential class has its own bench (trait-set analogue).
+            # All-public waves (the common case: no auth rules fired and
+            # no seed pinned a class) skip the extra string groupby key —
+            # string-key groupbys measurably dominate this stage's time
+            creds = order["cred"].to_numpy()
+            multi_cred = bool((creds != "public").any())
+            if multi_cred:
+                pos = order.groupby(["host", "salt", "cred"], sort=False) \
+                    .cumcount().to_numpy()
+            else:
+                pos = order.groupby(["host", "salt"], sort=False) \
+                    .cumcount().to_numpy()
+            hb = order["host"].map(holder["budgets"]) \
                 .fillna(holder["default_budget"]).to_numpy(dtype=np.int64)
-            hb_elev = order["host"].map(holder["budgets_elev"]) \
-                .fillna(holder["default_budget_elev"]) \
-                .to_numpy(dtype=np.int64)
-            hb = np.where(order["cred"].to_numpy() == "elevated",
-                          hb_elev, hb_pub)
+            if multi_cred:
+                for c in pd.unique(creds[creds != "public"]):
+                    bm = _class_budgets(str(c))
+                    if bm is None:   # class without a window override
+                        continue
+                    m = creds == c
+                    hb[m] = order.loc[m, "host"].map(bm[0]) \
+                        .fillna(bm[1]).to_numpy(dtype=np.int64)
             if salts:
                 ns = order["host"].map(salts).fillna(1) \
                     .to_numpy(dtype=np.int64)
@@ -369,12 +386,19 @@ def make_partition_stage(pool, web_root: str, cfg: CrawlConfig, robots_ref,
             deferred = order.index[pos >= b_vec]
             g.loc[deferred, "outcome"] = "deferred"
             adm = (g["outcome"] == "") & g["claimed"]
-            if prot_re is not None:
-                # 401/403 analogue: protected urls reject the public
-                # class before any content question is asked
-                pmask = g["url"].str.contains(prot_re) \
-                    & (g["cred"] != "elevated")
-                g.loc[adm & pmask, "outcome"] = "auth_denied"
+            if cred_rules:
+                # 401/403 analogue: the first matching rule defines the
+                # url's required class; any OTHER class is rejected
+                # before any content question is asked
+                req = np.full(len(g), "", dtype=object)
+                unmatched = np.ones(len(g), dtype=bool)
+                for rx, need in cred_rules:
+                    m = unmatched & g["url"].str.contains(rx).to_numpy()
+                    req[m] = need
+                    unmatched &= ~m
+                g["need_cred"] = req
+                deny = (req != "") & (g["cred"].to_numpy() != req)
+                g.loc[adm & deny, "outcome"] = "auth_denied"
                 adm = (g["outcome"] == "") & g["claimed"]
             g.loc[adm & ~g["found"], "outcome"] = "fetch_error"
         if side is None:
@@ -468,9 +492,15 @@ def route_next_frontier(df: pd.DataFrame, cfg: CrawlConfig,
         ad = df[df["outcome"] == "auth_denied"]
         if len(ad):
             # one privileged retry (`githubFetcher.js:67-72` analogue):
-            # same attempt count, elevated class, normal requeue delay
+            # same attempt count, the RULE'S required class (trait-set
+            # generality — 'elevated' for the protected_url_regex sugar),
+            # normal requeue delay
             ad = ad.copy()
-            ad["cred"] = "elevated"
+            if "need_cred" in ad.columns:
+                nc = ad["need_cred"].astype(str)
+                ad["cred"] = nc.where(nc != "", "elevated")
+            else:
+                ad["cred"] = "elevated"
             ad["not_before"] = clock + cfg.requeue_delay_ms
             parts.append(ad[FRONTIER_COLS])
     merged = pd.concat(parts, ignore_index=True) if parts else \

@@ -141,10 +141,11 @@ def test_webhook_signature_accept_reject(tmp_path):
     assert n == len(seeds)
     assert (out / "frontier" / "wave=2" / "injected-0.parquet").exists()
 
-    # bad signature → rejected + deadlettered
+    # bad signature → rejected (-1, distinct from a signed no-op's 0)
+    # + deadlettered
     n = inject_seeds(out, seeds, wave=3, secret=secret,
                      signature="0" * 40)
-    assert n == 0
+    assert n == -1
     assert not (out / "frontier" / "wave=3").exists()
     dead = list_deadletters(out, reason="bad_signature")
     assert set(dead["url"]) == set(seeds["url"])
@@ -152,7 +153,7 @@ def test_webhook_signature_accept_reject(tmp_path):
 
     # missing signature with a secret configured → same rejection
     n = inject_seeds(out, seeds, wave=4, secret=secret)
-    assert n == 0
+    assert n == -1
     assert len(list_deadletters(out, reason="bad_signature")) \
         == 2 * len(seeds)
 
@@ -182,7 +183,7 @@ def test_signed_injection_end_to_end(tmp_path):
     bad = seeds.copy()
     bad.loc[0, "url"] = "http://evil.example/x"
     assert inject_seeds(tmp_path / "out", bad, wave=2, secret=secret,
-                        signature=webhook_signature(seeds, secret)) == 0
+                        signature=webhook_signature(seeds, secret)) == -1
     # ...then the authentic one lands
     assert inject_seeds(tmp_path / "out", seeds, wave=2, secret=secret,
                         signature=webhook_signature(seeds, secret)) \

@@ -28,7 +28,8 @@ def test_inject_seeds_cli(tmp_path, capsys):
                   "seq": [0]}).to_parquet(seeds)
     assert main(["inject-seeds", "--out", str(tmp_path / "run"),
                  "--seeds", str(seeds), "--wave", "2"]) == 0
-    assert json.loads(capsys.readouterr().out) == {"injected": 1, "wave": 2}
+    assert json.loads(capsys.readouterr().out) == {
+        "injected": 1, "wave": 2, "rejected": False}
     files = list((tmp_path / "run" / "frontier" / "wave=2").glob("*.parquet"))
     assert len(files) == 1
     assert pq.read_table(files[0]).num_rows == 1

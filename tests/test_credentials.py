@@ -129,3 +129,51 @@ def test_no_retry_deadletters_parity(web_root, ray_session, tmp_path):
     eo = _norm(_read_order(Path(res["out_dir"])), ORDER_COLS)
     go = _norm(golden["order"], ORDER_COLS)
     pd.testing.assert_frame_equal(eo, go)
+
+
+def test_third_credential_class_order_parity(web_root, ray_session,
+                                             tmp_path):
+    """Trait-set generality (`tokenFactory.js:41-70`): ``cred`` is an
+    OPEN class — a third class ('partner') with its own auth rule and
+    politeness window must reproduce the oracle exactly, alongside the
+    elevated class, in one run."""
+    cfg = CrawlConfig(
+        protected_url_regex=PROT,
+        elevated_max_per_window=2,
+        cred_rules=((r"/p/(?:5|9)$", "partner"),),
+        cred_windows=(("partner", 1),),
+        local_wave_threshold=0)
+    golden = SequentialOracle(load_web(web_root), cfg).run()
+    res = CrawlEngine(web_root, tmp_path / "out", cfg).run()
+    order = golden["order"]
+    part = order[order["url"].str.contains(r"/p/(?:5|9)$")]
+    denied = part[part["outcome"] == "auth_denied"]
+    assert len(denied), "no partner-protected url was denied"
+    ok = part[part["outcome"].isin(["fetched", "not_modified"])]
+    assert set(denied["url"]) & set(ok["url"]), \
+        "no partner url succeeded on the class retry"
+    pd.testing.assert_frame_equal(
+        _norm(_read_order(Path(res["out_dir"])), ORDER_COLS),
+        _norm(order, ORDER_COLS))
+
+
+def test_first_matching_rule_defines_required_class(web_root):
+    """A url matching several rules requires the FIRST rule's class: the
+    retry carries that class and passes, even though a later rule names
+    a different class (oracle-level pin; engine shares the rule list via
+    CrawlConfig.effective_cred_rules)."""
+    cfg = CrawlConfig(
+        cred_rules=((PROT, "elevated"), (PROT, "partner")),
+        elevated_max_per_window=2)
+    assert cfg.effective_cred_rules() == ((PROT, "elevated"),
+                                          (PROT, "partner"))
+    golden = SequentialOracle(load_web(web_root), cfg).run()
+    order = golden["order"]
+    prot = order[order["url"].str.contains(PROT)]
+    assert (prot["outcome"] == "auth_denied").any()
+    # one retry under the first rule's class then succeeds — were the
+    # second rule consulted after the retry, the row would deny forever
+    ok = prot[prot["outcome"].isin(["fetched", "not_modified"])]
+    assert len(ok)
+    assert not (prot.groupby("url")["outcome"]
+                .apply(lambda s: (s == "auth_denied").sum()) > 1).any()

@@ -99,3 +99,52 @@ def test_non_patchable_fields_rejected(web_root, tmp_path):
         eng._apply_patch_dict({"n_shards": 2})
     assert "n_shards" not in PATCHABLE_FIELDS
     assert "wave_ms" in PATCHABLE_FIELDS
+
+
+def test_mistyped_patch_values_rejected(web_root, tmp_path):
+    """Value-TYPE validation at patch time: a mistyped patch (e.g.
+    {"wave_ms": "5000"}) must fail when applied — never be persisted to
+    config_patches/ where resume would replay it into a crash loop."""
+    eng = CrawlEngine(web_root, tmp_path / "out", CrawlConfig())
+    with pytest.raises(ValueError, match="wave_ms"):
+        eng._apply_patch_dict({"wave_ms": "5000"})
+    with pytest.raises(ValueError, match="emit_order_log"):
+        eng._apply_patch_dict({"emit_order_log": 1})   # int is not bool
+    with pytest.raises(ValueError, match="allowed_host_suffixes"):
+        eng._apply_patch_dict({"allowed_host_suffixes": ".example"})
+    with pytest.raises(ValueError, match="allowed_host_suffixes"):
+        eng._apply_patch_dict({"allowed_host_suffixes": [".example", 7]})
+    with pytest.raises(Exception):                     # malformed regex
+        eng._apply_patch_dict({"deny_url_regex": "("})
+    with pytest.raises(ValueError, match="cred_rules"):
+        eng._apply_patch_dict({"cred_rules": [["/p/", "elevated", "x"]]})
+    with pytest.raises(ValueError, match="cred_windows"):
+        eng._apply_patch_dict({"cred_windows": [["partner", "10"]]})
+    # valid shapes still pass, JSON lists become tuples
+    eng._apply_patch_dict({"wave_ms": 5000,
+                           "allowed_host_suffixes": [".example"],
+                           "cred_rules": [["/p/3$", "elevated"]],
+                           "cred_windows": [["partner", 3]]})
+    assert eng.cfg.wave_ms == 5000
+    assert eng.cfg.cred_rules == (("/p/3$", "elevated"),)
+    assert eng.cfg.cred_windows == (("partner", 3),)
+    # nothing was persisted by the failing applications
+    assert not (tmp_path / "out" / "config_patches").exists()
+
+
+def test_patch_config_cli_rejects_bad_value(tmp_path, capsys):
+    """The patch-config CLI shares the validator: a mistyped value exits
+    1 with an error instead of writing the patch file."""
+    from ghcrawler_ray.__main__ import main
+
+    rc = main(["patch-config", "--out", str(tmp_path / "out"),
+               "--wave", "3", "--patch", '{"wave_ms": "5000"}'])
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out)
+    assert "error" in out and "wave_ms" in out["error"]
+    assert not (tmp_path / "out" / "config_patches").exists()
+    rc = main(["patch-config", "--out", str(tmp_path / "out"),
+               "--wave", "3", "--patch", '{"wave_ms": 5000}'])
+    assert rc == 0
+    f = tmp_path / "out" / "config_patches" / "wave=3.json"
+    assert json.loads(f.read_text()) == {"wave_ms": 5000}

@@ -162,3 +162,17 @@ def test_dedup_lines_distributed_equals_broadcast(ray_session, monkeypatch):
     slow = _canon(_pd(ops_contam.dedup_lines(docs)))
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
                                   rtol=0, atol=0)
+
+
+def test_embedding_dup_pairs_guard_routes_to_lsh(ray_session, monkeypatch):
+    """EXACT_PAIRS_MAX gate: the exact-quadratic op refuses to run blind
+    above the bound, names the sub-quadratic scale path in the error,
+    and force=True still allows a deliberate exact run."""
+    emb = entrymod._emb(SF_DIR)
+    monkeypatch.setattr(ops_ann, "EXACT_PAIRS_MAX", 10)
+    with pytest.raises(ValueError, match="embedding_lsh_pairs"):
+        ops_ann.embedding_dup_pairs(emb)
+    forced = _canon(_pd(ops_ann.embedding_dup_pairs(emb, force=True)))
+    monkeypatch.setattr(ops_ann, "EXACT_PAIRS_MAX", 1 << 17)
+    normal = _canon(_pd(ops_ann.embedding_dup_pairs(emb)))
+    pd.testing.assert_frame_equal(forced, normal, check_dtype=False)

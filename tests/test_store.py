@@ -27,12 +27,32 @@ def crawl_out(ray_session, tmp_path_factory):
     return out
 
 
-@pytest.fixture()
-def store(crawl_out, tmp_path):
+@pytest.fixture(params=["parquet", "jsonl"])
+def store(crawl_out, tmp_path, request):
+    """The SAME suite runs over both registered backends — the
+    provider-interchangeability contract (`mongodocstore.js` vs
+    `storageDocStore.js` behind one interface). Resolution goes through
+    the plugins registry, as a deployment's would."""
+    from ghcrawler_ray.plugins import DocStoreProtocol, make_doc_store
+
     # copy: delete/upsert tests mutate the store
     dst = tmp_path / "out"
     shutil.copytree(crawl_out, dst)
-    return PagesDocStore(dst)
+    if request.param == "parquet":
+        store = make_doc_store("parquet", dst)
+    else:
+        # seed the jsonl backend with the crawl's live docs through the
+        # shared upsert surface
+        import pyarrow.parquet as pq
+        t = pq.read_table(sorted(str(p) for p in
+                                 (dst / "pages").rglob("*.parquet")),
+                          partitioning=None).to_pandas()
+        live = t.sort_values(["url", "wave", "version"], kind="stable") \
+            .drop_duplicates("url", keep="last")
+        store = make_doc_store("jsonl", tmp_path / "jsonl")
+        store.upsert(live[["url", "lang", "etag", "text"]])
+    assert isinstance(store, DocStoreProtocol)
+    return store
 
 
 def test_get_and_etag_point_lookup(store):
@@ -85,3 +105,18 @@ def test_upsert_supersedes_and_bumps_version(store):
     assert new is not None and int(new["version"]) == 1
     # history preserved: raw rows grew, live count grew by exactly 1
     assert store.count(live_only=False) > store.count()
+
+
+def test_dynamic_doc_store_resolution(tmp_path):
+    """\"module:Class\" dynamic provider loading — the
+    `require('ghcrawler-'+name)` analogue for doc stores."""
+    from ghcrawler_ray.plugins import make_doc_store
+
+    s = make_doc_store("ghcrawler_ray.state.jsonl_store:JsonlDocStore",
+                       tmp_path / "dyn", n_buckets=8)
+    s.upsert(pd.DataFrame({"url": ["http://a.example/1"], "lang": ["en"],
+                           "etag": ["sha:1"], "text": ["body"]}))
+    assert s.count() == 1
+    assert s.etag("http://a.example/1") == "sha:1"
+    assert s.delete("http://a.example/1") == 1
+    assert s.count() == 0
