@@ -686,6 +686,16 @@ def host_edges(links: ray.data.Dataset) -> pd.DataFrame:
 #: register machinery (``neighborhood_function`` run on the host
 #: graph — per-host HLL registers, O(V·m) bytes per round).
 #: ``test_scale_paths`` pins both alternates against the dense path.
+#:
+#: Driver ceilings of the alternates (documented, not hidden): the
+#: ANF curves fold cluster-side (``_host_anf_fold`` — driver holds only
+#: the n-row result), but ``_scc_labels_edge``/``_edge_reach`` still run
+#: single-machine numpy over the full HOST edge list: ~16 bytes/edge →
+#: ~16 GB at 10⁹ host edges, the practical driver bound. Past that the
+#: Orzan coloring rounds map 1:1 onto the ``_cc_labels`` delta-BSP
+#: co-partition exchanges (each inner step is one keyed edge gather);
+#: that port is mechanical and deliberately deferred until a deployment
+#: actually exceeds the edge-list bound.
 HOST_DENSE_MAX = 65_536
 
 #: HyperANF rounds for the approximate closeness/eccentricity path —
@@ -746,46 +756,69 @@ def _scc_labels_edge(ai: np.ndarray, bi: np.ndarray,
     return comp
 
 
-def _host_anf_curves(a: np.ndarray, b: np.ndarray, hosts: np.ndarray,
-                     rounds: int) -> tuple[np.ndarray, np.ndarray]:
+def _host_anf_fold(a: np.ndarray, b: np.ndarray, hosts: np.ndarray,
+                   rounds: int, fold) -> pd.DataFrame:
     """Run the distributed HyperANF machinery on the UNDIRECTED host
-    graph; return (B, S): per-host × per-round reach-count estimates
-    (linear-counting-corrected HLL, monotone-clamped) and the exact
-    integer register indicators sreg (for change detection). Row order
-    = the ``hosts`` argument's order."""
+    graph and fold each host's (rounds+1)-row register curve into its
+    final readout CLUSTER-SIDE: the per-host × per-round table is
+    hash-partitioned by host and every partition pivots + folds ITS
+    hosts vectorized (B = linear-counting-corrected, monotone-clamped
+    reach estimates; S = exact integer register indicators). The
+    driver receives only the n-row result — never the n×(rounds+1)
+    curve matrices (two of those in int64 at the 10⁷–10⁸-host design
+    scale are tens of GB, the round-4 shape).
+
+    ``fold(urls, B, S) -> DataFrame`` gets one partition's hosts."""
     links_h = ray.data.from_pandas(pd.DataFrame({
         "src_url": np.concatenate([a, b]).astype(str),
         "dst_url": np.concatenate([b, a]).astype(str)}))
     nodes_h = ray.data.from_pandas(
         pd.DataFrame({"url": hosts.astype(str)}))
-    nf = neighborhood_function(links_h, nodes_h, rounds=rounds) \
-        .to_pandas()
-    piv_s = nf.pivot(index="url", columns="round", values="sreg") \
-        .reindex(hosts.astype(str))
-    piv_z = nf.pivot(index="url", columns="round", values="nzero") \
-        .reindex(hosts.astype(str))
-    S = piv_s.to_numpy(dtype=np.int64)
-    Z = piv_z.to_numpy(dtype=np.int64)
-    raw = (ANF_ALPHA_M2 * float(1 << ANF_RHO_CAP)) / S.astype(np.float64)
-    lc = ANF_M * np.log(ANF_M / np.maximum(Z, 1).astype(np.float64))
-    B = np.where((raw <= 2.5 * ANF_M) & (Z > 0), lc, raw)
-    return np.maximum.accumulate(B, axis=1), S
+    nf = neighborhood_function(links_h, nodes_h, rounds=rounds)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["url", "round", "sreg", "nzero"]].copy()
+        df["part"] = (hash64_array(df["url"].astype(str))
+                      % N_GRAPH_PARTS).astype(np.int32)
+        return df
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        piv_s = g.pivot(index="url", columns="round", values="sreg") \
+            .sort_index(axis=1)
+        piv_z = g.pivot(index="url", columns="round", values="nzero") \
+            .sort_index(axis=1)
+        S = piv_s.to_numpy(dtype=np.int64)
+        Z = piv_z.to_numpy(dtype=np.int64)
+        raw = (ANF_ALPHA_M2 * float(1 << ANF_RHO_CAP)) / S.astype(np.float64)
+        lc = ANF_M * np.log(ANF_M / np.maximum(Z, 1).astype(np.float64))
+        B = np.where((raw <= 2.5 * ANF_M) & (Z > 0), lc, raw)
+        B = np.maximum.accumulate(B, axis=1)
+        return fold(piv_s.index.to_numpy(dtype=object), B, S)
+
+    out = (nf.map_batches(tag, batch_format="pandas")
+             .groupby("part").map_groups(fold_part, batch_format="pandas")
+             .to_pandas())
+    # same row order as the dense path (np.unique's sorted hosts)
+    return out.sort_values("host", kind="stable").reset_index(drop=True)
 
 
 def _host_closeness_anf(a: np.ndarray, b: np.ndarray,
                         hosts: np.ndarray) -> pd.DataFrame:
     """Approximate harmonic centrality from the HyperANF curves:
     frontier size at depth d ≈ B(d) − B(d−1); same integer HC_FP // d
-    weights as the dense path (Boldi & Vigna 2014's own estimator)."""
-    B, _ = _host_anf_curves(a, b, hosts, HOST_ANF_ROUNDS)
-    delta = np.maximum(np.rint(np.diff(B, axis=1)), 0).astype(np.int64)
-    w = np.array([np.int64(HC_FP) // np.int64(d)
-                  for d in range(1, B.shape[1])], dtype=np.int64)
-    return pd.DataFrame({
-        "host": hosts.astype(object),
-        "n_reachable": np.maximum(
-            np.rint(B[:, -1]).astype(np.int64) - 1, 0),
-        "harmonic_fp": (delta * w[None, :]).sum(axis=1)})
+    weights as the dense path (Boldi & Vigna 2014's own estimator).
+    Folded cluster-side per host partition (``_host_anf_fold``)."""
+    def fold(urls: np.ndarray, B: np.ndarray, S: np.ndarray) -> pd.DataFrame:
+        delta = np.maximum(np.rint(np.diff(B, axis=1)), 0).astype(np.int64)
+        w = np.array([np.int64(HC_FP) // np.int64(d)
+                      for d in range(1, B.shape[1])], dtype=np.int64)
+        return pd.DataFrame({
+            "host": urls,
+            "n_reachable": np.maximum(
+                np.rint(B[:, -1]).astype(np.int64) - 1, 0),
+            "harmonic_fp": (delta * w[None, :]).sum(axis=1)})
+
+    return _host_anf_fold(a, b, hosts, HOST_ANF_ROUNDS, fold)
 
 
 def _host_eccentricity_anf(a: np.ndarray, b: np.ndarray,
@@ -794,15 +827,18 @@ def _host_eccentricity_anf(a: np.ndarray, b: np.ndarray,
     indicator sreg still changed (registers are a deterministic
     function of the reachable set, so a changed sreg proves new hosts
     entered; an unchanged one may rarely hide them → the estimate
-    never exceeds the true eccentricity)."""
-    B, S = _host_anf_curves(a, b, hosts, HOST_ANF_ROUNDS)
-    changed = S[:, 1:] != S[:, :-1]
-    d = np.arange(1, S.shape[1], dtype=np.int64)
-    return pd.DataFrame({
-        "host": hosts.astype(object),
-        "n_reachable": np.maximum(
-            np.rint(B[:, -1]).astype(np.int64) - 1, 0),
-        "eccentricity": np.where(changed, d[None, :], 0).max(axis=1)})
+    never exceeds the true eccentricity). Folded cluster-side per host
+    partition (``_host_anf_fold``)."""
+    def fold(urls: np.ndarray, B: np.ndarray, S: np.ndarray) -> pd.DataFrame:
+        changed = S[:, 1:] != S[:, :-1]
+        d = np.arange(1, S.shape[1], dtype=np.int64)
+        return pd.DataFrame({
+            "host": urls,
+            "n_reachable": np.maximum(
+                np.rint(B[:, -1]).astype(np.int64) - 1, 0),
+            "eccentricity": np.where(changed, d[None, :], 0).max(axis=1)})
+
+    return _host_anf_fold(a, b, hosts, HOST_ANF_ROUNDS, fold)
 
 
 # ---- TrustRank: seed-biased PageRank over the host graph ----
