@@ -169,7 +169,8 @@ def run_scaling(sf_dir: str) -> dict:
     for cpus in SCALING_CPUS:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                    GRAFT_SF_DIR=sf_dir, GHCRAWLER_BENCH_CRAWL_ONLY="1",
-                   GHCRAWLER_BENCH_REPS="3")
+                   GHCRAWLER_BENCH_REPS=os.environ.get(
+                       "GHCRAWLER_BENCH_REPS", "3"))
         cp = subprocess.run([sys.executable, __file__, "--child"],
                             capture_output=True, text=True, env=env,
                             cwd=str(Path(__file__).parent))

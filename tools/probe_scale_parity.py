@@ -106,12 +106,16 @@ def main():
                                   metrics("/tmp/probe_scalemode"))
     print(f"PROBE scale-mode metrics sf{args.sf} OK", flush=True)
 
-    # round-4 feature probe: credential classes + hot-config patches
-    # TOGETHER on the all-distributed path — auth_denied outcomes, the
-    # elevated retry, per-class budgets, and a mid-crawl throttle patch
-    # must reproduce the sequential oracle at this scale too
+    # feature probe: credential classes (round-5 OPEN trait sets — the
+    # elevated sugar PLUS a third 'partner' class with its own window)
+    # + hot-config patches TOGETHER on the all-distributed path —
+    # auth_denied outcomes, per-class retries, per-class budgets, and a
+    # mid-crawl throttle patch must reproduce the sequential oracle at
+    # this scale too
     fcfg = dataclasses.replace(
-        base, protected_url_regex=r"/p/(?:3|7)$", elevated_max_per_window=2)
+        base, protected_url_regex=r"/p/(?:3|7)$", elevated_max_per_window=2,
+        cred_rules=((r"/p/(?:5|9)$", "partner"),),
+        cred_windows=(("partner", 1),))
     patches = {2: {"wave_ms": 5_000}}
     golden = SequentialOracle(load_web(root), fcfg, patches=patches).run()
     out = "/tmp/probe_features"
