@@ -71,3 +71,34 @@ def test_generated_web_has_required_features():
     assert (seeds["url"] == "not a url").any()
     assert seeds["url"].str.contains("outside.org").any()
     assert robots["disallow_prefixes"].map(len).gt(0).any()
+
+
+def test_meta_probe_equals_string_lookup():
+    """The compact hash-indexed pages_meta probe (engine_stages._meta_probe,
+    ~40 B/url — the sf10 memory-ceiling fix) must answer exactly like the
+    string-keyed lookup it replaced, including misses and a missing file."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ghcrawler_ray.stages.engine_stages import _meta_probe
+    from ghcrawler_ray.testgen import ensure_testdata
+    from ghcrawler_ray.urls import hash64_array
+
+    root = ensure_testdata(0.001)
+    path = str(root / "pages_meta" / "bucket=5" / "part-0.parquet")
+    t = pq.read_table(path).to_pandas()
+    ref = pd.Series(t["etag"].to_numpy(dtype=object),
+                    index=t["url"].to_numpy(dtype=object))
+    urls = list(t["url"].head(64)) + ["http://missing.example/x",
+                                      "http://h0.example/p/999999999"]
+    want = ref.reindex(urls).to_numpy()
+    got = _meta_probe(path, hash64_array(pd.Series(urls)).astype(np.int64))
+    assert all((a == b) or (pd.isna(a) and b is None)
+               for a, b in zip(want, got))
+    miss = _meta_probe(str(root / "pages_meta" / "bucket=999" /
+                           "part-0.parquet"),
+                       hash64_array(pd.Series(urls)).astype(np.int64))
+    assert all(v is None for v in miss)
+    assert all(v is None for v in
+               _meta_probe(path, np.empty(0, dtype=np.int64)))
